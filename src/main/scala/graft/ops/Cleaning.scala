@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable cleaning kernel — the scalar-function surface of the reference
+  * pipeline (SURVEY.md §2.6, F1–F19), expressed as pure `Column`
+  * transformations so every use stays inside whole-stage codegen.
+  *
+  * Reference semantics replicated from
+  * `/root/reference/scripts/clean_ticket_sales.py:28-41`,
+  * `/root/reference/scripts/transform_weather.py:21-26`,
+  * `/root/reference/scripts/clean_section_capacity.py:38-44`.
+  */
+object Cleaning {
+
+  /** F1/P1 — header normalization: trim, lowercase, inner whitespace → `_`.
+    * (clean_ticket_sales.py:28-35)
+    */
+  def normalizeColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(c => c.trim.toLowerCase.replaceAll("\\s+", "_")).toIndexedSeq: _*)
+
+  /** F1 — canonical section/category names: cast→string, trim, collapse
+    * inner whitespace, Title Case. (clean_ticket_sales.py:37-41)
+    */
+  def normTitle(c: Column): Column =
+    initcap(regexp_replace(trim(c.cast("string")), "\\s+", " "))
+
+  /** F2 — slugify: join parts with `_`, lowercase, non-alphanumeric runs →
+    * `_`, strip leading/trailing `_`. (transform_weather.py:21-26)
+    */
+  def slugify(parts: Column*): Column =
+    regexp_replace(
+      regexp_replace(lower(concat_ws("_", parts: _*)), "[^a-z0-9]+", "_"),
+      "^_+|_+$", "")
+
+  /** F4 — multi-format date parse with coerce-to-null: the reference sees
+    * both `M/d/yyyy` raw dates and ISO dates and maps unparsable values to
+    * null (`errors="coerce"`, clean_ticket_sales.py:91). `try_to_date`
+    * keeps that semantic even under Spark 4's default ANSI mode.
+    */
+  def parseDateMulti(c: Column): Column =
+    coalesce(
+      try_to_date(c),
+      try_to_date(c, "M/d/yyyy"),
+      try_to_date(c, "M-d-yyyy"))
+
+  /** F7 — numeric coercion, null on failure (`pd.to_numeric(errors="coerce")`). */
+  def coerceDouble(c: Column): Column = trim(c.cast("string")).try_cast("double")
+
+  /** F7 — like [[coerceDouble]] but integral (pandas `Int64` ≈ nullable LongType). */
+  def coerceLong(c: Column): Column = coerceDouble(c).try_cast("long")
+
+  /** F9 — banker's rounding block: pandas `round` is half-even; Spark's
+    * `round` is half-away-from-zero, so pipeline-parity code must use
+    * `bround`. (transform_weather.py:141-142; SURVEY.md §7.4.3)
+    */
+  def broundAll(df: DataFrame, scale: Int, cols: Seq[String]): DataFrame =
+    df.withColumns(cols.map(c => c -> bround(col(c), scale)).toMap)
+
+  /** P3 — add any missing columns as typed nulls (materialize_dim_market.py:21-25). */
+  def withMissingAsNull(df: DataFrame, cols: Seq[(String, String)]): DataFrame =
+    cols.foldLeft(df) { case (d, (name, tpe)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, lit(null).cast(tpe))
+    }
+
+  /** P6 — boolean predicate → 0/1 flag column (transform_weather.py:116-122). */
+  def flag(pred: Column): Column = when(pred, 1L).otherwise(0L)
+}

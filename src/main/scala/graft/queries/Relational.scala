@@ -1,0 +1,446 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+import graft.ops.Cleaning
+
+/** Relational parity queries — every operator family in SURVEY.md §2
+  * re-expressed over the driver's TPC-H-ish tables (FIXTURES.md §B role
+  * mapping: orders/lineitem = fact, nation/region/customer = dims).
+  *
+  * Design rules applied throughout:
+  *   - declarative DataFrame plans (Catalyst does pushdown/pruning/reorder);
+  *   - `broadcast()` on every bounded dimension so no fact-side shuffle is
+  *     spent on a join that fits in memory at any scale;
+  *   - floating aggregates rounded in-plan so results are stable across
+  *     engines (the DuckDB oracle applies identical rounding);
+  *   - every output deterministically ordered (driver hash-compares rows).
+  */
+object Relational {
+
+  /** S1/P2/P5 — projected, filtered scan. Filter + projection must reach the
+    * parquet reader (PushedFilters/ReadSchema in explain).
+    */
+  def q01ScanProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q01Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** F2/F3/A9 — slugify (reference transform_weather.py:21-26) + distinct. */
+  def q02Slugify(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(Cleaning.slugify(col("p_type"), col("p_brand")).as("slug"))
+      .distinct()
+      .orderBy("slug")
+
+  val q02Oracle: String =
+    """SELECT DISTINCT trim(regexp_replace(lower(concat_ws('_', p_type, p_brand)), '[^a-z0-9]+', '_', 'g'), '_') AS slug
+      |FROM part ORDER BY slug""".stripMargin
+
+  /** A1/A3 — wide group-by aggregation (the reference's daily-weather
+    * rollup shape, transform_weather.py:124-139; TPC-H Q1 analog).
+    * Partial (map-side) aggregation makes this one shuffle of tiny
+    * pre-aggregated state regardless of input size.
+    */
+  def q03PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q03Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J1/J6/A3 — snowflake enrichment through two broadcast dims. */
+  def q04RegionRollup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_bal"),
+        round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name")
+
+  val q04Oracle: String =
+    """SELECT r_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_bal,
+      |  round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** J2 — left m:1 enrichment join (clean_ticket_sales.py:123-128 shape);
+    * count(col) vs count(*) shows match-rate semantics.
+    */
+  def q05LeftJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = customer(s, d).select("c_custkey", "c_name")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("c_name")).as("n_matched"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q05Oracle: String =
+    """SELECT o_orderstatus, count(*) AS n_orders, count(c_name) AS n_matched,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** EDA #6 analog (sql/10_eda_queries.sql:110-120): fact-to-fact join +
+    * count distinct. The lineitem↔orders join shuffles on orderkey; at
+    * scale both sides would be bucketed on the key to make it co-located.
+    */
+  def q06PrioritySummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(avg("l_quantity"), 4).as("avg_qty"))
+      .orderBy("o_orderpriority")
+
+  val q06Oracle: String =
+    """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+      |  count(*) AS n_lines,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(avg(l_quantity), 4) AS avg_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** O3 — top-k: Spark plans ORDER BY + LIMIT as TakeOrderedAndProject
+    * (per-partition heaps, no global sort).
+    */
+  def q07TopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  val q07Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** P7 — HAVING post-aggregation filter (sql/10_eda_queries.sql:100). */
+  def q08Having(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("avg_disc") > 0.05)
+      .orderBy("l_suppkey")
+
+  val q08Oracle: String =
+    """SELECT l_suppkey, count(*) AS n_lines,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY l_suppkey
+      |HAVING round(avg(l_discount), 4) > 0.05 ORDER BY l_suppkey""".stripMargin
+
+  /** A5 — COUNTIF (sql/10_eda_queries.sql:131-133): conditional count. */
+  def q09CountIf(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q09Oracle: String =
+    """SELECT o_orderpriority, count_if(o_totalprice > 200000) AS n_big,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** A7 — CORR aggregate (sql/10_eda_queries.sql:79-82). */
+  def q10Corr(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(corr("l_discount", "l_extendedprice"), 6).as("corr_disc_price"))
+      .orderBy("l_returnflag")
+
+  val q10Oracle: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A6 — ANY_VALUE on a functionally-dependent column
+    * (sql/02_create_dims_and_facts.sql:107-108) — deterministic because
+    * n_name is unique per nationkey.
+    */
+  def q11AnyValue(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_nationkey")
+      .agg(
+        any_value(col("n_name")).as("nation_name"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  val q11Oracle: String =
+    """SELECT c_nationkey, any_value(n_name) AS nation_name, count(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** A9 — SELECT DISTINCT dim extraction (sql/02:22-26). */
+  def q12Distinct(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  val q12Oracle: String =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  /** J5 — true cross join (the reference emulates it with a dummy key,
+    * clean_section_capacity.py:105-108; Spark has the real operator).
+    */
+  def q13CrossJoin(s: SparkSession, d: String): DataFrame =
+    nation(s, d).select("n_name")
+      .crossJoin(broadcast(region(s, d).select("r_name")))
+      .orderBy("n_name", "r_name")
+
+  val q13Oracle: String =
+    """SELECT n_name, r_name FROM nation CROSS JOIN region
+      |ORDER BY n_name, r_name""".stripMargin
+
+  /** U1 — union-all of heterogeneous sources, aligned by name
+    * (ingest_weather.py:103 per-market concat shape).
+    */
+  def q14Union(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d).select(
+      lit("supplier").as("kind"), col("s_name").as("name"),
+      round(col("s_acctbal"), 2).as("acctbal"))
+    val cus = customer(s, d).select(
+      lit("customer").as("kind"), col("c_name").as("name"),
+      round(col("c_acctbal"), 2).as("acctbal"))
+    sup.unionByName(cus).orderBy("kind", "name")
+  }
+
+  val q14Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'supplier' AS kind, s_name AS name, round(s_acctbal, 2) AS acctbal FROM supplier
+      |  UNION ALL
+      |  SELECT 'customer' AS kind, c_name AS name, round(c_acctbal, 2) AS acctbal FROM customer
+      |) ORDER BY kind, name""".stripMargin
+
+  /** F13/F14/F15 — CASE ladder + arithmetic binning
+    * (sql/10_eda_queries.sql:49-61,155).
+    */
+  def q15PriceBands(s: SparkSession, d: String): DataFrame = {
+    val band = when(col("o_totalprice") < 100000, "low")
+      .when(col("o_totalprice") <= 250000, "mid")
+      .otherwise("high")
+    val bin = round(col("o_totalprice") / 50000) * 50000
+    orders(s, d)
+      .groupBy(band.as("price_band"), bin.as("price_bin"))
+      .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("price_band", "price_bin")
+  }
+
+  val q15Oracle: String =
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+      |            WHEN o_totalprice <= 250000 THEN 'mid'
+      |            ELSE 'high' END AS price_band,
+      |  round(o_totalprice / 50000) * 50000 AS price_bin,
+      |  count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** F17 — date-part extraction incl. ISO week and day name
+    * (sql/02_create_dims_and_facts.sql:59-64). Cast to long: DuckDB's
+    * date parts are BIGINT and the driver compares schemas.
+    */
+  def q16DateParts(s: SparkSession, d: String): DataFrame = {
+    val dt = to_date(col("o_orderdate"))
+    orders(s, d)
+      .select(
+        year(dt).cast("long").as("y"),
+        month(dt).cast("long").as("m"),
+        dayofmonth(dt).cast("long").as("day"),
+        weekofyear(dt).cast("long").as("iso_week"),
+        date_format(dt, "EEEE").as("day_name"))
+      .distinct()
+      .orderBy("y", "m", "day")
+  }
+
+  val q16Oracle: String =
+    """SELECT DISTINCT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  day(o_orderdate) AS day, weekofyear(o_orderdate) AS iso_week,
+      |  dayname(o_orderdate) AS day_name
+      |FROM orders ORDER BY y, m, day""".stripMargin
+
+  /** F18 — date spine via sequence+explode (the reference's
+    * GENERATE_DATE_ARRAY+UNNEST, sql/02:65) left-joined to daily counts.
+    */
+  def q17DateSpine(s: SparkSession, d: String): DataFrame = {
+    val spine = s.range(1).select(
+      explode(sequence(
+        to_date(lit("1996-01-01")), to_date(lit("1996-03-31")),
+        expr("interval 1 day"))).as("d"))
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(broadcast(daily), Seq("d"), "left")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("d")
+  }
+
+  val q17Oracle: String =
+    """WITH spine AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY)) AS DATE) AS d
+      |), daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n FROM orders GROUP BY 1
+      |)
+      |SELECT spine.d AS d, COALESCE(daily.n, 0) AS n_orders
+      |FROM spine LEFT JOIN daily USING (d) ORDER BY d""".stripMargin
+
+  /** F16 — null-safe division (BigQuery SAFE_DIVIDE → try_divide,
+    * sql/02:106-108), incl. a forced divide-by-zero that must yield null.
+    */
+  def q18SafeDivide(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(try_divide(sum("l_extendedprice"), nullif(sum("l_quantity"), lit(0))), 4)
+          .as("price_per_qty"),
+        try_divide(sum("l_quantity"), lit(0)).as("div_by_zero"))
+      .orderBy("l_returnflag")
+
+  val q18Oracle: String =
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice) / nullif(sum(l_quantity), 0), 4) AS price_per_qty,
+      |  sum(l_quantity) / nullif(0, 0) AS div_by_zero
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** W — window functions (beyond-reference extension; SURVEY.md §2.5 W1):
+    * per-priority top-3 with running sum.
+    */
+  def q19WindowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("cum_price"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val q19Oracle: String =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS cum_price
+      |  FROM orders
+      |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Anti join (NOT EXISTS) — customers who never placed an urgent order. */
+  def q20AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q20Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Semi join (EXISTS) — customers with at least one 250k+ finished order. */
+  def q21SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val big = orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000)
+    customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q21Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+      |                AND o_totalprice > 250000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Grouping sets (beyond-reference): ROLLUP over the region/nation
+    * hierarchy with explicit null ordering for cross-engine determinism.
+    */
+  def q22Rollup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  val q22Oracle: String =
+    """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** O1/J3/J4 shape — multi-dim m:1 enrichment + multi-key deterministic
+    * sort before write (integrate_weather_sales.py:129-163).
+    */
+  def q23EnrichedSort(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val p = part(s, d).select("p_partkey", "p_brand")
+    val sup = supplier(s, d).select("s_suppkey", "s_name")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("s_name"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q23Oracle: String =
+    """SELECT l_orderkey, l_linenumber, p_brand, s_name,
+      |  round(l_extendedprice * (1 - l_discount), 2) AS net_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+}
