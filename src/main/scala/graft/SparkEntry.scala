@@ -1,13 +1,73 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.Relational
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered here as a
+  * named query; for each query there is an equivalent ANSI SQL string the
+  * driver runs in DuckDB over the same parquet tables (oracleSql). Column
+  * names are aliased identically on both sides because the driver's
+  * comparison sorts columns by name before hashing values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * EDA #6 analog (SURVEY.md §7.2): fact-to-fact join + groupBy agg.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q06PrioritySummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"    -> (Relational.q01ScanProject _),
+    "q02_slugify"         -> (Relational.q02Slugify _),
+    "q03_pricing_summary" -> (Relational.q03PricingSummary _),
+    "q04_region_rollup"   -> (Relational.q04RegionRollup _),
+    "q05_left_join"       -> (Relational.q05LeftJoin _),
+    "q06_priority_summary"-> (Relational.q06PrioritySummary _),
+    "q07_topk"            -> (Relational.q07TopK _),
+    "q08_having"          -> (Relational.q08Having _),
+    "q09_countif"         -> (Relational.q09CountIf _),
+    "q10_corr"            -> (Relational.q10Corr _),
+    "q11_any_value"       -> (Relational.q11AnyValue _),
+    "q12_distinct"        -> (Relational.q12Distinct _),
+    "q13_cross_join"      -> (Relational.q13CrossJoin _),
+    "q14_union"           -> (Relational.q14Union _),
+    "q15_price_bands"     -> (Relational.q15PriceBands _),
+    "q16_date_parts"      -> (Relational.q16DateParts _),
+    "q17_date_spine"      -> (Relational.q17DateSpine _),
+    "q18_safe_divide"     -> (Relational.q18SafeDivide _),
+    "q19_window_topn"     -> (Relational.q19WindowTopN _),
+    "q20_anti_join"       -> (Relational.q20AntiJoin _),
+    "q21_semi_join"       -> (Relational.q21SemiJoin _),
+    "q22_rollup"          -> (Relational.q22Rollup _),
+    "q23_enriched_agg"    -> (Relational.q23EnrichedAgg _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project"    -> Relational.q01Oracle,
+    "q02_slugify"         -> Relational.q02Oracle,
+    "q03_pricing_summary" -> Relational.q03Oracle,
+    "q04_region_rollup"   -> Relational.q04Oracle,
+    "q05_left_join"       -> Relational.q05Oracle,
+    "q06_priority_summary"-> Relational.q06Oracle,
+    "q07_topk"            -> Relational.q07Oracle,
+    "q08_having"          -> Relational.q08Oracle,
+    "q09_countif"         -> Relational.q09Oracle,
+    "q10_corr"            -> Relational.q10Oracle,
+    "q11_any_value"       -> Relational.q11Oracle,
+    "q12_distinct"        -> Relational.q12Oracle,
+    "q13_cross_join"      -> Relational.q13Oracle,
+    "q14_union"           -> Relational.q14Oracle,
+    "q15_price_bands"     -> Relational.q15Oracle,
+    "q16_date_parts"      -> Relational.q16Oracle,
+    "q17_date_spine"      -> Relational.q17Oracle,
+    "q18_safe_divide"     -> Relational.q18Oracle,
+    "q19_window_topn"     -> Relational.q19Oracle,
+    "q20_anti_join"       -> Relational.q20Oracle,
+    "q21_semi_join"       -> Relational.q21Oracle,
+    "q22_rollup"          -> Relational.q22Oracle,
+    "q23_enriched_agg"    -> Relational.q23Oracle,
+  )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -20,6 +20,24 @@ import graft.ops.Cleaning
   *   - every output deterministically ordered (driver hash-compares rows).
   */
 object Relational {
+
+  // --- Cross-engine numeric determinism helpers -------------------------
+  //
+  // A double SUM is accumulation-order dependent; Spark combines partition
+  // partials in completion order, so the low bits differ run-to-run and
+  // vs DuckDB — enough to flip a round(x, 2) at a .xx5 boundary (observed
+  // at sf0.01). Summing in DECIMAL(38,10) is exact and order-independent;
+  // both engines then convert the identical decimal to the identical
+  // double. Averages are derived as exact-sum / count with one IEEE double
+  // division so both engines execute the same float ops in the same order.
+  // Oracle-side equivalents (DuckDB):
+  //   sumD:  CAST(round(sum(CAST(x AS DECIMAL(38,10))), s) AS DOUBLE)
+  //   avgD:  round(CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)/count(x), s)
+  private def dec(c: Column): Column = c.cast("decimal(38,10)")
+  private def sumD(c: Column, scale: Int): Column =
+    round(sum(dec(c)), scale).cast("double")
+  private def avgD(c: Column, scale: Int): Column =
+    round(sum(dec(c)).cast("double") / count(c), scale)
 
   /** S1/P2/P5 — projected, filtered scan. Filter + projection must reach the
     * parquet reader (PushedFilters/ReadSchema in explain).
@@ -55,23 +73,23 @@ object Relational {
     lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        sumD(col("l_quantity"), 2).as("sum_qty"),
+        sumD(col("l_extendedprice"), 2).as("sum_base_price"),
+        sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        avgD(col("l_quantity"), 4).as("avg_qty"),
+        avgD(col("l_extendedprice"), 4).as("avg_price"),
+        avgD(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q03Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -84,14 +102,14 @@ object Relational {
       .groupBy("r_name")
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum("c_acctbal"), 2).as("total_bal"),
-        round(avg("c_acctbal"), 4).as("avg_bal"))
+        sumD(col("c_acctbal"), 2).as("total_bal"),
+        avgD(col("c_acctbal"), 4).as("avg_bal"))
       .orderBy("r_name")
 
   val q04Oracle: String =
     """SELECT r_name, count(*) AS n_customers,
-      |  round(sum(c_acctbal), 2) AS total_bal,
-      |  round(avg(c_acctbal), 4) AS avg_bal
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE) AS total_bal,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) / count(c_acctbal), 4) AS avg_bal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
@@ -107,13 +125,13 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         count(col("c_name")).as("n_matched"),
-        round(sum("o_totalprice"), 2).as("total_price"))
+        sumD(col("o_totalprice"), 2).as("total_price"))
       .orderBy("o_orderstatus")
   }
 
   val q05Oracle: String =
     """SELECT o_orderstatus, count(*) AS n_orders, count(c_name) AS n_matched,
-      |  round(sum(o_totalprice), 2) AS total_price
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS total_price
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -128,15 +146,15 @@ object Relational {
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        round(avg("l_quantity"), 4).as("avg_qty"))
+        sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+        avgD(col("l_quantity"), 4).as("avg_qty"))
       .orderBy("o_orderpriority")
 
   val q06Oracle: String =
     """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
       |  count(*) AS n_lines,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-      |  round(avg(l_quantity), 4) AS avg_qty
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -159,17 +177,18 @@ object Relational {
       .groupBy("l_suppkey")
       .agg(
         count(lit(1)).as("n_lines"),
-        round(avg("l_discount"), 4).as("avg_disc"),
-        round(sum("l_quantity"), 2).as("sum_qty"))
+        avgD(col("l_discount"), 4).as("avg_disc"),
+        sumD(col("l_quantity"), 2).as("sum_qty"))
       .filter(col("avg_disc") > 0.05)
       .orderBy("l_suppkey")
 
   val q08Oracle: String =
     """SELECT l_suppkey, count(*) AS n_lines,
-      |  round(avg(l_discount), 4) AS avg_disc,
-      |  round(sum(l_quantity), 2) AS sum_qty
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_suppkey
-      |HAVING round(avg(l_discount), 4) > 0.05 ORDER BY l_suppkey""".stripMargin
+      |HAVING round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(l_discount), 4) > 0.05
+      |ORDER BY l_suppkey""".stripMargin
 
   /** A5 — COUNTIF (sql/10_eda_queries.sql:131-133): conditional count. */
   def q09CountIf(s: SparkSession, d: String): DataFrame =
@@ -181,7 +200,8 @@ object Relational {
       .orderBy("o_orderpriority")
 
   val q09Oracle: String =
-    """SELECT o_orderpriority, count_if(o_totalprice > 200000) AS n_big,
+    """SELECT o_orderpriority,
+      |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -267,7 +287,7 @@ object Relational {
     val bin = round(col("o_totalprice") / 50000) * 50000
     orders(s, d)
       .groupBy(band.as("price_band"), bin.as("price_bin"))
-      .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 2).as("avg_price"))
+      .agg(count(lit(1)).as("n_orders"), avgD(col("o_totalprice"), 2).as("avg_price"))
       .orderBy("price_band", "price_bin")
   }
 
@@ -276,7 +296,8 @@ object Relational {
       |            WHEN o_totalprice <= 250000 THEN 'mid'
       |            ELSE 'high' END AS price_band,
       |  round(o_totalprice / 50000) * 50000 AS price_bin,
-      |  count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) / count(o_totalprice), 2) AS avg_price
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** F17 — date-part extraction incl. ISO week and day name
@@ -334,41 +355,47 @@ object Relational {
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(try_divide(sum("l_extendedprice"), nullif(sum("l_quantity"), lit(0))), 4)
+        round(try_divide(
+          sum(dec(col("l_extendedprice"))).cast("double"),
+          nullif(sum(dec(col("l_quantity"))).cast("double"), lit(0.0))), 4)
           .as("price_per_qty"),
         try_divide(sum("l_quantity"), lit(0)).as("div_by_zero"))
       .orderBy("l_returnflag")
 
   val q18Oracle: String =
     """SELECT l_returnflag,
-      |  round(sum(l_extendedprice) / nullif(sum(l_quantity), 0), 4) AS price_per_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+      |        / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 0), 4) AS price_per_qty,
       |  sum(l_quantity) / nullif(0, 0) AS div_by_zero
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** W — window functions (beyond-reference extension; SURVEY.md §2.5 W1):
-    * per-priority top-3 with running sum.
+    * per-customer top-3 with running sum. Partitioned by `o_custkey` — a
+    * high-cardinality key, so the window shuffle spreads evenly across
+    * executors at any scale (a low-cardinality partition key like
+    * order priority would funnel the whole table into 5 tasks).
     */
   def q19WindowTopN(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders(s, d)
       .select(
-        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("rn"),
         round(sum(col("o_totalprice"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("cum_price"))
       .filter(col("rn") <= 3)
-      .orderBy("o_orderpriority", "rn")
+      .orderBy("o_custkey", "rn")
   }
 
   val q19Oracle: String =
     """SELECT * FROM (
-      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-      |    round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS cum_price
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS cum_price
       |  FROM orders
-      |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   /** Anti join (NOT EXISTS) — customers who never placed an urgent order. */
   def q20AntiJoin(s: SparkSession, d: String): DataFrame = {
@@ -411,36 +438,49 @@ object Relational {
     customer(s, d)
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .rollup("r_name", "n_name")
-      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_bal"))
-      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      // Alias the grouping keys: a rollup re-creates the grouping columns,
+      // so sorting on an unqualified `r_name` would be ambiguous against
+      // the join inputs still present in the lineage.
+      .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_customers"), sumD(col("c_acctbal"), 2).as("total_bal"))
+      .orderBy(col("region_name").asc_nulls_first, col("nation_name").asc_nulls_first)
 
   val q22Oracle: String =
-    """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    """SELECT r_name AS region_name, n_name AS nation_name,
+      |  count(*) AS n_customers,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE) AS total_bal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |GROUP BY ROLLUP(r_name, n_name)
-      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+      |GROUP BY ROLLUP(region_name, nation_name)
+      |ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST""".stripMargin
 
-  /** O1/J3/J4 shape — multi-dim m:1 enrichment + multi-key deterministic
-    * sort before write (integrate_weather_sales.py:129-163).
+  /** O1/J3/J4 shape — multi-dim m:1 enrichment (two broadcast dims, no
+    * fact-side shuffle) aggregated to a bounded rollup, then a multi-key
+    * deterministic sort (integrate_weather_sales.py:129-163). The agg
+    * happens *before* the sort so the only global ordering in the plan is
+    * over |brands|×|suppliers| rows — scale-safe, unlike sorting the full
+    * enriched fact.
     */
-  def q23EnrichedSort(s: SparkSession, d: String): DataFrame = {
+  def q23EnrichedAgg(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val p = part(s, d).select("p_partkey", "p_brand")
     val sup = supplier(s, d).select("s_suppkey", "s_name")
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .select(
-        col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("s_name"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .groupBy("p_brand", "s_name")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_revenue"),
+        avgD(col("l_quantity"), 4).as("avg_qty"))
+      .orderBy("p_brand", "s_name")
   }
 
   val q23Oracle: String =
-    """SELECT l_orderkey, l_linenumber, p_brand, s_name,
-      |  round(l_extendedprice * (1 - l_discount), 2) AS net_price
+    """SELECT p_brand, s_name, count(*) AS n_lines,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS net_revenue,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |JOIN supplier ON l_suppkey = s_suppkey
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |GROUP BY p_brand, s_name
+      |ORDER BY p_brand, s_name""".stripMargin
 }
