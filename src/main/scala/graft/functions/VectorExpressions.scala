@@ -52,6 +52,9 @@ object VectorExpressions {
       val af = elemIsFloat(left); val bf = elemIsFloat(right)
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < n) {
+        // A null element makes the whole similarity undefined (reading it
+        // as 0.0 would silently skew the result).
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
         dot += x * y; na += x * x; nb += y * y; i += 1
@@ -68,7 +71,7 @@ object VectorExpressions {
       val a = leftGen.value; val b = rightGen.value
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val n = ctx.freshName("n"); val hasNull = ctx.freshName("hasNull")
       val code =
         code"""
           ${leftGen.code}
@@ -79,12 +82,14 @@ object VectorExpressions {
             int $n = $a.numElements();
             if ($n == $b.numElements()) {
               double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+              boolean ${hasNull} = false;
               for (int $i = 0; $i < $n; $i++) {
+                if ($a.isNullAt($i) || $b.isNullAt($i)) { ${hasNull} = true; break; }
                 double x = (double) $a.$aGet($i);
                 double y = (double) $b.$bGet($i);
                 $dot += x * y; $na += x * x; $nb += y * y;
               }
-              if ($na != 0.0 && $nb != 0.0) {
+              if (!${hasNull} && $na != 0.0 && $nb != 0.0) {
                 ${ev.isNull} = false;
                 ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
               }

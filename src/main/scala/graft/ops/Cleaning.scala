@@ -14,17 +14,36 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
-  /** F1/P1 — header normalization: trim, lowercase, inner whitespace → `_`.
-    * (clean_ticket_sales.py:28-35)
+  /** F1/P1 — header normalization: trim, lowercase, single-space → `_`.
+    * Matches the reference's literal `.replace(" ", "_")`
+    * (clean_ticket_sales.py:28-35): `"a  b"` → `a__b`, not `a_b`.
     */
   def normalizeColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(c => c.trim.toLowerCase.replaceAll("\\s+", "_")).toIndexedSeq: _*)
+    df.toDF(df.columns.map(c => c.trim.toLowerCase.replace(" ", "_")).toIndexedSeq: _*)
+
+  /** Python `str.title()` semantics: a letter is uppercased when preceded
+    * by a non-letter, lowercased otherwise — so `"upper-deck"` →
+    * `"Upper-Deck"` and `"they're"` → `"They'Re"`. Spark's `initcap` only
+    * capitalizes after whitespace, which diverges on hyphens/apostrophes.
+    * Implemented by splitting into letter/non-letter runs and casing each
+    * letter run — pure built-ins, stays in codegen.
+    */
+  def pythonTitle(c: Column): Column =
+    array_join(
+      transform(
+        regexp_extract_all(c.cast("string"), lit("[\\p{L}]+|[^\\p{L}]+"), lit(0)),
+        run =>
+          when(run.rlike("^[\\p{L}]"),
+            concat(upper(substring(run, 1, 1)), lower(substring(run, 2, Int.MaxValue))))
+            .otherwise(run)),
+      "")
 
   /** F1 — canonical section/category names: cast→string, trim, collapse
-    * inner whitespace, Title Case. (clean_ticket_sales.py:37-41)
+    * inner whitespace, Title Case (`str.title()` parity via
+    * [[pythonTitle]]). (clean_ticket_sales.py:37-41)
     */
   def normTitle(c: Column): Column =
-    initcap(regexp_replace(trim(c.cast("string")), "\\s+", " "))
+    pythonTitle(regexp_replace(trim(c.cast("string")), "\\s+", " "))
 
   /** F2 — slugify: join parts with `_`, lowercase, non-alphanumeric runs →
     * `_`, strip leading/trailing `_`. (transform_weather.py:21-26)
@@ -48,8 +67,13 @@ object Cleaning {
   /** F7 — numeric coercion, null on failure (`pd.to_numeric(errors="coerce")`). */
   def coerceDouble(c: Column): Column = trim(c.cast("string")).try_cast("double")
 
-  /** F7 — like [[coerceDouble]] but integral (pandas `Int64` ≈ nullable LongType). */
-  def coerceLong(c: Column): Column = coerceDouble(c).try_cast("long")
+  /** F7 — like [[coerceDouble]] but integral (pandas `Int64` ≈ nullable
+    * LongType). Tries a direct integral parse first so 64-bit values above
+    * 2^53 survive exactly; only decimal-looking strings fall back through
+    * double (matching `pd.to_numeric` + `Int64`).
+    */
+  def coerceLong(c: Column): Column =
+    coalesce(trim(c.cast("string")).try_cast("long"), coerceDouble(c).try_cast("long"))
 
   /** F9 — banker's rounding block: pandas `round` is half-even; Spark's
     * `round` is half-away-from-zero, so pipeline-parity code must use
