@@ -18,25 +18,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footer cache) on the smallest
-    // fixture so fixed JVM startup cost isn't attributed to the first query.
+    // Warm the session (JVM classloading, parquet footer cache) on the
+    // smallest fixture so fixed startup cost isn't attributed to queries.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Two iterations per query; iteration 1 absorbs first-touch Janino
+    // codegen + JIT for that plan shape, iteration 2 is the reported
+    // steady-state (round-2 verdict: one-time compile was mis-attributed
+    // to whichever query first hit a new plan shape).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
+          return -1.0
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val warm = once()
+      name -> (if (warm < 0) -1.0 else once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    // total:-1 when anything failed — the headline metric must never look
+    // better because a query was excluded (round-2 advice).
+    val total =
+      if (failed > 0) -1.0 else results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.Relational
+import graft.queries.{LlmOps, Relational}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 is registered here as a
@@ -41,6 +41,19 @@ object SparkEntry {
     "q21_semi_join"       -> (Relational.q21SemiJoin _),
     "q22_rollup"          -> (Relational.q22Rollup _),
     "q23_enriched_agg"    -> (Relational.q23EnrichedAgg _),
+    "q24_cosine_topk"     -> (LlmOps.q24CosineTopK _),
+    "q25_ann_ivf"         -> (LlmOps.q25AnnIvf _),
+    "q26_dedup_stats"     -> (LlmOps.q26DedupStats _),
+    "q27_dedup_keep_first"-> (LlmOps.q27DedupKeepFirst _),
+    "q28_ngram_jaccard"   -> (LlmOps.q28NgramJaccard _),
+    "q29_simhash_bands"   -> (LlmOps.q29SimhashBands _),
+    "q30_text_stats"      -> (LlmOps.q30TextStats _),
+    "q31_langid"          -> (LlmOps.q31LangId _),
+    "q32_event_windows"   -> (LlmOps.q32EventWindows _),
+    "q33_sessionize"      -> (LlmOps.q33Sessionize _),
+    "q34_messy_parse"     -> (Relational.q34MessyParse _),
+    "q35_compound_join"   -> (Relational.q35CompoundJoin _),
+    "q36_reagg_ordinals"  -> (Relational.q36ReaggOrdinals _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +82,19 @@ object SparkEntry {
     "q21_semi_join"       -> Relational.q21Oracle,
     "q22_rollup"          -> Relational.q22Oracle,
     "q23_enriched_agg"    -> Relational.q23Oracle,
+    "q24_cosine_topk"     -> LlmOps.q24Oracle,
+    "q25_ann_ivf"         -> LlmOps.q25Oracle,
+    "q26_dedup_stats"     -> LlmOps.q26Oracle,
+    "q27_dedup_keep_first"-> LlmOps.q27Oracle,
+    "q28_ngram_jaccard"   -> LlmOps.q28Oracle,
+    // q29_simhash_bands: no oracle — xxhash64 is Spark-specific; the
+    // banding property is asserted structurally in SimHashSpec.
+    "q30_text_stats"      -> LlmOps.q30Oracle,
+    "q31_langid"          -> LlmOps.q31Oracle,
+    "q32_event_windows"   -> LlmOps.q32Oracle,
+    "q33_sessionize"      -> LlmOps.q33Oracle,
+    "q34_messy_parse"     -> Relational.q34Oracle,
+    "q35_compound_join"   -> Relational.q35Oracle,
+    "q36_reagg_ordinals"  -> Relational.q36Oracle,
   )
 }

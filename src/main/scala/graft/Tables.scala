@@ -21,7 +21,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's µs-based TimestampType refuses outright ([PARQUET_TYPE_ILLEGAL]).
+    * `nanosAsLong` reads the raw int64, and `ts DIV 1000` converts to µs with
+    * integer division — a double division would lose precision (epoch-nanos
+    * ~1.7e18 exceeds 2^53). DuckDB-oracle side keeps native TIMESTAMP_NS;
+    * both engines therefore agree to the microsecond (ns truncated).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+import graft.functions.VectorExpressions
+import Num.{sumD, avgD}
+
+/** LLM-training-data pipeline operators (the north-star extension surface,
+  * SURVEY.md §7.5): deduplication, similarity search, text analysis, and
+  * event-stream analytics over the driver's `documents` / `embeddings` /
+  * `events` fixtures.
+  *
+  * Scale posture (each query documents its own 100 TB story):
+  *   - no all-pairs joins except over an LSH-bucketed or key-bounded
+  *     candidate set;
+  *   - similarity in a codegen'd Catalyst expression (no UDF boxing);
+  *   - dedup keyed on 64-bit content hashes, not full text, so the shuffle
+  *     carries 8 bytes/doc instead of the document body;
+  *   - heuristics (language-ID, quality scores) are pure column
+  *     expressions, fully inside whole-stage codegen.
+  */
+object LlmOps {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  // --- Similarity search --------------------------------------------------
+
+  /** Brute-force cosine top-k: the exact baseline every ANN variant is
+    * measured against. One broadcast of the query vector, one codegen'd
+    * cosine per row, then TakeOrderedAndProject (per-partition heaps — no
+    * global sort). At 100 TB this plan is a single scan + tiny shuffle of
+    * k rows per partition; the cosine loop stays in whole-stage codegen.
+    */
+  def q24CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        round(VectorExpressions.cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Oracle computes cosine in double via zipped unnest so both engines run
+    * the same sequential accumulation (DuckDB's list_cosine_similarity is
+    * float-precision — off by ~1e-7, enough to flip round(_, 4)).
+    */
+  val q24Oracle: String =
+    """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |ex AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+      |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      |sims AS (SELECT vec_id, CAST(any_value(label) AS BIGINT) AS label,
+      |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+      |  FROM ex GROUP BY vec_id)
+      |SELECT vec_id, label, round(sim, 4) AS sim FROM sims
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** IVF-style ANN: restrict the search to the query's coarse cell (here
+    * the fixture's `label`, standing in for a precomputed centroid
+    * assignment — exactly how IVF works at scale: cells assigned at ingest,
+    * search probes only matching cells). The candidate scan is 1/|cells| of
+    * the corpus; at 100 TB the table would be partitioned BY cell so the
+    * probe prunes to matching partitions.
+    */
+  def q25AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("label").as("q_label"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("label") === col("q_label"))
+      .select(
+        col("vec_id"),
+        round(VectorExpressions.cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q25Oracle: String =
+    """WITH q AS (SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0),
+      |ex AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+      |       FROM embeddings e JOIN q ON e.label = q.q_label WHERE e.vec_id <> 0),
+      |sims AS (SELECT vec_id,
+      |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+      |  FROM ex GROUP BY vec_id)
+      |SELECT vec_id, round(sim, 4) AS sim FROM sims
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // --- Deduplication ------------------------------------------------------
+
+  /** Exact-dedup statistics keyed on a 64-bit content hash: at 100 TB the
+    * distinct-count shuffle carries xxhash64(text) — 8 bytes — instead of
+    * the document body. The oracle counts distinct raw texts; equality
+    * also certifies the fixture is collision-free (P(collision) ≈ n²/2⁶⁵).
+    */
+  def q26DedupStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(xxhash64(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  val q26Oracle: String =
+    """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Keep-first dedup: one representative per duplicate group via
+    * row_number over (group, doc_id) — the canonical "drop duplicates but
+    * keep the earliest" pattern. Grouped here by (lang, source); at scale
+    * the group key is the content hash (high-cardinality, so the window
+    * shuffle spreads evenly — never a low-cardinality partition key).
+    */
+  def q27DedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source"),
+        col("doc_id").as("rep_doc_id"), col("n_chars").as("rep_n_chars"))
+      .orderBy("lang", "source")
+  }
+
+  val q27Oracle: String =
+    """SELECT lang, source, doc_id AS rep_doc_id, n_chars AS rep_n_chars
+      |FROM (SELECT lang, source, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn = 1 ORDER BY lang, source""".stripMargin
+
+  /** Word-bigram Jaccard similarity over a key-bounded candidate set (one
+    * lang × source cell). The all-pairs theta-join is ONLY legitimate
+    * because the candidate set is bounded — at corpus scale the pairs come
+    * out of LSH buckets (q29) and this scoring runs per bucket.
+    */
+  def q28NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val grams = array_distinct(
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val base = documents(s, d)
+      .filter(col("lang") === "en" && col("source") === "src0" && size(t) >= 2)
+      .select(col("doc_id"), grams.as("grams"))
+    val a = base.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = base.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("ga"), col("gb"))).cast("double")
+            / size(array_union(col("ga"), col("gb"))).cast("double"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q28Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(t) - 1),
+      |                                 i -> t[i] || ' ' || t[i + 1])) AS grams
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |        FROM documents WHERE lang = 'en' AND source = 'src0')
+      |  WHERE len(t) >= 2)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+      |FROM base a JOIN base b ON a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash LSH banding — the sub-quadratic near-dup candidate generator.
+    * Each doc's 64-bit simhash is cut into 4×16-bit bands; docs sharing any
+    * band bucket are candidates (two docs within Hamming distance 3 must
+    * agree on ≥1 band). The plan is scan → explode(4) → groupBy(band,
+    * bucket): one shuffle of (band, bucket, 1) — never a pairwise join.
+    * Output: per-band bucket/candidate statistics.
+    *
+    * No DuckDB oracle (xxhash64 is Spark-specific); structural correctness
+    * — near-identical docs share a band — is asserted in SimHashSpec.
+    */
+  def q29SimhashBands(s: SparkSession, d: String): DataFrame = {
+    val sig = VectorExpressions.simhash64(toks(col("text")))
+    val bands = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+    documents(s, d)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), explode(bands).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max("n_docs").as("max_bucket"),
+        sum(col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_candidate_pairs"))
+      .orderBy("band")
+  }
+
+  // --- Text analysis ------------------------------------------------------
+
+  private val stopEn = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  private val stopEs = Seq("el", "la", "los", "de", "y", "es", "un")
+  private val stopFr = Seq("le", "la", "les", "de", "et", "est", "un")
+  private val stopZh = Seq("的", "了", "是", "在", "我")
+
+  private def stopCount(t: Column, words: Seq[String]): Column =
+    size(filter(t, w => array_contains(array(words.map(lit): _*), w)))
+
+  /** Token counting + quality scoring per language: doc counts, average
+    * token/char lengths, corpus stopword ratio. Pure column expressions —
+    * the whole quality pass is one codegen'd scan + one tiny agg shuffle.
+    */
+  def q30TextStats(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        size(t).as("n_tokens"),
+        stopCount(t, stopEn).as("n_stop"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avgD(col("n_tokens"), 4).as("avg_tokens"),
+        avgD(col("n_chars"), 4).as("avg_chars"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_tokens")), 4)
+          .as("stopword_ratio"))
+      .orderBy("lang")
+  }
+
+  val q30Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(CAST(sum(CAST(n_tokens AS DECIMAL(38,10))) AS DOUBLE) / count(n_tokens), 4) AS avg_tokens,
+      |  round(CAST(sum(CAST(n_chars AS DECIMAL(38,10))) AS DOUBLE) / count(n_chars), 4) AS avg_chars,
+      |  round(CAST(sum(n_stop) AS DOUBLE) / sum(n_tokens), 4) AS stopword_ratio
+      |FROM (SELECT lang, n_chars, len(t) AS n_tokens,
+      |        len(list_filter(t, w -> w IN ('the','a','of','and','is','to','in'))) AS n_stop
+      |      FROM (SELECT lang, n_chars, regexp_split_to_array(trim(text), '\s+') AS t
+      |            FROM documents))
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Language-ID via stopword-profile scoring: count hits against five
+    * language profiles, predict the argmax (fixed priority order breaks
+    * ties deterministically). On the synthetic fixture every text scores
+    * as English — the registered query certifies determinism and the
+    * confusion-matrix shape; LangIdSpec proves accuracy on real
+    * multilingual sentences. One scan, no shuffle beyond the final agg.
+    */
+  def q31LangId(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val scored = documents(s, d).select(col("lang"),
+      stopCount(t, stopEn).as("s_en"), stopCount(t, stopDe).as("s_de"),
+      stopCount(t, stopEs).as("s_es"), stopCount(t, stopFr).as("s_fr"),
+      stopCount(t, stopZh).as("s_zh"))
+    val pred = when(
+      col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+      .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+        col("s_de") >= col("s_zh"), "de")
+      .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh")
+    scored.select(col("lang"), pred.as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  val q31Oracle: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(t, w -> w IN ('the','a','of','and','is','to','in'))) AS s_en,
+      |    len(list_filter(t, w -> w IN ('der','die','das','und','ist','ein'))) AS s_de,
+      |    len(list_filter(t, w -> w IN ('el','la','los','de','y','es','un'))) AS s_es,
+      |    len(list_filter(t, w -> w IN ('le','la','les','de','et','est','un'))) AS s_fr,
+      |    len(list_filter(t, w -> w IN ('的','了','是','在','我'))) AS s_zh
+      |  FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents))
+      |SELECT lang,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END AS lang_pred,
+      |  count(*) AS n_docs
+      |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
+  // --- Event-stream analytics (batch plans that port 1:1 to streaming) ----
+
+  /** Tumbling 1-day windows × event type — `window()` is the exact operator
+    * Structured Streaming uses, so this plan is the batch twin of the
+    * streaming job in StreamingSpec. Partial aggregation makes the shuffle
+    * carry only (day, type) partials regardless of input size.
+    */
+  def q32EventWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumD(col("value"), 2).as("total_value"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("day", "event_type")
+
+  val q32Oracle: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) via lag + running sum —
+    * the batch formulation of `session_window`. Partitioned by `user_id`
+    * (high-cardinality), so the window shuffle spreads evenly at any scale;
+    * the output is bounded by |users|.
+    */
+  def q33Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q33Oracle: String =
+    """WITH lagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sessions AS (
+      |  SELECT user_id,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin
+}

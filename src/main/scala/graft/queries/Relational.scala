@@ -21,23 +21,8 @@ import graft.ops.Cleaning
   */
 object Relational {
 
-  // --- Cross-engine numeric determinism helpers -------------------------
-  //
-  // A double SUM is accumulation-order dependent; Spark combines partition
-  // partials in completion order, so the low bits differ run-to-run and
-  // vs DuckDB — enough to flip a round(x, 2) at a .xx5 boundary (observed
-  // at sf0.01). Summing in DECIMAL(38,10) is exact and order-independent;
-  // both engines then convert the identical decimal to the identical
-  // double. Averages are derived as exact-sum / count with one IEEE double
-  // division so both engines execute the same float ops in the same order.
-  // Oracle-side equivalents (DuckDB):
-  //   sumD:  CAST(round(sum(CAST(x AS DECIMAL(38,10))), s) AS DOUBLE)
-  //   avgD:  round(CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)/count(x), s)
-  private def dec(c: Column): Column = c.cast("decimal(38,10)")
-  private def sumD(c: Column, scale: Int): Column =
-    round(sum(dec(c)), scale).cast("double")
-  private def avgD(c: Column, scale: Int): Column =
-    round(sum(dec(c)).cast("double") / count(c), scale)
+  // Cross-engine numeric determinism helpers — see graft.queries.Num.
+  import Num.{dec, sumD, avgD}
 
   /** S1/P2/P5 — projected, filtered scan. Filter + projection must reach the
     * parquet reader (PushedFilters/ReadSchema in explain).
@@ -46,12 +31,19 @@ object Relational {
     lineitem(s, d)
       .filter(col("l_quantity") > 45)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      // limit bounds the verified output: ORDER BY + LIMIT plans as
+      // TakeOrderedAndProject (per-partition heaps), so no global sort
+      // grows with the fact table — the unbounded orderBy this replaces
+      // was a determinism aid that would range-partition the whole
+      // filtered fact at scale. (l_orderkey, l_linenumber) is a unique
+      // key, so the top-5000 slice is a total order — still hash-exact.
       .orderBy("l_orderkey", "l_linenumber")
+      .limit(5000)
 
   val q01Oracle: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem WHERE l_quantity > 45
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber LIMIT 5000""".stripMargin
 
   /** F2/F3/A9 — slugify (reference transform_weather.py:21-26) + distinct. */
   def q02Slugify(s: SparkSession, d: String): DataFrame =
@@ -386,7 +378,11 @@ object Relational {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("cum_price"))
       .filter(col("rn") <= 3)
+      // Top-k bound (see q01): (o_custkey, rn) is unique, so the limited
+      // slice is a total order and the final ordering never becomes a
+      // global sort that grows with |customers|.
       .orderBy("o_custkey", "rn")
+      .limit(5000)
   }
 
   val q19Oracle: String =
@@ -395,7 +391,7 @@ object Relational {
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
       |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS cum_price
       |  FROM orders
-      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 5000""".stripMargin
 
   /** Anti join (NOT EXISTS) — customers who never placed an urgent order. */
   def q20AntiJoin(s: SparkSession, d: String): DataFrame = {
@@ -483,4 +479,158 @@ object Relational {
       |JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY p_brand, s_name
       |ORDER BY p_brand, s_name""".stripMargin
+
+  /** F1/F4/F7/F9/P6 — the messy-input cleaning kernel, end-to-end: dates
+    * are re-serialized to the reference's raw `M/d/yyyy` format
+    * (clean_ticket_sales.py:91) and re-parsed via the coalesce-of-formats
+    * chain; prices become padded strings with injected garbage and are
+    * coerced back (null on failure, `errors="coerce"`); priorities are
+    * lowercased and restored with Python `str.title()` parity (hyphen =
+    * word boundary); banker's rounding over exact .5 values proves the
+    * bround/round distinction the oracle emulates explicitly.
+    */
+  def q34MessyParse(s: SparkSession, d: String): DataFrame = {
+    val messy = orders(s, d).select(
+      date_format(col("o_orderdate"), "M/d/yyyy").as("dt_str"),
+      // every 10th order's price is garbage → coerceDouble must yield null
+      when(col("o_orderkey") % 10 === 0, lit("n/a"))
+        .otherwise(concat(lit("  "), col("o_totalprice").cast("string"), lit(" ")))
+        .as("price_str"),
+      lower(col("o_orderpriority")).as("prio_lower"),
+      col("o_orderkey"))
+    messy.select(
+      Cleaning.parseDateMulti(col("dt_str")).as("d"),
+      Cleaning.coerceDouble(col("price_str")).as("price"),
+      Cleaning.normTitle(col("prio_lower")).as("priority"),
+      Cleaning.flag(col("o_orderkey") % 2 === 0).as("is_even"),
+      bround(col("o_orderkey") / lit(2.0), 0).as("half_even"))
+      .groupBy(year(col("d")).cast("long").as("order_year"), col("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("price")).as("n_price_parsed"),
+        sumD(col("price"), 2).as("total_price"),
+        sum(col("is_even")).as("n_even"),
+        sumD(col("half_even"), 2).as("sum_half_even"))
+      .orderBy("order_year", "priority")
+  }
+
+  /** Oracle notes: DuckDB has no `initcap`/`str.title`, so title-casing is
+    * emulated by splitting into letter/non-letter runs (same algorithm as
+    * Cleaning.pythonTitle); DuckDB `round` is half-away-from-zero, so
+    * banker's rounding of the exact-.5 values is emulated with a
+    * floor-parity CASE.
+    */
+  val q34Oracle: String =
+    """WITH messy AS (
+      |  SELECT strftime(o_orderdate, '%-m/%-d/%Y') AS dt_str,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'n/a'
+      |         ELSE '  ' || CAST(o_totalprice AS VARCHAR) || ' ' END AS price_str,
+      |    lower(o_orderpriority) AS prio_lower,
+      |    o_orderkey
+      |  FROM orders),
+      |cleaned AS (
+      |  SELECT try_strptime(dt_str, '%-m/%-d/%Y')::DATE AS d,
+      |    TRY_CAST(trim(price_str) AS DOUBLE) AS price,
+      |    list_aggregate(list_transform(
+      |      regexp_extract_all(prio_lower, '[a-zA-Z]+|[^a-zA-Z]+'),
+      |      t -> CASE WHEN regexp_matches(t, '^[a-zA-Z]')
+      |                THEN upper(t[1]) || lower(t[2:]) ELSE t END),
+      |      'string_agg', '') AS priority,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_even,
+      |    CASE WHEN o_orderkey / 2.0 = floor(o_orderkey / 2.0) + 0.5
+      |         THEN (CASE WHEN CAST(floor(o_orderkey / 2.0) AS BIGINT) % 2 = 0
+      |                    THEN floor(o_orderkey / 2.0)
+      |                    ELSE floor(o_orderkey / 2.0) + 1 END)
+      |         ELSE round(o_orderkey / 2.0) END AS half_even
+      |  FROM messy)
+      |SELECT CAST(year(d) AS BIGINT) AS order_year, priority,
+      |  count(*) AS n_orders,
+      |  count(price) AS n_price_parsed,
+      |  CAST(round(sum(CAST(price AS DECIMAL(38,10))), 2) AS DOUBLE) AS total_price,
+      |  CAST(sum(is_even) AS BIGINT) AS n_even,
+      |  CAST(round(sum(CAST(half_even AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_half_even
+      |FROM cleaned GROUP BY 1, 2 ORDER BY order_year, priority""".stripMargin
+
+  /** J3/J4/J7 + F6 — compound-key (2-col) left join of two aggregates of
+    * the fact at (l_partkey, l_suppkey) grain (the reference's every real
+    * join is multi-key, integrate_weather_sales.py:129-160), with a
+    * withColumnsRenamed map (transform_weather.py:78-83). Both join inputs
+    * are groupBys on the SAME keys, so Catalyst reuses the hash
+    * partitioning — the join itself adds no third shuffle; the final
+    * re-agg is bounded by |suppliers|.
+    */
+  def q35CompoundJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val shipped = li.filter(col("l_returnflag") =!= "R")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"), count(lit(1)).as("n_ship"))
+    val returned = li.filter(col("l_returnflag") === "R")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec(col("l_quantity"))).as("ret_qty"))
+      .withColumnsRenamed(Map("ret_qty" -> "returned_dec"))
+    shipped.join(returned, Seq("l_partkey", "l_suppkey"), "left")
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_part_supp"),
+        sum(col("n_ship")).as("n_ship_lines"),
+        round(sum(col("qty_dec")), 2).cast("double").as("shipped_qty"),
+        round(sum(coalesce(col("returned_dec"), lit(0).cast("decimal(38,10)"))), 2)
+          .cast("double").as("returned_qty"))
+      .orderBy("l_suppkey")
+  }
+
+  val q35Oracle: String =
+    """WITH shipped AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    sum(CAST(l_quantity AS DECIMAL(38,10))) AS qty_dec, count(*) AS n_ship
+      |  FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1, 2),
+      |returned AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    sum(CAST(l_quantity AS DECIMAL(38,10))) AS returned_dec
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+      |SELECT l_suppkey, count(*) AS n_part_supp,
+      |  CAST(sum(n_ship) AS BIGINT) AS n_ship_lines,
+      |  CAST(round(sum(qty_dec), 2) AS DOUBLE) AS shipped_qty,
+      |  CAST(round(sum(COALESCE(returned_dec, 0)), 2) AS DOUBLE) AS returned_qty
+      |FROM shipped LEFT JOIN returned USING (l_partkey, l_suppkey)
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** A8/F19/S11 — re-aggregation of a pre-aggregated frame with GROUP BY
+    * ordinals through spark.sql over temp views — the reference's
+    * view-on-view re-agg (sql/03_create_views.sql:52-63) with ratio-of-sums
+    * (ratio-of-sums ≠ mean-of-ratios, SURVEY §7.4.5) and percent scaling.
+    */
+  def q36ReaggOrdinals(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g36_orders")
+    customer(s, d).createOrReplaceTempView("g36_customer")
+    s.sql(
+      """WITH cust_daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,10))) AS spend_dec,
+        |    count(*) AS n_orders
+        |  FROM g36_orders GROUP BY 1, 2)
+        |SELECT c_mktsegment,
+        |  count(*) AS n_cust_days,
+        |  CAST(round(sum(spend_dec), 2) AS DOUBLE) AS total_spend,
+        |  round(CAST(sum(spend_dec) AS DOUBLE) / sum(n_orders), 4) AS avg_order_value,
+        |  round(CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        * 100 / count(*), 4) AS pct_multi_order_days
+        |FROM cust_daily JOIN g36_customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q36Oracle: String =
+    """WITH cust_daily AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+      |    sum(CAST(o_totalprice AS DECIMAL(38,10))) AS spend_dec,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT c_mktsegment,
+      |  count(*) AS n_cust_days,
+      |  CAST(round(sum(spend_dec), 2) AS DOUBLE) AS total_spend,
+      |  round(CAST(sum(spend_dec) AS DOUBLE) / sum(n_orders), 4) AS avg_order_value,
+      |  round(CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        * 100 / count(*), 4) AS pct_multi_order_days
+      |FROM cust_daily JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
