@@ -43,7 +43,11 @@ object Cleaning {
     * [[pythonTitle]]). (clean_ticket_sales.py:37-41)
     */
   def normTitle(c: Column): Column =
-    pythonTitle(regexp_replace(trim(c.cast("string")), "\\s+", " "))
+    // collapse BEFORE trim: Spark's trim only strips the space character,
+    // but Python str.strip() removes all whitespace — collapsing first
+    // turns any leading/trailing whitespace run into a single space,
+    // which trim then removes.
+    pythonTitle(trim(regexp_replace(c.cast("string"), "\\s+", " ")))
 
   /** F2 — slugify: join parts with `_`, lowercase, non-alphanumeric runs →
     * `_`, strip leading/trailing `_`. (transform_weather.py:21-26)
@@ -69,11 +73,18 @@ object Cleaning {
 
   /** F7 — like [[coerceDouble]] but integral (pandas `Int64` ≈ nullable
     * LongType). Tries a direct integral parse first so 64-bit values above
-    * 2^53 survive exactly; only decimal-looking strings fall back through
-    * double (matching `pd.to_numeric` + `Int64`).
+    * 2^53 survive exactly; a decimal-looking string falls back through
+    * double ONLY when it holds an integral value ("2.0" → 2). A
+    * non-integral value ("1.5") yields null — pandas raises on
+    * `astype("Int64")` of a fractional float, so silent truncation would
+    * diverge from the reference; null is the coerce-semantics analog.
     */
-  def coerceLong(c: Column): Column =
-    coalesce(trim(c.cast("string")).try_cast("long"), coerceDouble(c).try_cast("long"))
+  def coerceLong(c: Column): Column = {
+    val d = coerceDouble(c)
+    coalesce(
+      trim(c.cast("string")).try_cast("long"),
+      when(d === floor(d), d).try_cast("long"))
+  }
 
   /** F9 — banker's rounding block: pandas `round` is half-even; Spark's
     * `round` is half-away-from-zero, so pipeline-parity code must use

@@ -217,6 +217,22 @@ object LlmOps {
   private def stopCount(t: Column, words: Seq[String]): Column =
     size(filter(t, w => array_contains(array(words.map(lit): _*), w)))
 
+  /** Stopword-profile language prediction for a raw text column — argmax
+    * over five language profiles with a fixed priority order for ties.
+    * Exposed for direct testing (LangIdSpec) and used by q31.
+    */
+  def langPredict(text: Column): Column = {
+    val t = toks(lower(text))
+    val (sEn, sDe, sEs, sFr, sZh) =
+      (stopCount(t, stopEn), stopCount(t, stopDe), stopCount(t, stopEs),
+        stopCount(t, stopFr), stopCount(t, stopZh))
+    when(sEn >= sDe && sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
+      .when(sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
+      .when(sEs >= sFr && sEs >= sZh, "es")
+      .when(sFr >= sZh, "fr")
+      .otherwise("zh")
+  }
+
   /** Token counting + quality scoring per language: doc counts, average
     * token/char lengths, corpus stopword ratio. Pure column expressions —
     * the whole quality pass is one codegen'd scan + one tiny agg shuffle.
@@ -255,25 +271,12 @@ object LlmOps {
     * confusion-matrix shape; LangIdSpec proves accuracy on real
     * multilingual sentences. One scan, no shuffle beyond the final agg.
     */
-  def q31LangId(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val scored = documents(s, d).select(col("lang"),
-      stopCount(t, stopEn).as("s_en"), stopCount(t, stopDe).as("s_de"),
-      stopCount(t, stopEs).as("s_es"), stopCount(t, stopFr).as("s_fr"),
-      stopCount(t, stopZh).as("s_zh"))
-    val pred = when(
-      col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-        col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
-      .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-        col("s_de") >= col("s_zh"), "de")
-      .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-      .when(col("s_fr") >= col("s_zh"), "fr")
-      .otherwise("zh")
-    scored.select(col("lang"), pred.as("lang_pred"))
+  def q31LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), langPredict(col("text")).as("lang_pred"))
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "lang_pred")
-  }
 
   val q31Oracle: String =
     """WITH scored AS (
@@ -283,7 +286,7 @@ object LlmOps {
       |    len(list_filter(t, w -> w IN ('el','la','los','de','y','es','un'))) AS s_es,
       |    len(list_filter(t, w -> w IN ('le','la','les','de','et','est','un'))) AS s_fr,
       |    len(list_filter(t, w -> w IN ('的','了','是','在','我'))) AS s_zh
-      |  FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents))
+      |  FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents))
       |SELECT lang,
       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
       |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
