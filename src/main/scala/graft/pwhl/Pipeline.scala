@@ -1,0 +1,118 @@
+package graft.pwhl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X1–X4 — the pipeline orchestrator (`run_pipeline.py:30-90`), Spark-first:
+  * stages are functions sharing one SparkSession instead of subprocesses,
+  * the inter-stage IR is CSV files in `<outDir>/cleaned/` exactly like the
+  * reference's `data/cleaned/` handoff (S6 sink, S1/S2 re-read with
+  * explicit schemas), and per-stage wall-time + row counts are recorded.
+  *
+  * The final fact additionally lands as a partitioned warehouse layout
+  * (S8): parquet `partitionBy(event_date)` + `sortWithinPartitions(market,
+  * venue_id, section)` ≈ the reference's BigQuery DAY partitioning +
+  * clustering (load_to_bq.py:99-102).
+  *
+  * `auditCounts=false` keeps each stage single-action (the reference logs
+  * a count at every step — X3 — but each audit count is an extra job;
+  * SURVEY §7.4.7).
+  */
+final class Pipeline(
+    spark: SparkSession,
+    rawTicketsCsv: String,
+    rawCapacityCsv: String,
+    rawWeatherGlob: String,
+    marketsYml: String,
+    outDir: String,
+    auditCounts: Boolean = false) {
+
+  import Pipeline.StageResult
+
+  private val cleanedDir = s"$outDir/cleaned"
+  private val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+
+  private def stage(name: String)(body: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = body
+    val rows = if (auditCounts) out.count() else -1L
+    results += StageResult(name, (System.nanoTime() - t0) / 1e9, rows)
+    out
+  }
+
+  /** S6 — CSV sink, header, single file per artifact like the reference
+    * (fine at this scale; the warehouse layout below is the at-scale sink).
+    */
+  private def writeCsv(df: DataFrame, name: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true")
+      .csv(s"$cleanedDir/$name")
+
+  /** Run all stages; returns per-stage timings. */
+  def run(): Seq[StageResult] = {
+    val markets = MarketsYaml.markets(spark, marketsYml)
+
+    // stage: materialize_dim_market (P3)
+    val dimMarket = stage("materialize_dim_market") {
+      MarketsYaml.dimMarket(spark, marketsYml)
+    }
+    writeCsv(dimMarket, "dim_market")
+
+    // stage: transform_weather (hourly tidy + daily rollup)
+    val hourly = stage("transform_weather.hourly") {
+      Stages.weatherHourlyTidy(
+        Stages.readCsv(spark, rawWeatherGlob, RawSchemas.weatherHourly), markets)
+    }
+    writeCsv(hourly, "weather_hourly_tidy")
+    val daily = stage("transform_weather.daily") {
+      Stages.weatherDaily(
+        Stages.readCsv(spark, s"$cleanedDir/weather_hourly_tidy", RawSchemas.weatherHourlyTidy))
+    }
+    writeCsv(daily, "weather_daily_by_venue")
+
+    // stage: clean_ticket_sales — base clean + X4 market fan-out; the
+    // partitionBy(venue_id) write produces the per-market file layout the
+    // reference's Python loop wrote one file at a time.
+    val ticketsStamped = stage("clean_ticket_sales") {
+      val base = Stages.cleanTicketsBase(
+        Stages.readCsv(spark, rawTicketsCsv, RawSchemas.ticketSales),
+        Stages.readCsv(spark, rawCapacityCsv, RawSchemas.sectionCapacity))
+      Stages.stampMarkets(base, markets)
+    }
+    ticketsStamped.write.mode(SaveMode.Overwrite).option("header", "true")
+      .partitionBy("venue_id").csv(s"$cleanedDir/ticket_sales_clean")
+
+    // stage: clean_section_capacity (x8 market replication)
+    val capacity = stage("clean_section_capacity") {
+      Stages.cleanCapacity(
+        Stages.readCsv(spark, rawCapacityCsv, RawSchemas.sectionCapacity), markets)
+    }
+    writeCsv(capacity, "section_capacity_clean")
+
+    // stage: integrate — re-reads the cleaned CSV handoff (S3: glob over
+    // the per-market partition dirs; partition column venue_id is
+    // recovered from the directory names).
+    val fact = stage("integrate_weather_sales") {
+      Stages.integrate(
+        spark.read.option("header", "true").schema(RawSchemas.ticketSalesCleanPartitioned)
+          .option("basePath", s"$cleanedDir/ticket_sales_clean")
+          .csv(s"$cleanedDir/ticket_sales_clean/venue_id=*"),
+        Stages.readCsv(spark, s"$cleanedDir/section_capacity_clean", RawSchemas.sectionCapacityClean),
+        Stages.readCsv(spark, s"$cleanedDir/weather_daily_by_venue", RawSchemas.weatherDaily))
+    }
+    writeCsv(fact, "fact_ticket_sales_with_weather")
+
+    // S8 — warehouse layout: DAY partitioning + clustering analog.
+    fact
+      .repartition(col("event_date"))
+      .sortWithinPartitions("market", "venue_id", "section")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(s"$outDir/warehouse/fact_ticket_sales_with_weather")
+
+    results.toSeq
+  }
+}
+
+object Pipeline {
+  final case class StageResult(name: String, seconds: Double, rows: Long)
+}
