@@ -1,0 +1,235 @@
+package graft.pwhl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S10/S11 + EDA 1–11 — the reference's BigQuery SQL surface
+  * (sql/02_create_dims_and_facts.sql, sql/03_create_views.sql,
+  * sql/10_eda_queries.sql) on Catalyst. Dialect translation only:
+  * SAFE_DIVIDE→try_divide, COUNTIF→count_if, GENERATE_DATE_ARRAY+UNNEST→
+  * sequence+explode, FORMAT_DATE('%A')→date_format('EEEE'),
+  * EXTRACT(ISOWEEK)→weekofyear. View-on-view nesting inlines in the
+  * optimized plan exactly as BigQuery's views do.
+  *
+  * Documented deviations from the reference AS WRITTEN:
+  *  - `weather_id` ghost (SURVEY §1.3): EDA 9–11 join `USING (weather_id)`
+  *    but no script ever materializes a weather_id; they cannot run. The
+  *    working key is (market, event_date) via dim_venue, which is what the
+  *    views themselves use (sql/03:41-43) — implemented that way here.
+  *  - dim_weather dedup: the reference's CTAS (sql/02:72-89) has no
+  *    DISTINCT, leaving 5 identical rows per (market, event_date) — any
+  *    join against it would fan out 5x, and the README's own published
+  *    numbers (section revenues = 1x the fact sums) prove the author's
+  *    results came from a deduplicated grain. DISTINCT restores the
+  *    documented "one row per market per date" grain (sql/02:70).
+  */
+object StarSchema {
+
+  /** Build dims + re-aggregated fact + the three analysis views over a
+    * registered integrated-fact view. Temp views stand in for the
+    * BigQuery tables (CTAS-to-parquet demonstrated in StarSchemaSpec).
+    */
+  def register(spark: SparkSession, fact: DataFrame): Unit = {
+    fact.createOrReplaceTempView("fact_ticket_sales_with_weather")
+
+    // dim_venue (sql/02:21-26)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW dim_venue AS
+      SELECT DISTINCT venue_id, venue, market
+      FROM fact_ticket_sales_with_weather""")
+
+    // dim_market (sql/02:33-37)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW dim_market_star AS
+      SELECT DISTINCT market AS market_name
+      FROM fact_ticket_sales_with_weather WHERE market IS NOT NULL""")
+
+    // dim_section (sql/02:44-50)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW dim_section AS
+      SELECT DISTINCT venue_id, section, section_capacity
+      FROM fact_ticket_sales_with_weather WHERE section IS NOT NULL""")
+
+    // dim_date (sql/02:57-65): date spine via sequence+explode (F18)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW dim_date AS
+      SELECT day AS date_key,
+             year(day) AS year, month(day) AS month, day(day) AS day_of_month,
+             date_format(day, 'EEEE') AS weekday_name,
+             weekofyear(day) AS iso_week
+      FROM (SELECT explode(sequence(DATE'2025-01-01', DATE'2025-02-28',
+                                    INTERVAL 1 DAY)) AS day)""")
+
+    // dim_weather (sql/02:72-89) — DISTINCT per deviation note above
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW dim_weather AS
+      SELECT DISTINCT market, event_date, avg_temp_c, min_temp_c, max_temp_c,
+             avg_rh_pct, avg_wind_mps, total_precip_mm,
+             windy_hours, rainy_hours, freezing_hours, hours_observed
+      FROM fact_ticket_sales_with_weather WHERE event_date IS NOT NULL""")
+
+    // fact_ticket_sales re-agg (sql/02:97-110): ratio-of-sums avg_price —
+    // deliberately a different quantity than the pipeline fact's
+    // mean-of-prices under the same name (SURVEY §7.4.5)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW fact_ticket_sales AS
+      SELECT event_date, venue_id, section,
+             SUM(tickets_sold) AS tickets_sold,
+             SUM(revenue) AS revenue,
+             try_divide(SUM(revenue), NULLIF(SUM(tickets_sold), 0)) AS avg_price,
+             ANY_VALUE(section_capacity) AS section_capacity,
+             try_divide(SUM(tickets_sold), NULLIF(ANY_VALUE(section_capacity), 0)) AS utilization
+      FROM fact_ticket_sales_with_weather
+      GROUP BY 1, 2, 3""")
+
+    // vw_sales_weather (sql/03:17-43)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW vw_sales_weather AS
+      SELECT f.event_date, f.venue_id, v.venue, v.market, f.section,
+             f.tickets_sold, f.revenue, f.avg_price, f.section_capacity,
+             f.utilization,
+             w.avg_temp_c, w.min_temp_c, w.max_temp_c, w.avg_rh_pct,
+             w.avg_wind_mps, w.total_precip_mm, w.windy_hours, w.rainy_hours,
+             w.freezing_hours, w.hours_observed
+      FROM fact_ticket_sales f
+      JOIN dim_venue v USING (venue_id)
+      LEFT JOIN dim_weather w
+        ON w.market = v.market AND w.event_date = f.event_date""")
+
+    // vw_market_daily (sql/03:52-63): re-agg of the view, GROUP BY ordinals
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW vw_market_daily AS
+      SELECT s.event_date, s.market,
+             SUM(s.tickets_sold) AS tickets_sold,
+             SUM(s.revenue) AS revenue,
+             try_divide(SUM(s.revenue), NULLIF(SUM(s.tickets_sold), 0)) AS avg_price,
+             AVG(s.utilization) AS avg_utilization,
+             AVG(s.avg_temp_c) AS avg_temp_c,
+             AVG(s.total_precip_mm) AS avg_total_precip_mm
+      FROM vw_sales_weather s GROUP BY 1, 2""")
+
+    // vw_venue_section_daily (sql/03:72-86)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW vw_venue_section_daily AS
+      SELECT s.event_date, s.venue_id, s.venue, s.market, s.section,
+             s.tickets_sold, s.revenue, s.avg_price, s.section_capacity,
+             s.utilization, s.avg_temp_c, s.total_precip_mm
+      FROM vw_sales_weather s""")
+  }
+
+  /** EDA 1 — event counts by market and venue (sql/10:16-25). */
+  def eda1(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT market, venue,
+      |  COUNT(DISTINCT event_date) AS num_events,
+      |  SUM(tickets_sold) AS total_tickets,
+      |  SUM(revenue) AS total_revenue,
+      |  ROUND(AVG(utilization)*100, 2) AS avg_utilization_pct
+      |FROM vw_sales_weather
+      |GROUP BY market, venue ORDER BY market, venue""".stripMargin)
+
+  /** EDA 2 — rainy vs dry days (sql/10:33-41, F13 IF→Rainy/Dry). */
+  def eda2(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT IF(total_precip_mm > 0, 'Rainy', 'Dry') AS weather_type,
+      |  COUNT(*) AS num_events,
+      |  ROUND(AVG(utilization)*100, 2) AS avg_utilization_pct,
+      |  ROUND(AVG(revenue), 2) AS avg_revenue,
+      |  ROUND(AVG(avg_price), 2) AS avg_ticket_price
+      |FROM vw_sales_weather GROUP BY weather_type ORDER BY weather_type""".stripMargin)
+
+  /** EDA 3 — temperature bands (sql/10:49-70, F14). The band predicates
+    * replicate the reference's EXACT CASE — including its gaps: a
+    * fractional temperature between the integer bands (e.g. 5.5 °C fails
+    * both BETWEEN 0 AND 5 and BETWEEN 6 AND 10) falls through to the
+    * ELSE '>20°C' bucket. Faithful replication per SURVEY §2.6 F14.
+    */
+  def eda3(spark: SparkSession): DataFrame = spark.sql(
+    """WITH temp_bands AS (
+      |  SELECT *,
+      |    CASE WHEN avg_temp_c IS NULL THEN 'Unknown'
+      |         WHEN avg_temp_c < 0 THEN '<0°C'
+      |         WHEN avg_temp_c BETWEEN 0 AND 5 THEN '0–5°C'
+      |         WHEN avg_temp_c BETWEEN 6 AND 10 THEN '6–10°C'
+      |         WHEN avg_temp_c BETWEEN 11 AND 15 THEN '11–15°C'
+      |         WHEN avg_temp_c BETWEEN 16 AND 20 THEN '16–20°C'
+      |         ELSE '>20°C' END AS temp_band
+      |  FROM vw_sales_weather)
+      |SELECT temp_band, COUNT(*) AS events,
+      |  ROUND(AVG(utilization)*100, 2) AS avg_utilization_pct,
+      |  ROUND(AVG(revenue), 2) AS avg_revenue,
+      |  ROUND(AVG(avg_price), 2) AS avg_ticket_price
+      |FROM temp_bands GROUP BY temp_band ORDER BY temp_band""".stripMargin)
+
+  /** EDA 4 — weather correlations (sql/10:78-83, A7). */
+  def eda4(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT CORR(utilization, avg_temp_c) AS corr_util_temp,
+      |  CORR(utilization, total_precip_mm) AS corr_util_precip,
+      |  CORR(revenue, avg_temp_c) AS corr_rev_temp,
+      |  CORR(revenue, total_precip_mm) AS corr_rev_precip
+      |FROM vw_sales_weather""".stripMargin)
+
+  /** EDA 5 — section performance, HAVING + top-20 (sql/10:91-102, P7/O3). */
+  def eda5(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT market, section, COUNT(*) AS num_events,
+      |  ROUND(AVG(utilization)*100, 2) AS avg_utilization_pct,
+      |  ROUND(AVG(avg_price), 2) AS avg_price,
+      |  ROUND(AVG(revenue), 2) AS avg_revenue
+      |FROM vw_sales_weather
+      |GROUP BY market, section
+      |HAVING num_events >= 3
+      |ORDER BY avg_utilization_pct DESC LIMIT 20""".stripMargin)
+
+  /** EDA 6 — market-level summary (sql/10:110-120). */
+  def eda6(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT market,
+      |  COUNT(DISTINCT event_date) AS num_event_days,
+      |  SUM(tickets_sold) AS total_tickets,
+      |  ROUND(SUM(revenue), 2) AS total_revenue,
+      |  ROUND(AVG(utilization)*100, 2) AS avg_utilization_pct,
+      |  ROUND(AVG(avg_temp_c), 1) AS avg_temp_c,
+      |  ROUND(AVG(total_precip_mm), 1) AS avg_precip_mm
+      |FROM vw_sales_weather
+      |GROUP BY market ORDER BY avg_utilization_pct DESC""".stripMargin)
+
+  /** EDA 7 — near-sellout frequency (sql/10:128-136, A5 COUNTIF→count_if). */
+  def eda7(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT market, venue,
+      |  count_if(utilization >= 0.95) AS near_sellout_events,
+      |  COUNT(*) AS total_events,
+      |  ROUND(count_if(utilization >= 0.95) / COUNT(*) * 100, 2) AS pct_near_sellout
+      |FROM vw_sales_weather
+      |GROUP BY market, venue ORDER BY pct_near_sellout DESC""".stripMargin)
+
+  /** EDA 8 — price vs utilization correlation (sql/10:144-146). */
+  def eda8(spark: SparkSession): DataFrame = spark.sql(
+    "SELECT CORR(utilization, avg_price) AS corr_util_price FROM vw_sales_weather")
+
+  /** EDA 9 — temp-vs-util 5 °C bins (sql/10:152-162, F15): broken
+    * USING (weather_id) replaced by the (market, event_date) key via
+    * dim_venue (deviation note above).
+    */
+  def eda9(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT v.market, ROUND(d.avg_temp_c / 5) * 5 AS temp_bin,
+      |  AVG(f.utilization) AS avg_utilization
+      |FROM fact_ticket_sales f
+      |JOIN dim_venue v USING (venue_id)
+      |JOIN dim_weather d
+      |  ON d.market = v.market AND d.event_date = f.event_date
+      |WHERE d.avg_temp_c IS NOT NULL AND f.utilization IS NOT NULL
+      |GROUP BY v.market, temp_bin""".stripMargin)
+
+  /** EDA 10 — market summary viz table (sql/10:169-182, weather_id fix). */
+  def eda10(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT d.market,
+      |  COUNT(DISTINCT f.event_date) AS event_days,
+      |  SUM(f.tickets_sold) AS total_tickets,
+      |  SUM(f.revenue) AS total_revenue,
+      |  ROUND(AVG(f.avg_price), 2) AS avg_ticket_price,
+      |  ROUND(AVG(f.utilization), 4) AS avg_utilization,
+      |  ROUND(AVG(d.avg_temp_c), 2) AS avg_temp_c
+      |FROM fact_ticket_sales f
+      |JOIN dim_venue v USING (venue_id)
+      |JOIN dim_weather d
+      |  ON d.market = v.market AND d.event_date = f.event_date
+      |GROUP BY d.market ORDER BY avg_utilization DESC""".stripMargin)
+
+  /** EDA 11 — revenue by section and market (sql/10:189-199, weather_id fix). */
+  def eda11(spark: SparkSession): DataFrame = spark.sql(
+    """SELECT d.market, f.section,
+      |  SUM(f.revenue) AS total_revenue,
+      |  ROUND(AVG(f.avg_price), 2) AS avg_price
+      |FROM fact_ticket_sales f
+      |JOIN dim_venue v USING (venue_id)
+      |JOIN dim_weather d
+      |  ON d.market = v.market AND d.event_date = f.event_date
+      |GROUP BY d.market, f.section ORDER BY total_revenue DESC""".stripMargin)
+}

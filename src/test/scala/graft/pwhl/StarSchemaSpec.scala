@@ -1,0 +1,132 @@
+package graft.pwhl
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The BigQuery SQL surface (dims/views/EDA 1–11) checked against the
+  * README's published EDA results (README.md:282-336) over the golden
+  * integrated fact.
+  */
+class StarSchemaSpec extends SparkSpec {
+
+  private val factSchema = StructType(Seq(
+    StructField("event_date", DateType), StructField("market", StringType),
+    StructField("venue_id", StringType), StructField("venue", StringType),
+    StructField("section", StringType), StructField("tickets_sold", LongType),
+    StructField("revenue", DoubleType), StructField("avg_price", DoubleType),
+    StructField("section_capacity", LongType), StructField("utilization", DoubleType),
+    StructField("avg_temp_c", DoubleType), StructField("min_temp_c", DoubleType),
+    StructField("max_temp_c", DoubleType), StructField("avg_rh_pct", DoubleType),
+    StructField("avg_wind_mps", DoubleType), StructField("total_precip_mm", DoubleType),
+    StructField("windy_hours", LongType), StructField("rainy_hours", LongType),
+    StructField("freezing_hours", LongType), StructField("hours_observed", LongType)))
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val fact = spark.read.option("header", "true").schema(factSchema)
+      .csv("/root/reference/data/cleaned/fact_ticket_sales_with_weather.csv")
+    StarSchema.register(spark, fact)
+  }
+
+  test("star schema shapes: dims, re-agg fact, views") {
+    assert(spark.table("dim_venue").count() == 8)
+    assert(spark.table("dim_market_star").count() == 8)
+    // 5 sections x 8 venues, two capacity values per (venue, section) over
+    // the season (capacity varies by date)
+    assert(spark.table("dim_section").select("section").distinct().count() == 5)
+    assert(spark.table("dim_date").count() == 59) // Jan 1 .. Feb 28
+    assert(spark.table("dim_weather").count() == 120) // 8 markets x 15 event days
+    assert(spark.table("fact_ticket_sales").count() == 600)
+    assert(spark.table("vw_sales_weather").count() == 600) // no fan-out
+    assert(spark.table("vw_market_daily").count() == 120)
+  }
+
+  test("EDA 1: every market/venue combination covered, 15 events each") {
+    val rows = StarSchema.eda1(spark).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("num_events") == 15L))
+  }
+
+  test("EDA 4/8: corr aggregates produce values in [-1, 1]") {
+    val r = StarSchema.eda4(spark).head()
+    (0 until 4).foreach { i => assert(math.abs(r.getDouble(i)) <= 1.0) }
+    val p = StarSchema.eda8(spark).head().getDouble(0)
+    assert(math.abs(p) <= 1.0)
+  }
+
+  test("EDA 6: README market-level summary reproduces (temps, util ~59.7%)") {
+    // README.md:323-330 — avg temp per market (round 1 would lose the
+    // published 2-decimal values; README's table shows 2 decimals computed
+    // at higher precision, so compare recomputed averages instead)
+    val got = spark.sql(
+      """SELECT market, ROUND(AVG(avg_temp_c), 2) AS t,
+        |       ROUND(AVG(utilization), 3) AS u
+        |FROM vw_sales_weather GROUP BY market""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val readme = Map(
+      "Boston" -> -1.98, "New York" -> -0.33, "Washington" -> 0.99,
+      "Montreal" -> -7.76, "Toronto" -> -3.83, "Ottawa" -> -7.76,
+      "Chicago" -> -4.10, "Minneapolis" -> -8.27)
+    readme.foreach { case (m, t) =>
+      assert(math.abs(got(m)._1 - t) <= 0.01, s"$m temp ${got(m)._1} != $t")
+      assert(math.abs(got(m)._2 - 0.597) <= 0.001, s"$m util ${got(m)._2}")
+    }
+  }
+
+  test("README per-market temperature-utilization correlations reproduce") {
+    // README.md:323-330 Corr column = corr(utilization, avg_temp_c) per market
+    val got = spark.sql(
+      """SELECT market, ROUND(CORR(utilization, avg_temp_c), 3) AS c
+        |FROM vw_sales_weather GROUP BY market""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val readme = Map(
+      "Boston" -> 0.368, "New York" -> 0.357, "Washington" -> 0.254,
+      "Montreal" -> 0.202, "Toronto" -> 0.111, "Ottawa" -> 0.071,
+      "Chicago" -> 0.041, "Minneapolis" -> -0.067)
+    readme.foreach { case (m, c) =>
+      assert(math.abs(got(m) - c) <= 0.001, s"$m corr ${got(m)} != $c")
+    }
+  }
+
+  test("EDA 11: section revenue totals match the golden fact sums") {
+    val rows = StarSchema.eda11(spark)
+      .groupBy("section").agg(sum("total_revenue").as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sums over the golden fact (README.md:311 lists these with two digits
+    // transposed for Upper Bowl; the data is authoritative)
+    val want = Map(
+      "Upper Bowl" -> 1.536468e7, "Lower Bowl" -> 1.489012e7,
+      "Club" -> 6350640.0, "Suite" -> 4476240.0, "Standing Room" -> 2098720.0)
+    want.foreach { case (s, v) =>
+      assert(math.abs(rows(s) - v) < 1.0, s"$s revenue ${rows(s)} != $v")
+    }
+  }
+
+  test("EDA 2/3/5/7/9/10 run and return sane shapes") {
+    assert(StarSchema.eda2(spark).count() == 2) // Rainy + Dry
+    val bands = StarSchema.eda3(spark).collect()
+    assert(bands.nonEmpty && bands.map(_.getString(0)).distinct.length == bands.length)
+    assert(StarSchema.eda5(spark).count() <= 20)
+    assert(StarSchema.eda7(spark).count() == 8)
+    assert(StarSchema.eda9(spark).select("market").distinct().count() == 8)
+    assert(StarSchema.eda10(spark).count() == 8)
+  }
+
+  test("S10: genuine CTAS to a partitioned parquet catalog table") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS pwhl")
+    spark.sql("DROP TABLE IF EXISTS pwhl.fact_ticket_sales_ctas")
+    spark.sql(
+      """CREATE TABLE pwhl.fact_ticket_sales_ctas
+        |USING parquet PARTITIONED BY (event_date)
+        |AS SELECT venue_id, section, tickets_sold, revenue, event_date
+        |FROM fact_ticket_sales""".stripMargin)
+    val back = spark.table("pwhl.fact_ticket_sales_ctas")
+    assert(back.count() == 600)
+    val pruned = back.filter(col("event_date") === "2025-01-01")
+    assert(pruned.count() == 40)
+    assert(pruned.queryExecution.executedPlan.toString().contains("PartitionFilters"))
+    spark.sql("DROP TABLE pwhl.fact_ticket_sales_ctas")
+  }
+}
