@@ -22,7 +22,7 @@ import graft.ops.Cleaning
 object Relational {
 
   // Cross-engine numeric determinism helpers — see graft.queries.Num.
-  import Num.{dec, sumD, avgD}
+  import Num.{dec, sumD, avgD, sumM, avgM}
 
   /** S1/P2/P5 — projected, filtered scan. Filter + projection must reach the
     * parquet reader (PushedFilters/ReadSchema in explain).
@@ -65,23 +65,23 @@ object Relational {
     lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sumD(col("l_quantity"), 2).as("sum_qty"),
-        sumD(col("l_extendedprice"), 2).as("sum_base_price"),
-        sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
-        avgD(col("l_quantity"), 4).as("avg_qty"),
-        avgD(col("l_extendedprice"), 4).as("avg_price"),
-        avgD(col("l_discount"), 4).as("avg_disc"),
+        sumM(col("l_quantity"), 2).as("sum_qty"),
+        sumM(col("l_extendedprice"), 2).as("sum_base_price"),
+        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        avgM(col("l_quantity"), 4).as("avg_qty"),
+        avgM(col("l_extendedprice"), 4).as("avg_price"),
+        avgM(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q03Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_disc_price,
-      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
-      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
-      |  round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -138,15 +138,15 @@ object Relational {
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lines"),
-        sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
-        avgD(col("l_quantity"), 4).as("avg_qty"))
+        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+        avgM(col("l_quantity"), 4).as("avg_qty"))
       .orderBy("o_orderpriority")
 
   val q06Oracle: String =
     """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
       |  count(*) AS n_lines,
-      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
-      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -466,15 +466,15 @@ object Relational {
       .groupBy("p_brand", "s_name")
       .agg(
         count(lit(1)).as("n_lines"),
-        sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_revenue"),
-        avgD(col("l_quantity"), 4).as("avg_qty"))
+        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_revenue"),
+        avgM(col("l_quantity"), 4).as("avg_qty"))
       .orderBy("p_brand", "s_name")
   }
 
   val q23Oracle: String =
     """SELECT p_brand, s_name, count(*) AS n_lines,
-      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS net_revenue,
-      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS net_revenue,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY p_brand, s_name
