@@ -54,6 +54,8 @@ object SparkEntry {
     "q34_messy_parse"     -> (Relational.q34MessyParse _),
     "q35_compound_join"   -> (Relational.q35CompoundJoin _),
     "q36_reagg_ordinals"  -> (Relational.q36ReaggOrdinals _),
+    "q37_minhash_bands"   -> (LlmOps.q37MinhashBands _),
+    "q38_multimodal_stats"-> (LlmOps.q38MultimodalStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +98,8 @@ object SparkEntry {
     "q34_messy_parse"     -> Relational.q34Oracle,
     "q35_compound_join"   -> Relational.q35Oracle,
     "q36_reagg_ordinals"  -> Relational.q36Oracle,
+    // q37_minhash_bands: no oracle — xxhash64 is Spark-specific; see
+    // MinHashSpec for the structural banding/estimator evidence.
+    "q38_multimodal_stats"-> LlmOps.q38Oracle,
   )
 }

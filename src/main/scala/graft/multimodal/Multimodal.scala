@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star extension): image/audio/video as opaque
+  * BINARY columns with typed metadata, processed by column expressions
+  * where possible and by one clearly-marked per-partition decode seam
+  * where a real codec would plug in.
+  *
+  * The decode math is a DETERMINISTIC FAKE (this container ships no
+  * image/audio codecs): pseudo-metadata and pseudo-embeddings are derived
+  * from content hashes, so plans, schemas, partitioning, and tests are
+  * real and reproducible while the codec is swappable. Every fake is
+  * named `fake*` — nothing else in the module depends on the fake's
+  * internals, only on its schema.
+  *
+  * 100 TB posture: binary payloads never enter a shuffle — metadata and
+  * features are extracted scan-side (codegen'd expressions or a
+  * mapPartitions seam), and downstream joins/aggs carry only the derived
+  * columns. Frame sampling explodes bounded slices, not whole payloads.
+  */
+object Multimodal {
+
+  /** Typed row for the batch-decode seam. */
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  final case class DecodedRow(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, sample_rate: Int)
+
+  /** Scan-side metadata: real byte length + content hash (codegen'd). */
+  def nBytes(content: Column): Column = length(content).cast("long")
+  def contentHash(content: Column): Column = xxhash64(content)
+
+  /** FAKE image decode as pure column expressions: dimensions derived
+    * deterministically from the content hash. A real decoder replaces the
+    * hash arithmetic; the struct schema is the contract.
+    */
+  def fakeImageMeta(content: Column): Column = struct(
+    (pmod(xxhash64(content, lit(1)), lit(1920)) + 1).cast("int").as("width"),
+    (pmod(xxhash64(content, lit(2)), lit(1080)) + 1).cast("int").as("height"),
+    (pmod(xxhash64(content, lit(3)), lit(3)) + 1).cast("int").as("channels"))
+
+  /** FAKE feature extraction: a unit-free 64-dim pseudo-embedding from
+    * seeded content hashes — array<float> with the exact shape the
+    * similarity operators (cosine top-k, ANN) consume, so the multimodal →
+    * embedding → search composition is testable end to end.
+    */
+  def fakeEmbedding(content: Column, dim: Int = 64): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => ((pmod(xxhash64(content, i), lit(2000)) - 1000) / 1000.0).cast("float"))
+
+  /** Frame sampling for video-like payloads: fixed-size byte slices as an
+    * exploded (media_id, frame_no, frame) relation. Real plumbing —
+    * substring on BINARY is a codegen'd expression; a real demuxer would
+    * replace the uniform slicing with keyframe offsets.
+    */
+  def sampleFrames(media: DataFrame, idCol: String, contentCol: String,
+                   frameBytes: Int, maxFrames: Int): DataFrame = {
+    val nFrames = least(ceil(length(col(contentCol)).cast("double") / frameBytes).cast("int"),
+      lit(maxFrames))
+    media.select(col(idCol), col(contentCol), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), col("n_frames") - 1),
+          i => struct(i.as("frame_no"),
+            col(contentCol).substr((i * frameBytes + 1).cast("int"), lit(frameBytes))
+              .as("frame")))).as("f"))
+      .select(col(idCol), col("f.frame_no").as("frame_no"), col("f.frame").as("frame"))
+  }
+
+  /** The batch-decode seam (mapInPandas analog): one pass per partition,
+    * typed in/out, no driver involvement. THIS is where a real codec
+    * (JNI/ffi image lib) would run; the fake derives metadata from the
+    * payload hash. Kept deliberately as the ONLY mapPartitions in the
+    * codebase — everything expressible as columns stays columnar.
+    */
+  def decodeBatch(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    implicit val enc = Encoders.product[DecodedRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = java.util.Arrays.hashCode(r.content)
+        DecodedRow(
+          media_id = r.media_id,
+          kind = r.kind,
+          n_bytes = r.content.length.toLong,
+          width = math.floorMod(h, 1920) + 1,
+          height = math.floorMod(h * 31, 1080) + 1,
+          sample_rate = if (r.kind == "audio") 16000 else 0)
+      }
+    }
+  }
+}

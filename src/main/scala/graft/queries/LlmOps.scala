@@ -206,6 +206,60 @@ object LlmOps {
       .orderBy("band")
   }
 
+  /** MinHash LSH banding — same sub-quadratic candidate-generation plan as
+    * q29 but with the MinHash family (bigram shingles → 64-wide signature
+    * → 8 bands): scan → explode(8) → one (band, bucket) shuffle. Per-band
+    * bucket statistics certify determinism; pair-level behavior (capture,
+    * estimator accuracy, degenerate-bucket guard) is proven in
+    * MinHashSpec. No DuckDB oracle (xxhash64 is Spark-specific).
+    */
+  def q37MinhashBands(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHash
+    val sig = MinHash.signature(MinHash.shingles(toks(col("text")), 2), 64)
+    documents(s, d)
+      .select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(MinHash.bandBuckets(col("sig"), 64, 8)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max("n_docs").as("max_bucket"),
+        sum(col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_candidate_pairs"))
+      .orderBy("band")
+  }
+
+  /** Multimodal binary-column statistics: documents cast to opaque BINARY
+    * payloads with a kind derived from the source id — real byte-length
+    * arithmetic on BinaryType (the fake-decode surface lives in
+    * Multimodal + MultimodalSpec). Byte counts differ from n_chars on
+    * multi-byte text (zh), so the oracle must measure encoded bytes too.
+    */
+  def q38MultimodalStats(s: SparkSession, d: String): DataFrame = {
+    val bytes = length(col("text").cast("binary")).cast("long")
+    val kind = when(pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) === 0, "image")
+      .when(pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) === 1, "audio")
+      .otherwise("video")
+    documents(s, d)
+      .groupBy(kind.as("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(bytes).as("total_bytes"),
+        round(sum(bytes).cast("double") / count(lit(1)), 4).as("avg_bytes"),
+        max(bytes).as("max_bytes"))
+      .orderBy("kind")
+  }
+
+  val q38Oracle: String =
+    """SELECT CASE CAST(substr(source, 4) AS INT) % 3
+      |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  count(*) AS n_media,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  round(CAST(sum(octet_length(encode(text))) AS DOUBLE) / count(*), 4) AS avg_bytes,
+      |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+      |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
+
   // --- Text analysis ------------------------------------------------------
 
   private val stopEn = Seq("the", "a", "of", "and", "is", "to", "in")

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sigOf(tokens: Seq[String], n: Int = 2, k: Int = 64): Seq[Long] =
+    Seq(tokens).toDF("t")
+      .select(MinHash.signature(MinHash.shingles(col("t"), n), k).as("s"))
+      .as[Seq[Long]].head()
+
+  test("shingles: distinct word n-grams; n=1 distinct tokens") {
+    val df = Seq(Seq("a", "b", "c", "b", "c")).toDF("t")
+    val bi = df.select(MinHash.shingles(col("t"), 2)).as[Seq[String]].head()
+    assert(bi == Seq("a b", "b c", "c b"))
+    val uni = df.select(MinHash.shingles(col("t"), 1)).as[Seq[String]].head()
+    assert(uni == Seq("a", "b", "c"))
+  }
+
+  test("signature: deterministic, k-wide, order-insensitive; empty -> null") {
+    val t = (1 to 40).map(i => s"w$i")
+    assert(sigOf(t, n = 1).length == 64)
+    assert(sigOf(t, n = 1) == sigOf(scala.util.Random.shuffle(t.toList), n = 1))
+    val empty = Seq(Seq.empty[String]).toDF("t")
+      .select(MinHash.signature(MinHash.shingles(col("t"), 2), 64))
+      .collect().head
+    assert(empty.isNullAt(0))
+  }
+
+  test("estJaccard approximates true Jaccard") {
+    // two unigram sets with true Jaccard 50/150 = 1/3
+    val a = (1 to 100).map(i => s"t$i")
+    val b = (51 to 200).map(i => s"t$i")
+    val est = Seq((a, b)).toDF("a", "b")
+      .select(MinHash.estJaccard(
+        MinHash.signature(MinHash.shingles(col("a"), 1), 256),
+        MinHash.signature(MinHash.shingles(col("b"), 1), 256)).as("j"))
+      .as[Double].head()
+    // stderr ~ sqrt(J(1-J)/256) ~ 0.029; 4 sigma
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est")
+  }
+
+  test("candidatePairs finds near-duplicates, not unrelated docs") {
+    val base = (1 to 100).map(i => s"tok$i")
+    val nearDup = base.updated(10, "CHANGED1").updated(60, "CHANGED2")
+    val unrelated = (1 to 100).map(i => s"other$i")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "tokens")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "tokens",
+      shingleN = 2, k = 64, nBands = 8, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"pairs: $pairs")
+    assert(pairs.head._3 > 0.8, s"near-dup estimate ${pairs.head._3}")
+  }
+
+  test("degenerate buckets are excluded by maxBucket guard") {
+    // 20 identical docs: every bucket holds all 20 -> excluded at maxBucket=10
+    val docs = (1L to 20L).map(i => (i, (1 to 50).map(j => s"w$j"))).toDF("doc_id", "tokens")
+    val guarded = MinHash.candidatePairs(docs, "doc_id", "tokens", maxBucket = 10)
+    assert(guarded.isEmpty, "oversized buckets must not join")
+    val unguarded = MinHash.candidatePairs(docs, "doc_id", "tokens", maxBucket = 1000)
+    assert(unguarded.count() == 190) // C(20,2) exact-dup pairs
+  }
+}

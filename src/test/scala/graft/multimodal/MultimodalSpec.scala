@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(rows: (Long, String, String)*) =
+    rows.toSeq.map { case (id, kind, s) =>
+      Multimodal.MediaRow(id, kind, s.getBytes(StandardCharsets.UTF_8))
+    }.toDS()
+
+  test("scan-side metadata: byte length and stable content hash on BINARY") {
+    val df = media((1L, "image", "abcd"), (2L, "image", "日本語")).toDF()
+    val got = df.select(col("media_id"), Multimodal.nBytes(col("content")).as("n"),
+      Multimodal.contentHash(col("content")).as("h"))
+      .orderBy("media_id").collect()
+    assert(got(0).getLong(1) == 4L)
+    assert(got(1).getLong(1) == 9L) // 3 chars x 3 bytes utf-8
+    val again = df.select(Multimodal.contentHash(col("content"))).collect()
+    assert(got.map(_.getLong(2)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("fake image metadata and embedding have the contracted shape and are deterministic") {
+    val df = media((1L, "image", "payload-one"), (2L, "image", "payload-two")).toDF()
+    val m = df.select(Multimodal.fakeImageMeta(col("content")).as("m")).collect()
+    m.foreach { r =>
+      val s = r.getStruct(0)
+      assert(s.getInt(0) >= 1 && s.getInt(0) <= 1920) // width
+      assert(s.getInt(1) >= 1 && s.getInt(1) <= 1080) // height
+      assert(s.getInt(2) >= 1 && s.getInt(2) <= 3)    // channels
+    }
+    val e = df.select(Multimodal.fakeEmbedding(col("content")).as("e"))
+      .as[Seq[Float]].collect()
+    assert(e.forall(_.length == 64))
+    assert(e.forall(_.forall(v => v >= -1.0f && v <= 1.0f)))
+    assert(e(0) != e(1), "different payloads must embed differently")
+    // composition with the similarity surface: cosine over fake embeddings
+    val sim = df.agg(collect_list(Multimodal.fakeEmbedding(col("content")))).as[Seq[Seq[Float]]].head()
+    val self = Seq((sim(0), sim(0))).toDF("a", "b")
+      .select(graft.functions.VectorExpressions.cosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(self - 1.0) < 1e-9)
+  }
+
+  test("frame sampling slices binary payloads without shuffling them") {
+    val df = media((7L, "video", "0123456789abcdefghij")).toDF() // 20 bytes
+    val frames = Multimodal.sampleFrames(df, "media_id", "content", frameBytes = 8, maxFrames = 10)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 3) // ceil(20/8)
+    val sizes = frames.map(r => r.getAs[Array[Byte]]("frame").length).toSeq
+    assert(sizes == Seq(8, 8, 4))
+    assert(new String(frames(0).getAs[Array[Byte]]("frame"), StandardCharsets.UTF_8) == "01234567")
+    val capped = Multimodal.sampleFrames(df, "media_id", "content", frameBytes = 2, maxFrames = 5)
+    assert(capped.count() == 5) // maxFrames bound respected
+  }
+
+  test("decodeBatch seam: per-partition typed decode with fake codec") {
+    val out = Multimodal.decodeBatch(media(
+      (1L, "image", "img-bytes"), (2L, "audio", "wav-bytes"))).collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out(0).n_bytes == 9 && out(0).sample_rate == 0)
+    assert(out(1).kind == "audio" && out(1).sample_rate == 16000)
+    assert(out.forall(r => r.width >= 1 && r.width <= 1920))
+    // deterministic across runs
+    val again = Multimodal.decodeBatch(media((1L, "image", "img-bytes"))).collect().head
+    assert(again.width == out(0).width && again.height == out(0).height)
+  }
+}
