@@ -56,6 +56,7 @@ object SparkEntry {
     "q36_reagg_ordinals"  -> (Relational.q36ReaggOrdinals _),
     "q37_minhash_bands"   -> (LlmOps.q37MinhashBands _),
     "q38_multimodal_stats"-> (LlmOps.q38MultimodalStats _),
+    "q39_session_window"  -> (LlmOps.q39SessionWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,8 @@ object SparkEntry {
     // q37_minhash_bands: no oracle — xxhash64 is Spark-specific; see
     // MinHashSpec for the structural banding/estimator evidence.
     "q38_multimodal_stats"-> LlmOps.q38Oracle,
+    // q39 shares q33's oracle: the native session_window operator must
+    // reproduce the independent lag + running-sum SQL formulation.
+    "q39_session_window"  -> LlmOps.q33Oracle,
   )
 }

@@ -392,6 +392,22 @@ object LlmOps {
       .orderBy("user_id")
   }
 
+  /** Native session windows: the same 30-minute-gap sessionization as q33
+    * but through Spark's `session_window` operator — certified against an
+    * INDEPENDENT SQL formulation (the lag + running-sum oracle), so the
+    * built-in operator's merge semantics are cross-checked rather than
+    * assumed. Boundary note: session_window starts a new session at
+    * gap == exactly 30:00.000000 while the lag formulation keeps it; with
+    * continuous microsecond timestamps the tie has measure zero.
+    */
+  def q39SessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n")) // one row per closed session
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+      .orderBy("user_id")
+
   val q33Oracle: String =
     """WITH lagged AS (
       |  SELECT user_id, ts, event_id,

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape (SURVEY §7.5).
+  * Each transform works unchanged on a batch OR streaming DataFrame —
+  * that symmetry is the point of the Dataset API: the batch twin is what
+  * the oracle checks (q32/q33/q39), the streaming twin is what
+  * StreamingSpec / SessionizeSpec drive through MemoryStream.
+  *
+  * Scale posture: all state is keyed by high-cardinality keys (user_id),
+  * watermarks bound state size, and nothing collects to the driver.
+  */
+object EventStreams {
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Tumbling-window counts with a watermark — works for batch and
+    * streaming alike; in streaming append mode a window emits once the
+    * watermark passes its end, and later (late) rows are dropped.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Streaming-safe exact dedup: state bounded by the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay).dropDuplicates("event_id")
+
+  /** Gap-based sessionization with EXPLICIT state — the
+    * flatMapGroupsWithState formulation (KeyValueGroupedDataset custom
+    * state per SURVEY §7.5). A session closes either when a later event
+    * arrives beyond the gap (emitted in that batch) or when the event-time
+    * watermark passes lastTs + gap (emitted via timeout) — so quiet users'
+    * sessions still complete and state cannot grow unboundedly.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def close(s: SessionState): SessionOut =
+            SessionOut(user, new Timestamp(s.sessionStart), new Timestamp(s.lastTs), s.nEvents)
+          if (state.hasTimedOut) {
+            val out = close(state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  Some(s.copy(lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= close(s)
+                  Some(SessionState(t, t, 1))
+                case None =>
+                  Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+/** The explicit-state sessionizer (flatMapGroupsWithState +
+  * EventTimeTimeout) under both closing paths: a later event beyond the
+  * gap (in-batch close) and watermark-driven timeout (quiet user).
+  */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("sessions close on gap-exceeding events and on watermark timeout") {
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(spark, input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart -> one open session
+      input.addData(
+        Event(ts("10:00"), 1L, "click", 1.0),
+        Event(ts("10:05"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").count() == 0, "no session may close early")
+
+      // user 1 again at 11:30: gap > 30 min -> first session closes in-batch;
+      // ALSO advances the watermark to 11:00
+      input.addData(Event(ts("11:30"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val afterSplit = spark.table("sessions_test").as[SessionOut].collect().toSet
+      assert(afterSplit == Set(SessionOut(1L, ts("10:00"), ts("10:05"), 2L)))
+
+      // user 2 has a session at 12:00..12:01 (safely above the current
+      // watermark of 11:00), then goes quiet; later events from user 3
+      // push the watermark past 12:31 -> user 2's session must close via
+      // EventTimeTimeout (quiet-user path)
+      input.addData(
+        Event(ts("12:00"), 2L, "click", 1.0),
+        Event(ts("12:01"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(ts("13:10"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      // one more batch so timeouts fire against the advanced watermark
+      input.addData(Event(ts("13:11"), 3L, "click", 1.0))
+      q.processAllAvailable()
+
+      val all = spark.table("sessions_test").as[SessionOut].collect().toSet
+      assert(all.contains(SessionOut(2L, ts("12:00"), ts("12:01"), 2L)),
+        s"user 2's session must close by timeout; got $all")
+      // user 1's second session (11:30) closes once the watermark passes 12:00
+      assert(all.contains(SessionOut(1L, ts("11:30"), ts("11:30"), 1L)), s"got $all")
+    } finally q.stop()
+  }
+
+  test("batch parity: the same gap rule over the events fixture matches q33") {
+    val batch = graft.queries.LlmOps.q33Sessionize(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val native = graft.queries.LlmOps.q39SessionWindow(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.toSeq == native.toSeq,
+      "window-function sessionization and native session_window must agree")
+  }
+}
