@@ -104,12 +104,40 @@ class StarSchemaSpec extends SparkSpec {
     }
   }
 
-  test("EDA 2/3/5/7/9/10 run and return sane shapes") {
-    assert(StarSchema.eda2(spark).count() == 2) // Rainy + Dry
+  test("EDA 2: rainy vs dry exact outputs (independent DuckDB computation)") {
+    val got = StarSchema.eda2(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 2)
+    val Array(dry, rainy) = got
+    assert(dry._1 == "Dry" && dry._2 == 305L && math.abs(dry._3 - 58.88) <= 0.01
+      && math.abs(dry._4 - 71074.05) <= 0.01 && math.abs(dry._5 - 76.12) <= 0.01, s"dry=$dry")
+    assert(rainy._1 == "Rainy" && rainy._2 == 295L && math.abs(rainy._3 - 60.64) <= 0.01
+      && math.abs(rainy._4 - 72890.90) <= 0.01 && math.abs(rainy._5 - 75.61) <= 0.01, s"rainy=$rainy")
+  }
+
+  test("EDA 3: band counts — incl. the reference's CASE gap, replicated faithfully") {
     val bands = StarSchema.eda3(spark).collect()
-    assert(bands.nonEmpty && bands.map(_.getString(0)).distinct.length == bands.length)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bands("<0°C") == 430L)
+    assert(bands("0–5°C") == 115L)
+    assert(bands("6–10°C") == 35L)
+    // the reference's BETWEEN ladder has a hole between 5 and 6: those 20
+    // fractional-temperature events fall through to the ELSE bucket even
+    // though no temperature exceeds 20 °C (SURVEY §2.6 F14 — faithful
+    // replication of the documented defect, not a bug here)
+    assert(bands(">20°C") == 20L)
+    assert(!bands.contains("Unknown")) // weather joined for every row
+  }
+
+  test("EDA 5/7/9/10 run and return sane shapes") {
     assert(StarSchema.eda5(spark).count() <= 20)
-    assert(StarSchema.eda7(spark).count() == 8)
+    val eda7 = StarSchema.eda7(spark).collect()
+    assert(eda7.length == 8)
+    // every market: 2 near-sellouts of 75 section-days = 2.67%
+    eda7.foreach { r =>
+      assert(r.getLong(2) == 2L && r.getLong(3) == 75L &&
+        math.abs(r.getDouble(4) - 2.67) <= 0.01, s"row $r")
+    }
     assert(StarSchema.eda9(spark).select("market").distinct().count() == 8)
     assert(StarSchema.eda10(spark).count() == 8)
   }
