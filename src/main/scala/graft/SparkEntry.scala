@@ -57,6 +57,8 @@ object SparkEntry {
     "q37_minhash_bands"   -> (LlmOps.q37MinhashBands _),
     "q38_multimodal_stats"-> (LlmOps.q38MultimodalStats _),
     "q39_session_window"  -> (LlmOps.q39SessionWindow _),
+    "q40_fingerprint"     -> (LlmOps.q40Fingerprint _),
+    "q41_bpe_quality"     -> (LlmOps.q41BpeQuality _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +107,7 @@ object SparkEntry {
     // q39 shares q33's oracle: the native session_window operator must
     // reproduce the independent lag + running-sum SQL formulation.
     "q39_session_window"  -> LlmOps.q33Oracle,
+    "q40_fingerprint"     -> LlmOps.q40Oracle,
+    "q41_bpe_quality"     -> LlmOps.q41Oracle,
   )
 }

@@ -5,16 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + LSH banding over word shingles — the classical sub-quadratic
   * near-duplicate detector (SURVEY §7.5 dedup; shingle → minhash → band →
-  * bucket-join). Everything is built-in higher-order functions, so the
-  * whole signature computation stays inside whole-stage codegen — no UDF,
-  * no boxing, no custom expression needed.
+  * bucket-join). Signature and band computation are native Catalyst
+  * expressions (one pass per row); the surrounding plan (explode, bucket
+  * shuffle, self-join, estimator filter) is plain DataFrame ops.
   *
-  * Hash family: h_i(s) = xxhash64(s, i). Seeding by position gives k
-  * independent functions without 64-bit multiply tricks (which would
-  * overflow under ANSI mode). The signature is order-insensitive and
-  * deterministic; E[fraction of equal positions] = Jaccard(shingles_a,
-  * shingles_b), so `estJaccard` is an unbiased estimator with
-  * stderr ≈ sqrt(J(1-J)/k).
+  * Hash family: one xxhash64 per shingle, then k multiply-shift
+  * permutations inside the native MinHashSignature expression (see its
+  * doc for why the all-builtin formulation was retired). The signature is
+  * order-insensitive and deterministic; E[fraction of equal positions] =
+  * Jaccard(shingles_a, shingles_b), so `estJaccard` is an unbiased
+  * estimator with stderr ≈ sqrt(J(1-J)/k).
   *
   * 100 TB posture: `candidatePairs` never compares all pairs — docs are
   * exploded to (band, bucket) keys (one shuffle, 8-byte bucket ids) and
@@ -39,28 +39,25 @@ object MinHash {
             i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o + 1)): _*))))
   }
 
-  /** k-wide MinHash signature (array<long>) of a shingle array; null/empty
-    * shingles yield null (no signal — matches cosine's null semantics).
+  /** k-wide MinHash signature (array<long>) from a token array (n-grams
+    * built natively); fewer tokens than shingleN yields null (no signal — matches cosine's null semantics).
+    * Backed by the native [[VectorExpressions.MinHashSignature]] — one
+    * xxhash64 per shingle, k multiply-shift permutations; the
+    * higher-order-function formulation this replaced re-hashed every
+    * shingle k times in interpreted mode (HOFs are CodegenFallback) and
+    * was ~100x slower.
     */
-  def signature(sh: Column, k: Int): Column =
-    when(sh.isNull || size(sh) === 0, lit(null))
-      .otherwise(transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(sh, s => xxhash64(s, i)))))
+  def signature(tokens: Column, shingleN: Int, k: Int): Column =
+    VectorExpressions.minhashSignature(tokens, shingleN, k)
 
-  /** Cut a signature into `nBands` equal bands; each band becomes one
-    * 64-bit bucket key (hash of its rows). Two docs agreeing on any full
-    * band collide; for signature width k and bands b, the capture curve is
-    * P(collide) = 1 - (1 - J^(k/b))^b.
+  /** Per-band 64-bit bucket keys straight from the shingle array (native
+    * one-pass expression). Two docs agreeing on any full band collide;
+    * for signature width k and bands b, the capture curve is
+    * P(collide) = 1 - (1 - J^(k/b))^b. Use with `posexplode`: position =
+    * band index, value = bucket key.
     */
-  def bandBuckets(sig: Column, k: Int, nBands: Int): Column = {
-    require(k % nBands == 0, s"bands ($nBands) must divide signature width ($k)")
-    val r = k / nBands
-    transform(sequence(lit(0), lit(nBands - 1)),
-      b => struct(
-        b.as("band"),
-        xxhash64(concat_ws(",", transform(slice(sig, b * r + 1, lit(r)), _.cast("string"))))
-          .as("bucket")))
-  }
+  def bandBuckets(tokens: Column, shingleN: Int, k: Int, nBands: Int): Column =
+    VectorExpressions.minhashBandBuckets(tokens, shingleN, k, nBands)
 
   /** Fraction of agreeing signature positions — the Jaccard estimate. */
   def estJaccard(a: Column, b: Column): Column =
@@ -80,13 +77,15 @@ object MinHash {
       docs: DataFrame, idCol: String, tokensCol: String,
       shingleN: Int = 2, k: Int = 64, nBands: Int = 8,
       minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val sig = signature(shingles(col(tokensCol), shingleN), k)
-    val signed = docs.select(col(idCol).as("id"), sig.as("sig"))
+    val signed = docs
+      .select(col(idCol).as("id"),
+        signature(col(tokensCol), shingleN, k).as("sig"),
+        bandBuckets(col(tokensCol), shingleN, k, nBands).as("bands"))
       .filter(col("sig").isNotNull)
     val exploded = signed
-      .select(col("id"), col("sig"), explode(bandBuckets(col("sig"), k, nBands)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        col("id"), col("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
 
     // degenerate-bucket guard: count per bucket, keep joinable ones
     val bucketSizes = exploded.groupBy("band", "bucket")

@@ -153,7 +153,233 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Shared MinHash kernel: word n-grams are built natively from the token
+    * array (UTF8String concat — the higher-order-function shingle builder
+    * cost ~20µs per gram interpreted, dominating the whole near-dup
+    * pass), each gram is xxhash64'd ONCE, then k multiply-shift
+    * permutations π_i(h) = a_i·h + b_i (a_i odd; 64-bit wrap-around — a
+    * bijection on Z/2⁶⁴, an approximately min-wise independent family)
+    * update k running minima. Duplicates need no dedup — the minimum is
+    * multiset-invariant. Coefficients come from SplitMix64(i), so
+    * signatures are deterministic across runs. Grams containing a null
+    * token are skipped; fewer tokens than shingleN → null (no signal).
+    */
+  sealed trait MinHashKernel { self: UnaryExpression =>
+    def shingleN: Int
+    def k: Int
+
+    protected def checkTokensType(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      self.child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"${self.prettyName} requires array<string>, got ${dt.sql}")
+      }
+
+    private def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    @transient private lazy val coefA: Array[Long] =
+      Array.tabulate(k)(i => splitmix(2L * i) | 1L)
+    @transient private lazy val coefB: Array[Long] =
+      Array.tabulate(k)(i => splitmix(2L * i + 1))
+    @transient private lazy val sep = UTF8String.fromString(" ")
+
+    /** k minima over the n-gram hashes, or null if no complete gram. */
+    protected def minima(v: Any): Array[Long] = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < shingleN) return null
+      val mins = Array.fill(k)(Long.MaxValue)
+      var seen = false
+      val parts = new Array[UTF8String](shingleN)
+      var t = 0
+      while (t <= n - shingleN) {
+        var ok = true
+        var j = 0
+        while (j < shingleN && ok) {
+          if (arr.isNullAt(t + j)) ok = false
+          else parts(j) = arr.getUTF8String(t + j)
+          j += 1
+        }
+        if (ok) {
+          seen = true
+          val gram =
+            if (shingleN == 1) parts(0)
+            else UTF8String.concatWs(sep, parts: _*)
+          val base = XxHash64Function.hash(gram, StringType, 42L)
+          var i = 0
+          while (i < k) {
+            val h = base * coefA(i) + coefB(i)
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        t += 1
+      }
+      if (!seen) null else mins
+    }
+  }
+
+  /** k-wide MinHash signature (array<long>) from a TOKEN array; n-grams
+    * built internally (see [[MinHashKernel]]).
+    */
+  case class MinHashSignature(child: Expression, shingleN: Int, k: Int)
+      extends UnaryExpression with MinHashKernel
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    require(k >= 1 && shingleN >= 1, "signature width and shingle size must be >= 1")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_signature"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkTokensType()
+
+    override def nullSafeEval(v: Any): Any = {
+      val mins = minima(v)
+      if (mins == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** LSH band buckets straight from the TOKEN array: computes the k-wide
+    * minima internally (same kernel as [[MinHashSignature]]) and folds
+    * each of the `nBands` contiguous groups of k/nBands minima into one
+    * 64-bit bucket key — a single pass per row. Exists as its own
+    * expression because referencing a signature column from several band
+    * expressions re-evaluates the signature per reference once Catalyst
+    * collapses the projections (expressions are not CSE'd in the
+    * interpreted path).
+    */
+  case class MinHashBandBuckets(child: Expression, shingleN: Int, k: Int, nBands: Int)
+      extends UnaryExpression with MinHashKernel
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    require(k >= 1 && nBands >= 1 && k % nBands == 0,
+      s"bands ($nBands) must divide signature width ($k)")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_band_buckets"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkTokensType()
+
+    override def nullSafeEval(v: Any): Any = {
+      val mins = minima(v)
+      if (mins == null) return null
+      val r = k / nBands
+      val buckets = new Array[Long](nBands)
+      var b = 0
+      while (b < nBands) {
+        var h = 42L
+        var j = 0
+        while (j < r) {
+          h = XxHash64Function.hash(mins(b * r + j), LongType, h)
+          j += 1
+        }
+        buckets(b) = h
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Winnowed rolling-hash fingerprints (the MOSS scheme) over a STRING:
+    * character k-grams hashed by Horner's rule (base 257 mod 1e9+7 —
+    * plain integer arithmetic, bit-identical in any engine), then the
+    * minimum of each sliding window of `window` hashes, distinct, in
+    * first-occurrence order. Intended for ASCII text (char codes ==
+    * code points — the oracle's ord() semantics). Null/short input →
+    * null; fewer grams than `window` → empty array. Native for the same
+    * reason as the MinHash kernel: the higher-order-function formulation
+    * evaluates one interpreted lambda per character.
+    */
+  case class RollingFingerprints(child: Expression, k: Int, window: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    require(k >= 1 && window >= 1, "gram size and window must be >= 1")
+    private val Mod = 1000000007L
+    private val Base = 257L
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "rolling_fingerprints"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires string, got ${dt.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val n = s.length
+      if (n < k) return null
+      val m = n - k + 1
+      val hs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h = 0L
+        var j = 0
+        while (j < k) {
+          h = (h * Base + s.charAt(i + j)) % Mod
+          j += 1
+        }
+        hs(i) = h
+        i += 1
+      }
+      val out = new java.util.LinkedHashSet[Long]()
+      var w = 0
+      while (w <= m - window) {
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < window) {
+          if (hs(w + j) < mn) mn = hs(w + j)
+          j += 1
+        }
+        out.add(mn)
+        w += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator
+      var x = 0
+      while (it.hasNext) { arr(x) = it.next(); x += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column-level API --------------------------------------------------
+
+  /** rolling_fingerprints(text, k, window) over a string column. */
+  def rollingFingerprints(text: Column, k: Int, window: Int): Column =
+    GraftColumnBridge.column(
+      RollingFingerprints(GraftColumnBridge.expression(text), k, window))
+
+  /** minhash_signature(tokens, shingleN, k) over an array<string> column. */
+  def minhashSignature(tokens: Column, shingleN: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(tokens), shingleN, k))
+
+  /** minhash_band_buckets(tokens, shingleN, k, nBands) over an array<string> column. */
+  def minhashBandBuckets(tokens: Column, shingleN: Int, k: Int, nBands: Int): Column =
+    GraftColumnBridge.column(
+      MinHashBandBuckets(GraftColumnBridge.expression(tokens), shingleN, k, nBands))
+
 
   /** cosine(a, b) over array<float>/array<double> columns. */
   def cosine(a: Column, b: Column): Column =

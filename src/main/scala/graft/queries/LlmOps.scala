@@ -215,12 +215,12 @@ object LlmOps {
     */
   def q37MinhashBands(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHash
-    val sig = MinHash.signature(MinHash.shingles(toks(col("text")), 2), 64)
+    val bands = MinHash.bandBuckets(toks(col("text")), 2, 64, 8)
     documents(s, d)
-      .select(col("doc_id"), sig.as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col("doc_id"), explode(MinHash.bandBuckets(col("sig"), 64, 8)).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), bands.as("bands"))
+      .filter(col("bands").isNotNull)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .groupBy("band")
       .agg(
@@ -349,6 +349,85 @@ object LlmOps {
       |       ELSE 'zh' END AS lang_pred,
       |  count(*) AS n_docs
       |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
+  /** Document fingerprinting via rolling hash + winnowing (the MOSS
+    * scheme): character 8-grams hashed with a Horner-rule polynomial hash
+    * (base 257 mod 1e9+7 — pure integer arithmetic, so BOTH engines
+    * compute bit-identical hashes, unlike xxhash64), then winnowed by
+    * taking the minimum in each sliding window of 4 — a document's
+    * fingerprint set is robust to local edits. Native single-pass
+    * expression (same integer math as the oracle's list_reduce Horner);
+    * one scan, no shuffle before the final sort. Restricted to lang='en'
+    * so char-code arithmetic stays in ASCII on both engines.
+    */
+  def q40Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("lang") === "en" && length(col("text")) >= 8)
+      .select(col("doc_id"),
+        (length(col("text")) - 7).cast("long").as("n_grams"),
+        VectorExpressions.rollingFingerprints(col("text"), 8, 4).as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy("doc_id")
+
+  val q40Oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, length(text) - 7), i -> substr(text, i, 8)) AS grams
+      |  FROM documents WHERE lang = 'en' AND length(text) >= 8),
+      |h AS (
+      |  SELECT doc_id, list_transform(grams, s ->
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        [CAST(ord(c) AS BIGINT) for c in regexp_split_to_array(s, '')]),
+      |      (acc, x) -> (acc * 257 + x) % 1000000007)) AS hs
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id, len(hs) AS n_grams,
+      |    list_distinct(list_transform(generate_series(1, len(hs) - 3),
+      |                                 j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+      |  FROM h)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      |  CAST(list_aggregate(fps, 'min') AS BIGINT) AS min_fp
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  /** BPE-ish regex tokenization + punctuation-quality scoring — the
+    * GPT-2-style pre-tokenizer pattern minus lookahead (the oracle's
+    * regex engine is RE2, which has none): contraction suffixes, space-
+    * prefixed letter/digit runs, punctuation runs. Per-language token
+    * counts and punctuation ratio complete the quality-signal set
+    * (length/stopword ratios live in q30).
+    */
+  def q41BpeQuality(s: SparkSession, d: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"),
+      lit("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0))
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+    documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        size(bpe).as("n_bpe"), punct.as("n_punct"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("total_bpe_tokens"),
+        round(sum(col("n_bpe")).cast("double") / count(lit(1)), 4).as("avg_bpe_tokens"),
+        round(sum(col("n_punct")).cast("double") / sum(col("n_chars")), 6).as("punct_ratio"))
+      .orderBy("lang")
+  }
+
+  val q41Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+      |  round(CAST(sum(n_bpe) AS DOUBLE) / count(*), 4) AS avg_bpe_tokens,
+      |  round(CAST(sum(n_punct) AS DOUBLE) / sum(n_chars), 6) AS punct_ratio
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    len(regexp_extract_all(text,
+      |      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS n_bpe,
+      |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   // --- Event-stream analytics (batch plans that port 1:1 to streaming) ----
 

@@ -9,7 +9,7 @@ class MinHashSpec extends SparkSpec {
 
   private def sigOf(tokens: Seq[String], n: Int = 2, k: Int = 64): Seq[Long] =
     Seq(tokens).toDF("t")
-      .select(MinHash.signature(MinHash.shingles(col("t"), n), k).as("s"))
+      .select(MinHash.signature(col("t"), n, k).as("s"))
       .as[Seq[Long]].head()
 
   test("shingles: distinct word n-grams; n=1 distinct tokens") {
@@ -25,7 +25,7 @@ class MinHashSpec extends SparkSpec {
     assert(sigOf(t, n = 1).length == 64)
     assert(sigOf(t, n = 1) == sigOf(scala.util.Random.shuffle(t.toList), n = 1))
     val empty = Seq(Seq.empty[String]).toDF("t")
-      .select(MinHash.signature(MinHash.shingles(col("t"), 2), 64))
+      .select(MinHash.signature(col("t"), 2, 64))
       .collect().head
     assert(empty.isNullAt(0))
   }
@@ -36,8 +36,8 @@ class MinHashSpec extends SparkSpec {
     val b = (51 to 200).map(i => s"t$i")
     val est = Seq((a, b)).toDF("a", "b")
       .select(MinHash.estJaccard(
-        MinHash.signature(MinHash.shingles(col("a"), 1), 256),
-        MinHash.signature(MinHash.shingles(col("b"), 1), 256)).as("j"))
+        MinHash.signature(col("a"), 1, 256),
+        MinHash.signature(col("b"), 1, 256)).as("j"))
       .as[Double].head()
     // stderr ~ sqrt(J(1-J)/256) ~ 0.029; 4 sigma
     assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est")

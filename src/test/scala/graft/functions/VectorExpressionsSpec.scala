@@ -127,6 +127,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(dist > 12, s"unrelated docs suspiciously close: $dist")
   }
 
+  test("rolling fingerprints: Horner hash exact, winnowed, edge semantics") {
+    // "abcdefgh" single 8-gram: Horner base 257 mod 1e9+7 over char codes
+    def horner(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 257 + c) % 1000000007L)
+    val one = Seq("abcdefgh").toDF("t")
+      .select(VectorExpressions.rollingFingerprints(col("t"), 8, 4))
+      .as[Seq[Long]].head()
+    assert(one == Seq.empty, "1 gram < window 4 -> no winnowing window")
+    val exact = Seq("abcdefgh").toDF("t")
+      .select(VectorExpressions.rollingFingerprints(col("t"), 8, 1))
+      .as[Seq[Long]].head()
+    assert(exact == Seq(horner("abcdefgh")))
+    // short input -> null; identical text -> identical fingerprints
+    val short = Seq("abc").toDF("t")
+      .select(VectorExpressions.rollingFingerprints(col("t"), 8, 4)).collect().head
+    assert(short.isNullAt(0))
+    val text = "the quick brown fox jumps over the lazy dog"
+    val f1 = Seq(text).toDF("t")
+      .select(VectorExpressions.rollingFingerprints(col("t"), 8, 4)).as[Seq[Long]].head()
+    assert(f1.nonEmpty && f1 == f1.distinct)
+    // a local edit preserves most fingerprints (the winnowing property)
+    val f2 = Seq(text.replace("lazy", "hazy")).toDF("t")
+      .select(VectorExpressions.rollingFingerprints(col("t"), 8, 4)).as[Seq[Long]].head()
+    val overlap = f1.toSet.intersect(f2.toSet).size.toDouble / f1.size
+    assert(overlap > 0.5, s"local edit destroyed fingerprints: $overlap")
+  }
+
   test("simhash64: null tokens ignored, null array -> null") {
     val withNull = Seq(Seq[String]("a", "b", "c")).toDF("t")
       .select(VectorExpressions.simhash64(col("t")).as("h")).as[Long].head()
