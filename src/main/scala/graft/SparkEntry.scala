@@ -59,6 +59,7 @@ object SparkEntry {
     "q39_session_window"  -> (LlmOps.q39SessionWindow _),
     "q40_fingerprint"     -> (LlmOps.q40Fingerprint _),
     "q41_bpe_quality"     -> (LlmOps.q41BpeQuality _),
+    "q42_embedding_neardup"-> (LlmOps.q42EmbeddingNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +110,6 @@ object SparkEntry {
     "q39_session_window"  -> LlmOps.q33Oracle,
     "q40_fingerprint"     -> LlmOps.q40Oracle,
     "q41_bpe_quality"     -> LlmOps.q41Oracle,
+    "q42_embedding_neardup"-> LlmOps.q42Oracle,
   )
 }

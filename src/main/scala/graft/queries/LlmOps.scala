@@ -260,6 +260,46 @@ object LlmOps {
       |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
 
+  /** Embedding-cosine near-dup detection — the last dedup family: exact
+    * pairwise cosine over a CELL-BOUNDED candidate set (same IVF label),
+    * never all-pairs over the corpus. Per-cell: pair count, count above
+    * the near-dup threshold, and the maximum pair similarity (max is
+    * order-independent, so rounding after max is deterministic).
+    */
+  def q42EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label").cast("long").as("label"),
+        VectorExpressions.cosine(col("ea"), col("eb")).as("sim"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_if(col("sim") > 0.5).as("n_near_dup"),
+        round(max(col("sim")), 4).as("max_sim"))
+      .orderBy("label")
+  }
+
+  val q42Oracle: String =
+    """WITH p AS (
+      |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+      |         a.embedding AS ea, b.embedding AS eb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |ex AS (SELECT label, ia, ib, unnest(ea) AS x, unnest(eb) AS y FROM p),
+      |sims AS (SELECT label, ia, ib,
+      |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+      |  FROM ex GROUP BY 1, 2, 3)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  count(*) AS n_pairs,
+      |  CAST(count_if(sim > 0.5) AS BIGINT) AS n_near_dup,
+      |  round(max(sim), 4) AS max_sim
+      |FROM sims GROUP BY 1 ORDER BY label""".stripMargin
+
   // --- Text analysis ------------------------------------------------------
 
   private val stopEn = Seq("the", "a", "of", "and", "is", "to", "in")

@@ -197,20 +197,48 @@ object Relational {
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** A7 — CORR aggregate (sql/10_eda_queries.sql:79-82). */
-  def q10Corr(s: SparkSession, d: String): DataFrame =
+  /** A7 — CORR aggregate (sql/10_eda_queries.sql:79-82). Computed from
+    * exact DECIMAL co-moment sums rather than the built-in corr(): the
+    * built-in's co-moment merge is partition-completion-order dependent
+    * (round-2 advice — the rounded value can flip at a boundary
+    * run-to-run). With the five sums exact and the final float formula
+    * evaluated in one fixed order on both engines, the result is
+    * bit-stable. Identity: corr = (n·Σxy − ΣxΣy) /
+    * (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)).
+    */
+  def q10Corr(s: SparkSession, d: String): DataFrame = {
+    def corrD(x: Column, y: Column): Column = {
+      val n = count(lit(1)).cast("double")
+      val sx = sum(dec(x)).cast("double");  val sy = sum(dec(y)).cast("double")
+      val sxy = sum(dec(x * y)).cast("double")
+      val sx2 = sum(dec(x * x)).cast("double"); val sy2 = sum(dec(y * y)).cast("double")
+      round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+    }
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
-        round(corr("l_discount", "l_extendedprice"), 6).as("corr_disc_price"))
+        corrD(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        corrD(col("l_discount"), col("l_extendedprice")).as("corr_disc_price"))
       .orderBy("l_returnflag")
+  }
 
   val q10Oracle: String =
-    """SELECT l_returnflag,
-      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-      |  round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sq,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sd,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sp,
+      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sqp,
+      |    CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sdp,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sq2,
+      |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sd2,
+      |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sp2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  round((n * sqp - sq * sp) / (sqrt(n * sq2 - sq * sq) * sqrt(n * sp2 - sp * sp)), 6) AS corr_qty_price,
+      |  round((n * sdp - sd * sp) / (sqrt(n * sd2 - sd * sd) * sqrt(n * sp2 - sp * sp)), 6) AS corr_disc_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** A6 — ANY_VALUE on a functionally-dependent column
     * (sql/02_create_dims_and_facts.sql:107-108) — deterministic because

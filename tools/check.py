@@ -43,7 +43,14 @@ for name, sql in sorted(oracles.items()):
         if not sv2.equals(ov2):
             bad = (sv2 != ov2)
             idx = bad[bad].index[:3].tolist()
-            mism.append((c, [(i, sv2.iloc[i], ov2.iloc[i]) for i in idx]))
+            # numeric delta (when castable) distinguishes a 1-ulp rounding
+            # boundary flip from a real logic error (round-2 advice)
+            def delta(i):
+                try:
+                    return abs(float(sv.iloc[i]) - float(ov.iloc[i]))
+                except Exception:
+                    return None
+            mism.append((c, [(i, sv2.iloc[i], ov2.iloc[i], delta(i)) for i in idx]))
     if mism:
         print(f"FAIL {name}: value mismatch {mism}")
         fails += 1
