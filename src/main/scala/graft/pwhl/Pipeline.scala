@@ -47,8 +47,37 @@ final class Pipeline(
     df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true")
       .csv(s"$cleanedDir/$name")
 
+  /** X2 — config/inputs preflight before any Spark job (the reference
+    * probes its env + warehouse client and aborts with a clear message
+    * before running stages, run_pipeline.py:38-49,73-82). Glob inputs are
+    * checked by listing the parent directory.
+    */
+  def preflight(): Unit = {
+    def exists(p: String): Boolean =
+      if (p.contains("*")) {
+        val f = new java.io.File(p)
+        val dir = f.getParentFile
+        val rx = f.getName.replace(".", "\\.").replace("*", ".*")
+        dir.isDirectory && dir.listFiles().exists(_.getName.matches(rx))
+      } else new java.io.File(p).exists()
+    val missing = Seq(
+      "markets config" -> marketsYml,
+      "raw ticket sales" -> rawTicketsCsv,
+      "raw capacity" -> rawCapacityCsv,
+      "raw weather" -> rawWeatherGlob).filterNot(p => exists(p._2))
+    if (missing.nonEmpty)
+      throw graft.ops.Validate.ValidationException(
+        "pipeline preflight failed — missing inputs: " +
+          missing.map { case (k, v) => s"$k ($v)" }.mkString(", "))
+    val out = new java.io.File(outDir)
+    if (!out.exists() && !out.mkdirs())
+      throw graft.ops.Validate.ValidationException(
+        s"pipeline preflight failed — cannot create output dir $outDir")
+  }
+
   /** Run all stages; returns per-stage timings. */
   def run(): Seq[StageResult] = {
+    preflight()
     val markets = MarketsYaml.markets(spark, marketsYml)
 
     // stage: materialize_dim_market (P3)

@@ -82,6 +82,19 @@ class PwhlPipelineSpec extends SparkSpec {
       s"$boundaryHits half-cent boundary disagreements (max $maxBoundary)")
   }
 
+  test("preflight aborts before any job when an input is missing") {
+    val e = intercept[graft.ops.Validate.ValidationException] {
+      new Pipeline(spark,
+        rawTicketsCsv = "/nonexistent/tickets.csv",
+        rawCapacityCsv = s"$ref/data/raw/game_section_capacity.csv",
+        rawWeatherGlob = s"$ref/data/raw/weather/weather_hourly_*.csv",
+        marketsYml = s"$ref/config/markets.yml",
+        outDir = java.nio.file.Files.createTempDirectory("pf_").toString).run()
+    }
+    assert(e.getMessage.contains("raw ticket sales"))
+    assert(e.getMessage.contains("/nonexistent/tickets.csv"))
+  }
+
   test("dim_market matches the reference's materialized dimension") {
     val schema = StructType(Seq(
       StructField("venue_id", StringType), StructField("market", StringType),

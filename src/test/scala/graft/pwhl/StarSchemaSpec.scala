@@ -142,6 +142,22 @@ class StarSchemaSpec extends SparkSpec {
     assert(StarSchema.eda10(spark).count() == 8)
   }
 
+  test("EDA 9/10/11 (weather_id fix) reproduce independently computed values") {
+    assert(StarSchema.eda9(spark).count() == 38) // market x 5C-bin combinations
+    val boston = StarSchema.eda10(spark)
+      .filter(col("market") === "Boston").collect().head
+    assert(boston.getLong(1) == 15L)                       // event_days
+    assert(boston.getLong(2) == 71315L)                    // total_tickets
+    assert(math.abs(boston.getDouble(3) - 5397550.0) < 0.01)
+    assert(math.abs(boston.getDouble(4) - 75.87) <= 0.01)  // avg ratio-of-sums price
+    assert(math.abs(boston.getDouble(5) - 0.5975) <= 0.0001)
+    assert(math.abs(boston.getDouble(6) - (-1.98)) <= 0.01)
+    val top = StarSchema.eda11(spark).collect().head
+    assert(top.getString(1) == "Upper Bowl")
+    assert(math.abs(top.getDouble(2) - 1920585.0) < 0.01)
+    assert(math.abs(top.getDouble(3) - 75.38) <= 0.01)
+  }
+
   test("S10: genuine CTAS to a partitioned parquet catalog table") {
     spark.sql("CREATE DATABASE IF NOT EXISTS pwhl")
     spark.sql("DROP TABLE IF EXISTS pwhl.fact_ticket_sales_ctas")
