@@ -56,6 +56,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("single-table LSH finds a planted duplicate (scale-invariant bucket signs)") {
+    // scaling a vector preserves both its hyperplane signs and cosine=1,
+    // so a planted duplicate must share the query's bucket in one table
+    // and surface at the top of the re-rank
+    val planted = emb.filter(col("vec_id") === 7L)
+      .select(lit(99999L).as("vec_id"),
+        transform(col("embedding"), x => x * 0.5f).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val q = emb.filter(col("vec_id") === 7L).select("embedding")
+    val top = VectorLsh.annTopK(
+      corpus.filter(col("vec_id") =!= 7L), q, "embedding", "vec_id",
+      nPlanes = 8, dim = 64, k = 3).collect()
+    assert(top.head.getLong(0) == 99999L, s"planted dup not found: ${top.toSeq}")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("IVF (label cells) restricts candidates; within-cell results are exact") {
     val q = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q_emb"), col("label").as("q_label"))

@@ -107,6 +107,13 @@ class PwhlPipelineSpec extends SparkSpec {
       keys = Seq("venue_id"))
   }
 
+  test("ticket integrity gate: total_spend == price x quantity holds on reference data") {
+    val base = Stages.cleanTicketsBase(
+      Stages.readCsv(spark, s"$ref/data/raw/pwhl_ticket_sales.csv", RawSchemas.ticketSales),
+      Stages.readCsv(spark, s"$ref/data/raw/game_section_capacity.csv", RawSchemas.sectionCapacity))
+    assert(Stages.ticketIntegrityViolations(base) == 0L)
+  }
+
   test("hourly tidy weather matches the reference row count and grain") {
     val got = readOut("weather_hourly_tidy", RawSchemas.weatherHourlyTidy)
     assert(got.count() == 11328L) // 8 markets x 59 days x 24 h

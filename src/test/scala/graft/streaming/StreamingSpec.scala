@@ -21,11 +21,10 @@ class StreamingSpec extends SparkSpec {
 
   test("tumbling window + watermark: finalizes windows, drops late data") {
     val input = MemoryStream[(Timestamp, String)]
-    val agg = input.toDF().toDF("ts", "k")
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes"), col("k"))
-      .count()
-      .select(col("window.start").as("ws"), col("k"), col("count"))
+    val agg = EventStreams
+      .windowedCounts(input.toDF().toDF("ts", "event_type"), "5 minutes", "10 minutes")
+      .select(col("window_start").as("ws"), col("event_type").as("k"),
+        col("n_events").as("count"))
     val q = agg.writeStream.format("memory").queryName("win_test")
       .outputMode(OutputMode.Append).start()
     try {
@@ -62,10 +61,9 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming dropDuplicates: stateful dedup by key") {
     val input = MemoryStream[(Timestamp, String)]
-    val dedup = input.toDF().toDF("ts", "id")
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicates("id")
-      .select("id")
+    val dedup = EventStreams
+      .dedupEvents(input.toDF().toDF("ts", "event_id"), "10 minutes")
+      .select(col("event_id").as("id"))
     val q = dedup.writeStream.format("memory").queryName("dedup_test")
       .outputMode(OutputMode.Append).start()
     try {
