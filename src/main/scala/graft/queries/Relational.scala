@@ -207,11 +207,16 @@ object Relational {
     * (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)).
     */
   def q10Corr(s: SparkSession, d: String): DataFrame = {
+    // decM (compact-long decimal(18,6)) fits every moment here: max
+    // |l_extendedprice|^2 ~ 1.2e10 -> 11 integral digits + 6 scale <= 18,
+    // and the corr formula is insensitive to the 1e-6 cast granularity
+    // (perturbations enter the co-moment sums at ~1e-15 relative).
     def corrD(x: Column, y: Column): Column = {
+      import Num.decM
       val n = count(lit(1)).cast("double")
-      val sx = sum(dec(x)).cast("double");  val sy = sum(dec(y)).cast("double")
-      val sxy = sum(dec(x * y)).cast("double")
-      val sx2 = sum(dec(x * x)).cast("double"); val sy2 = sum(dec(y * y)).cast("double")
+      val sx = sum(decM(x)).cast("double");  val sy = sum(decM(y)).cast("double")
+      val sxy = sum(decM(x * y)).cast("double")
+      val sx2 = sum(decM(x * x)).cast("double"); val sy2 = sum(decM(y * y)).cast("double")
       round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
     }
     lineitem(s, d)
@@ -226,14 +231,14 @@ object Relational {
     """WITH m AS (
       |  SELECT l_returnflag,
       |    CAST(count(*) AS DOUBLE) AS n,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sq,
-      |    CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sd,
-      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sp,
-      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sqp,
-      |    CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sdp,
-      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sq2,
-      |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sd2,
-      |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sp2
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sqp,
+      |    CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sdp,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq2,
+      |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd2,
+      |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp2
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag,
       |  round((n * sqp - sq * sp) / (sqrt(n * sq2 - sq * sq) * sqrt(n * sp2 - sp * sp)), 6) AS corr_qty_price,
