@@ -60,6 +60,7 @@ object SparkEntry {
     "q40_fingerprint"     -> (LlmOps.q40Fingerprint _),
     "q41_bpe_quality"     -> (LlmOps.q41BpeQuality _),
     "q42_embedding_neardup"-> (LlmOps.q42EmbeddingNearDup _),
+    "q43_quantized_topk"  -> (LlmOps.q43QuantizedTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +112,6 @@ object SparkEntry {
     "q40_fingerprint"     -> LlmOps.q40Oracle,
     "q41_bpe_quality"     -> LlmOps.q41Oracle,
     "q42_embedding_neardup"-> LlmOps.q42Oracle,
+    "q43_quantized_topk"  -> LlmOps.q43Oracle,
   )
 }

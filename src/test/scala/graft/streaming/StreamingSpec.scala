@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: every micro-batch enriches against a broadcast dim") {
+    val dim = Seq(("click", "engagement"), ("purchase", "conversion")).toDF("event_type", "category")
+    val input = MemoryStream[(Timestamp, String)]
+    val joined = input.toDF().toDF("ts", "event_type")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"), "left")
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), "click"), (ts(1), "error"), (ts(2), "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test")
+        .select("event_type", "category").as[(String, String)].collect().toSet
+      assert(rows == Set(("click", "engagement"), ("purchase", "conversion"), ("error", null)))
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates: stateful dedup by key") {
     val input = MemoryStream[(Timestamp, String)]
     val dedup = EventStreams
