@@ -49,11 +49,14 @@ class StarSchemaSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("num_events") == 15L))
   }
 
-  test("EDA 4/8: corr aggregates produce values in [-1, 1]") {
+  test("EDA 4/8: correlation values match independent DuckDB computation") {
     val r = StarSchema.eda4(spark).head()
-    (0 until 4).foreach { i => assert(math.abs(r.getDouble(i)) <= 1.0) }
+    val want = Seq(0.119, 0.115, 0.048, 0.042) // util/rev x temp/precip
+    want.zipWithIndex.foreach { case (w, i) =>
+      assert(math.abs(r.getDouble(i) - w) <= 0.001, s"corr col $i: ${r.getDouble(i)} != $w")
+    }
     val p = StarSchema.eda8(spark).head().getDouble(0)
-    assert(math.abs(p) <= 1.0)
+    assert(math.abs(p - 0.026) <= 0.001, s"corr_util_price $p")
   }
 
   test("EDA 6: README market-level summary reproduces (temps, util ~59.7%)") {
