@@ -61,6 +61,7 @@ object SparkEntry {
     "q41_bpe_quality"     -> (LlmOps.q41BpeQuality _),
     "q42_embedding_neardup"-> (LlmOps.q42EmbeddingNearDup _),
     "q43_quantized_topk"  -> (LlmOps.q43QuantizedTopK _),
+    "q44_lsh_pairs"       -> (LlmOps.q44LshPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,8 +95,10 @@ object SparkEntry {
     "q26_dedup_stats"     -> LlmOps.q26Oracle,
     "q27_dedup_keep_first"-> LlmOps.q27Oracle,
     "q28_ngram_jaccard"   -> LlmOps.q28Oracle,
-    // q29_simhash_bands: no oracle — xxhash64 is Spark-specific; the
-    // banding property is asserted structurally in SimHashSpec.
+    // q29/q37/q44 are keyed on the engine-portable PolyHash family, so the
+    // LSH surface is fully oracled; the xxhash64 production family keeps
+    // structural coverage in SimHashSpec/MinHashSpec.
+    "q29_simhash_bands"   -> LlmOps.q29Oracle,
     "q30_text_stats"      -> LlmOps.q30Oracle,
     "q31_langid"          -> LlmOps.q31Oracle,
     "q32_event_windows"   -> LlmOps.q32Oracle,
@@ -103,8 +106,7 @@ object SparkEntry {
     "q34_messy_parse"     -> Relational.q34Oracle,
     "q35_compound_join"   -> Relational.q35Oracle,
     "q36_reagg_ordinals"  -> Relational.q36Oracle,
-    // q37_minhash_bands: no oracle — xxhash64 is Spark-specific; see
-    // MinHashSpec for the structural banding/estimator evidence.
+    "q37_minhash_bands"   -> LlmOps.q37Oracle,
     "q38_multimodal_stats"-> LlmOps.q38Oracle,
     // q39 shares q33's oracle: the native session_window operator must
     // reproduce the independent lag + running-sum SQL formulation.
@@ -113,5 +115,6 @@ object SparkEntry {
     "q41_bpe_quality"     -> LlmOps.q41Oracle,
     "q42_embedding_neardup"-> LlmOps.q42Oracle,
     "q43_quantized_topk"  -> LlmOps.q43Oracle,
+    "q44_lsh_pairs"       -> LlmOps.q44Oracle,
   )
 }

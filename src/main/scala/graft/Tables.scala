@@ -23,13 +23,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's µs-based TimestampType refuses outright ([PARQUET_TYPE_ILLEGAL]).
+    * The session must therefore be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (every graft entry point —
+    * Verify, Bench, ExplainAudit, SparkSpec — sets it at construction; this
+    * getter deliberately does NOT mutate session state as a side effect).
     * `nanosAsLong` reads the raw int64, and `ts DIV 1000` converts to µs with
     * integer division — a double division would lose precision (epoch-nanos
     * ~1.7e18 exceeds 2^53). DuckDB-oracle side keeps native TIMESTAMP_NS;
     * both engines therefore agree to the microsecond (ns truncated).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn(
       "ts",
       org.apache.spark.sql.functions.timestamp_micros(

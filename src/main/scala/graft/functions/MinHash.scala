@@ -42,13 +42,15 @@ object MinHash {
   /** k-wide MinHash signature (array<long>) from a token array (n-grams
     * built natively); fewer tokens than shingleN yields null (no signal — matches cosine's null semantics).
     * Backed by the native [[VectorExpressions.MinHashSignature]] — one
-    * xxhash64 per shingle, k multiply-shift permutations; the
-    * higher-order-function formulation this replaced re-hashed every
-    * shingle k times in interpreted mode (HOFs are CodegenFallback) and
-    * was ~100x slower.
+    * base hash per shingle, k permutations; the higher-order-function
+    * formulation this replaced re-hashed every shingle k times in
+    * interpreted mode (HOFs are CodegenFallback) and was ~100x slower.
+    * `portable = true` selects the [[PolyHash]] family (DuckDB-oracle-able,
+    * 30-bit) instead of xxhash64 + multiply-shift (the production path).
     */
-  def signature(tokens: Column, shingleN: Int, k: Int): Column =
-    VectorExpressions.minhashSignature(tokens, shingleN, k)
+  def signature(tokens: Column, shingleN: Int, k: Int,
+      portable: Boolean = false): Column =
+    VectorExpressions.minhashSignature(tokens, shingleN, k, portable)
 
   /** Per-band 64-bit bucket keys straight from the shingle array (native
     * one-pass expression). Two docs agreeing on any full band collide;
@@ -56,8 +58,9 @@ object MinHash {
     * P(collide) = 1 - (1 - J^(k/b))^b. Use with `posexplode`: position =
     * band index, value = bucket key.
     */
-  def bandBuckets(tokens: Column, shingleN: Int, k: Int, nBands: Int): Column =
-    VectorExpressions.minhashBandBuckets(tokens, shingleN, k, nBands)
+  def bandBuckets(tokens: Column, shingleN: Int, k: Int, nBands: Int,
+      portable: Boolean = false): Column =
+    VectorExpressions.minhashBandBuckets(tokens, shingleN, k, nBands, portable)
 
   /** Fraction of agreeing signature positions — the Jaccard estimate. */
   def estJaccard(a: Column, b: Column): Column =
@@ -65,27 +68,36 @@ object MinHash {
       .otherwise(
         size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") / size(a))
 
+  /** (id, sig, band, bucket) — the shared explode stage behind
+    * [[candidatePairs]] and [[oversizedBuckets]].
+    */
+  private def explodedBands(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      shingleN: Int, k: Int, nBands: Int, portable: Boolean): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        signature(col(tokensCol), shingleN, k, portable).as("sig"),
+        bandBuckets(col(tokensCol), shingleN, k, nBands, portable).as("bands"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+
   /** End-to-end candidate generation: docs(idCol, tokensCol) → candidate
     * pairs (id_a, id_b, est_jaccard ≥ minJaccard). Plan shape: one scan
     * computing signatures, explode ×nBands, shuffle on (band, bucket),
     * per-bucket self-join, pair dedup, estimator filter. Buckets larger
-    * than `maxBucket` are excluded from the join (degenerate-cluster
-    * guard); inspect them via the `oversized` side channel of the result
-    * (column `bucket_size` > maxBucket never appears in pairs).
+    * than `maxBucket` are SILENTLY EXCLUDED from the join (degenerate-
+    * cluster guard — a boilerplate cluster of size m would contribute
+    * m²/2 pairs to one task); run [[oversizedBuckets]] with the same
+    * arguments to see what the guard dropped.
     */
   def candidatePairs(
       docs: DataFrame, idCol: String, tokensCol: String,
       shingleN: Int = 2, k: Int = 64, nBands: Int = 8,
-      minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val signed = docs
-      .select(col(idCol).as("id"),
-        signature(col(tokensCol), shingleN, k).as("sig"),
-        bandBuckets(col(tokensCol), shingleN, k, nBands).as("bands"))
-      .filter(col("sig").isNotNull)
-    val exploded = signed
-      .select(col("id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
-      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      minJaccard: Double = 0.5, maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val exploded = explodedBands(docs, idCol, tokensCol, shingleN, k, nBands, portable)
 
     // degenerate-bucket guard: count per bucket, keep joinable ones
     val bucketSizes = exploded.groupBy("band", "bucket")
@@ -104,4 +116,20 @@ object MinHash {
       .distinct() // a pair may collide in several bands
       .filter(col("est_jaccard") >= minJaccard)
   }
+
+  /** The buckets [[candidatePairs]]' degenerate-cluster guard excluded:
+    * (band, bucket, bucket_size) with bucket_size > maxBucket. Same
+    * signature/banding arguments → same buckets. At scale this is the
+    * triage surface for boilerplate clusters (an oversized bucket means
+    * thousands of near-identical documents — usually worth a targeted
+    * exact-dedup pass rather than pairwise scoring).
+    */
+  def oversizedBuckets(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      shingleN: Int = 2, k: Int = 64, nBands: Int = 8,
+      maxBucket: Int = 1000, portable: Boolean = false): DataFrame =
+    explodedBands(docs, idCol, tokensCol, shingleN, k, nBands, portable)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+/** Engine-portable polynomial hash family shared by the oracled LSH surface
+  * (q29/q37/q44) and their DuckDB oracle-SQL generators.
+  *
+  * Everything here is plain integer arithmetic in Z/p (p = 1e9+7), so any
+  * engine with 64-bit integers computes bit-identical values — unlike
+  * xxhash64, which only Spark implements. Bounds that keep both engines
+  * overflow-free (DuckDB BIGINT *errors* on overflow rather than wrapping):
+  *   - base hash and all permuted values are < p ≈ 2^30;
+  *   - a·h ≤ (p-1)² ≈ 1.0e18 < 2^63 ≈ 9.2e18;
+  *   - band fold acc·BandBase ≤ p·1e6 ≈ 1e15 < 2^63.
+  *
+  * The permutation family π_i(h) = (a_i·h + b_i) mod p with a_i ∈ [1, p-1]
+  * is a bijection on Z/p (p prime) — a universal hash family, adequate for
+  * min-wise use at the signature widths used here. Coefficients derive from
+  * SplitMix64 so they are deterministic and reproducible in the oracle SQL
+  * as literals.
+  *
+  * The Spark-only xxhash64 family (64-bit multiply-shift, see
+  * [[VectorExpressions.MinHashKernel]]) remains the production-scale path:
+  * 64-bit keys collide less and hash faster. This family exists so the
+  * SAME banding plans can be certified end-to-end against DuckDB.
+  */
+object PolyHash {
+  /** Hash modulus (prime). */
+  val Mod: Long = 1000000007L
+  /** Horner base for character-level hashing (matches q40's fingerprints). */
+  val Base: Long = 257L
+  /** Horner base for folding band minima into a bucket key. */
+  val BandBase: Long = 1000003L
+  /** Fold seed for band bucket keys. */
+  val BandSeed: Long = 42L
+
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Multiplier of permutation i — in [1, Mod-1]. */
+  def coefA(i: Int): Long = java.lang.Math.floorMod(splitmix(2L * i), Mod - 1) + 1
+  /** Offset of permutation i — in [0, Mod-1]. */
+  def coefB(i: Int): Long = java.lang.Math.floorMod(splitmix(2L * i + 1), Mod)
+
+  /** Horner hash of a string's UTF-16 code units mod p. Equal to the
+    * DuckDB formulation `list_reduce(ord-codepoints, (acc,x) ->
+    * (acc*257+x) % p)` for all BMP text (code unit == code point); callers
+    * restrict to such text (the oracled queries filter lang = 'en').
+    */
+  def horner(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      h = (h * Base + s.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  /** The Horner hash as a DuckDB SQL lambda body over a string expr —
+    * kept HERE next to [[horner]] so the two formulations cannot drift.
+    */
+  def hornerSql(strExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ord(c) AS BIGINT) for c in regexp_split_to_array($strExpr, '')]), " +
+      s"(acc, x) -> (acc * $Base + x) % $Mod)"
+}

@@ -23,7 +23,7 @@ object Quantize {
     val scale = (vmax - vmin) / 255.0
     struct(
       transform(v, x =>
-        when(lit(true) && (vmax === vmin), lit(0))
+        when(vmax === vmin, lit(0))
           .otherwise(round((x.cast("double") - vmin) / scale).cast("int")))
         .as("codes"),
       vmin.as("vmin"),

@@ -167,6 +167,13 @@ object VectorExpressions {
   sealed trait MinHashKernel { self: UnaryExpression =>
     def shingleN: Int
     def k: Int
+    /** false → xxhash64 base + 64-bit multiply-shift permutations (the
+      * production path: faster, 64-bit keyspace, Spark-only); true → the
+      * [[PolyHash]] family (Horner mod 1e9+7 base, (a·h+b) mod p
+      * permutations) — bit-identical in DuckDB, so portable-keyed queries
+      * can carry a full oracle (round-3 verdict item 1).
+      */
+    def portable: Boolean
 
     protected def checkTokensType(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       self.child.dataType match {
@@ -184,9 +191,11 @@ object VectorExpressions {
       z ^ (z >>> 31)
     }
     @transient private lazy val coefA: Array[Long] =
-      Array.tabulate(k)(i => splitmix(2L * i) | 1L)
+      if (portable) Array.tabulate(k)(PolyHash.coefA)
+      else Array.tabulate(k)(i => splitmix(2L * i) | 1L)
     @transient private lazy val coefB: Array[Long] =
-      Array.tabulate(k)(i => splitmix(2L * i + 1))
+      if (portable) Array.tabulate(k)(PolyHash.coefB)
+      else Array.tabulate(k)(i => splitmix(2L * i + 1))
     @transient private lazy val sep = UTF8String.fromString(" ")
 
     /** k minima over the n-gram hashes, or null if no complete gram. */
@@ -197,6 +206,7 @@ object VectorExpressions {
       val mins = Array.fill(k)(Long.MaxValue)
       var seen = false
       val parts = new Array[UTF8String](shingleN)
+      val isPortable = portable
       var t = 0
       while (t <= n - shingleN) {
         var ok = true
@@ -211,10 +221,14 @@ object VectorExpressions {
           val gram =
             if (shingleN == 1) parts(0)
             else UTF8String.concatWs(sep, parts: _*)
-          val base = XxHash64Function.hash(gram, StringType, 42L)
+          val base =
+            if (isPortable) PolyHash.horner(gram.toString)
+            else XxHash64Function.hash(gram, StringType, 42L)
           var i = 0
           while (i < k) {
-            val h = base * coefA(i) + coefB(i)
+            val h =
+              if (isPortable) (base * coefA(i) + coefB(i)) % PolyHash.Mod
+              else base * coefA(i) + coefB(i)
             if (h < mins(i)) mins(i) = h
             i += 1
           }
@@ -228,7 +242,8 @@ object VectorExpressions {
   /** k-wide MinHash signature (array<long>) from a TOKEN array; n-grams
     * built internally (see [[MinHashKernel]]).
     */
-  case class MinHashSignature(child: Expression, shingleN: Int, k: Int)
+  case class MinHashSignature(
+      child: Expression, shingleN: Int, k: Int, portable: Boolean = false)
       extends UnaryExpression with MinHashKernel
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -258,7 +273,8 @@ object VectorExpressions {
     * collapses the projections (expressions are not CSE'd in the
     * interpreted path).
     */
-  case class MinHashBandBuckets(child: Expression, shingleN: Int, k: Int, nBands: Int)
+  case class MinHashBandBuckets(
+      child: Expression, shingleN: Int, k: Int, nBands: Int, portable: Boolean = false)
       extends UnaryExpression with MinHashKernel
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -278,16 +294,71 @@ object VectorExpressions {
       val buckets = new Array[Long](nBands)
       var b = 0
       while (b < nBands) {
-        var h = 42L
+        var h = if (portable) PolyHash.BandSeed else 42L
         var j = 0
         while (j < r) {
-          h = XxHash64Function.hash(mins(b * r + j), LongType, h)
+          h =
+            if (portable) (h * PolyHash.BandBase + mins(b * r + j)) % PolyHash.Mod
+            else XxHash64Function.hash(mins(b * r + j), LongType, h)
           j += 1
         }
         buckets(b) = h
         b += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Engine-portable 30-bit SimHash over an array<string> of tokens: each
+    * token's [[PolyHash.horner]] hash (mod 1e9+7 < 2^30, so bits 0–29 carry
+    * signal) votes ±1 per bit position; positive vote → bit set. Same
+    * banding algebra as [[SimHash64]] at 3×10-bit bands. Exists alongside
+    * the 64-bit xxhash64 variant so the SimHash banding query can carry a
+    * full DuckDB oracle — the oracle recomputes identical integer votes.
+    * Intended for BMP text (see [[PolyHash.horner]]); oracled callers
+    * filter to lang = 'en'.
+    */
+  case class PolySimHash(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "poly_simhash"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<string>, got ${dt.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val votes = new Array[Int](30)
+      var t = 0
+      val n = arr.numElements()
+      while (t < n) {
+        if (!arr.isNullAt(t)) {
+          val h = PolyHash.horner(arr.getUTF8String(t).toString)
+          var bit = 0
+          while (bit < 30) {
+            if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+        }
+        t += 1
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 30) {
+        if (votes(bit) > 0) out |= (1L << bit)
+        bit += 1
+      }
+      java.lang.Long.valueOf(out)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -371,14 +442,20 @@ object VectorExpressions {
       RollingFingerprints(GraftColumnBridge.expression(text), k, window))
 
   /** minhash_signature(tokens, shingleN, k) over an array<string> column. */
-  def minhashSignature(tokens: Column, shingleN: Int, k: Int): Column =
+  def minhashSignature(tokens: Column, shingleN: Int, k: Int,
+      portable: Boolean = false): Column =
     GraftColumnBridge.column(
-      MinHashSignature(GraftColumnBridge.expression(tokens), shingleN, k))
+      MinHashSignature(GraftColumnBridge.expression(tokens), shingleN, k, portable))
 
   /** minhash_band_buckets(tokens, shingleN, k, nBands) over an array<string> column. */
-  def minhashBandBuckets(tokens: Column, shingleN: Int, k: Int, nBands: Int): Column =
+  def minhashBandBuckets(tokens: Column, shingleN: Int, k: Int, nBands: Int,
+      portable: Boolean = false): Column =
     GraftColumnBridge.column(
-      MinHashBandBuckets(GraftColumnBridge.expression(tokens), shingleN, k, nBands))
+      MinHashBandBuckets(GraftColumnBridge.expression(tokens), shingleN, k, nBands, portable))
+
+  /** poly_simhash(tokens) — engine-portable 30-bit simhash. */
+  def polySimhash(tokens: Column): Column =
+    GraftColumnBridge.column(PolySimHash(GraftColumnBridge.expression(tokens)))
 
 
   /** cosine(a, b) over array<float>/array<double> columns. */

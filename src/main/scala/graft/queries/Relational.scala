@@ -211,19 +211,32 @@ object Relational {
     // |l_extendedprice|^2 ~ 1.2e10 -> 11 integral digits + 6 scale <= 18,
     // and the corr formula is insensitive to the 1e-6 cast granularity
     // (perturbations enter the co-moment sums at ~1e-15 relative).
-    def corrD(x: Column, y: Column): Column = {
-      import Num.decM
-      val n = count(lit(1)).cast("double")
-      val sx = sum(decM(x)).cast("double");  val sy = sum(decM(y)).cast("double")
-      val sxy = sum(decM(x * y)).cast("double")
-      val sx2 = sum(decM(x * x)).cast("double"); val sy2 = sum(decM(y * y)).cast("double")
+    // The NINE distinct moments are aggregated ONCE and both correlations
+    // derived in a post-agg projection — the earlier per-corr helper made
+    // the shared sums (n, Σprice, Σprice²) appear twice in the agg list,
+    // and interpreted decimal sums are not CSE'd (round-3 verdict).
+    import Num.decM
+    def corrOf(n: Column, sx: Column, sy: Column, sxy: Column,
+        sx2: Column, sy2: Column): Column =
       round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
-    }
+    val q = col("l_quantity"); val dc = col("l_discount"); val p = col("l_extendedprice")
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        corrD(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-        corrD(col("l_discount"), col("l_extendedprice")).as("corr_disc_price"))
+        count(lit(1)).cast("double").as("n"),
+        sum(decM(q)).cast("double").as("sq"),
+        sum(decM(dc)).cast("double").as("sd"),
+        sum(decM(p)).cast("double").as("sp"),
+        sum(decM(q * p)).cast("double").as("sqp"),
+        sum(decM(dc * p)).cast("double").as("sdp"),
+        sum(decM(q * q)).cast("double").as("sq2"),
+        sum(decM(dc * dc)).cast("double").as("sd2"),
+        sum(decM(p * p)).cast("double").as("sp2"))
+      .select(col("l_returnflag"),
+        corrOf(col("n"), col("sq"), col("sp"), col("sqp"), col("sq2"), col("sp2"))
+          .as("corr_qty_price"),
+        corrOf(col("n"), col("sd"), col("sp"), col("sdp"), col("sd2"), col("sp2"))
+          .as("corr_disc_price"))
       .orderBy("l_returnflag")
   }
 

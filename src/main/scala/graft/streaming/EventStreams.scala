@@ -76,7 +76,14 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // flatMapGroupsWithState does NOT drop late input, so a late
+              // event can leave lastTs + gap at or below the current
+              // watermark — an un-clamped timeout throws and fails the whole
+              // query. Clamp to watermark + 1 ms: the session then times out
+              // at the first opportunity, which is the correct semantics for
+              // a session that already ended before the watermark.
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

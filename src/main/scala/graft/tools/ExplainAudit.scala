@@ -11,6 +11,8 @@ object ExplainAudit {
     val names: Set[String] = if (args.nonEmpty) args.toSet else graft.SparkEntry.queries.keySet
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // events.parquet is TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries.filter(q => names(q._1)).toSeq.sortBy(_._1)

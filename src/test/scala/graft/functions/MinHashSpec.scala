@@ -63,4 +63,42 @@ class MinHashSpec extends SparkSpec {
     val unguarded = MinHash.candidatePairs(docs, "doc_id", "tokens", maxBucket = 1000)
     assert(unguarded.count() == 190) // C(20,2) exact-dup pairs
   }
+
+  test("oversizedBuckets reports exactly what the guard dropped") {
+    val docs = (1L to 20L).map(i => (i, (1 to 50).map(j => s"w$j"))).toDF("doc_id", "tokens")
+    val over = MinHash.oversizedBuckets(docs, "doc_id", "tokens", maxBucket = 10)
+      .as[(Int, Long, Long)].collect().toSeq
+    // identical docs: all 8 bands hold one bucket of size 20
+    assert(over.length == 8 && over.forall(_._3 == 20L), s"oversized: $over")
+    assert(MinHash.oversizedBuckets(docs, "doc_id", "tokens", maxBucket = 1000).isEmpty)
+  }
+
+  test("portable family: deterministic, in Z/p, same capture as xxhash64 family") {
+    import graft.functions.PolyHash
+    val base = (1 to 100).map(i => s"tok$i")
+    val nearDup = base.updated(10, "CHANGED1").updated(60, "CHANGED2")
+    val unrelated = (1 to 100).map(i => s"other$i")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "tokens")
+
+    val sig = Seq(base).toDF("t")
+      .select(MinHash.signature(col("t"), 2, 64, portable = true).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig.length == 64 && sig.forall(v => v >= 0 && v < PolyHash.Mod),
+      "portable minima must lie in Z/p")
+
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "tokens",
+      shingleN = 2, k = 64, nBands = 8, minJaccard = 0.5, portable = true)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"pairs: $pairs")
+    assert(pairs.head._3 > 0.8, s"near-dup estimate ${pairs.head._3}")
+  }
+
+  test("PolyHash.horner matches an independent BigInt formulation") {
+    val samples = Seq("", "a", "the quick brown fox", "tok1 tok2", "Z" * 100)
+    samples.foreach { s =>
+      val expected = s.foldLeft(BigInt(0))((acc, c) =>
+        (acc * PolyHash.Base + c.toInt) % PolyHash.Mod).toLong
+      assert(PolyHash.horner(s) == expected, s"horner('$s')")
+    }
+  }
 }

@@ -154,6 +154,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(overlap > 0.5, s"local edit destroyed fingerprints: $overlap")
   }
 
+  test("poly_simhash: 30-bit, independent per-token vote reference, banding captures near-dups") {
+    def polyOf(t: Seq[String]): Long = Seq(t).toDF("t")
+      .select(VectorExpressions.polySimhash(col("t")).as("h")).as[Long].head()
+    // independent reference: fold per-token Horner hashes into bit votes
+    def reference(t: Seq[String]): Long = {
+      val votes = new Array[Int](30)
+      t.foreach { w =>
+        val h = w.foldLeft(0L)((acc, c) => (acc * 257 + c) % 1000000007L)
+        (0 until 30).foreach(j => votes(j) += (if (((h >> j) & 1) == 1) 1 else -1))
+      }
+      (0 until 30).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+    }
+    val t = Seq("spark", "query", "join", "filter", "agg", "scan")
+    val h = polyOf(t)
+    assert(h == reference(t), "expression must equal the independent fold")
+    assert(h >= 0 && h < (1L << 30), "signature must fit 30 bits")
+    assert(polyOf(t) == polyOf(scala.util.Random.shuffle(t)))
+    // near-dups share a 10-bit band; unrelated docs sit far apart
+    val base = (1 to 60).map(i => s"token$i")
+    val nearDup = base.updated(7, "CHANGED")
+    def bands10(x: Long): Seq[Long] = (0 until 3).map(b => (x >>> (b * 10)) & 1023L)
+    assert(bands10(polyOf(base)).zip(bands10(polyOf(nearDup))).exists { case (x, y) => x == y },
+      "near-dups must collide in at least one 10-bit band")
+    val far = hamming(polyOf(base), polyOf((1 to 60).map(i => s"beta$i")))
+    assert(far > 6, s"unrelated docs suspiciously close: $far")
+  }
+
   test("simhash64: null tokens ignored, null array -> null") {
     val withNull = Seq(Seq[String]("a", "b", "c")).toDF("t")
       .select(VectorExpressions.simhash64(col("t")).as("h")).as[Long].head()

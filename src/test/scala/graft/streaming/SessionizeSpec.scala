@@ -68,4 +68,23 @@ class SessionizeSpec extends SparkSpec {
     assert(batch.toSeq == native.toSeq,
       "window-function sessionization and native session_window must agree")
   }
+
+  test("q39's shared oracle assumption holds: no exact-30:00 gap in the fixtures") {
+    // session_window SPLITS at a gap of exactly 30:00 while the lag+running-
+    // sum formulation (q33's oracle, reused by q39) KEEPS it — the shared
+    // oracle is only sound while no consecutive same-user events sit exactly
+    // 30 minutes apart (round-3 advice). Guard it per fixture so a fixture
+    // regeneration at coarser timestamp granularity fails HERE, loudly,
+    // instead of as a silent oracle divergence.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    Seq("sf0.001", "sf0.01").foreach { sf =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ties = graft.Tables.events(spark, s"/root/testdata/$sf")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(unix_micros(col("ts")) - unix_micros(col("prev_ts")) === 30L * 60L * 1000000L)
+        .count()
+      assert(ties == 0L, s"$sf has $ties exact-30:00 gaps — q39 cannot share q33's oracle")
+    }
+  }
 }
