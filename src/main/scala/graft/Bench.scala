@@ -24,10 +24,14 @@ object Bench {
     // smallest fixture so fixed startup cost isn't attributed to queries.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    // Two iterations per query; iteration 1 absorbs first-touch Janino
-    // codegen + JIT for that plan shape, iteration 2 is the reported
-    // steady-state (round-2 verdict: one-time compile was mis-attributed
-    // to whichever query first hit a new plan shape).
+    // Per query: one warmup iteration (absorbs first-touch Janino codegen +
+    // JIT for that plan shape — round-2 verdict: one-time compile was
+    // mis-attributed to whichever query first hit a new shape), then THREE
+    // timed iterations with the MEDIAN reported, and a GC + brief quiesce
+    // between queries so one query's heap pressure is not billed to the
+    // next (round-3 verdict: the driver-run tail showed 17x contention
+    // outliers vs isolated re-runs). All iteration times are printed in the
+    // artifact, so a contended run is visible rather than inferable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -38,17 +42,26 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      System.gc()
+      Thread.sleep(200)
       val warm = once()
-      name -> (if (warm < 0) -1.0 else once())
+      val iters = if (warm < 0) Seq.empty else Seq.fill(3)(once()).takeWhile(_ >= 0)
+      val median =
+        if (iters.length < 3) -1.0
+        else iters.sorted.apply(1)
+      (name, median, iters)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val its = results.map { case (k, _, iters) =>
+      "\"" + k + "\":[" + iters.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     // total:-1 when anything failed — the headline metric must never look
     // better because a query was excluded (round-2 advice).
     val total =
-      if (failed > 0) -1.0 else results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+      if (failed > 0) -1.0 else results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"iterations":$its,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

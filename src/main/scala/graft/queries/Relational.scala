@@ -207,35 +207,46 @@ object Relational {
     * (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)).
     */
   def q10Corr(s: SparkSession, d: String): DataFrame = {
-    // decM (compact-long decimal(18,6)) fits every moment here: max
+    // decimal(18,6) granularity fits every moment here: max
     // |l_extendedprice|^2 ~ 1.2e10 -> 11 integral digits + 6 scale <= 18,
     // and the corr formula is insensitive to the 1e-6 cast granularity
     // (perturbations enter the co-moment sums at ~1e-15 relative).
-    // The NINE distinct moments are aggregated ONCE and both correlations
-    // derived in a post-agg projection — the earlier per-corr helper made
-    // the shared sums (n, Σprice, Σprice²) appear twice in the agg list,
-    // and interpreted decimal sums are not CSE'd (round-3 verdict).
-    import Num.decM
+    //
+    // The nine distinct moments are aggregated ONCE (the earlier per-corr
+    // helper duplicated the shared price sums) and — the round-4 change —
+    // each decimal moment is summed as TWO primitive LONG sums of the
+    // exactly-scaled value (ExactDecimal.ScaledLong6: half-up of the exact
+    // binary value ×10⁶, no BigDecimal; ≤1-unscaled-unit from the cast's
+    // shortest-repr rounding on double-rounded products, which this corr
+    // absorbs at relative 1e-15 — see ExactDecimal's scaladoc and
+    // ExactDecimalSpec) split at 2^27, recombined exactly in DECIMAL once
+    // per group. The final corr values are bit-identical to the decimal-sum
+    // formulation (asserted in ExactDecimalSpec); the hot path drops from
+    // ~450 ns/row/moment (BigDecimal churn) to plain codegen'd long adds.
+    // The split keeps partials overflow-free to ~6e9 rows per group;
+    // beyond that pre-aggregate per partition first.
+    import graft.functions.ExactDecimal
     def corrOf(n: Column, sx: Column, sy: Column, sxy: Column,
         sx2: Column, sy2: Column): Column =
       round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
     val q = col("l_quantity"); val dc = col("l_discount"); val p = col("l_extendedprice")
+    val moments = Seq(
+      "q" -> q, "d" -> dc, "p" -> p, "qp" -> (q * p), "dp" -> (dc * p),
+      "q2" -> (q * q), "d2" -> (dc * dc), "p2" -> (p * p))
+    val sums = moments.flatMap { case (t, x) =>
+      val v = ExactDecimal.scaled6(x)
+      Seq(
+        sum(shiftright(v, ExactDecimal.SplitShift)).as(s"hi_$t"),
+        sum(v.bitwiseAND(lit(ExactDecimal.SplitMask))).as(s"lo_$t"))
+    }
+    def m(t: String): Column = ExactDecimal.momentD(col(s"hi_$t"), col(s"lo_$t"))
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(decM(q)).cast("double").as("sq"),
-        sum(decM(dc)).cast("double").as("sd"),
-        sum(decM(p)).cast("double").as("sp"),
-        sum(decM(q * p)).cast("double").as("sqp"),
-        sum(decM(dc * p)).cast("double").as("sdp"),
-        sum(decM(q * q)).cast("double").as("sq2"),
-        sum(decM(dc * dc)).cast("double").as("sd2"),
-        sum(decM(p * p)).cast("double").as("sp2"))
+      .agg(count(lit(1)).cast("double").as("n"), sums: _*)
       .select(col("l_returnflag"),
-        corrOf(col("n"), col("sq"), col("sp"), col("sqp"), col("sq2"), col("sp2"))
+        corrOf(col("n"), m("q"), m("p"), m("qp"), m("q2"), m("p2"))
           .as("corr_qty_price"),
-        corrOf(col("n"), col("sd"), col("sp"), col("sdp"), col("sd2"), col("sp2"))
+        corrOf(col("n"), m("d"), m("p"), m("dp"), m("d2"), m("p2"))
           .as("corr_disc_price"))
       .orderBy("l_returnflag")
   }

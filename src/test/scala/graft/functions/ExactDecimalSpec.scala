@@ -1,0 +1,86 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExactDecimalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(x: Double): Long =
+    new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+
+  test("compute == BigDecimal HALF_UP unscaled on adversarial and random doubles") {
+    val rng = new scala.util.Random(7)
+    val adversarial = Seq(
+      0.0, -0.0, 1.0, -1.0, 0.1, -0.1, 0.015, 0.0049999, 1e-7, -1e-7,
+      4.9e-7, 5.1e-7, 2.5e-7, // sub-granularity rounding
+      1.2345675, -1.2345675, // near half at scale 6 (binary value decides)
+      104949.5, 95949.015, 1.2e10, // money-grade + p² magnitudes
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE, // denormals
+      2.3456789012e12) // near decimal(18,6) integral bound
+    val randomMoney = Seq.fill(20000)(rng.nextInt(12000000) / 100.0 * (if (rng.nextBoolean()) 1 else -1))
+    val randomProducts = Seq.fill(20000)(rng.nextInt(12000000) / 100.0 * (rng.nextInt(12000000) / 100.0))
+    val randomWide = Seq.fill(20000)(java.lang.Math.scalb(rng.nextDouble() * 2 - 1, rng.nextInt(60) - 30))
+    (adversarial ++ randomMoney ++ randomProducts ++ randomWide).foreach { x =>
+      assert(ExactDecimal.compute(x) == reference(x), s"compute($x)")
+    }
+  }
+
+  test("compute overflows loudly past decimal(18,6); expression nulls NaN/Inf like the cast") {
+    intercept[ArithmeticException](ExactDecimal.compute(1e13))
+    intercept[ArithmeticException](ExactDecimal.compute(-1e13))
+    intercept[ArithmeticException](ExactDecimal.compute(1.44e14))
+    intercept[ArithmeticException](ExactDecimal.compute(9.3e18)) // e >= 0 branch
+    val out = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 2.5)
+      .toDF("x").select(ExactDecimal.scaled6(col("x"))).collect()
+    assert(out.take(3).forall(_.isNullAt(0)), "NaN/Inf must be null (cast parity)")
+    assert(out(3).getLong(0) == 2500000L)
+  }
+
+  test("vs the decimal cast on fixture values: bit-equal on money columns, ≤1 unit on products") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val q = col("l_quantity"); val dc = col("l_discount"); val p = col("l_extendedprice")
+    def castUnscaled(x: org.apache.spark.sql.Column) =
+      graft.queries.Num.decM(x).cast("decimal(38,6)").multiply(lit(1000000L)).cast("long")
+    // raw money-grade columns: exact-binary and shortest-repr rounding agree
+    val rawBad = li.filter(Seq(q, dc, p)
+        .map(x => ExactDecimal.scaled6(x) =!= castUnscaled(x)).reduce(_ || _))
+      .count()
+    assert(rawBad == 0L, "money columns must round identically under both semantics")
+    // double-rounded products: the two semantics may differ, but never by
+    // more than one unscaled unit (see ExactDecimal scaladoc)
+    val prodBad = li.filter(Seq(q * p, dc * p, q * q, dc * dc, p * p)
+        .map(x => abs(ExactDecimal.scaled6(x) - castUnscaled(x)) > 1).reduce(_ || _))
+      .count()
+    assert(prodBad == 0L, "product rounding may differ by at most 1e-6")
+  }
+
+  test("q10's split-long formulation reproduces the decimal-sum formulation exactly") {
+    import graft.queries.Num.decM
+    def corrOf(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sy: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column,
+        sx2: org.apache.spark.sql.Column, sy2: org.apache.spark.sql.Column) =
+      round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+    val q = col("l_quantity"); val dc = col("l_discount"); val p = col("l_extendedprice")
+    // the retired round-3 implementation, inlined as the reference
+    val reference = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(decM(q)).cast("double").as("sq"), sum(decM(dc)).cast("double").as("sd"),
+        sum(decM(p)).cast("double").as("sp"), sum(decM(q * p)).cast("double").as("sqp"),
+        sum(decM(dc * p)).cast("double").as("sdp"), sum(decM(q * q)).cast("double").as("sq2"),
+        sum(decM(dc * dc)).cast("double").as("sd2"), sum(decM(p * p)).cast("double").as("sp2"))
+      .select(col("l_returnflag"),
+        corrOf(col("n"), col("sq"), col("sp"), col("sqp"), col("sq2"), col("sp2")).as("corr_qty_price"),
+        corrOf(col("n"), col("sd"), col("sp"), col("sdp"), col("sd2"), col("sp2")).as("corr_disc_price"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double)].collect().toSeq
+    val current = graft.queries.Relational.q10Corr(spark, "/root/testdata/sf0.01")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(current == reference, "split-long moments must be bit-identical")
+  }
+}
