@@ -1,0 +1,113 @@
+package graft.pwhl
+
+import scala.io.Source
+
+/** The pipeline settings registry (`config/settings.yml`, consumed by
+  * ingest_weather.py:9-12 and load_to_bq.py) as a typed config — the last
+  * unread reference config (round-3 verdict item 5).
+  *
+  * Parser covers exactly the subset settings.yml uses — top-level
+  * `<section>:` headers holding flat `key: value` scalars, comments,
+  * quoted values, a UTF-8 BOM — and fails loudly on anything else
+  * (same posture as [[MarketsYaml]]; the build is zero-egress so no YAML
+  * dependency exists). `${VAR}` placeholder values (the reference's
+  * `project_id: ${BQ_PROJECT_ID}`) resolve through an injected lookup so
+  * tests need not mutate the process environment.
+  */
+object SettingsYaml {
+
+  /** `weather:` section (ingest_weather.py:62-70). `hourly` is the comma-
+    * separated variable list exactly as the API query param expects it.
+    */
+  final case class WeatherSettings(
+      provider: String, startDate: String, endDate: String, hourly: String,
+      baseUrl: String, timeoutSeconds: Int, outCsv: String, logFile: String)
+
+  /** `bigquery:` section (load_to_bq.py) — the warehouse sink naming and
+    * write disposition, engine-neutral.
+    */
+  final case class WarehouseSettings(
+      projectId: String, datasetId: String, location: String, tableId: String,
+      writeDisposition: String, sourceCsv: String)
+
+  final case class Settings(weather: WeatherSettings, warehouse: WarehouseSettings)
+
+  /** Raw section → (key → value) maps. */
+  def parseSections(path: String): Map[String, Map[String, String]] = {
+    val src = Source.fromFile(path, "UTF-8")
+    val lines =
+      try src.getLines().toVector
+      finally src.close()
+
+    def strip(v: String): String = {
+      val t = v.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+
+    var sections = Map.empty[String, Map[String, String]]
+    var current: String = null
+    lines.foreach { raw =>
+      val line = raw.replace("﻿", "") // BOM guard (settings.yml has one)
+      val noComment = {
+        val i = line.indexOf('#')
+        if (i >= 0 && line.take(i).count(_ == '"') % 2 == 0) line.take(i) else line
+      }
+      val t = noComment.trim
+      if (t.nonEmpty) {
+        if (!noComment.startsWith(" ") && t.endsWith(":")) {
+          current = t.dropRight(1)
+          sections += (current -> sections.getOrElse(current, Map.empty))
+        } else {
+          require(current != null, s"scalar before any section: $raw")
+          require(!t.startsWith("- "), s"unsupported YAML list item in settings: $raw")
+          val i = t.indexOf(':')
+          require(i > 0, s"unsupported YAML mapping line: $raw")
+          sections += (current -> (sections(current) + (t.take(i).trim -> strip(t.drop(i + 1)))))
+        }
+      }
+    }
+    sections
+  }
+
+  /** Resolve `${VAR}` through `env`; a missing variable fails loudly at
+    * config load, not at first use (the reference defers to BigQuery
+    * client errors — failing earlier is strictly better).
+    */
+  private def resolve(v: String, env: String => Option[String]): String =
+    if (v.startsWith("${") && v.endsWith("}")) {
+      val name = v.substring(2, v.length - 1)
+      env(name).getOrElse(
+        throw graft.ops.Validate.ValidationException(
+          s"settings placeholder $v references unset variable $name"))
+    } else v
+
+  def settings(path: String, env: String => Option[String] = sys.env.get): Settings = {
+    val sections = parseSections(path)
+    def section(name: String): Map[String, String] =
+      sections.getOrElse(name,
+        throw graft.ops.Validate.ValidationException(s"settings.yml missing section '$name'"))
+    def get(m: Map[String, String], sec: String, key: String): String =
+      resolve(m.getOrElse(key,
+        throw graft.ops.Validate.ValidationException(s"settings.yml missing $sec.$key")), env)
+    val w = section("weather"); val b = section("bigquery")
+    Settings(
+      WeatherSettings(
+        provider = get(w, "weather", "provider"),
+        startDate = get(w, "weather", "start_date"),
+        endDate = get(w, "weather", "end_date"),
+        hourly = get(w, "weather", "hourly"),
+        baseUrl = get(w, "weather", "base_url"),
+        timeoutSeconds = get(w, "weather", "timeout_seconds").toInt,
+        outCsv = get(w, "weather", "out_csv"),
+        logFile = get(w, "weather", "log_file")),
+      WarehouseSettings(
+        projectId = get(b, "bigquery", "project_id"),
+        datasetId = get(b, "bigquery", "dataset_id"),
+        location = get(b, "bigquery", "location"),
+        tableId = get(b, "bigquery", "table_id"),
+        writeDisposition = get(b, "bigquery", "write_disposition"),
+        sourceCsv = get(b, "bigquery", "source_csv")))
+  }
+}

@@ -27,8 +27,39 @@ object StarSchema {
   /** Build dims + re-aggregated fact + the three analysis views over a
     * registered integrated-fact view. Temp views stand in for the
     * BigQuery tables (CTAS-to-parquet demonstrated in StarSchemaSpec).
+    *
+    * The date-spine window defaults to the season window the reference
+    * hard-codes in sql/02:57-65; the overload takes it from settings.yml
+    * (weather.start_date/end_date — the same window that bounded the
+    * ingest), so the spine and the ingested data cannot drift apart.
     */
-  def register(spark: SparkSession, fact: DataFrame): Unit = {
+  def register(spark: SparkSession, fact: DataFrame): Unit =
+    register(spark, fact, "2025-01-01", "2025-02-28")
+
+  def register(spark: SparkSession, fact: DataFrame,
+      settings: SettingsYaml.Settings): Unit =
+    register(spark, fact, settings.weather.startDate, settings.weather.endDate)
+
+  /** dim_date (sql/02:57-65): date spine via sequence+explode (F18) over
+    * an explicit window. Separate so the window→spine contract is testable
+    * without a fully-shaped fact.
+    */
+  def registerDateSpine(spark: SparkSession, spineStart: String, spineEnd: String): Unit = {
+    // validate before interpolating into SQL — a malformed config value
+    // must fail as a config error, not as a SQL parse error
+    java.time.LocalDate.parse(spineStart)
+    java.time.LocalDate.parse(spineEnd)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW dim_date AS
+      SELECT day AS date_key,
+             year(day) AS year, month(day) AS month, day(day) AS day_of_month,
+             date_format(day, 'EEEE') AS weekday_name,
+             weekofyear(day) AS iso_week
+      FROM (SELECT explode(sequence(DATE'$spineStart', DATE'$spineEnd',
+                                    INTERVAL 1 DAY)) AS day)""")
+  }
+
+  def register(spark: SparkSession, fact: DataFrame,
+      spineStart: String, spineEnd: String): Unit = {
     fact.createOrReplaceTempView("fact_ticket_sales_with_weather")
 
     // dim_venue (sql/02:21-26)
@@ -46,14 +77,7 @@ object StarSchema {
       SELECT DISTINCT venue_id, section, section_capacity
       FROM fact_ticket_sales_with_weather WHERE section IS NOT NULL""")
 
-    // dim_date (sql/02:57-65): date spine via sequence+explode (F18)
-    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW dim_date AS
-      SELECT day AS date_key,
-             year(day) AS year, month(day) AS month, day(day) AS day_of_month,
-             date_format(day, 'EEEE') AS weekday_name,
-             weekofyear(day) AS iso_week
-      FROM (SELECT explode(sequence(DATE'2025-01-01', DATE'2025-02-28',
-                                    INTERVAL 1 DAY)) AS day)""")
+    registerDateSpine(spark, spineStart, spineEnd)
 
     // dim_weather (sql/02:72-89) — DISTINCT per deviation note above
     spark.sql("""CREATE OR REPLACE TEMPORARY VIEW dim_weather AS

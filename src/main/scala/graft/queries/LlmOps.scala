@@ -434,33 +434,54 @@ object LlmOps {
       |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
 
-  /** Embedding-cosine near-dup detection — the last dedup family: exact
-    * pairwise cosine over a CELL-BOUNDED candidate set (same IVF label),
-    * never all-pairs over the corpus. Per-cell: pair count, count above
-    * the near-dup threshold, and the maximum pair similarity (max is
+  /** Embedding-cosine near-dup statistics over a CELL-BOUNDED candidate
+    * set (cellCol = an IVF-style coarse assignment) — never all-pairs over
+    * the corpus. Pairwise IS quadratic WITHIN a cell, so cells larger than
+    * `maxCell` are excluded from the join rather than allowed to blow up
+    * one task quadratically (the same degenerate-cluster guard as
+    * [[graft.functions.MinHash.candidatePairs]]'s maxBucket; round-3
+    * verdict item 6). Per surviving cell: pair count, count above the
+    * near-dup threshold, and the maximum pair similarity (max is
     * order-independent, so rounding after max is deterministic).
     */
-  def q42EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(b, Seq("label"))
+  def embeddingNearDupStats(
+      e: DataFrame, cellCol: String, idCol: String, vecCol: String,
+      simThreshold: Double, maxCell: Long): DataFrame = {
+    val cells = e.groupBy(cellCol).agg(count(lit(1)).as("cell_size"))
+      .filter(col("cell_size") > 1 && col("cell_size") <= maxCell)
+      .select(cellCol)
+    val bounded = e.join(cells, Seq(cellCol))
+    val a = bounded.select(col(cellCol), col(idCol).as("id_a"), col(vecCol).as("ea"))
+    val b = bounded.select(col(cellCol), col(idCol).as("id_b"), col(vecCol).as("eb"))
+    a.join(b, Seq(cellCol))
       .filter(col("id_a") < col("id_b"))
-      .select(col("label").cast("long").as("label"),
+      .select(col(cellCol).cast("long").as(cellCol),
         VectorExpressions.cosine(col("ea"), col("eb")).as("sim"))
-      .groupBy("label")
+      .groupBy(cellCol)
       .agg(
         count(lit(1)).as("n_pairs"),
-        count_if(col("sim") > 0.5).as("n_near_dup"),
+        count_if(col("sim") > simThreshold).as("n_near_dup"),
         round(max(col("sim")), 4).as("max_sim"))
-      .orderBy("label")
+      .orderBy(cellCol)
   }
 
+  /** q42: [[embeddingNearDupStats]] over the embeddings fixture. The
+    * oracle replicates the maxCell guard, so a degenerate fixture cell
+    * would be dropped identically on both sides.
+    */
+  def q42EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    embeddingNearDupStats(embeddings(s, d), "label", "vec_id", "embedding",
+      simThreshold = 0.5, maxCell = 10000L)
+
   val q42Oracle: String =
-    """WITH p AS (
+    """WITH cells AS (
+      |  SELECT label FROM embeddings GROUP BY label
+      |  HAVING count(*) > 1 AND count(*) <= 10000),
+      |bounded AS (SELECT e.* FROM embeddings e JOIN cells USING (label)),
+      |p AS (
       |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
       |         a.embedding AS ea, b.embedding AS eb
-      |  FROM embeddings a JOIN embeddings b
+      |  FROM bounded a JOIN bounded b
       |    ON a.label = b.label AND a.vec_id < b.vec_id),
       |ex AS (SELECT label, ia, ib, unnest(ea) AS x, unnest(eb) AS y FROM p),
       |sims AS (SELECT label, ia, ib,

@@ -27,7 +27,8 @@ class PwhlPipelineSpec extends SparkSpec {
       rawCapacityCsv = s"$ref/data/raw/game_section_capacity.csv",
       rawWeatherGlob = s"$ref/data/raw/weather/weather_hourly_*.csv",
       marketsYml = s"$ref/config/markets.yml",
-      outDir = d).run()
+      outDir = d,
+      settingsYml = Some(s"$ref/config/settings.yml")).run()
     assert(timings.nonEmpty && timings.forall(_.seconds > 0))
     d
   }
@@ -186,5 +187,50 @@ class PwhlPipelineSpec extends SparkSpec {
     assert(pruned.count() == 40L) // 8 markets x 5 sections
     val plan = pruned.queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters") && plan.contains("event_date"))
+  }
+
+  test("X3 run-log artifact: one line per stage under the configured name") {
+    outDir // force the pipeline run
+    // log name comes from settings.weather.log_file's basename
+    val log = new java.io.File(s"$outDir/logs/ingest_weather.log")
+    assert(log.isFile, s"run log missing at $log")
+    val lines = scala.io.Source.fromFile(log, "UTF-8").getLines().toSeq
+    val stages = Seq("materialize_dim_market", "transform_weather.hourly",
+      "transform_weather.daily", "clean_ticket_sales", "clean_section_capacity",
+      "integrate_weather_sales")
+    stages.foreach { st =>
+      assert(lines.exists(l => l.contains(s"stage=$st") && l.contains("| INFO |")),
+        s"no log line for stage $st in:\n${lines.mkString("\n")}")
+    }
+    assert(lines.last.contains("pipeline complete"))
+  }
+
+  test("settings date window bounds the weather actually ingested") {
+    // narrow the window to January; the February hourly rows in the raw
+    // fixture must not reach the daily rollup (the fetch-window contract,
+    // ingest_weather.py:37-44, replayed as a filter over the fixture)
+    val narrow = java.nio.file.Files.createTempFile("settings_narrow_", ".yml")
+    val refText = scala.io.Source.fromFile(s"$ref/config/settings.yml", "UTF-8").mkString
+    java.nio.file.Files.write(narrow,
+      refText.replace("\"2025-02-28\"", "\"2025-01-31\"").getBytes("UTF-8"))
+    val d = Files.createTempDirectory("pwhl_window_").toFile.getAbsolutePath
+    new Pipeline(spark,
+      rawTicketsCsv = s"$ref/data/raw/pwhl_ticket_sales.csv",
+      rawCapacityCsv = s"$ref/data/raw/game_section_capacity.csv",
+      rawWeatherGlob = s"$ref/data/raw/weather/weather_hourly_*.csv",
+      marketsYml = s"$ref/config/markets.yml",
+      outDir = d,
+      settingsYml = Some(narrow.toString)).run()
+    val daily = spark.read.option("header", "true")
+      .schema(RawSchemas.weatherDaily)
+      .csv(s"$d/cleaned/weather_daily_by_venue")
+    assert(daily.count() > 0)
+    assert(daily.filter(col("event_date") > "2025-01-31").count() == 0L,
+      "out-of-window days must not survive the ingest window")
+    // the full-window run (outDir) keeps February
+    val full = spark.read.option("header", "true")
+      .schema(RawSchemas.weatherDaily)
+      .csv(s"$outDir/cleaned/weather_daily_by_venue")
+    assert(full.filter(col("event_date") > "2025-01-31").count() > 0L)
   }
 }
