@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   * every partial update allocates. Nine such moments over one input split
   * made q10 the slowest query in the suite.
   *
-  * The replacement: [[ExactDecimal.ScaledLong6]] converts a double to the
-  * UNSCALED long of `CAST(x AS DECIMAL(18,6))` — bit-equal, including
-  * HALF_UP rounding of the exact binary value — using only the IEEE-754
+  * The replacement: [[ExactDecimal.ScaledLong]] converts a double to the
+  * UNSCALED long of `CAST(x AS DECIMAL(·, scale))` — HALF_UP rounding of
+  * the exact binary value — using only the IEEE-754
   * mantissa/exponent decomposition and 128-bit integer shifts (no
   * BigDecimal, no string). Summation then happens as plain `sum(long)`
   * (codegen'd primitive buffer), split into hi/lo halves at 2^27 so the
@@ -31,26 +31,30 @@ object ExactDecimal {
   val SplitShift: Int = 27
   val SplitMask: Long = (1L << SplitShift) - 1
 
-  /** round_half_up(x·10⁶) of the EXACT binary value of x, as a long.
+  /** round_half_up(x·pow10) of the EXACT binary value of x, as a long —
+    * the unscaled value of the corresponding decimal(·, s) with
+    * pow10 = 10^s (s ≤ 12: m·10^s must fit 128 bits).
     *
     * Rounding-semantics note: Spark's CAST(double AS DECIMAL) rounds the
     * SHORTEST-DECIMAL rendering of x (`BigDecimal.valueOf` goes through
     * `Double.toString`), not the exact binary value. The two agree bit-for-
-    * bit on any value that is a double-rounded ≤6-decimal number (money
-    * columns: the binary error ~1e-11 sits far from the 1e-6 grid), and
-    * differ by AT MOST one unscaled unit on values that were themselves
-    * double-rounded onto a 6th-decimal boundary (e.g. products of money
-    * values, where one ulp ≈ the grid step) — both are then valid roundings
-    * of a quantity only known to ulp precision. ExactDecimalSpec pins both
-    * properties. Use where a downstream reduction absorbs 1e-6-granularity
-    * perturbation (q10's corr: relative 1e-15 on the co-moment sums).
+    * bit on any double that round-trips from a decimal with ≤s fractional
+    * digits (money columns: the binary error sits orders of magnitude
+    * inside the half-grid), and differ by AT MOST one unscaled unit on
+    * values that were themselves double-rounded onto an s-th-decimal
+    * boundary (e.g. products of money values, where one ulp ≈ the grid
+    * step) — both are then valid roundings of a quantity only known to ulp
+    * precision. ExactDecimalSpec pins both properties. For RAW money
+    * columns the substitution is therefore exact; for double-rounded
+    * products use it only where a downstream reduction absorbs the
+    * granularity (q10's corr: relative 1e-15 on the co-moment sums).
     *
-    * Throws ArithmeticException when the result exceeds decimal(18,6)
-    * range (mirrors ANSI overflow rather than silently wrapping); callers
-    * guard domain. NaN/Inf are handled by the expression wrapper (→ null,
-    * like the non-ANSI cast).
+    * Throws ArithmeticException when the result overflows a long's
+    * magnitude (mirrors ANSI overflow rather than silently wrapping);
+    * callers guard domain. NaN/Inf are handled by the expression wrapper
+    * (→ null, like the non-ANSI cast).
     */
-  def compute(x: Double): Long = {
+  def compute(x: Double, pow10: Long): Long = {
     if (x == 0.0) return 0L
     val bits = java.lang.Double.doubleToRawLongBits(x)
     val neg = bits < 0
@@ -58,27 +62,28 @@ object ExactDecimal {
     val frac = bits & 0x000FFFFFFFFFFFFFL
     val m = if (rawExp == 0) frac else frac | 0x0010000000000000L
     val e = if (rawExp == 0) -1074 else rawExp - 1075
-    // |x| = m · 2^e. Want round_half_up(m · 2^e · 10⁶).
-    // M = m · 10⁶ as unsigned 128-bit hi:lo (m < 2^53 ⇒ M < 2^73).
-    val lo = m * 1000000L
-    val hi = java.lang.Math.multiplyHigh(m, 1000000L)
+    // |x| = m · 2^e. Want round_half_up(m · 2^e · pow10).
+    // M = m · pow10 as unsigned 128-bit hi:lo (m < 2^53, pow10 ≤ 10^12 ⇒
+    // M < 2^93).
+    val lo = m * pow10
+    val hi = java.lang.Math.multiplyHigh(m, pow10)
     var q = 0L
     if (e >= 0) {
       // integer-valued double ≥ 2^52: M · 2^e must fit 63 bits
       if (hi != 0 || e >= 63 || (lo >>> (63 - e)) != 0)
-        throw new ArithmeticException(s"decimal(18,6) overflow scaling $x")
+        throw new ArithmeticException(s"scaled-long overflow scaling $x")
       q = lo << e
     } else {
       val s = -e
       if (s >= 128) return 0L // |x|·10⁶ < 2^-54 — rounds to zero
       if (s < 64 && (hi >>> s) != 0)
-        throw new ArithmeticException(s"decimal(18,6) overflow scaling $x")
+        throw new ArithmeticException(s"scaled-long overflow scaling $x")
       q =
         if (s == 0) lo
         else if (s < 64) (hi << (64 - s)) | (lo >>> s)
         else if (s - 64 < 64) hi >>> (s - 64)
         else 0L
-      if (q < 0) throw new ArithmeticException(s"decimal(18,6) overflow scaling $x")
+      if (q < 0) throw new ArithmeticException(s"scaled-long overflow scaling $x")
       // HALF_UP on the magnitude: round up iff remainder ≥ half, i.e. bit
       // s-1 of M is set (s ≥ 1 here).
       val rb =
@@ -86,21 +91,27 @@ object ExactDecimal {
         else if (s - 1 - 64 < 64) (hi >>> (s - 1 - 64)) & 1L
         else 0L
       q += rb
-      if (q < 0) throw new ArithmeticException(s"decimal(18,6) overflow scaling $x")
+      if (q < 0) throw new ArithmeticException(s"scaled-long overflow scaling $x")
     }
     if (neg) -q else q
   }
 
-  /** round_half_up(x·10⁶) as LONG — the unscaled value of
-    * CAST(x AS DECIMAL(18,6)). Null/NaN/Inf → null (cast parity);
+  /** Convenience for [[compute]] at scale 6 (used by tests/docs). */
+  def compute(x: Double): Long = compute(x, 1000000L)
+
+  /** round_half_up(x·10^scale) as LONG — the unscaled value of
+    * CAST(x AS DECIMAL(·, scale)). Null/NaN/Inf → null (cast parity);
     * out-of-range → ArithmeticException. Codegen'd: one static call per
     * row, no allocation.
     */
-  case class ScaledLong6(child: Expression) extends UnaryExpression {
+  case class ScaledLong(child: Expression, scale: Int) extends UnaryExpression {
+
+    require(scale >= 0 && scale <= 12, s"scale $scale outside [0, 12]")
+    private val pow10: Long = (0 until scale).foldLeft(1L)((a, _) => a * 10)
 
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
-    override def prettyName: String = "scaled_long6"
+    override def prettyName: String = "scaled_long"
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -113,7 +124,7 @@ object ExactDecimal {
 
     override def nullSafeEval(v: Any): Any = {
       val x = v.asInstanceOf[Double]
-      if (java.lang.Double.isFinite(x)) java.lang.Long.valueOf(compute(x)) else null
+      if (java.lang.Double.isFinite(x)) java.lang.Long.valueOf(compute(x, pow10)) else null
     }
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -125,7 +136,7 @@ object ExactDecimal {
           long ${ev.value} = 0L;
           if (!${c.isNull} && java.lang.Double.isFinite(${c.value})) {
             ${ev.isNull} = false;
-            ${ev.value} = graft.functions.ExactDecimal.compute(${c.value});
+            ${ev.value} = graft.functions.ExactDecimal.compute(${c.value}, ${pow10}L);
           }
         """
       ev.copy(code = code)
@@ -134,19 +145,40 @@ object ExactDecimal {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** scaled_long6(x) over a double column. */
-  def scaled6(x: Column): Column =
-    GraftColumnBridge.column(ScaledLong6(GraftColumnBridge.expression(x)))
+  /** scaled_long(x, scale) over a double column. */
+  def scaled(x: Column, scale: Int): Column =
+    GraftColumnBridge.column(ScaledLong(GraftColumnBridge.expression(x), scale))
 
-  /** Recombine the hi/lo partial LONG sums of scaled_long6 values into the
-    * exact decimal total ×10⁻⁶ and surface it as DOUBLE — identical to
-    * `CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)` (one correctly-rounded
-    * decimal→double conversion of the same exact value). Runs once per
-    * GROUP in the post-agg projection.
+  /** scaled_long at the money-grade scale 6 (decM parity). */
+  def scaled6(x: Column): Column = scaled(x, 6)
+
+  /** The two overflow-safe partial LONG sums (hi/lo at 2^27) of
+    * scaled_long(x, scale), aliased `hi_<tag>`/`lo_<tag>` — splice into
+    * `.agg(...)` and recombine with [[totalOf]]/[[momentD]].
     */
-  def momentD(hiSum: Column, loSum: Column): Column = {
-    import org.apache.spark.sql.functions.lit
-    ((hiSum.cast("decimal(38,0)") * lit(1L << SplitShift) + loSum.cast("decimal(38,0)"))
-      * lit(new java.math.BigDecimal("0.000001"))).cast("double")
+  def splitSums(x: Column, scale: Int, tag: String): Seq[Column] = {
+    import org.apache.spark.sql.functions.{lit, shiftright, sum}
+    val v = scaled(x, scale)
+    Seq(
+      sum(shiftright(v, SplitShift)).as(s"hi_$tag"),
+      sum(v.bitwiseAND(lit(SplitMask))).as(s"lo_$tag"))
   }
+
+  /** Recombine [[splitSums]] partials into the exact DECIMAL total —
+    * value-identical to `sum(CAST(x AS DECIMAL(·, scale)))` (over the
+    * scaled_long values; see [[compute]] for the cast-semantics caveat on
+    * double-rounded inputs). Runs once per GROUP in the post-agg
+    * projection: round/divide/cast it exactly as the decimal sum would be.
+    */
+  def totalOf(tag: String, scale: Int): Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val unscaled = col(s"hi_$tag").cast("decimal(38,0)") * lit(1L << SplitShift) +
+      col(s"lo_$tag").cast("decimal(38,0)")
+    unscaled * lit(new java.math.BigDecimal(java.math.BigInteger.ONE, scale))
+  }
+
+  /** [[totalOf]] surfaced as DOUBLE (one correctly-rounded decimal→double
+    * conversion of the exact total).
+    */
+  def momentD(tag: String, scale: Int): Column = totalOf(tag, scale).cast("double")
 }

@@ -61,18 +61,39 @@ object Relational {
     * Partial (map-side) aggregation makes this one shuffle of tiny
     * pre-aggregated state regardless of input size.
     */
-  def q03PricingSummary(s: SparkSession, d: String): DataFrame =
+  def q03PricingSummary(s: SparkSession, d: String): DataFrame = {
+    // The three RAW money columns are summed on the split-long fast path
+    // (bit-safe substitution for sum(decM(x)) on ≤4-decimal data — see
+    // ExactDecimal.compute; equality vs the decimal formulation asserted
+    // in ExactDecimalSpec), each aggregated ONCE and reused by its sum_*
+    // and avg_* outputs (the naive agg computed sum(decM(l_quantity))
+    // twice — decimal aggs are not CSE'd). The double-ROUNDED product
+    // keeps the decimal cast so its rounding semantics stay identical to
+    // the oracle's CAST.
+    import graft.functions.ExactDecimal
+    val sums =
+      ExactDecimal.splitSums(col("l_quantity"), 6, "qty") ++
+        ExactDecimal.splitSums(col("l_extendedprice"), 6, "price") ++
+        ExactDecimal.splitSums(col("l_discount"), 6, "disc") ++ Seq(
+        sum(Num.decM(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("s_dp"),
+        count(col("l_quantity")).as("n_qty"),
+        count(col("l_extendedprice")).as("n_price"),
+        count(col("l_discount")).as("n_disc"),
+        count(lit(1)).as("count_order"))
+    def t(tag: String): Column = ExactDecimal.totalOf(tag, 6)
     lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        sumM(col("l_quantity"), 2).as("sum_qty"),
-        sumM(col("l_extendedprice"), 2).as("sum_base_price"),
-        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
-        avgM(col("l_quantity"), 4).as("avg_qty"),
-        avgM(col("l_extendedprice"), 4).as("avg_price"),
-        avgM(col("l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(t("qty"), 2).cast("double").as("sum_qty"),
+        round(t("price"), 2).cast("double").as("sum_base_price"),
+        round(col("s_dp"), 2).cast("double").as("sum_disc_price"),
+        round(t("qty").cast("double") / col("n_qty"), 4).as("avg_qty"),
+        round(t("price").cast("double") / col("n_price"), 4).as("avg_price"),
+        round(t("disc").cast("double") / col("n_disc"), 4).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   val q03Oracle: String =
     """SELECT l_returnflag, l_linestatus,
@@ -233,13 +254,8 @@ object Relational {
     val moments = Seq(
       "q" -> q, "d" -> dc, "p" -> p, "qp" -> (q * p), "dp" -> (dc * p),
       "q2" -> (q * q), "d2" -> (dc * dc), "p2" -> (p * p))
-    val sums = moments.flatMap { case (t, x) =>
-      val v = ExactDecimal.scaled6(x)
-      Seq(
-        sum(shiftright(v, ExactDecimal.SplitShift)).as(s"hi_$t"),
-        sum(v.bitwiseAND(lit(ExactDecimal.SplitMask))).as(s"lo_$t"))
-    }
-    def m(t: String): Column = ExactDecimal.momentD(col(s"hi_$t"), col(s"lo_$t"))
+    val sums = moments.flatMap { case (t, x) => ExactDecimal.splitSums(x, 6, t) }
+    def m(t: String): Column = ExactDecimal.momentD(t, 6)
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).cast("double").as("n"), sums: _*)
@@ -400,16 +416,25 @@ object Relational {
   /** F16 — null-safe division (BigQuery SAFE_DIVIDE → try_divide,
     * sql/02:106-108), incl. a forced divide-by-zero that must yield null.
     */
-  def q18SafeDivide(s: SparkSession, d: String): DataFrame =
+  def q18SafeDivide(s: SparkSession, d: String): DataFrame = {
+    // raw money columns at Num.dec's scale 10 on the split-long fast path
+    // (bit-safe: ≤4-decimal values sit 1e-11 inside the 5e-11 half-grid;
+    // equality vs the decimal formulation asserted in ExactDecimalSpec)
+    import graft.functions.ExactDecimal
+    val sums = ExactDecimal.splitSums(col("l_extendedprice"), 10, "p") ++
+      ExactDecimal.splitSums(col("l_quantity"), 10, "q") :+
+      sum("l_quantity").as("sum_qty_raw")
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
+      .agg(sums.head, sums.tail: _*)
+      .select(col("l_returnflag"),
         round(try_divide(
-          sum(dec(col("l_extendedprice"))).cast("double"),
-          nullif(sum(dec(col("l_quantity"))).cast("double"), lit(0.0))), 4)
+          ExactDecimal.momentD("p", 10),
+          nullif(ExactDecimal.momentD("q", 10), lit(0.0))), 4)
           .as("price_per_qty"),
-        try_divide(sum("l_quantity"), lit(0)).as("div_by_zero"))
+        try_divide(col("sum_qty_raw"), lit(0)).as("div_by_zero"))
       .orderBy("l_returnflag")
+  }
 
   val q18Oracle: String =
     """SELECT l_returnflag,
@@ -518,13 +543,21 @@ object Relational {
     val li = lineitem(s, d)
     val p = part(s, d).select("p_partkey", "p_brand")
     val sup = supplier(s, d).select("s_suppkey", "s_name")
+    // avg_qty's raw money column on the split-long fast path; the
+    // double-rounded product keeps the decimal cast (same split as q03)
+    import graft.functions.ExactDecimal
+    val sums = ExactDecimal.splitSums(col("l_quantity"), 6, "qty") ++ Seq(
+      sum(Num.decM(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("s_nr"),
+      count(col("l_quantity")).as("n_qty"),
+      count(lit(1)).as("n_lines"))
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy("p_brand", "s_name")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_revenue"),
-        avgM(col("l_quantity"), 4).as("avg_qty"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("p_brand"), col("s_name"),
+        col("n_lines"),
+        round(col("s_nr"), 2).cast("double").as("net_revenue"),
+        round(ExactDecimal.totalOf("qty", 6).cast("double") / col("n_qty"), 4).as("avg_qty"))
       .orderBy("p_brand", "s_name")
   }
 

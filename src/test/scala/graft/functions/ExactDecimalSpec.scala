@@ -29,6 +29,69 @@ class ExactDecimalSpec extends SparkSpec {
     }
   }
 
+  test("compute at scale 10 matches BigDecimal; raw money columns round-trip the scale-10 cast") {
+    def ref10(x: Double): Long =
+      new JBigDecimal(x).setScale(10, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val rng = new scala.util.Random(11)
+    (Seq(0.0, 1.0, 0.01, 104949.5, 1.2e5, 4.9e-11, 5.1e-11) ++
+      Seq.fill(20000)(rng.nextInt(12000000) / 100.0)).foreach { x =>
+      assert(ExactDecimal.compute(x, 10000000000L) == ref10(x), s"compute($x, 1e10)")
+    }
+    // and on the fixture columns q18 converts at scale 10: bit-equal to
+    // the decimal(38,10) cast (raw ≤4-decimal values, never a boundary)
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    def castUnscaled10(x: org.apache.spark.sql.Column) =
+      x.cast("decimal(38,10)").multiply(lit(10000000000L)).cast("long")
+    val bad = li.filter(Seq(col("l_extendedprice"), col("l_quantity"))
+        .map(x => ExactDecimal.scaled(x, 10) =!= castUnscaled10(x)).reduce(_ || _))
+      .count()
+    assert(bad == 0L, "scale-10 conversion must be bit-equal on raw money columns")
+  }
+
+  test("q03/q18/q23 split-long rewrites reproduce the decimal formulations exactly") {
+    import graft.queries.Num.{decM, dec, sumM, avgM}
+    val d = "/root/testdata/sf0.01"
+    val li = graft.Tables.lineitem(spark, d)
+
+    val q03Ref = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumM(col("l_quantity"), 2).as("sum_qty"),
+        sumM(col("l_extendedprice"), 2).as("sum_base_price"),
+        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        avgM(col("l_quantity"), 4).as("avg_qty"),
+        avgM(col("l_extendedprice"), 4).as("avg_price"),
+        avgM(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val q03Now = graft.queries.Relational.q03PricingSummary(spark, d)
+      .select(q03Ref.head.schema.fieldNames.map(col).toIndexedSeq: _*).collect().toSeq
+    assert(q03Now == q03Ref, "q03 values must be bit-identical")
+
+    val q18Ref = li.groupBy("l_returnflag")
+      .agg(
+        round(try_divide(
+          sum(dec(col("l_extendedprice"))).cast("double"),
+          nullif(sum(dec(col("l_quantity"))).cast("double"), lit(0.0))), 4)
+          .as("price_per_qty"),
+        try_divide(sum("l_quantity"), lit(0)).as("div_by_zero"))
+      .orderBy("l_returnflag").collect().toSeq
+    val q18Now = graft.queries.Relational.q18SafeDivide(spark, d).collect().toSeq
+    assert(q18Now == q18Ref, "q18 values must be bit-identical")
+
+    val p = graft.Tables.part(spark, d).select("p_partkey", "p_brand")
+    val sup = graft.Tables.supplier(spark, d).select("s_suppkey", "s_name")
+    val q23Ref = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand", "s_name")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_revenue"),
+        avgM(col("l_quantity"), 4).as("avg_qty"))
+      .orderBy("p_brand", "s_name").collect().toSeq
+    val q23Now = graft.queries.Relational.q23EnrichedAgg(spark, d).collect().toSeq
+    assert(q23Now == q23Ref, "q23 values must be bit-identical")
+  }
+
   test("compute overflows loudly past decimal(18,6); expression nulls NaN/Inf like the cast") {
     intercept[ArithmeticException](ExactDecimal.compute(1e13))
     intercept[ArithmeticException](ExactDecimal.compute(-1e13))
