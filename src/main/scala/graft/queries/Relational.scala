@@ -152,16 +152,45 @@ object Relational {
     * count distinct. The lineitem↔orders join shuffles on orderkey; at
     * scale both sides would be bucketed on the key to make it co-located.
     */
-  def q06PrioritySummary(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+  def q06PrioritySummary(s: SparkSession, d: String): DataFrame = {
+    // Aggregate-below-join rewrite (round 4): lineitem is pre-aggregated
+    // per l_orderkey BEFORE joining orders, so (a) the join input shrinks
+    // ~4x (lines → orders), (b) COUNT(DISTINCT o_orderkey) becomes a free
+    // count(*) over the now-unique join key — no distinct-agg expand
+    // plan, and (c) at 100 TB the shuffle carries per-order partials
+    // instead of raw lines. Bit-safe: decimal sums and split-long partial
+    // sums are exactly associative, so sum-of-per-order-sums equals the
+    // direct sum (asserted vs the join-then-aggregate formulation in
+    // ExactDecimalSpec). avg_qty's raw money column rides the split-long
+    // fast path; the double-rounded revenue product keeps the decimal
+    // cast (q03's reasoning).
+    import graft.functions.ExactDecimal
+    val perOrderAggs = ExactDecimal.splitSums(col("l_quantity"), 6, "qty") ++ Seq(
+      count(lit(1)).as("n_lines_o"),
+      sum(Num.decM(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("s_rev_o"),
+      count(col("l_quantity")).as("n_qty_o"))
+    val perOrder = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(perOrderAggs.head, perOrderAggs.tail: _*)
+    perOrder
+      .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_lines"),
-        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
-        avgM(col("l_quantity"), 4).as("avg_qty"))
+        count(lit(1)).as("n_orders"),
+        sum(col("n_lines_o")).as("n_lines"),
+        sum(col("s_rev_o")).as("s_rev"),
+        sum(col("hi_qty")).as("hi_qty2"),
+        sum(col("lo_qty")).as("lo_qty2"),
+        sum(col("n_qty_o")).as("n_qty"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_lines"),
+        round(col("s_rev"), 2).cast("double").as("revenue"),
+        round(((col("hi_qty2").cast("decimal(38,0)") * lit(1L << ExactDecimal.SplitShift) +
+          col("lo_qty2").cast("decimal(38,0)")) *
+          lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 6))).cast("double")
+          / col("n_qty"), 4).as("avg_qty"))
       .orderBy("o_orderpriority")
+  }
 
   val q06Oracle: String =
     """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,

@@ -90,6 +90,17 @@ class ExactDecimalSpec extends SparkSpec {
       .orderBy("p_brand", "s_name").collect().toSeq
     val q23Now = graft.queries.Relational.q23EnrichedAgg(spark, d).collect().toSeq
     assert(q23Now == q23Ref, "q23 values must be bit-identical")
+
+    val q06Ref = li.join(graft.Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+        avgM(col("l_quantity"), 4).as("avg_qty"))
+      .orderBy("o_orderpriority").collect().toSeq
+    val q06Now = graft.queries.Relational.q06PrioritySummary(spark, d).collect().toSeq
+    assert(q06Now == q06Ref, "q06 values must be bit-identical")
   }
 
   test("compute overflows loudly past decimal(18,6); expression nulls NaN/Inf like the cast") {
