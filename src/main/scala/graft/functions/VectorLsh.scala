@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * (1 - θ/π)^nPlanes. Search = hash the query, scan ONLY its bucket
   * (at scale: the table is written partitioned/bucketed BY this key, so
   * the probe is partition-pruned I/O, not a full scan), then exact
-  * cosine re-rank inside the bucket. Multi-probe: flip the b lowest-
-  * margin bits — not needed at fixture scale, noted for recall tuning.
+  * cosine re-rank inside the bucket. Recall tuning: [[annTopKMultiProbe]]
+  * (flip the lowest-margin bits — query-side fan-out, corpus hashed once)
+  * or [[annTopKMulti]] (independent tables).
   */
 object VectorLsh {
 
@@ -54,6 +55,54 @@ object VectorLsh {
     corpus
       .withColumn("bucket", bucket(col(vecCol), ps))
       .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .select(col(idCol),
+        VectorExpressions.cosine(col(vecCol), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Query-side probe set for MULTI-PROBE LSH: the base bucket plus one
+    * single-bit flip for each of the `nProbes` LOWEST-|projection| planes.
+    * A near neighbor that disagrees with the query on one plane almost
+    * always disagrees where the query's projection is smallest (the
+    * hyperplane passes closest), so probing those flips recovers most of
+    * the recall of extra tables WITHOUT another corpus hashing — the
+    * query fans out, the corpus stays hashed once. All probe keys are
+    * distinct (distinct single-bit flips), so a corpus vector matches at
+    * most one probe and no candidate dedup is needed.
+    */
+  def probeBuckets(v: Column, ps: Seq[Seq[Double]], nProbes: Int): Column = {
+    require(nProbes >= 0 && nProbes <= ps.length,
+      s"nProbes $nProbes outside [0, ${ps.length}]")
+    val base = bucket(v, ps)
+    // (|projection|, planeIdx) sorted ascending — struct ordering is
+    // field-by-field, so the first nProbes entries are the lowest margins
+    val margins = array_sort(array(ps.zipWithIndex.map { case (p, i) =>
+      struct(abs(dotLit(v, p)).as("m"), lit(i).as("i"))
+    }: _*))
+    val flips = transform(slice(margins, 1, nProbes),
+      f => base.bitwiseXOR(
+        pow(lit(2.0), f.getField("i").cast("double")).cast("long")))
+    concat(array(base), flips)
+  }
+
+  /** Single-table multi-probe approximate top-k: corpus hashed ONCE,
+    * query expanded to 1+nProbes bucket probes, exact cosine re-rank over
+    * the union of probed buckets. At scale each probe is a partition-
+    * pruned read of the bucket-partitioned layout — probe cost is
+    * (1+nProbes)/2^nPlanes of the corpus, vs a whole extra table per unit
+    * of recall for [[annTopKMulti]].
+    */
+  def annTopKMultiProbe(corpus: DataFrame, queryVec: DataFrame, vecCol: String,
+                        idCol: String, nPlanes: Int, dim: Int, k: Int,
+                        nProbes: Int): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val probes = queryVec
+      .select(col(vecCol).as("q_emb"), probeBuckets(col(vecCol), ps, nProbes).as("probes"))
+      .select(col("q_emb"), explode(col("probes")).as("q_bucket"))
+    corpus
+      .withColumn("bucket", bucket(col(vecCol), ps))
+      .join(broadcast(probes), col("bucket") === col("q_bucket"))
       .select(col(idCol),
         VectorExpressions.cosine(col(vecCol), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

@@ -56,6 +56,66 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("multi-probe LSH: probe set is base + distinct lowest-margin flips; recall is monotone") {
+    val ps = VectorLsh.planes(8, 64)
+    Seq(0L, 7L, 42L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid).select("embedding")
+      val corpus = emb.filter(col("vec_id") =!= qid)
+      val qBucket = q.select(VectorLsh.bucket(col("embedding"), ps).as("b"))
+        .head().getLong(0)
+      val qProbes = q.select(VectorLsh.probeBuckets(col("embedding"), ps, 4).as("p"))
+        .head().getSeq[Long](0)
+      assert(qProbes.head == qBucket && qProbes.distinct.length == 5,
+        s"probe set must start at the base bucket with distinct flips: $qProbes")
+      assert(qProbes.tail.forall(p => java.lang.Long.bitCount(p ^ qBucket) == 1),
+        s"each probe must be a single-bit flip of the base: $qProbes")
+      // candidate containment ⇒ recall monotone vs single-bucket
+      val exact = bruteTopK(qid, 10).toSet
+      val single = VectorLsh.annTopK(corpus, q, "embedding", "vec_id",
+        nPlanes = 8, dim = 64, k = 10).collect().map(_.getLong(0)).toSet
+      val probed = VectorLsh.annTopKMultiProbe(corpus, q, "embedding", "vec_id",
+        nPlanes = 8, dim = 64, k = 10, nProbes = 4).collect().map(_.getLong(0)).toSet
+      assert(exact.intersect(probed).size >= exact.intersect(single).size)
+    }
+  }
+
+  test("multi-probe finds the near-dup the base bucket misses (lowest-margin flip)") {
+    // Reflect the query across its LOWEST-|margin| hyperplane: the planted
+    // vector keeps cosine ≈ 1 but flips exactly that plane's sign, so it
+    // lands one bit away — invisible to the single-bucket probe, captured
+    // by the first multi-probe flip. This is the precise failure mode
+    // multi-probe exists to fix.
+    val ps = VectorLsh.planes(8, 64)
+    val v = emb.filter(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val dots = ps.map(p => p.zip(v).map { case (a, b) => a * b }.sum)
+    val iMin = dots.map(math.abs).zipWithIndex.min._2
+    val pMin = ps(iMin)
+    val scale = 2.0 * dots(iMin) / pMin.map(x => x * x).sum
+    val planted = v.zip(pMin).map { case (x, w) => (x - scale * w).toFloat }
+
+    import spark.implicits._
+    val plantedDf = Seq((99999L, planted)).toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(plantedDf)
+      .filter(col("vec_id") =!= 7L)
+    val q = emb.filter(col("vec_id") === 7L).select("embedding")
+
+    // sanity: the reflection flipped exactly the intended bit
+    val qb = q.select(VectorLsh.bucket(col("embedding"), ps).as("b")).head().getLong(0)
+    val pb = plantedDf.select(VectorLsh.bucket(col("embedding"), ps).as("b")).head().getLong(0)
+    assert(pb == (qb ^ (1L << iMin)),
+      f"reflection must flip bit $iMin: q=$qb%x planted=$pb%x")
+
+    val single = VectorLsh.annTopK(corpus, q, "embedding", "vec_id",
+      nPlanes = 8, dim = 64, k = 3).collect().map(_.getLong(0)).toSet
+    assert(!single.contains(99999L), "base bucket must miss the one-bit-away near-dup")
+    val probed = VectorLsh.annTopKMultiProbe(corpus, q, "embedding", "vec_id",
+      nPlanes = 8, dim = 64, k = 3, nProbes = 1).collect()
+    assert(probed.head.getLong(0) == 99999L,
+      s"first flip must surface the near-dup: ${probed.toSeq}")
+    assert(probed.head.getDouble(1) > 0.99, "reflection across a low-margin plane keeps cosine ≈ 1")
+  }
+
   test("single-table LSH finds a planted duplicate (scale-invariant bucket signs)") {
     // scaling a vector preserves both its hyperplane signs and cosine=1,
     // so a planted duplicate must share the query's bucket in one table

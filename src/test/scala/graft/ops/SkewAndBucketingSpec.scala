@@ -47,6 +47,48 @@ class SkewAndBucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_bucketed.orders_b")
   }
 
+  test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
+    // The third skew lever (SURVEY scale posture): no manual salting —
+    // AQE detects the oversized shuffle partition from runtime stats and
+    // splits it across tasks. Thresholds are lowered so the toy fixture
+    // trips the same code path a 100 TB hot key would.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+
+      // one hot key carrying 200k rows vs 1000 cold keys of 20 rows
+      val large = spark.range(200000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(20000).select((col("id") % 1000 + 1).as("k"), col("id").as("v")))
+      val small = spark.range(1001).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = large.join(small, "k")
+
+      // collect() executes THIS DataFrame's QueryExecution (count() would
+      // plan a separate aggregate), so the adaptive plan finalizes in
+      // place and can be inspected afterwards
+      assert(joined.collect().length == 220000, "skew split must not change the result")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("isFinalPlan=true"), s"adaptive plan must have executed:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join after execution:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted join preserves exact multiplicity while spreading a hot key") {
     // hot key: 100k rows of key=1, a few of others; small dim of 3 keys
     val large = (Seq.fill(100000)(1) ++ Seq(2, 2, 3)).toDF("k")
