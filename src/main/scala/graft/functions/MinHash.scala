@@ -69,7 +69,10 @@ object MinHash {
         size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") / size(a))
 
   /** (id, sig, band, bucket) — the shared explode stage behind
-    * [[candidatePairs]] and [[oversizedBuckets]].
+    * [[candidatePairs]] and [[oversizedBuckets]]. No isNotNull filter on
+    * sig/bands: posexplode of a null array yields no rows, and an explicit
+    * filter would be pushed into the SCAN as a predicate that re-evaluates
+    * the signature kernel per row (observed in the round-4 plan audit).
     */
   private def explodedBands(
       docs: DataFrame, idCol: String, tokensCol: String,
@@ -78,32 +81,38 @@ object MinHash {
       .select(col(idCol).as("id"),
         signature(col(tokensCol), shingleN, k, portable).as("sig"),
         bandBuckets(col(tokensCol), shingleN, k, nBands, portable).as("bands"))
-      .filter(col("sig").isNotNull)
       .select(col("id"), col("sig"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
       .select(col("band"), col("bucket"), col("id"), col("sig"))
 
   /** End-to-end candidate generation: docs(idCol, tokensCol) → candidate
-    * pairs (id_a, id_b, est_jaccard ≥ minJaccard). Plan shape: one scan
-    * computing signatures, explode ×nBands, shuffle on (band, bucket),
-    * per-bucket self-join, pair dedup, estimator filter. Buckets larger
-    * than `maxBucket` are SILENTLY EXCLUDED from the join (degenerate-
-    * cluster guard — a boilerplate cluster of size m would contribute
-    * m²/2 pairs to one task); run [[oversizedBuckets]] with the same
-    * arguments to see what the guard dropped.
+    * pairs (id_a, id_b, est_jaccard ≥ minJaccard). Plan shape: ONE scan
+    * computing signatures, explode ×nBands, ONE shuffle on (band, bucket)
+    * feeding a window bucket-size count, per-bucket self-join over the
+    * same partitioning, pair dedup, estimator filter. The bucket-size
+    * guard is a WINDOW count rather than a groupBy+join so the self-join's
+    * two sides are identical subplans over one exchange (ReusedExchange) —
+    * the earlier aggregate-and-join formulation made Catalyst plan FOUR
+    * independent scans, each re-running the signature kernel. Buckets
+    * larger than `maxBucket` are SILENTLY EXCLUDED from the join
+    * (degenerate-cluster guard — a boilerplate cluster of size m would
+    * contribute m²/2 pairs to one task); run [[oversizedBuckets]] with the
+    * same arguments to see what the guard dropped.
     */
   def candidatePairs(
       docs: DataFrame, idCol: String, tokensCol: String,
       shingleN: Int = 2, k: Int = 64, nBands: Int = 8,
       minJaccard: Double = 0.5, maxBucket: Int = 1000,
       portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exploded = explodedBands(docs, idCol, tokensCol, shingleN, k, nBands, portable)
 
-    // degenerate-bucket guard: count per bucket, keep joinable ones
-    val bucketSizes = exploded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bucket_size"))
+    // degenerate-bucket guard: windowed count over the (band, bucket)
+    // partitioning the join needs anyway
+    val joinable = exploded
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bucket_size") > 1 && col("bucket_size") <= maxBucket)
-    val joinable = exploded.join(bucketSizes, Seq("band", "bucket"))
 
     val a = joinable.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))

@@ -343,11 +343,13 @@ object LlmOps {
   def q37MinhashBands(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHash
     val bands = MinHash.bandBuckets(toks(col("text")), 2, 64, 8, portable = true)
+    // no isNotNull(bands) filter: posexplode drops null arrays itself, and
+    // an explicit filter gets pushed into the scan where it re-evaluates
+    // the kernel per row (round-4 plan audit)
     bandStats(
       documents(s, d)
         .filter(col("lang") === "en")
         .select(col("doc_id"), bands.as("bands"))
-        .filter(col("bands").isNotNull)
         .select(posexplode(col("bands")).as(Seq("band", "bucket")))
         .select(col("band").cast("long").as("band"), col("bucket")))
   }
