@@ -69,10 +69,16 @@ object MinHash {
         size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") / size(a))
 
   /** (id, sig, band, bucket) — the shared explode stage behind
-    * [[candidatePairs]] and [[oversizedBuckets]]. No isNotNull filter on
-    * sig/bands: posexplode of a null array yields no rows, and an explicit
-    * filter would be pushed into the SCAN as a predicate that re-evaluates
-    * the signature kernel per row (observed in the round-4 plan audit).
+    * [[candidatePairs]] and [[oversizedBuckets]].
+    *
+    * OUTER explode + a cheap filter on the generator OUTPUT, deliberately:
+    * a plain posexplode makes Catalyst infer `size(bands) > 0 AND
+    * isnotnull(bands)` below the Generate and push it into the SCAN,
+    * where substituting the defining expression re-evaluates the
+    * signature kernel twice more per row (round-4 plan audit). The outer
+    * variant infers nothing; null-signature docs surface as one null-band
+    * row and are dropped by an attribute-only filter that cannot be
+    * pushed through the kernel projection.
     */
   private def explodedBands(
       docs: DataFrame, idCol: String, tokensCol: String,
@@ -82,7 +88,8 @@ object MinHash {
         signature(col(tokensCol), shingleN, k, portable).as("sig"),
         bandBuckets(col(tokensCol), shingleN, k, nBands, portable).as("bands"))
       .select(col("id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
+        posexplode_outer(col("bands")).as(Seq("band", "bucket")))
+      .filter(col("band").isNotNull)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
 
   /** End-to-end candidate generation: docs(idCol, tokensCol) → candidate

@@ -343,14 +343,15 @@ object LlmOps {
   def q37MinhashBands(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHash
     val bands = MinHash.bandBuckets(toks(col("text")), 2, 64, 8, portable = true)
-    // no isNotNull(bands) filter: posexplode drops null arrays itself, and
-    // an explicit filter gets pushed into the scan where it re-evaluates
-    // the kernel per row (round-4 plan audit)
+    // outer explode + attribute filter so Catalyst cannot infer a
+    // size(bands) > 0 scan predicate that would re-evaluate the kernel
+    // per row (see MinHash.explodedBands for the full rationale)
     bandStats(
       documents(s, d)
         .filter(col("lang") === "en")
         .select(col("doc_id"), bands.as("bands"))
-        .select(posexplode(col("bands")).as(Seq("band", "bucket")))
+        .select(posexplode_outer(col("bands")).as(Seq("band", "bucket")))
+        .filter(col("band").isNotNull)
         .select(col("band").cast("long").as("band"), col("bucket")))
   }
 
