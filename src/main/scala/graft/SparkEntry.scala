@@ -62,6 +62,7 @@ object SparkEntry {
     "q42_embedding_neardup"-> (LlmOps.q42EmbeddingNearDup _),
     "q43_quantized_topk"  -> (LlmOps.q43QuantizedTopK _),
     "q44_lsh_pairs"       -> (LlmOps.q44LshPairs _),
+    "q45_decontaminate"   -> (LlmOps.q45Decontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,5 +117,6 @@ object SparkEntry {
     "q42_embedding_neardup"-> LlmOps.q42Oracle,
     "q43_quantized_topk"  -> LlmOps.q43Oracle,
     "q44_lsh_pairs"       -> LlmOps.q44Oracle,
+    "q45_decontaminate"   -> LlmOps.q45Oracle,
   )
 }

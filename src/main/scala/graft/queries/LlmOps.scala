@@ -498,6 +498,61 @@ object LlmOps {
       |  round(max(sim), 4) AS max_sim
       |FROM sims GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** Benchmark DECONTAMINATION — the training-data operation next to dedup:
+    * flag train documents sharing long-substring content with a held-out
+    * benchmark split, via winnowed rolling-hash fingerprint overlap (the
+    * MOSS matching scheme over 20-char grams ≈ 3–4 word n-grams, window 8
+    * — long enough that unrelated docs rarely collide; on the fixture the
+    * two planted cross-split near-dups score 108 and 26 collisions vs a
+    * background of ≤3). Split: doc_id % 5 = 0 stands in for the benchmark.
+    *
+    * 100 TB posture: the benchmark fingerprint set is SMALL (benchmarks
+    * are bounded) — distinct'd and broadcast, so the train corpus is
+    * never shuffled: scan → fingerprint expression → explode → broadcast
+    * semi-join → per-doc count partials. Outer explode + attribute filter
+    * for the same Generate-inferred-filter reason as candidatePairs.
+    * The decision rule (n ≥ 10) is part of the output so the threshold is
+    * oracle-checked too.
+    */
+  def q45Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val fps = documents(s, d)
+      .filter(col("lang") === "en" && length(col("text")) >= 20)
+      .select(col("doc_id"),
+        VectorExpressions.rollingFingerprints(col("text"), 20, 8).as("fps"))
+    val bench = fps.filter(col("doc_id") % 5 === 0)
+      .select(explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .distinct()
+    val train = fps.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+    train.join(broadcast(bench), Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_collisions"))
+      .withColumn("contaminated", col("n_collisions") >= 10)
+      .orderBy("doc_id")
+  }
+
+  val q45Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, length(text) - 19), i -> substr(text, i, 20)) AS grams
+       |  FROM documents WHERE lang = 'en' AND length(text) >= 20),
+       |h AS (
+       |  SELECT doc_id, list_transform(grams, s -> ${PolyHash.hornerSql("s")}) AS hs
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 7),
+       |                               j -> list_aggregate(hs[j:j+7], 'min'))) AS fps
+       |  FROM h WHERE len(hs) >= 8),
+       |bench AS (SELECT DISTINCT unnest(fps) AS fp FROM w WHERE doc_id % 5 = 0),
+       |train AS (SELECT doc_id, unnest(fps) AS fp FROM w WHERE doc_id % 5 <> 0)
+       |SELECT t.doc_id, count(*) AS n_collisions, count(*) >= 10 AS contaminated
+       |FROM train t JOIN bench b USING (fp)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
   // --- Text analysis ------------------------------------------------------
 
   private val stopEn = Seq("the", "a", "of", "and", "is", "to", "in")

@@ -33,4 +33,18 @@ class NearDupGuardSpec extends SparkSpec {
     assert(unguarded.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((0L, 1L), (2L, 1225L))) // C(50,2) = 1225
   }
+
+  test("decontamination flags exactly the cross-split near-dups, not background collisions") {
+    // the fixture plants near-dup pairs (285,301) and (92,450); under the
+    // doc_id % 5 benchmark split, 285 and 450 land in the benchmark and
+    // their twins 301 and 92 in the train set — those two, and only
+    // those, must cross the contamination threshold. Background 20-char
+    // collisions exist (<= 3 per doc) and must stay below it.
+    val rows = LlmOps.q45Decontaminate(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val flagged = rows.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(92L, 301L), s"contaminated set: $flagged")
+    assert(rows.filter(!_._3).forall(_._2 < 10))
+    assert(rows.count(!_._3) > 10, "background collisions should exist below threshold")
+  }
 }
