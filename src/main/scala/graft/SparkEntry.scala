@@ -63,6 +63,7 @@ object SparkEntry {
     "q43_quantized_topk"  -> (LlmOps.q43QuantizedTopK _),
     "q44_lsh_pairs"       -> (LlmOps.q44LshPairs _),
     "q45_decontaminate"   -> (LlmOps.q45Decontaminate _),
+    "q46_quality_filter"  -> (LlmOps.q46QualityFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,5 +119,6 @@ object SparkEntry {
     "q43_quantized_topk"  -> LlmOps.q43Oracle,
     "q44_lsh_pairs"       -> LlmOps.q44Oracle,
     "q45_decontaminate"   -> LlmOps.q45Oracle,
+    "q46_quality_filter"  -> LlmOps.q46Oracle,
   )
 }

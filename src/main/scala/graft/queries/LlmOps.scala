@@ -643,6 +643,52 @@ object LlmOps {
       |  count(*) AS n_docs
       |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
 
+  /** Gopher-style QUALITY FILTERING with per-rule drop accounting — the
+    * decision operator the q30/q41 quality signals feed (Rae et al. 2021
+    * §A1.1-style rules, thresholds adapted to the fixture's 10–99-token
+    * docs): R1 length (≥ 30 tokens), R2 mean word length in [3, 10], R3
+    * ≥ 2 English stopwords (in an English pipeline this is also the
+    * cheap wrong-language drop — the fixture's non-en docs mostly fail
+    * it). Per language: doc count, kept count, and how many docs each
+    * rule would drop (rules counted independently — the standard audit
+    * view for tuning thresholds). Pure column expressions: one codegen'd
+    * scan + one tiny agg shuffle at any corpus size.
+    */
+  def q46QualityFilter(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t)
+    val meanWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val nStop = stopCount(t, stopEn)
+    val r1 = nTok >= 30
+    val r2 = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val r3 = nStop >= 2
+    documents(s, d)
+      .select(col("lang"), r1.as("r1"), r2.as("r2"), r3.as("r3"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("r1") && col("r2") && col("r3")).as("n_kept"),
+        count_if(!col("r1")).as("n_too_short"),
+        count_if(!col("r2")).as("n_bad_word_len"),
+        count_if(!col("r3")).as("n_few_stopwords"))
+      .orderBy("lang")
+  }
+
+  val q46Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(count_if(r1 AND r2 AND r3) AS BIGINT) AS n_kept,
+      |  CAST(count_if(NOT r1) AS BIGINT) AS n_too_short,
+      |  CAST(count_if(NOT r2) AS BIGINT) AS n_bad_word_len,
+      |  CAST(count_if(NOT r3) AS BIGINT) AS n_few_stopwords
+      |FROM (
+      |  SELECT lang,
+      |    len(t) >= 30 AS r1,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t) BETWEEN 3.0 AND 10.0 AS r2,
+      |    len(list_filter(t, w -> w IN ('the','a','of','and','is','to','in'))) >= 2 AS r3
+      |  FROM (SELECT lang, text, regexp_split_to_array(trim(text), '\s+') AS t
+      |        FROM documents))
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Document fingerprinting via rolling hash + winnowing (the MOSS
     * scheme): character 8-grams hashed with a Horner-rule polynomial hash
     * (base 257 mod 1e9+7 — pure integer arithmetic, so BOTH engines
