@@ -93,6 +93,30 @@ class MinHashSpec extends SparkSpec {
     assert(pairs.head._3 > 0.8, s"near-dup estimate ${pairs.head._3}")
   }
 
+  test("candidatePairs at SMJ scale: the self-join sides share ONE reused exchange") {
+    // at broadcast scale the two sides are separate scans (one becomes the
+    // broadcast build); at sort-merge scale — the 100 TB case — both sides
+    // are identical subplans over the (band, bucket) window exchange, so
+    // the signature kernel runs once and the second side is a
+    // ReusedExchange (this is the claim in candidatePairs' scaladoc)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .filter(org.apache.spark.sql.functions.col("lang") === "en")
+        .select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("tokens"))
+      val pairs = MinHash.candidatePairs(docs, "doc_id", "tokens", portable = true)
+      assert(pairs.collect().nonEmpty, "fixture has planted near-dups")
+      val plan = pairs.queryExecution.executedPlan.toString()
+      assert(plan.contains("ReusedExchange"),
+        s"self-join sides must reuse the window exchange:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("PolyHash.horner matches an independent BigInt formulation") {
     val samples = Seq("", "a", "the quick brown fox", "tok1 tok2", "Z" * 100)
     samples.foreach { s =>
