@@ -100,6 +100,12 @@ object GraftExtensions {
           intLit(args(1), "rolling_fingerprints", "k"),
           intLit(args(2), "rolling_fingerprints", "window"))
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => {
+        arity("nfc_normalize", args, 1)
+        graft.functions.TextNorm.NfcNormalize(args(0))
+      }),
     (FunctionIdentifier("scaled_long"),
       info("scaled_long",
         "scaled_long(x, scale) - exact unscaled long of CAST(x AS DECIMAL(·, scale))"),

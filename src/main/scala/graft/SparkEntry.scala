@@ -64,6 +64,7 @@ object SparkEntry {
     "q44_lsh_pairs"       -> (LlmOps.q44LshPairs _),
     "q45_decontaminate"   -> (LlmOps.q45Decontaminate _),
     "q46_quality_filter"  -> (LlmOps.q46QualityFilter _),
+    "q47_normalize"       -> (LlmOps.q47Normalize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +121,6 @@ object SparkEntry {
     "q44_lsh_pairs"       -> LlmOps.q44Oracle,
     "q45_decontaminate"   -> LlmOps.q45Oracle,
     "q46_quality_filter"  -> LlmOps.q46Oracle,
+    "q47_normalize"       -> LlmOps.q47Oracle,
   )
 }

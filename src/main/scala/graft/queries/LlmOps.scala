@@ -643,6 +643,38 @@ object LlmOps {
       |  count(*) AS n_docs
       |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
 
+  /** Unicode TEXT NORMALIZATION audit — NFC composition, lowercasing,
+    * whitespace collapse (graft.functions.TextNorm.normalizeDoc; the pass
+    * that must run BEFORE any content-hash dedup, since canonically-
+    * equivalent byte sequences otherwise slip past it). Per language:
+    * how many docs normalization changes, and exact char counts before/
+    * after. One codegen'd scan (the NFC kernel is a native expression,
+    * static call per row) + one tiny agg shuffle.
+    */
+  def q47Normalize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextNorm
+    val norm = TextNorm.normalizeDoc(col("text"))
+    documents(s, d)
+      .select(col("lang"), col("text"), norm.as("norm"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("norm") =!= col("text")).as("n_changed"),
+        sum(length(col("text"))).as("chars_before"),
+        sum(length(col("norm"))).as("chars_after"))
+      .orderBy("lang")
+  }
+
+  val q47Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(count_if(norm <> text) AS BIGINT) AS n_changed,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars_before,
+      |  CAST(sum(length(norm)) AS BIGINT) AS chars_after
+      |FROM (SELECT lang, text,
+      |        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+      |      FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Gopher-style QUALITY FILTERING with per-rule drop accounting — the
     * decision operator the q30/q41 quality signals feed (Rae et al. 2021
     * §A1.1-style rules, thresholds adapted to the fixture's 10–99-token

@@ -22,7 +22,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  minhash_signature(toks, 2, 16, true) AS sigp,
         |  minhash_band_buckets(toks, 2, 16, 4, true) AS bands,
         |  rolling_fingerprints(text, 4, 2) AS fps,
-        |  scaled_long(x, 6) AS sl
+        |  scaled_long(x, 6) AS sl,
+        |  nfc_normalize(text) AS nt
         |FROM ext_t""".stripMargin).head()
 
     val viaApi = spark.table("ext_t").select(
@@ -33,7 +34,8 @@ class GraftExtensionsSpec extends SparkSpec {
       MinHash.signature(col("toks"), 2, 16, portable = true).as("sigp"),
       MinHash.bandBuckets(col("toks"), 2, 16, 4, portable = true).as("bands"),
       VectorExpressions.rollingFingerprints(col("text"), 4, 2).as("fps"),
-      ExactDecimal.scaled6(col("x")).as("sl")).head()
+      ExactDecimal.scaled6(col("x")).as("sl"),
+      graft.functions.TextNorm.nfcNormalize(col("text")).as("nt")).head()
 
     assert(viaSql.toSeq.map(String.valueOf) == viaApi.toSeq.map(String.valueOf),
       s"SQL and column API must agree:\n$viaSql\n$viaApi")
