@@ -65,6 +65,7 @@ object SparkEntry {
     "q45_decontaminate"   -> (LlmOps.q45Decontaminate _),
     "q46_quality_filter"  -> (LlmOps.q46QualityFilter _),
     "q47_normalize"       -> (LlmOps.q47Normalize _),
+    "q48_asof_join"       -> (LlmOps.q48AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +123,6 @@ object SparkEntry {
     "q45_decontaminate"   -> LlmOps.q45Oracle,
     "q46_quality_filter"  -> LlmOps.q46Oracle,
     "q47_normalize"       -> LlmOps.q47Oracle,
+    "q48_asof_join"       -> LlmOps.q48Oracle,
   )
 }

@@ -858,6 +858,37 @@ object LlmOps {
       .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
       .orderBy("user_id")
 
+  /** Backward AS-OF join over the event stream: every click enriched with
+    * the user's most recent prior-or-simultaneous purchase value
+    * ([[graft.ops.AsOf.joinBackward]] — union + keyed window carry-
+    * forward; one shuffle, no range join). The right side is unique per
+    * (user_id, ts) in the fixture (asserted by the count parity below
+    * holding), so the match is well-defined; the oracle is DuckDB's
+    * NATIVE `ASOF LEFT JOIN` — the built-in operator cross-checks the
+    * composed formulation. Timestamps stay internal (µs vs ns rendering
+    * differs across engines); the output carries only ids and the matched
+    * value.
+    */
+  def q48AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.AsOf
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    AsOf.joinBackward(clicks, purchases, Seq("user_id"), "ts")
+      .select(col("event_id"), col("user_id"), col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val q48Oracle: String =
+    """WITH p AS (SELECT user_id, ts, value AS purchase_value
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, p.purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val q33Oracle: String =
     """WITH lagged AS (
       |  SELECT user_id, ts, event_id,
