@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{LlmOps, Relational}
+import graft.queries.{Corpus, LlmOps, Relational, Warehouse}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 is registered here as a
@@ -66,6 +66,16 @@ object SparkEntry {
     "q46_quality_filter"  -> (LlmOps.q46QualityFilter _),
     "q47_normalize"       -> (LlmOps.q47Normalize _),
     "q48_asof_join"       -> (LlmOps.q48AsofJoin _),
+    "q49_pivot"           -> (Warehouse.q49Pivot _),
+    "q50_percentile"      -> (Warehouse.q50Percentile _),
+    "q51_cube"            -> (Warehouse.q51Cube _),
+    "q52_range_join"      -> (Warehouse.q52RangeJoin _),
+    "q53_hash_split"      -> (Corpus.q53HashSplit _),
+    "q54_json"            -> (Warehouse.q54Json _),
+    "q55_tfidf"           -> (Corpus.q55Tfidf _),
+    "q56_rolling"         -> (Warehouse.q56Rolling _),
+    "q57_argmax"          -> (Warehouse.q57ArgMax _),
+    "q58_asof_forward"    -> (Warehouse.q58AsofForward _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,5 +134,15 @@ object SparkEntry {
     "q46_quality_filter"  -> LlmOps.q46Oracle,
     "q47_normalize"       -> LlmOps.q47Oracle,
     "q48_asof_join"       -> LlmOps.q48Oracle,
+    "q49_pivot"           -> Warehouse.q49Oracle,
+    "q50_percentile"      -> Warehouse.q50Oracle,
+    "q51_cube"            -> Warehouse.q51Oracle,
+    "q52_range_join"      -> Warehouse.q52Oracle,
+    "q53_hash_split"      -> Corpus.q53Oracle,
+    "q54_json"            -> Warehouse.q54Oracle,
+    "q55_tfidf"           -> Corpus.q55Oracle,
+    "q56_rolling"         -> Warehouse.q56Oracle,
+    "q57_argmax"          -> Warehouse.q57Oracle,
+    "q58_asof_forward"    -> Warehouse.q58Oracle,
   )
 }

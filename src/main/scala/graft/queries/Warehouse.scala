@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+import Num.dec
+
+/** Advanced warehouse analytics — the second ring of relational operators
+  * beyond Relational.scala's SURVEY §2 parity set: reshaping (PIVOT,
+  * CUBE), order statistics (exact quartiles), per-group argmax, rolling
+  * window aggregates, semi-structured JSON extraction, and the two
+  * composed time-series joins (lookback range join, forward as-of).
+  *
+  * Same design rules as Relational.scala: declarative plans, broadcast
+  * bounded sides, exact decimal/integer arithmetic wherever a result
+  * crosses engines, deterministic output order.
+  */
+object Warehouse {
+
+  /** PIVOT — long-to-wide reshape with an EXPLICIT value list (Spark's
+    * two-arg pivot; the one-arg variant runs an extra distinct-collect
+    * job to discover values — never do that at 100 TB). Quantities are
+    * integral by construction, so the sums stay on exact long arithmetic.
+    * Plan: one partial-agg shuffle, same as any groupBy — pivot only
+    * widens the aggregate buffer.
+    */
+  def q49Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast("long")))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy("l_linestatus")
+
+  val q49Oracle: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_a,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_n,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Exact per-group QUARTILES via the built-in sort-based `percentile`.
+    * Cross-engine determinism: the requested percentages are DYADIC
+    * (0.25/0.5/0.75 are exact doubles) and l_quantity is integer-valued,
+    * so `p*(n-1)` and the interpolation `lo + frac*(hi-lo)` are computed
+    * EXACTLY by any formula either engine uses — no low-bit divergence
+    * (arbitrary p over arbitrary doubles would differ in the last ulp:
+    * DuckDB and Spark interpolate with differently-ordered float ops).
+    * Scale note: exact percentile materializes per-group value counts;
+    * the 100 TB path is `approx_percentile` (t-digest sketch, one pass,
+    * mergeable partials) — same plan shape, bounded state.
+    */
+  def q50Percentile(s: SparkSession, d: String): DataFrame = {
+    val qs = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)))
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), qs.as("qs"))
+      .select(col("l_returnflag"), col("n_rows"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  val q50Oracle: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5)  AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** CUBE — all 2^2 grouping sets in one pass, with `grouping_id()`
+    * disambiguating the rollup levels (both engines put the FIRST cube
+    * column in the most significant bit). Rolled-up keys are coalesced to
+    * a sentinel so the output order never depends on engine null-ordering
+    * defaults. One shuffle: Spark expands the grouping sets BELOW the
+    * partial aggregate, so the map side emits one pre-aggregated record
+    * per set, not 4x the input.
+    */
+  def q51Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("gid"), col("n_rows"), col("sum_qty"))
+      .orderBy("gid", "flag", "status")
+
+  val q51Oracle: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS flag,
+      |  coalesce(l_linestatus, '(all)') AS status,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, flag, status""".stripMargin
+
+  /** Lookback RANGE JOIN ([[graft.ops.RangeJoin]]) — clicks attributed to
+    * each purchase from the preceding 10 minutes, per user. The binning
+    * rewrite turns the interval predicate into a hash equi-join on
+    * (user_id, time-bin); the oracle states the same join as a plain
+    * inequality LEFT JOIN, which DuckDB plans as an IEJoin — two
+    * independent formulations of the operator.
+    */
+  def q52RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.RangeJoin
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_event_id"))
+    RangeJoin.lookback(purchases, clicks, Seq("user_id"),
+        "ts", "c_ts", 10L * 60 * 1000000, "event_id")
+      .groupBy("event_id", "user_id")
+      .agg(count(col("c_event_id")).as("n_clicks_10m"))
+      .orderBy("event_id")
+  }
+
+  val q52Oracle: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks_10m
+      |FROM p LEFT JOIN c
+      |  ON c.user_id = p.user_id
+      | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts < p.ts
+      |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin
+
+  /** Semi-structured JSON extraction — `get_json_object` path evaluation
+    * over the events' `props` column, typed to long, then profiled per
+    * event type. The extraction is a per-row expression inside codegen
+    * (no UDF, no driver parsing); at scale the same plan handles nested
+    * paths via `from_json` with an explicit schema (schema-on-read, never
+    * schema inference over 100 TB).
+    */
+  def q54Json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  val q54Oracle: String =
+    """SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+      |  min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** ROLLING window aggregates — per-user moving sum/average over the
+    * last 5 events (ROWS frame ordered by (ts, event_id) — the unique
+    * secondary key makes the frame contents deterministic). Sums run in
+    * exact decimal so the moving aggregate is identical in both engines
+    * regardless of how each implements frame re-evaluation; the average
+    * derives from it with one IEEE division. Partitioned by user_id
+    * (high-cardinality), so the window shuffle spreads evenly at scale;
+    * the user_id filter is a partition-key predicate that pushes below
+    * the window into the scan.
+    */
+  def q56Rolling(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    events(s, d)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("roll_n", count(col("value")).over(w))
+      .withColumn("roll_sum_d", sum(dec(col("value"))).over(w))
+      .select(col("user_id"), col("event_id"), col("roll_n"),
+        round(col("roll_sum_d"), 2).cast("double").as("roll_sum"),
+        round(col("roll_sum_d").cast("double") / col("roll_n"), 4).as("roll_avg"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q56Oracle: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    count(value) OVER w AS roll_n,
+      |    sum(CAST(value AS DECIMAL(38,10))) OVER w AS roll_sum_d
+      |  FROM events WHERE user_id < 20
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, CAST(roll_n AS BIGINT) AS roll_n,
+      |  CAST(round(roll_sum_d, 2) AS DOUBLE) AS roll_sum,
+      |  round(CAST(roll_sum_d AS DOUBLE) / roll_n, 4) AS roll_avg
+      |FROM r ORDER BY user_id, event_id""".stripMargin
+
+  /** Per-group ARGMAX — `max_by` keyed on a (value, unique-key) struct so
+    * ties cannot make the answer engine- or partitioning-dependent (bare
+    * max_by on a tied value is explicitly non-deterministic in both
+    * engines). The oracle derives the same row independently via a
+    * descending row_number. One partial-agg shuffle; the struct ordering
+    * is codegen'd.
+    */
+  def q57ArgMax(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("top_name"),
+        max(col("c_acctbal")).as("top_bal"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  val q57Oracle: String =
+    """WITH ranked AS (
+      |  SELECT c_mktsegment, c_name, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rn,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer)
+      |SELECT c_mktsegment, c_name AS top_name, c_acctbal AS top_bal,
+      |  CAST(n AS BIGINT) AS n_customers
+      |FROM ranked WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Forward AS-OF join ([[graft.ops.AsOf.joinForward]]) — every click
+    * enriched with the user's NEXT purchase value at-or-after the click
+    * (the attribution mirror of q48's backward join). Same one-shuffle
+    * window construction, mirrored frame; oracle is DuckDB's native
+    * `ASOF LEFT JOIN` with the `<=` comparator.
+    */
+  def q58AsofForward(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.AsOf
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("next_purchase_value"))
+    AsOf.joinForward(clicks, purchases, Seq("user_id"), "ts")
+      .select(col("event_id"), col("user_id"), col("next_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val q58Oracle: String =
+    """WITH p AS (SELECT user_id, ts, value AS next_purchase_value
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, p.next_purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY c.event_id""".stripMargin
+}

@@ -34,6 +34,29 @@ class AsOfSpec extends SparkSpec {
       "l3" -> Some(40.0), "l4" -> None), s"got $out")
   }
 
+  test("forward as-of: earliest right at-or-after, inclusive ties, nulls after last, per-key") {
+    val left = Seq(
+      (1L, ts(5), "l1"),  // next right is r@10 -> 100
+      (1L, ts(10), "l2"), // ON r@10 -> inclusive match 100
+      (1L, ts(11), "l3"), // past the last right for user 1 -> null
+      (2L, ts(5), "l4"),  // user 2: r@4 is BEFORE -> must not match; r@6 -> 60
+      (3L, ts(5), "l5"))  // user 3 has no right rows -> null
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(3), 30.0),
+      (1L, ts(10), 100.0),
+      (2L, ts(4), 40.0),
+      (2L, ts(6), 60.0))
+      .toDF("user_id", "ts", "v")
+
+    val out = AsOf.joinForward(left, right, Seq("user_id"), "ts")
+      .select(col("tag"), col("v")).as[(String, Option[Double])]
+      .collect().toMap
+    assert(out == Map(
+      "l1" -> Some(100.0), "l2" -> Some(100.0), "l3" -> None,
+      "l4" -> Some(60.0), "l5" -> None), s"got $out")
+  }
+
   test("payload collision with left columns fails loudly") {
     val left = Seq((1L, ts(1), "x")).toDF("user_id", "ts", "v")
     val right = Seq((1L, ts(1), 1.0)).toDF("user_id", "ts", "v")

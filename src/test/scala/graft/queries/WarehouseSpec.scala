@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q49 pivot cells equal the long-form groupBy the wide table reshapes") {
+    val wide = Warehouse.q49Pivot(spark, d)
+      .as[(String, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> Map("A" -> r._2, "N" -> r._3, "R" -> r._4)).toMap
+    val long = Tables.lineitem(spark, d)
+      .groupBy("l_linestatus", "l_returnflag")
+      .agg(sum($"l_quantity".cast("long")).as("q"))
+      .as[(String, String, Long)].collect()
+    assert(long.nonEmpty)
+    long.foreach { case (status, flag, q) =>
+      assert(wide(status)(flag).contains(q), s"cell ($status,$flag)")
+    }
+    // combos absent from the long form must be NULL, not 0, in the wide form
+    val present = long.map(r => (r._1, r._2)).toSet
+    wide.foreach { case (status, cells) =>
+      cells.foreach { case (flag, v) =>
+        if (!present((status, flag))) assert(v.isEmpty, s"($status,$flag) should be null")
+      }
+    }
+  }
+
+  test("q51 cube: grand-total row equals the table; level sums are consistent") {
+    val rows = Warehouse.q51Cube(spark, d)
+      .as[(String, String, Long, Long, Long)].collect()
+    val total = Tables.lineitem(spark, d).count()
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length == 1 && grand.head._4 == total)
+    // every rollup level re-adds to the same grand totals
+    Seq(0L, 1L, 2L).foreach { gid =>
+      val level = rows.filter(_._3 == gid)
+      assert(level.map(_._4).sum == total, s"gid=$gid row counts")
+      assert(level.map(_._5).sum == grand.head._5, s"gid=$gid qty sums")
+    }
+  }
+
+  test("q50 quartiles equal the interpolation formula on the sorted group") {
+    val got = Warehouse.q50Percentile(spark, d)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4, r._5)).toMap
+    val vals = Tables.lineitem(spark, d)
+      .filter($"l_returnflag" === "A").select($"l_quantity")
+      .as[Double].collect().sorted
+    def pct(p: Double): Double = {
+      val pos = p * (vals.length - 1)
+      val lo = pos.toInt
+      if (lo == vals.length - 1) vals(lo)
+      else vals(lo) + (pos - lo) * (vals(lo + 1) - vals(lo))
+    }
+    assert(got("A") == ((pct(0.25), pct(0.5), pct(0.75))), s"got ${got("A")}")
+  }
+
+  test("q57 argmax agrees with the window-rank formulation and is tie-safe") {
+    val viaAgg = Warehouse.q57ArgMax(spark, d)
+      .select($"c_mktsegment", $"top_name").as[(String, String)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey".desc)
+    val viaWindow = Tables.customer(spark, d)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"c_mktsegment", $"c_name").as[(String, String)].collect().toMap
+    assert(viaAgg == viaWindow)
+  }
+
+  test("q54 json extraction equals a regex parse of the same props") {
+    val viaJson = Tables.events(spark, d)
+      .select(get_json_object($"props", "$.k").cast("long").as("k"))
+      .agg(sum("k"), count("k")).as[(Long, Long)].head()
+    val viaRegex = Tables.events(spark, d)
+      .select(regexp_extract($"props", """"k":\s*(\d+)""", 1).cast("long").as("k"))
+      .agg(sum("k"), count("k")).as[(Long, Long)].head()
+    assert(viaJson == viaRegex && viaJson._2 > 0)
+  }
+
+  test("q56 rolling frame matches a brute-force recomputation for one user") {
+    val rows = Warehouse.q56Rolling(spark, d)
+      .filter($"user_id" === 3).orderBy("event_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assume(rows.nonEmpty, "fixture has no user 3 below the filter")
+    val raw = Tables.events(spark, d).filter($"user_id" === 3)
+      .select($"ts", $"event_id", $"value")
+      .as[(java.sql.Timestamp, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._2))
+    raw.zipWithIndex.foreach { case ((_, eid, _), i) =>
+      val frame = raw.slice(math.max(0, i - 4), i + 1).map(_._3)
+      // mirror dec(): cast double->decimal(38,10) rounds the shortest-
+      // decimal rendering (what BigDecimal(Double) parses) to scale 10
+      val sumExact = frame
+        .map(v => BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      val got = rows.find(_._2 == eid).get
+      assert(got._3 == frame.length, s"roll_n at $eid")
+      assert(got._4 == (sumExact.setScale(2, BigDecimal.RoundingMode.HALF_UP)).toDouble,
+        s"roll_sum at $eid")
+    }
+  }
+
+  test("q58 forward as-of: every click preserved; matched values are future purchases") {
+    val e = Tables.events(spark, d)
+    val out = Warehouse.q58AsofForward(spark, d)
+    assert(out.count() == e.filter($"event_type" === "click").count())
+    // spot-audit: each matched value equals the min-ts purchase >= click ts
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .groupBy(_._1)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect().take(200)
+    val got = out.select($"event_id", $"next_purchase_value")
+      .as[(Long, Option[Double])].collect().toMap
+    clicks.foreach { case (eid, uid, ts) =>
+      val expect = purchases.getOrElse(uid, Array.empty)
+        .filter(p => !p._2.before(ts))
+        .sortBy(p => (p._2.getTime, p._2.getNanos)).headOption.map(_._3)
+      assert(got(eid) == expect, s"click $eid")
+    }
+  }
+}
