@@ -48,19 +48,23 @@ object Corpus {
     * per source. The score is integer-scaled (`tf * 1e6 DIV df`) so
     * ranking is exact integer arithmetic in both engines — a float idf
     * (log) would differ in the last ulp across libm implementations.
-    * Plan: one explode scan feeds BOTH aggregations (tf by (source,term),
-    * df by term over distinct (term,doc)), a shuffle join on term —
+    * Plan: ONE explode scan, pre-aggregated to (term, source, doc_id)
+    * counts; both tf (sum per (source, term)) and df (row count per term
+    * — the base rows are distinct term×doc pairs, each doc in exactly one
+    * source) derive from that shared base, so its shuffle is planned once
+    * and the second branch is a ReusedExchange (pinned in CorpusSpec) —
+    * the corpus is read and exploded exactly once. The tf⋈df join is
     * vocabulary-sized, NOT corpus-sized, and naturally skew-resistant
-    * because partial aggregation collapses each term before the join —
-    * then a per-source top-k window over the vocabulary.
+    * because partial aggregation collapses each term before the join;
+    * a per-source top-k window closes it out.
     */
   def q55Tfidf(s: SparkSession, d: String): DataFrame = {
-    val terms = documents(s, d)
+    val base = documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-    val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("term", "doc_id").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("term", "source", "doc_id").agg(count(lit(1)).as("c"))
+    val tf = base.groupBy("source", "term").agg(sum(col("c")).as("tf"))
+    val df = base.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("source")
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df, "term")

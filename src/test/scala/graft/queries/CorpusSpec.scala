@@ -43,4 +43,12 @@ class CorpusSpec extends SparkSpec {
       assert(s == s.sorted, "per-source ordering must be (score desc, term asc)")
     }
   }
+
+  test("q55 reads the corpus once: tf and df share the base exchange") {
+    val plan = Corpus.q55Tfidf(spark, d).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single corpus scan, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"df branch must reuse the (term,source,doc) base shuffle:\n$plan")
+  }
 }
