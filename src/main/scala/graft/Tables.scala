@@ -11,8 +11,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes a single file.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Opt-in reuse of one ANALYZED DataFrame per table path for the life of
+    * the process. `spark.read.parquet` lists files and reads footers at
+    * plan-construction time; across a 58-query bench run that fixed
+    * planning cost is re-paid per query even though the underlying files
+    * never change. Bench enables this (one session, immutable fixture
+    * dirs); Verify and tests keep the default cold path so an overwritten
+    * test dir is never served a stale file index. Reuse caches METADATA
+    * only — the data itself is still scanned from parquet per query, so
+    * timed plans are unchanged.
+    */
+  @volatile private var reuse = false
+  private val byPath =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def enableReuse(): Unit = { reuse = true }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (reuse) byPath.computeIfAbsent(path, p => spark.read.parquet(p))
+    else spark.read.parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -44,18 +44,22 @@ object PolyHash {
   /** Offset of permutation i — in [0, Mod-1]. */
   def coefB(i: Int): Long = java.lang.Math.floorMod(splitmix(2L * i + 1), Mod)
 
-  /** Horner hash of a string's UTF-16 code units mod p. Equal to the
+  /** Horner hash of a string's Unicode CODE POINTS mod p — exactly the
     * DuckDB formulation `list_reduce(ord-codepoints, (acc,x) ->
-    * (acc*257+x) % p)` for all BMP text (code unit == code point); callers
-    * restrict to such text (the oracled queries filter lang = 'en').
+    * (acc*257+x) % p)` for ALL text, non-BMP included (ord() yields code
+    * points, so iterating UTF-16 code units would diverge on emoji and
+    * other astral-plane characters — round-4 advice). Bound check: a code
+    * point < 0x110000 ≈ 1.1e6, so acc·257 + cp < 2.6e11 ≪ 2^63 on both
+    * engines.
     */
   def horner(s: String): Long = {
     var h = 0L
     var i = 0
     val n = s.length
     while (i < n) {
-      h = (h * Base + s.charAt(i)) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * Base + cp) % Mod
+      i += java.lang.Character.charCount(cp)
     }
     h
   }

@@ -317,8 +317,9 @@ object VectorExpressions {
     * banding algebra as [[SimHash64]] at 3×10-bit bands. Exists alongside
     * the 64-bit xxhash64 variant so the SimHash banding query can carry a
     * full DuckDB oracle — the oracle recomputes identical integer votes.
-    * Intended for BMP text (see [[PolyHash.horner]]); oracled callers
-    * filter to lang = 'en'.
+    * Code-point-based ([[PolyHash.horner]]), so parity holds for all
+    * text, non-BMP included; oracled callers still filter to lang = 'en'
+    * as a corpus choice.
     */
   case class PolySimHash(child: Expression) extends UnaryExpression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -396,8 +397,12 @@ object VectorExpressions {
       }
 
     override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[UTF8String].toString
-      val n = s.length
+      // Decode to code points once: the oracle engine's substr()/ord()
+      // count CHARACTERS (code points), so both gram segmentation and the
+      // per-character hash values must be code-point-based — iterating
+      // UTF-16 units would mis-slice and mis-hash non-BMP text (r4 advice).
+      val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+      val n = cps.length
       if (n < k) return null
       val m = n - k + 1
       val hs = new Array[Long](m)
@@ -406,7 +411,7 @@ object VectorExpressions {
         var h = 0L
         var j = 0
         while (j < k) {
-          h = (h * Base + s.charAt(i + j)) % Mod
+          h = (h * Base + cps(i + j)) % Mod
           j += 1
         }
         hs(i) = h

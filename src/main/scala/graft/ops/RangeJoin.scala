@@ -44,6 +44,10 @@ object RangeJoin {
     val overlap = right.columns.filterNot(keys.contains)
       .intersect(left.columns.filterNot(keys.contains))
     require(overlap.isEmpty, s"right columns collide with left: ${overlap.toSeq}")
+    val reservedHits = (left.columns ++ right.columns).toSeq
+      .intersect(Seq("__off", "__bin", "__n_matched"))
+    require(reservedHits.isEmpty,
+      s"inputs may not contain reserved internal columns: ${reservedHits.distinct}")
 
     val lBin = floor(unix_micros(col(leftTs)) / lookbackMicros)
     val rBin = floor(unix_micros(col(rightTs)) / lookbackMicros)

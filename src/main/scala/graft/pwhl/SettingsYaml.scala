@@ -51,16 +51,36 @@ object SettingsYaml {
     lines.foreach { raw =>
       val line = raw.replace("﻿", "") // BOM guard (settings.yml has one)
       val noComment = {
-        val i = line.indexOf('#')
-        if (i >= 0 && line.take(i).count(_ == '"') % 2 == 0) line.take(i) else line
+        // a '#' only starts a comment when it is OUTSIDE both quote kinds
+        // (r4 advice: 'a#b.log' was silently truncated by a double-quote-
+        // only count) — scan with quote state and cut at the first
+        // unquoted '#'
+        var inS = false; var inD = false; var cut = -1
+        var i = 0
+        while (cut < 0 && i < line.length) {
+          line.charAt(i) match {
+            case '\'' if !inD => inS = !inS
+            case '"' if !inS  => inD = !inD
+            case '#' if !inS && !inD => cut = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (cut >= 0) line.take(cut) else line
       }
       val t = noComment.trim
       if (t.nonEmpty) {
-        if (!noComment.startsWith(" ") && t.endsWith(":")) {
+        if (!noComment.startsWith(" ") && !noComment.startsWith("\t") && t.endsWith(":")) {
           current = t.dropRight(1)
           sections += (current -> sections.getOrElse(current, Map.empty))
         } else {
           require(current != null, s"scalar before any section: $raw")
+          // fail-loud posture (r4 advice): a NON-indented `key: value` after
+          // a section header is a top-level scalar this subset doesn't
+          // support — absorbing it into the previous section would silently
+          // misfile it
+          require(noComment.startsWith(" ") || noComment.startsWith("\t"),
+            s"unsupported top-level mapping line (expected '<section>:' header or indented key): $raw")
           require(!t.startsWith("- "), s"unsupported YAML list item in settings: $raw")
           val i = t.indexOf(':')
           require(i > 0, s"unsupported YAML mapping line: $raw")

@@ -48,26 +48,28 @@ object Corpus {
     * per source. The score is integer-scaled (`tf * 1e6 DIV df`) so
     * ranking is exact integer arithmetic in both engines — a float idf
     * (log) would differ in the last ulp across libm implementations.
-    * Plan: ONE explode scan, pre-aggregated to (term, source, doc_id)
-    * counts; both tf (sum per (source, term)) and df (row count per term
-    * — the base rows are distinct term×doc pairs, each doc in exactly one
-    * source) derive from that shared base, so its shuffle is planned once
-    * and the second branch is a ReusedExchange (pinned in CorpusSpec) —
-    * the corpus is read and exploded exactly once. The tf⋈df join is
-    * vocabulary-sized, NOT corpus-sized, and naturally skew-resistant
-    * because partial aggregation collapses each term before the join;
-    * a per-source top-k window closes it out.
+    * Plan: ONE explode scan, aggregated twice — first to (term, source,
+    * doc_id) occurrence counts, then to (term, source) carrying BOTH
+    * tf (occurrences) and docs_st (documents in that source containing
+    * the term). df is then a window `sum(docs_st) over (partition by
+    * term)` — each doc lives in exactly one source, so the per-source
+    * doc counts partition the corpus-wide document frequency. No tf⋈df
+    * join exists at all: the corpus is read and exploded exactly once
+    * (pinned in CorpusSpec — one scan, zero joins), and every exchange
+    * after the first is vocabulary-sized, not corpus-sized, with partial
+    * aggregation collapsing each term before any shuffle; a per-source
+    * top-k window closes it out.
     */
   def q55Tfidf(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+    val st = documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .groupBy("term", "source", "doc_id").agg(count(lit(1)).as("c"))
-    val tf = base.groupBy("source", "term").agg(sum(col("c")).as("tf"))
-    val df = base.groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("term", "source")
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("docs_st"))
     val w = Window.partitionBy("source")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
+    st.withColumn("df", sum(col("docs_st")).over(Window.partitionBy("term")))
       .withColumn("score", expr("tf * 1000000 DIV df"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

@@ -727,9 +727,10 @@ object LlmOps {
     * compute bit-identical hashes, unlike xxhash64), then winnowed by
     * taking the minimum in each sliding window of 4 — a document's
     * fingerprint set is robust to local edits. Native single-pass
-    * expression (same integer math as the oracle's list_reduce Horner);
-    * one scan, no shuffle before the final sort. Restricted to lang='en'
-    * so char-code arithmetic stays in ASCII on both engines.
+    * expression (same integer math as the oracle's list_reduce Horner;
+    * both sides segment and hash by CODE POINT, so parity covers non-BMP
+    * text too); one scan, no shuffle before the final sort. The lang='en'
+    * restriction is a corpus choice, not a parity requirement.
     */
   def q40Fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)

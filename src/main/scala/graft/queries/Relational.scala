@@ -677,35 +677,49 @@ object Relational {
     * are groupBys on the SAME keys, so Catalyst reuses the hash
     * partitioning — the join itself adds no third shuffle; the final
     * re-agg is bounded by |suppliers|.
+    *
+    * Quantity sums ride the split-long fast path (ExactDecimal.splitSums,
+    * bit-safe for the raw ≤4-decimal l_quantity — same substitution as
+    * q03/q18/q23): the ~200k-group first level and the join carry only
+    * primitive-long partials; the exact DECIMAL total is recombined once
+    * per supplier, after the second-level long re-sum.
     */
   def q35CompoundJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactDecimal
     val li = lineitem(s, d)
+    val aShip = ExactDecimal.splitSums(col("l_quantity"), 6, "qty") :+
+      count(lit(1)).as("n_ship")
     val shipped = li.filter(col("l_returnflag") =!= "R")
       .groupBy("l_partkey", "l_suppkey")
-      .agg(sum(dec(col("l_quantity"))).as("qty_dec"), count(lit(1)).as("n_ship"))
+      .agg(aShip.head, aShip.tail: _*)
+    val aRet = ExactDecimal.splitSums(col("l_quantity"), 6, "retx")
     val returned = li.filter(col("l_returnflag") === "R")
       .groupBy("l_partkey", "l_suppkey")
-      .agg(sum(dec(col("l_quantity"))).as("ret_qty"))
-      .withColumnsRenamed(Map("ret_qty" -> "returned_dec"))
+      .agg(aRet.head, aRet.tail: _*)
+      .withColumnsRenamed(Map("hi_retx" -> "hi_ret", "lo_retx" -> "lo_ret"))
     shipped.join(returned, Seq("l_partkey", "l_suppkey"), "left")
       .groupBy("l_suppkey")
       .agg(
         count(lit(1)).as("n_part_supp"),
         sum(col("n_ship")).as("n_ship_lines"),
-        round(sum(col("qty_dec")), 2).cast("double").as("shipped_qty"),
-        round(sum(coalesce(col("returned_dec"), lit(0).cast("decimal(38,10)"))), 2)
-          .cast("double").as("returned_qty"))
+        sum(col("hi_qty")).as("hi_qty"),
+        sum(col("lo_qty")).as("lo_qty"),
+        sum(coalesce(col("hi_ret"), lit(0L))).as("hi_ret"),
+        sum(coalesce(col("lo_ret"), lit(0L))).as("lo_ret"))
+      .select(col("l_suppkey"), col("n_part_supp"), col("n_ship_lines"),
+        round(ExactDecimal.totalOf("qty", 6), 2).cast("double").as("shipped_qty"),
+        round(ExactDecimal.totalOf("ret", 6), 2).cast("double").as("returned_qty"))
       .orderBy("l_suppkey")
   }
 
   val q35Oracle: String =
     """WITH shipped AS (
       |  SELECT l_partkey, l_suppkey,
-      |    sum(CAST(l_quantity AS DECIMAL(38,10))) AS qty_dec, count(*) AS n_ship
+      |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec, count(*) AS n_ship
       |  FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1, 2),
       |returned AS (
       |  SELECT l_partkey, l_suppkey,
-      |    sum(CAST(l_quantity AS DECIMAL(38,10))) AS returned_dec
+      |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS returned_dec
       |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
       |SELECT l_suppkey, count(*) AS n_part_supp,
       |  CAST(sum(n_ship) AS BIGINT) AS n_ship_lines,

@@ -117,11 +117,15 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
-  test("PolyHash.horner matches an independent BigInt formulation") {
-    val samples = Seq("", "a", "the quick brown fox", "tok1 tok2", "Z" * 100)
+  test("PolyHash.horner matches an independent code-point BigInt formulation") {
+    // Non-BMP samples included: ord() in the oracle engine yields CODE
+    // POINTS, so horner must too — a UTF-16 code-unit walk would hash the
+    // emoji below as two surrogates and silently break cross-engine parity.
+    val samples = Seq("", "a", "the quick brown fox", "tok1 tok2", "Z" * 100,
+      "café 😀 ok", "😀😁")
     samples.foreach { s =>
-      val expected = s.foldLeft(BigInt(0))((acc, c) =>
-        (acc * PolyHash.Base + c.toInt) % PolyHash.Mod).toLong
+      val expected = s.codePoints().toArray.foldLeft(BigInt(0))((acc, cp) =>
+        (acc * PolyHash.Base + cp) % PolyHash.Mod).toLong
       assert(PolyHash.horner(s) == expected, s"horner('$s')")
     }
   }

@@ -152,6 +152,17 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(VectorExpressions.rollingFingerprints(col("t"), 8, 4)).as[Seq[Long]].head()
     val overlap = f1.toSet.intersect(f2.toSet).size.toDouble / f1.size
     assert(overlap > 0.5, s"local edit destroyed fingerprints: $overlap")
+    // non-BMP: 8 CODE POINTS (9 UTF-16 units) is exactly ONE gram, hashed
+    // over code points — substr()/ord() count characters in the oracle
+    // engine, so segmentation must too (r4 advice)
+    val emoji = "abc😀defg" // abc😀defg — 8 code points
+    assert(emoji.length == 9, "sample must contain a surrogate pair")
+    val g = Seq(emoji).toDF("t")
+      .select(VectorExpressions.rollingFingerprints(col("t"), 8, 1))
+      .as[Seq[Long]].head()
+    val hornerCp = emoji.codePoints().toArray
+      .foldLeft(0L)((acc, cp) => (acc * 257 + cp) % 1000000007L)
+    assert(g == Seq(hornerCp), "one code-point gram, code-point Horner hash")
   }
 
   test("poly_simhash: 30-bit, independent per-token vote reference, banding captures near-dups") {

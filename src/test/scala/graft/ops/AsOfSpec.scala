@@ -57,6 +57,39 @@ class AsOfSpec extends SparkSpec {
       "l4" -> Some(60.0), "l5" -> None), s"got $out")
   }
 
+  test("a matched right row's NULL payload is carried as null, not skipped") {
+    // user 1: r@3 has v=30 but note=null; r@6 has v=null, note="b". A left
+    // row at @7 matches r@6 — BOTH its fields must come from r@6 (v null
+    // included), never v=30 carried over from the older row.
+    val left = Seq((1L, ts(7), "l1"), (1L, ts(4), "l2"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(3), Some(30.0), Option.empty[String]),
+      (1L, ts(6), Option.empty[Double], Some("b")))
+      .toDF("user_id", "ts", "v", "note")
+
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts")
+      .select(col("tag"), col("v"), col("note"))
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("l1") == (None, Some("b")), s"got ${out("l1")}")
+    assert(out("l2") == (Some(30.0), None), s"got ${out("l2")}")
+
+    val fwd = AsOf.joinForward(left, right, Seq("user_id"), "ts")
+      .select(col("tag"), col("v"), col("note"))
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fwd("l2") == (None, Some("b")), s"forward got ${fwd("l2")}")
+  }
+
+  test("inputs containing reserved internal columns are rejected") {
+    val left = Seq((1L, ts(1), 0)).toDF("user_id", "ts", "__side")
+    val right = Seq((1L, ts(1), 1.0)).toDF("user_id", "ts", "v")
+    val e = intercept[IllegalArgumentException](
+      AsOf.joinBackward(left, right, Seq("user_id"), "ts"))
+    assert(e.getMessage.contains("__side"))
+  }
+
   test("payload collision with left columns fails loudly") {
     val left = Seq((1L, ts(1), "x")).toDF("user_id", "ts", "v")
     val right = Seq((1L, ts(1), 1.0)).toDF("user_id", "ts", "v")

@@ -55,6 +55,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a join in:\n$plan")
   }
 
+  test("inputs containing reserved internal columns are rejected") {
+    val l = Seq((1L, 10L, ts("10:10:00.0"), 0L)).toDF("pid", "user_id", "ts", "__bin")
+    val r = Seq((10L, ts("10:00:00.0"), 1L)).toDF("user_id", "c_ts", "cid")
+    val e = intercept[IllegalArgumentException](
+      RangeJoin.candidates(l, r, Seq("user_id"), "ts", "c_ts", TenMinutes))
+    assert(e.getMessage.contains("__bin"))
+  }
+
   test("binned join equals the naive interval cross-join on real data") {
     val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val p = e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")

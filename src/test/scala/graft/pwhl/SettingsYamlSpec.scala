@@ -24,6 +24,29 @@ class SettingsYamlSpec extends SparkSpec {
     assert(s.warehouse.writeDisposition == "WRITE_TRUNCATE")
   }
 
+  test("single-quoted values keep '#' and top-level scalars after a section are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("settings").toFile
+    val ok = new java.io.File(dir, "ok.yml")
+    java.nio.file.Files.write(ok.toPath,
+      """weather:
+        |  log_file: 'a#b.log'   # comment after a single-quoted hash
+        |  out_csv: "c#d.csv"    # and after a double-quoted one
+        |""".stripMargin.getBytes("UTF-8"))
+    val m = SettingsYaml.parseSections(ok.getPath)("weather")
+    assert(m("log_file") == "a#b.log", s"got ${m("log_file")}")
+    assert(m("out_csv") == "c#d.csv", s"got ${m("out_csv")}")
+
+    val bad = new java.io.File(dir, "bad.yml")
+    java.nio.file.Files.write(bad.toPath,
+      """weather:
+        |  provider: x
+        |stray_key: value
+        |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](SettingsYaml.parseSections(bad.getPath))
+    assert(e.getMessage.contains("stray_key"),
+      s"top-level scalar must fail loudly, not join 'weather': ${e.getMessage}")
+  }
+
   test("unset placeholder and missing keys fail loudly at load") {
     val e = intercept[graft.ops.Validate.ValidationException] {
       SettingsYaml.settings(s"$ref/config/settings.yml", _ => None)

@@ -44,11 +44,11 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
-  test("q55 reads the corpus once: tf and df share the base exchange") {
+  test("q55 reads the corpus once: window-derived df, no tf-df join") {
     val plan = Corpus.q55Tfidf(spark, d).queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected a single corpus scan, got $scans:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"df branch must reuse the (term,source,doc) base shuffle:\n$plan")
+    assert(!plan.contains("Join"),
+      s"df must come from a window over the shared aggregate, not a join:\n$plan")
   }
 }
