@@ -73,12 +73,17 @@ object Bench {
     // better because a query was excluded (round-2 advice).
     val total =
       if (failed > 0) -1.0 else results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // Compact summary FIRST on its own bounded-size line (round-4 verdict:
-    // the single mega-line with embedded iterations got tail-truncated and
-    // the whole artifact was unparseable); the per-iteration evidence goes
-    // on a SECOND line so losing it never loses the headline numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // Line order matters: the capture harness keeps the output TAIL, so the
+    // bounded compact summary must be the LAST stdout line (round-5 verdict:
+    // summary-first meant the multi-KB iterations line survived truncation
+    // while the headline line was cut — three rounds of lost artifacts).
+    // The summary is ALSO printed first so a human scrolling a full log sees
+    // it immediately; the authoritative copy is the final line.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(summary)
     println(s"""{"metric":"iterations","iterations":$its,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }
