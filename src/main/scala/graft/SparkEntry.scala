@@ -76,6 +76,8 @@ object SparkEntry {
     "q56_rolling"         -> (Warehouse.q56Rolling _),
     "q57_argmax"          -> (Warehouse.q57ArgMax _),
     "q58_asof_forward"    -> (Warehouse.q58AsofForward _),
+    "q59_sketches"        -> (Warehouse.q59Sketches _),
+    "q60_bucketed_join"   -> (Warehouse.q60BucketedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,5 +146,7 @@ object SparkEntry {
     "q56_rolling"         -> Warehouse.q56Oracle,
     "q57_argmax"          -> Warehouse.q57Oracle,
     "q58_asof_forward"    -> Warehouse.q58Oracle,
+    "q59_sketches"        -> Warehouse.q59Oracle,
+    "q60_bucketed_join"   -> Warehouse.q60Oracle,
   )
 }

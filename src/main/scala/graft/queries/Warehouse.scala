@@ -246,4 +246,126 @@ object Warehouse {
       |SELECT c.event_id, c.user_id, p.next_purchase_value
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
       |ORDER BY c.event_id""".stripMargin
+
+  /** SKETCH aggregates — the 100 TB path that q50's scaladoc names but
+    * (until now) nothing exercised: `approx_count_distinct` (HyperLogLog++,
+    * bounded mergeable registers instead of a per-group distinct-value
+    * hash table) and `approx_percentile` (quantile summary sketch, one
+    * pass, mergeable partials, instead of materializing per-group sorted
+    * values). Both are deterministic for a fixed input (fixed hash seeds /
+    * deterministic compress), so the query is oracle-able; since the
+    * ESTIMATES are engine-specific, the cross-engine contract is stated as
+    * a bounds check: Spark emits the exact values plus booleans asserting
+    * each sketch landed inside its error bound, and the oracle emits the
+    * same exact values with literal TRUE — a sketch drifting out of bounds
+    * flips the boolean and fails the hash compare. Bounds: HLL++ at
+    * rsd=0.01 checked at 5× rsd (measured max rel-err across all three
+    * fixtures: 0.9%; rsd=0.02 would halve the sketch cost but its
+    * measured 3.3% error leaves only 1.5× margin — not worth it);
+    * approx_percentile at accuracy=1000 (rank error n/1000) checked at
+    * ±1.0 against the exact dyadic median of integral quantities — the
+    * per-value run length is ~n/50, three orders above the rank error,
+    * so the picked value moves at most one step.
+    * Scale shape: partial-agg shuffles carrying fixed-size sketch
+    * buffers. The exact countDistinct and exact percentile beside the
+    * sketches are the toy-scale verification columns — at 100 TB only
+    * the sketch columns remain, and the sketch update parallelizes per
+    * input split (the local fixture is a single row group, so its map
+    * side is one task — a fixture artifact, not a plan property).
+    */
+  def q59Sketches(s: SparkSession, d: String): DataFrame = {
+    // Two separate aggregations joined on the 3-row group key, NOT one agg
+    // mixing countDistinct with percentile buffers: that single-agg shape
+    // plans a distinct-Expand feeding sort-based percentile buffers
+    // (measured 17 s vs 0.6 s at sf0.01). The distinct side runs as a
+    // two-level exact aggregate (partial per (flag, orderkey), then count
+    // of the now-unique keys — the same agg-below rewrite as q06); the
+    // HLL++ sketch is computed over the SAME deduped keys, which is
+    // registers-identical to running it over the raw rows because sketch
+    // insertion is idempotent — that's the whole point of HLL.
+    val li = lineitem(s, d)
+    val distincts = li
+      .groupBy("l_returnflag", "l_orderkey").agg(count(lit(1)).as("__n"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_orders_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("acd"))
+    val pcts = li
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"))
+    distincts.join(pcts, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("n_orders_exact"), col("p50_exact"),
+        (abs(col("acd") - col("n_orders_exact"))
+          <= col("n_orders_exact") * lit(0.05)).as("acd_ok"),
+        (abs(col("ap50") - col("p50_exact")) <= lit(1.0)).as("ap50_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val q59Oracle: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders_exact,
+      |  quantile_cont(l_quantity, 0.5) AS p50_exact,
+      |  TRUE AS acd_ok, TRUE AS ap50_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** BUCKETED exchange-free fact-to-fact join — the co-located layout the
+    * q06 scaladoc promises for 100 TB, promoted from spec-only evidence
+    * (SkewAndBucketingSpec) to a registered, oracled query. Both sides are
+    * CTAS'd once per fixture dir as parquet tables bucketed 8-ways on the
+    * join key (sorted within buckets); the subsequent join reads matching
+    * buckets pairwise and needs NO Exchange on either input — the only
+    * shuffle left is the tiny final per-priority aggregation. The bucketed
+    * copies are created on first call and reused (the fixture dirs are
+    * immutable), so Bench's timed iterations measure the exchange-free
+    * join itself, exactly what a warehouse with a maintained bucketed
+    * layout pays per query. Q60PlanSpec pins the no-input-Exchange plan
+    * shape; the oracle states the same join over the raw parquet.
+    */
+  def q60BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val lt = s"graft_bucketed.lineitem_q60_$tag"
+    val ot = s"graft_bucketed.orders_q60_$tag"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
+    def ensure(table: String)(create: String => Unit): Unit =
+      if (!s.catalog.tableExists(table)) {
+        // The default in-memory catalog forgets tables when the JVM exits
+        // but the managed warehouse directory persists on disk, so a fresh
+        // process would hit LOCATION_ALREADY_EXISTS — clear the orphaned
+        // location before recreating.
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val loc = new org.apache.hadoop.fs.Path(
+          s"$wh/graft_bucketed.db/${table.split('.').last.toLowerCase}")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        create(table)
+      }
+    ensure(lt) { t =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t)
+    }
+    ensure(ot) { t =>
+      orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t)
+    }
+    s.table(lt)
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        Num.sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q60Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

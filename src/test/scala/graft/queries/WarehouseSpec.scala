@@ -104,6 +104,47 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q59 sketches stay inside their error bounds and flags are all true") {
+    val out = Warehouse.q59Sketches(spark, d)
+      .as[(String, Long, Double, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (flag, _, _, acdOk, ap50Ok) =>
+      assert(acdOk, s"approx_count_distinct out of 5% bound for $flag")
+      assert(ap50Ok, s"approx_percentile off exact median by >1.0 for $flag")
+    }
+    // tighter audit than the query's own 5% flag: measure the actual HLL++
+    // relative error at rsd=0.01 directly
+    val errs = Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact"),
+        approx_count_distinct($"l_orderkey", 0.01).as("acd"))
+      .select($"l_returnflag",
+        (abs($"acd" - $"exact") / $"exact").as("rel_err"))
+      .as[(String, Double)].collect()
+    errs.foreach { case (flag, e) =>
+      assert(e < 0.05, s"HLL++ rel err $e for $flag")
+    }
+  }
+
+  test("q60 bucketed join plan has no Exchange on either join input") {
+    val out = Warehouse.q60BucketedJoin(spark, d)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not re-shuffle its inputs:\n$plan")
+    // and it equals the shuffling formulation over the raw files
+    val raw = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"l_quantity".cast("long")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+      .as[(String, Long, Long)].collect().toSeq
+    val got = out.select($"o_orderpriority", $"n_lines", $"sum_qty")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == raw)
+  }
+
   test("q58 forward as-of: every click preserved; matched values are future purchases") {
     val e = Tables.events(spark, d)
     val out = Warehouse.q58AsofForward(spark, d)
