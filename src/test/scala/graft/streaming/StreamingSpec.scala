@@ -75,6 +75,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- file-source e2e: the same transforms driven from a real file
+  // stream of the events fixture (not MemoryStream), pinning batch/stream
+  // parity through an actual source that lists, orders, and batches files.
+
+  test("file-source e2e: windowed counts from a parquet stream match the batch twin") {
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_in_").toString
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_type"))
+    // 4 input files + maxFilesPerTrigger=1 -> at least 4 micro-batches
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    // Complete mode: every window is in the sink regardless of watermark
+    // progress, which is exactly the batch result — the parity statement
+    val q = EventStreams.windowedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("file_win_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_win_test")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val want = EventStreams
+        .windowedCounts(spark.read.parquet(src), "1 hour", "10 minutes")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got.nonEmpty && got == want)
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "the file source must have produced multiple micro-batches")
+    } finally q.stop()
+  }
+
+  test("file-source e2e: sessionizer over the events fixture matches q33 per user") {
+    import EventStreams.{Event, SessionOut}
+    import scala.jdk.CollectionConverters._
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_stage_")
+    val src = java.nio.file.Files.createTempDirectory("graft_sess_in_")
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value")).as[Event]
+
+    // a per-user sentinel far beyond the gap closes every real session
+    // in-batch; the sentinel's own session stays open and is never emitted
+    val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
+    val sentinelTs = new Timestamp(maxTs.getTime + 2L * 60 * 60 * 1000)
+    val users = ev.map(_.user_id).distinct().collect().sorted.toSeq
+    val sentinels = users.map(u => Event(sentinelTs, u, "flush", 0.0))
+
+    // arrival order is controlled via modification time (the file source
+    // processes oldest-first): real halves, then the sentinel file LAST —
+    // a sentinel processed first would advance the watermark and absorb
+    // the late real events into its own session
+    def writeOne(df: org.apache.spark.sql.Dataset[Event], name: String, modMs: Long): Unit = {
+      val tmp = stage.resolve(name)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = src.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      assert(dest.toFile.setLastModified(modMs))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(ev.filter(_.user_id % 2 == 0), "c1_even", now - 10000)
+    writeOne(ev.filter(_.user_id % 2 == 1), "c2_odd", now - 5000)
+    writeOne(sentinels.toDS(), "c3_flush", now)
+
+    val schema = spark.read.parquet(src.toString).schema
+    val input = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString).as[Event]
+    val q = EventStreams.sessionize(spark, input, gapMinutes = 30)
+      .writeStream.format("memory").queryName("file_sess_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val perUser = spark.table("file_sess_test").as[SessionOut].collect()
+        .groupBy(_.user_id)
+        .map { case (u, ss) => (u, ss.length.toLong, ss.map(_.n_events).sum) }
+        .toSet
+      val batch = graft.queries.LlmOps.q33Sessionize(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(perUser == batch,
+        "per-user (n_sessions, n_events) from the file-driven sessionizer must match q33")
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates: stateful dedup by key") {
     val input = MemoryStream[(Timestamp, String)]
     val dedup = EventStreams
