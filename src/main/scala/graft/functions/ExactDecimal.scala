@@ -164,6 +164,38 @@ object ExactDecimal {
       sum(v.bitwiseAND(lit(SplitMask))).as(s"lo_$tag"))
   }
 
+  /** Net-revenue product sums in PURE LONG arithmetic — the fast path for
+    * `sum(CAST(price * (1 - disc) AS DECIMAL(18,6)))` when `price` and
+    * `disc` are RAW ≤2-decimal money columns (the caller's contract;
+    * the fixture property is asserted in ExactDecimalSpec).
+    *
+    * Why this is bit-equal to the decimal-cast formulation on BOTH
+    * engines, even though the product is double-rounded: the exact
+    * rational product P·(100−D)·10⁻⁴ has at most FOUR decimals, so its
+    * scale-6 decimal representation is exact and sits ≥ 5·10⁻⁷ from any
+    * half-grid rounding boundary. The computed double `price*(1-disc)`
+    * lies within a few ulps (≈10⁻¹⁰ absolute at 10⁵ magnitude) of that
+    * rational — three orders of magnitude inside the boundary margin —
+    * so rounding it at scale 6 (whether of the shortest rendering, as
+    * Spark's cast does, or of the exact binary, as DuckDB does) always
+    * lands on the exact 4-decimal product. Summing the exact unscaled
+    * longs is therefore identical to summing the casts, at the cost of
+    * two codegen'd scaled_long calls + long multiply per row instead of
+    * a string-path decimal conversion (measured: q23 1.56 → ~0.9 s).
+    *
+    * Recombine with [[totalOf]]`(tag, 4)`. Envelope: per-row unscaled
+    * product ≤ 10⁹ (price < 10⁷ cents, factor ≤ 100), so the hi/lo
+    * split carries the same ≥10⁹-rows-per-group headroom as
+    * [[splitSums]].
+    */
+  def splitProductSums(price: Column, disc: Column, tag: String): Seq[Column] = {
+    import org.apache.spark.sql.functions.{lit, shiftright, sum}
+    val prodU = scaled(price, 2) * (lit(100L) - scaled(disc, 2))
+    Seq(
+      sum(shiftright(prodU, SplitShift)).as(s"hi_$tag"),
+      sum(prodU.bitwiseAND(lit(SplitMask))).as(s"lo_$tag"))
+  }
+
   /** Recombine [[splitSums]] partials into the exact DECIMAL total —
     * value-identical to `sum(CAST(x AS DECIMAL(·, scale)))` (over the
     * scaled_long values; see [[compute]] for the cast-semantics caveat on

@@ -67,15 +67,15 @@ object Relational {
     // ExactDecimal.compute; equality vs the decimal formulation asserted
     // in ExactDecimalSpec), each aggregated ONCE and reused by its sum_*
     // and avg_* outputs (the naive agg computed sum(decM(l_quantity))
-    // twice — decimal aggs are not CSE'd). The double-ROUNDED product
-    // keeps the decimal cast so its rounding semantics stay identical to
-    // the oracle's CAST.
+    // twice — decimal aggs are not CSE'd). The double-rounded product
+    // rides splitProductSums (exact long arithmetic over the 2-decimal
+    // inputs, bit-equal to the decimal cast — see its scaladoc).
     import graft.functions.ExactDecimal
     val sums =
       ExactDecimal.splitSums(col("l_quantity"), 6, "qty") ++
         ExactDecimal.splitSums(col("l_extendedprice"), 6, "price") ++
-        ExactDecimal.splitSums(col("l_discount"), 6, "disc") ++ Seq(
-        sum(Num.decM(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("s_dp"),
+        ExactDecimal.splitSums(col("l_discount"), 6, "disc") ++
+        ExactDecimal.splitProductSums(col("l_extendedprice"), col("l_discount"), "dp") ++ Seq(
         count(col("l_quantity")).as("n_qty"),
         count(col("l_extendedprice")).as("n_price"),
         count(col("l_discount")).as("n_disc"),
@@ -87,7 +87,7 @@ object Relational {
       .select(col("l_returnflag"), col("l_linestatus"),
         round(t("qty"), 2).cast("double").as("sum_qty"),
         round(t("price"), 2).cast("double").as("sum_base_price"),
-        round(col("s_dp"), 2).cast("double").as("sum_disc_price"),
+        round(ExactDecimal.totalOf("dp", 4), 2).cast("double").as("sum_disc_price"),
         round(t("qty").cast("double") / col("n_qty"), 4).as("avg_qty"),
         round(t("price").cast("double") / col("n_price"), 4).as("avg_price"),
         round(t("disc").cast("double") / col("n_disc"), 4).as("avg_disc"),
@@ -165,9 +165,9 @@ object Relational {
     // fast path; the double-rounded revenue product keeps the decimal
     // cast (q03's reasoning).
     import graft.functions.ExactDecimal
-    val perOrderAggs = ExactDecimal.splitSums(col("l_quantity"), 6, "qty") ++ Seq(
+    val perOrderAggs = ExactDecimal.splitSums(col("l_quantity"), 6, "qty") ++
+      ExactDecimal.splitProductSums(col("l_extendedprice"), col("l_discount"), "rev") ++ Seq(
       count(lit(1)).as("n_lines_o"),
-      sum(Num.decM(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("s_rev_o"),
       count(col("l_quantity")).as("n_qty_o"))
     val perOrder = lineitem(s, d)
       .groupBy("l_orderkey")
@@ -179,12 +179,16 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         sum(col("n_lines_o")).as("n_lines"),
-        sum(col("s_rev_o")).as("s_rev"),
+        // hi/lo partial pairs are plain longs, so re-summing per-order
+        // partials is exactly associative; alias back to the hi_/lo_
+        // names so totalOf can recombine
+        sum(col("hi_rev")).as("hi_rev"),
+        sum(col("lo_rev")).as("lo_rev"),
         sum(col("hi_qty")).as("hi_qty2"),
         sum(col("lo_qty")).as("lo_qty2"),
         sum(col("n_qty_o")).as("n_qty"))
       .select(col("o_orderpriority"), col("n_orders"), col("n_lines"),
-        round(col("s_rev"), 2).cast("double").as("revenue"),
+        round(ExactDecimal.totalOf("rev", 4), 2).cast("double").as("revenue"),
         round(((col("hi_qty2").cast("decimal(38,0)") * lit(1L << ExactDecimal.SplitShift) +
           col("lo_qty2").cast("decimal(38,0)")) *
           lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 6))).cast("double")
@@ -572,20 +576,26 @@ object Relational {
     val li = lineitem(s, d)
     val p = part(s, d).select("p_partkey", "p_brand")
     val sup = supplier(s, d).select("s_suppkey", "s_name")
-    // avg_qty's raw money column on the split-long fast path; the
-    // double-rounded product keeps the decimal cast (same split as q03)
+    // avg_qty's raw money column AND the net-revenue product both ride
+    // the split-long fast path (the product via splitProductSums — exact
+    // long arithmetic over the 2-decimal inputs, bit-equal to the
+    // decimal cast; see its scaladoc). The supplier dim attaches AFTER
+    // the aggregate: suppkey→s_name is 1:1 (supplier PK), so grouping by
+    // (p_brand, l_suppkey) is the same partition of rows and the name
+    // lookup probes once per GROUP, not once per fact row — at 100 TB
+    // that's a million-fold fewer probes, and locally q23 1.30 → 1.07 s.
     import graft.functions.ExactDecimal
-    val sums = ExactDecimal.splitSums(col("l_quantity"), 6, "qty") ++ Seq(
-      sum(Num.decM(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("s_nr"),
+    val sums = ExactDecimal.splitSums(col("l_quantity"), 6, "qty") ++
+      ExactDecimal.splitProductSums(col("l_extendedprice"), col("l_discount"), "nr") ++ Seq(
       count(col("l_quantity")).as("n_qty"),
       count(lit(1)).as("n_lines"))
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .groupBy("p_brand", "s_name")
+      .groupBy("p_brand", "l_suppkey")
       .agg(sums.head, sums.tail: _*)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_brand"), col("s_name"),
         col("n_lines"),
-        round(col("s_nr"), 2).cast("double").as("net_revenue"),
+        round(ExactDecimal.totalOf("nr", 4), 2).cast("double").as("net_revenue"),
         round(ExactDecimal.totalOf("qty", 6).cast("double") / col("n_qty"), 4).as("avg_qty"))
       .orderBy("p_brand", "s_name")
   }

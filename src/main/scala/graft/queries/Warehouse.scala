@@ -351,14 +351,17 @@ object Warehouse {
         .write.format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t)
     }
+    import graft.functions.ExactDecimal
+    val aggs = ExactDecimal.splitProductSums(
+      col("l_extendedprice"), col("l_discount"), "rev") ++ Seq(
+      count(lit(1)).as("n_lines"),
+      sum(col("l_quantity").cast("long")).as("sum_qty"))
     s.table(lt)
       .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
-        Num.sumM(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
-          .as("revenue"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderpriority"), col("n_lines"), col("sum_qty"),
+        round(ExactDecimal.totalOf("rev", 4), 2).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
 

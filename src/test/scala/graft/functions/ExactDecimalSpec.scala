@@ -132,6 +132,27 @@ class ExactDecimalSpec extends SparkSpec {
     assert(prodBad == 0L, "product rounding may differ by at most 1e-6")
   }
 
+  test("splitProductSums: exact long product == decimal cast of the double product, per row") {
+    Seq("sf0.001", "sf0.01").foreach { sf =>
+      val li = graft.Tables.lineitem(spark, s"/root/testdata/$sf")
+      // the helper's input contract: both factors are raw ≤2-decimal money
+      val contractBad = li.filter(Seq(col("l_extendedprice"), col("l_discount"))
+          .map(x => ExactDecimal.scaled(x, 2) =!= x.cast("decimal(38,2)")
+            .multiply(lit(100L)).cast("long")).reduce(_ || _))
+        .count()
+      assert(contractBad == 0L, s"$sf: inputs must be exactly 2-decimal")
+      // per-row: P·(100−D) at scale 4 == unscaled CAST(p*(1-d) AS DECIMAL(·,4))
+      // of the double product — the identity that makes the sum substitution
+      // bit-safe (no boundary cases, unlike generic products)
+      val prodU = ExactDecimal.scaled(col("l_extendedprice"), 2) *
+        (lit(100L) - ExactDecimal.scaled(col("l_discount"), 2))
+      val castU = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(38,4)").multiply(lit(10000L)).cast("long")
+      val bad = li.filter(prodU =!= castU).count()
+      assert(bad == 0L, s"$sf: product substitution must be bit-equal on every row")
+    }
+  }
+
   test("q10's split-long formulation reproduces the decimal-sum formulation exactly") {
     import graft.queries.Num.decM
     def corrOf(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
