@@ -1,7 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Int8 embedding quantization — the storage/IO lever for similarity
   * search at scale: a 64-dim float vector (256 B) becomes 64 bytes plus
@@ -34,5 +39,109 @@ object Quantize {
   def dequantize(q: Column): Column = {
     val scale = (q.getField("vmax") - q.getField("vmin")) / 255.0
     transform(q.getField("codes"), c => q.getField("vmin") + c.cast("double") * scale)
+  }
+
+  /** `dequantize(quantize(v))` fused into ONE native pass — the hot-path
+    * form for quantized similarity search, where the codes themselves are
+    * never materialized. The HOF formulation runs two interpreted lambda
+    * loops plus array_min/array_max per row and allocates a struct + two
+    * intermediate arrays; this expression makes one min/max sweep and one
+    * output array (measured: q43 1.11 → ~0.7 s at sf0.1).
+    *
+    * Value parity with the HOF form (asserted bit-exact in QuantizeSpec):
+    * identical operand order (`scale = (max−min)/255.0`, `y = min +
+    * code·scale`), min/max ignore null elements and null elements stay
+    * null (array_min/array_max/transform semantics), constant vectors
+    * dequantize to vmin exactly. The rounding `halfUp` is bit-equal to
+    * Spark's `round()` (BigDecimal HALF_UP of the shortest rendering) on
+    * these operands: the quotient is non-negative and < 2^51, where a
+    * binary value's shortest rendering has fractional part ".5" iff the
+    * binary fractional part IS exactly 0.5 — so rounding the binary value
+    * half-up (floor + exact-residual compare) decides identically; DuckDB's
+    * half-away-from-zero also agrees on non-negatives.
+    */
+  def roundTrip(v: Column): Column =
+    GraftColumnBridge.column(QuantizeRoundTrip(GraftColumnBridge.expression(v)))
+
+  /** floor + exact residual (x − floor(x) is always representable for
+    * x ≥ 0), half rounds UP — see [[roundTrip]] for why this matches both
+    * engines' round() here. */
+  @inline private def halfUp(x: Double): Double = {
+    val f = java.lang.Math.floor(x)
+    if (x - f >= 0.5) f + 1.0 else f
+  }
+
+  /** One-pass kernel behind [[QuantizeRoundTrip]] (static so codegen can
+    * call it directly). */
+  def roundTripArray(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var vmin = 0.0; var vmax = 0.0; var seen = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        if (!seen) { vmin = x; vmax = x; seen = true }
+        else {
+          if (x < vmin) vmin = x
+          if (x > vmax) vmax = x
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    if (seen) {
+      val scale = (vmax - vmin) / 255.0
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          out(i) =
+            if (vmax == vmin) java.lang.Double.valueOf(vmin)
+            else {
+              val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+              java.lang.Double.valueOf(vmin + halfUp((x - vmin) / scale) * scale)
+            }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  case class QuantizeRoundTrip(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def nullable: Boolean = true
+    override def prettyName: String = "quantize_round_trip"
+
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<float> or array<double>, got ${dt.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any =
+      Quantize.roundTripArray(v.asInstanceOf[ArrayData], isFloat)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      val code =
+        code"""
+          ${c.code}
+          boolean ${ev.isNull} = ${c.isNull};
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${ev.value} = graft.functions.Quantize.roundTripArray(${c.value}, $isFloat);
+          }
+        """
+      ev.copy(code = code)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 }

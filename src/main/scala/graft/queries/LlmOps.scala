@@ -106,7 +106,9 @@ object LlmOps {
     import graft.functions.Quantize
     val e = embeddings(s, d)
       .select(col("vec_id"),
-        Quantize.dequantize(Quantize.quantize(col("embedding"))).as("v"))
+        // fused native round-trip (bit-equal to dequantize∘quantize —
+        // QuantizeSpec pins it); the codes themselves are never needed here
+        Quantize.roundTrip(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))

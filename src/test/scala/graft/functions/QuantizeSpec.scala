@@ -21,6 +21,28 @@ class QuantizeSpec extends SparkSpec {
       "every element must reconstruct within half a quantization step")
   }
 
+  test("native roundTrip is bit-equal to dequantize∘quantize on the fixture") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val bad = e.select(
+        Quantize.dequantize(Quantize.quantize(col("embedding"))).as("hof"),
+        Quantize.roundTrip(col("embedding")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(bad == 0L, "fused native round-trip must reproduce the HOF form exactly")
+    // and on adversarial shapes: constant vector, negatives, null element
+    val adv = Seq(
+      (1L, Seq[java.lang.Float](0.5f, 0.5f, 0.5f)),
+      (2L, Seq[java.lang.Float](-3.25f, 0.0f, 7.5f)),
+      (3L, Seq[java.lang.Float](1.0f, null, 2.0f))).toDF("id", "v")
+    val advBad = adv.select(
+        Quantize.dequantize(Quantize.quantize(col("v"))).as("hof"),
+        Quantize.roundTrip(col("v")).as("native"))
+      .filter(col("hof") =!= col("native") ||
+        col("hof").isNull =!= col("native").isNull)
+      .count()
+    assert(advBad == 0L)
+  }
+
   test("constant vectors quantize to zero codes and reconstruct exactly") {
     val out = Seq(Seq(0.5f, 0.5f, 0.5f)).toDF("v")
       .select(Quantize.quantize(col("v")).as("q"))
