@@ -218,15 +218,26 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
   /** P7 — HAVING post-aggregation filter (sql/10_eda_queries.sql:100). */
-  def q08Having(s: SparkSession, d: String): DataFrame =
+  def q08Having(s: SparkSession, d: String): DataFrame = {
+    // Raw ≤2-decimal columns summed at the oracle's scale 10 ride the
+    // split-long fast path (scale-10 bit-equality on raw money columns is
+    // pinned in ExactDecimalSpec) instead of the non-compact decimal(38,10)
+    // accumulator (~450 ns/row): q08 0.86 → ~0.45 s at sf0.1.
+    import graft.functions.ExactDecimal
+    val sums = ExactDecimal.splitSums(col("l_discount"), 10, "disc") ++
+      ExactDecimal.splitSums(col("l_quantity"), 10, "qty") ++ Seq(
+      count(lit(1)).as("n_lines"),
+      count(col("l_discount")).as("n_disc"))
     lineitem(s, d)
       .groupBy("l_suppkey")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        avgD(col("l_discount"), 4).as("avg_disc"),
-        sumD(col("l_quantity"), 2).as("sum_qty"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("l_suppkey"), col("n_lines"),
+        round(ExactDecimal.totalOf("disc", 10).cast("double") / col("n_disc"), 4)
+          .as("avg_disc"),
+        round(ExactDecimal.totalOf("qty", 10), 2).cast("double").as("sum_qty"))
       .filter(col("avg_disc") > 0.05)
       .orderBy("l_suppkey")
+  }
 
   val q08Oracle: String =
     """SELECT l_suppkey, count(*) AS n_lines,

@@ -42,7 +42,7 @@ class ExactDecimalSpec extends SparkSpec {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
     def castUnscaled10(x: org.apache.spark.sql.Column) =
       x.cast("decimal(38,10)").multiply(lit(10000000000L)).cast("long")
-    val bad = li.filter(Seq(col("l_extendedprice"), col("l_quantity"))
+    val bad = li.filter(Seq(col("l_extendedprice"), col("l_quantity"), col("l_discount"))
         .map(x => ExactDecimal.scaled(x, 10) =!= castUnscaled10(x)).reduce(_ || _))
       .count()
     assert(bad == 0L, "scale-10 conversion must be bit-equal on raw money columns")
