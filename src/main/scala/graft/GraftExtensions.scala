@@ -91,6 +91,12 @@ object GraftExtensions {
           intLit(args(3), "minhash_band_buckets", "nBands"),
           if (args.length == 5) boolLit(args(4), "minhash_band_buckets", "portable") else false)
       }),
+    (FunctionIdentifier("poly_horner"),
+      info("poly_horner", "poly_horner(text) - engine-portable scalar content hash (Horner mod 1e9+7)"),
+      (args: Seq[Expression]) => {
+        arity("poly_horner", args, 1)
+        VectorExpressions.HornerHash(args(0))
+      }),
     (FunctionIdentifier("rolling_fingerprints"),
       info("rolling_fingerprints",
         "rolling_fingerprints(text, k, window) - winnowed rolling-hash fingerprints"),

@@ -78,6 +78,8 @@ object SparkEntry {
     "q58_asof_forward"    -> (Warehouse.q58AsofForward _),
     "q59_sketches"        -> (Warehouse.q59Sketches _),
     "q60_bucketed_join"   -> (Warehouse.q60BucketedJoin _),
+    "q61_chunk"           -> (Corpus.q61Chunk _),
+    "q62_stratified_sample"-> (Corpus.q62StratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +150,7 @@ object SparkEntry {
     "q58_asof_forward"    -> Warehouse.q58Oracle,
     "q59_sketches"        -> Warehouse.q59Oracle,
     "q60_bucketed_join"   -> Warehouse.q60Oracle,
+    "q61_chunk"           -> Corpus.q61Oracle,
+    "q62_stratified_sample"-> Corpus.q62Oracle,
   )
 }

@@ -439,7 +439,41 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Scalar [[PolyHash.horner]] of a STRING — the engine-portable content
+    * hash as a standalone expression (the kernels above embed it per
+    * token/gram; q62's stratified sampler needs it per document). Null in
+    * → null out; codegen is one static call per row.
+    */
+  case class HornerHash(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "poly_horner"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a string input, got ${dt.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(PolyHash.horner(v.asInstanceOf[UTF8String].toString))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.PolyHash.horner($c.toString())")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column-level API --------------------------------------------------
+
+  /** poly_horner(text) — engine-portable scalar content hash. */
+  def hornerHash(text: Column): Column =
+    GraftColumnBridge.column(HornerHash(GraftColumnBridge.expression(text)))
 
   /** rolling_fingerprints(text, k, window) over a string column. */
   def rollingFingerprints(text: Column, k: Int, window: Int): Column =

@@ -92,4 +92,104 @@ object Corpus {
       |  FROM tf JOIN df USING (term))
       |SELECT source, term, tf, CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
       |FROM scored WHERE rn <= 5 ORDER BY source, score DESC, term""".stripMargin
+
+  private val ChunkLen = 50
+  private val ChunkStride = 40
+
+  /** Token-window CHUNKING — the pre-embedding segmentation step of every
+    * RAG / embedding pipeline: each document becomes overlapping windows
+    * of [[ChunkLen]] tokens at stride [[ChunkStride]] (10-token overlap so
+    * no sentence is split across a hard boundary without context). The
+    * start offsets come from an integer-arithmetic `sequence` (chunk
+    * count = ceil((n−W)/S)+1, floor-div formulation shared with the
+    * oracle), and `slice` + `concat_ws` rebuild each window — all
+    * codegen'd column expressions, one explode, no UDFs. Plan: a single
+    * scan that explodes to O(total_tokens / stride) rows; at 100 TB the
+    * chunker is a map-only stage (zero shuffles before the output sort) —
+    * exactly what feeds a distributed embedding job.
+    */
+  def q61Chunk(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    // integral DIV (Column./ is double division); matches the oracle's //
+    val lastStart = expr(
+      s"CAST(CASE WHEN n <= $ChunkLen THEN 0 " +
+        s"ELSE (n - $ChunkLen + ${ChunkStride - 1}) DIV $ChunkStride END AS INT)")
+    documents(s, d)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), t.as("t"), size(t).as("n"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), lastStart)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("t"), col("chunk_id") * ChunkStride + 1, lit(ChunkLen)))
+          .as("chunk_text"),
+        size(slice(col("t"), col("chunk_id") * ChunkStride + 1, lit(ChunkLen)))
+          .cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q61Oracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE source = 'src0'),
+       |starts AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(0,
+       |      CASE WHEN len(t) <= $ChunkLen THEN 0
+       |           ELSE (len(t) - $ChunkLen + $ChunkStride - 1) // $ChunkStride END)) AS chunk_id
+       |  FROM base)
+       |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       |  array_to_string(t[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen], ' ') AS chunk_text,
+       |  CAST(len(t[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen]) AS BIGINT) AS n_tokens
+       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
+
+  private val SampleK = 20
+  private val SampleOversample = 3
+
+  /** Deterministic STRATIFIED SAMPLING by content hash — the reproducible
+    * data-mixture sampler: the k docs with the smallest engine-portable
+    * [[graft.functions.PolyHash.horner]] text hash per language. Unlike
+    * `TABLESAMPLE`/`randomSplit`, the selection is a pure function of
+    * CONTENT — stable across runs, engines, partition layouts, and
+    * re-ingestion, so a training mixture is auditable and reproducible.
+    * Scale shape: a per-stratum count (tiny broadcast) derives an integer
+    * hash threshold (≈ oversample·k/n of the hash space, floor-div so
+    * both engines compute the same literal bound) that prefilters the
+    * corpus in the SCAN — the row_number window then ranks only the
+    * ~oversample·k survivors per stratum, never the full stratum, which
+    * is what makes a 5-stratum window survive a 20 TB stratum. Strata
+    * smaller than the threshold math degenerate to "keep all" (threshold
+    * ≥ Mod), so no stratum can lose rows to the prefilter.
+    */
+  def q62StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{PolyHash, VectorExpressions}
+    val k = SampleK * SampleOversample
+    val hashed = documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        VectorExpressions.hornerHash(col("text")).as("h"))
+    val counts = hashed.groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+    hashed
+      .join(broadcast(counts), Seq("lang"))
+      .filter(col("h") <= expr(s"${PolyHash.Mod * k}L DIV n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SampleK)
+      .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+      .orderBy("lang", "rn")
+  }
+
+  val q62Oracle: String = {
+    import graft.functions.PolyHash
+    val k = SampleK * SampleOversample
+    s"""WITH h AS (
+       |  SELECT lang, doc_id, ${PolyHash.hornerSql("text")} AS h FROM documents),
+       |c AS (SELECT lang, count(*) AS n FROM h GROUP BY lang),
+       |f AS (SELECT h.lang, h.doc_id, h.h
+       |      FROM h JOIN c USING (lang)
+       |      WHERE h.h <= ${PolyHash.Mod * k} // c.n),
+       |r AS (SELECT lang, doc_id, h,
+       |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |      FROM f)
+       |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, h
+       |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin
+  }
 }

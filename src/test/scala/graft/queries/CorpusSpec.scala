@@ -51,4 +51,64 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"df must come from a window over the shared aggregate, not a join:\n$plan")
   }
+
+  test("q61 chunking: full coverage, stride offsets, token-exact reconstruction") {
+    import org.apache.spark.sql.functions._
+    val chunks = Corpus.q61Chunk(spark, d)
+      .as[(Long, Int, String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    val docs = graft.Tables.documents(spark, d)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks.keySet == docs.keySet, "every src0 doc must be chunked")
+    chunks.foreach { case (docId, cs) =>
+      val t = docs(docId)
+      // chunk i reproduces tokens [i*stride, i*stride + len)
+      cs.foreach { case (_, cid, text, nTok) =>
+        val want = t.slice(cid * 40, cid * 40 + 50)
+        assert(text == want.mkString(" "), s"doc $docId chunk $cid")
+        assert(nTok == want.length)
+      }
+      // coverage: the last chunk reaches the final token; ids are 0..k
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      assert(cs.last._2 * 40 + cs.last._4 == t.length,
+        s"doc $docId: chunks must cover the full token sequence")
+    }
+  }
+
+  test("q62 stratified sample: k per stratum, content-deterministic, layout-independent") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.q62StratifiedSample(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    val perLang = out.groupBy(_._1)
+    val langs = graft.Tables.documents(spark, d)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(perLang.keySet == langs, "every stratum must be sampled")
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length == 20, s"$lang must contribute exactly k docs")
+      // ranks are 1..k and hashes arrive ascending (the k smallest)
+      assert(rows.sortBy(_._2).map(_._2).toSeq == (1L to 20L))
+      val hs = rows.sortBy(_._2).map(_._4).toSeq
+      assert(hs == hs.sorted, s"$lang sample must be the smallest hashes in order")
+    }
+    // the selection is a pure function of content: a different partition
+    // layout of the same corpus yields the identical sample
+    val docs2 = graft.Tables.documents(spark, d).repartition(7, col("doc_id"))
+    docs2.createOrReplaceTempView("q62_repart")
+    import graft.functions.{PolyHash, VectorExpressions}
+    val hashed2 = docs2.select(col("lang"), col("doc_id"),
+      VectorExpressions.hornerHash(col("text")).as("h"))
+    val counts2 = hashed2.groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+    val out2 = hashed2.join(broadcast(counts2), Seq("lang"))
+      .filter(col("h") <= expr(s"${PolyHash.Mod * 60}L DIV n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+      .orderBy("lang", "rn")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out2.toSeq == out.toSeq, "sample must be invariant to partition layout")
+  }
 }
