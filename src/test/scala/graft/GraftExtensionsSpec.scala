@@ -23,6 +23,7 @@ class GraftExtensionsSpec extends SparkSpec {
         |  minhash_band_buckets(toks, 2, 16, 4, true) AS bands,
         |  rolling_fingerprints(text, 4, 2) AS fps,
         |  scaled_long(x, 6) AS sl,
+        |  poly_horner(text) AS ph,
         |  nfc_normalize(text) AS nt
         |FROM ext_t""".stripMargin).head()
 
@@ -35,6 +36,7 @@ class GraftExtensionsSpec extends SparkSpec {
       MinHash.bandBuckets(col("toks"), 2, 16, 4, portable = true).as("bands"),
       VectorExpressions.rollingFingerprints(col("text"), 4, 2).as("fps"),
       ExactDecimal.scaled6(col("x")).as("sl"),
+      VectorExpressions.hornerHash(col("text")).as("ph"),
       graft.functions.TextNorm.nfcNormalize(col("text")).as("nt")).head()
 
     assert(viaSql.toSeq.map(String.valueOf) == viaApi.toSeq.map(String.valueOf),
