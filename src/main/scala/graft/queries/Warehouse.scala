@@ -283,7 +283,13 @@ object Warehouse {
     // HLL++ sketch is computed over the SAME deduped keys, which is
     // registers-identical to running it over the raw rows because sketch
     // insertion is idempotent — that's the whole point of HLL.
-    val li = lineitem(s, d)
+    // Both branches read the MAINTAINED BUCKETED layout (shared with q60):
+    // HashPartitioning(l_orderkey) satisfies the (l_returnflag,
+    // l_orderkey) clustered distribution, so the dedup aggregate needs NO
+    // exchange at all, and the 8 bucket files parallelize the map side the
+    // single-row-group raw fixture cannot (2.2 → ~1.1 s at sf0.1) — the
+    // point of a maintained layout is that it serves the whole query mix.
+    val li = bucketedLineitem(s, d)
     val distincts = li
       .groupBy("l_returnflag", "l_orderkey").agg(count(lit(1)).as("__n"))
       .groupBy("l_returnflag")
@@ -322,31 +328,46 @@ object Warehouse {
     * layout pays per query. Q60PlanSpec pins the no-input-Exchange plan
     * shape; the oracle states the same join over the raw parquet.
     */
-  def q60BucketedJoin(s: SparkSession, d: String): DataFrame = {
+  /** Maintained bucketed warehouse layouts, created once per fixture dir
+    * and shared by every query that benefits (q59's distinct side, q60's
+    * co-located join) — the point of a maintained physical layout is that
+    * its one-time cost amortizes across the query mix. The default
+    * in-memory catalog forgets table METADATA when the JVM exits while
+    * the managed warehouse directory persists on disk, so a fresh process
+    * would hit LOCATION_ALREADY_EXISTS — `ensureBucketed` clears the
+    * orphaned location before recreating.
+    */
+  private def ensureBucketed(s: SparkSession, table: String)(create: String => Unit): Unit = {
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
+    if (!s.catalog.tableExists(table)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"$wh/graft_bucketed.db/${table.split('.').last.toLowerCase}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      create(table)
+    }
+  }
+
+  /** Lineitem bucketed 8-ways on `l_orderkey` (sorted within buckets). */
+  private[queries] def bucketedLineitem(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val lt = s"graft_bucketed.lineitem_q60_$tag"
-    val ot = s"graft_bucketed.orders_q60_$tag"
-    s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
-    def ensure(table: String)(create: String => Unit): Unit =
-      if (!s.catalog.tableExists(table)) {
-        // The default in-memory catalog forgets tables when the JVM exits
-        // but the managed warehouse directory persists on disk, so a fresh
-        // process would hit LOCATION_ALREADY_EXISTS — clear the orphaned
-        // location before recreating.
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-        val loc = new org.apache.hadoop.fs.Path(
-          s"$wh/graft_bucketed.db/${table.split('.').last.toLowerCase}")
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        create(table)
-      }
-    ensure(lt) { t =>
+    ensureBucketed(s, lt) { t =>
       lineitem(s, d)
-        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice", "l_discount")
         .write.format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t)
     }
-    ensure(ot) { t =>
+    s.table(lt)
+  }
+
+  def q60BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val ot = s"graft_bucketed.orders_q60_$tag"
+    val liB = bucketedLineitem(s, d)
+    ensureBucketed(s, ot) { t =>
       orders(s, d).select("o_orderkey", "o_orderpriority")
         .write.format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t)
@@ -356,7 +377,7 @@ object Warehouse {
       col("l_extendedprice"), col("l_discount"), "rev") ++ Seq(
       count(lit(1)).as("n_lines"),
       sum(col("l_quantity").cast("long")).as("sum_qty"))
-    s.table(lt)
+    liB
       .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(aggs.head, aggs.tail: _*)
