@@ -57,6 +57,15 @@ object Bench {
       System.gc()
       Thread.sleep(300)
       val warm = once()
+      // Quiesce again between warmup and the timed iterations: a warmup
+      // with one-time side work (q59/q60 create their bucketed layout
+      // there) leaves allocation debt that otherwise lands in the first
+      // timed iteration (observed: q59 13.7 s timed-1 vs 2.2 s timed-3 in
+      // a run where the warmup rebuilt the CTAS from a cold warehouse).
+      System.gc()
+      Thread.sleep(100)
+      System.gc()
+      Thread.sleep(200)
       val iters = if (warm < 0) Seq.empty else Seq.fill(3)(once()).takeWhile(_ >= 0)
       val median =
         if (iters.length < 3) -1.0
