@@ -18,6 +18,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS) — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pin the managed-table location (q59/q60 bucketed layouts) inside
+      // the repo regardless of the invoking working directory
+      .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Reuse analyzed table DataFrames across queries: the fixture dirs are

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS) — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pin the managed-table location (q59/q60 bucketed layouts) inside
+      // the repo regardless of the invoking working directory
+      .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
