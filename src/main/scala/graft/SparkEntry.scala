@@ -80,6 +80,7 @@ object SparkEntry {
     "q60_bucketed_join"   -> (Warehouse.q60BucketedJoin _),
     "q61_chunk"           -> (Corpus.q61Chunk _),
     "q62_stratified_sample"-> (Corpus.q62StratifiedSample _),
+    "q63_dedup_clusters"  -> (LlmOps.q63DedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,5 +153,6 @@ object SparkEntry {
     "q60_bucketed_join"   -> Warehouse.q60Oracle,
     "q61_chunk"           -> Corpus.q61Oracle,
     "q62_stratified_sample"-> Corpus.q62Oracle,
+    "q63_dedup_clusters"  -> LlmOps.q63Oracle,
   )
 }

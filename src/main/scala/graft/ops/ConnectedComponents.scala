@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by iterative min-label propagation —
+  * the cluster-assignment step that turns duplicate-pair candidates (LSH
+  * bands, n-gram Jaccard, embedding near-dup) into dedup groups with one
+  * canonical representative per group.
+  *
+  * Reference scope: the reference pipeline stops at pair-level duplicate
+  * detection; a production training-data pipeline must also pick ONE
+  * survivor per duplicate *cluster* (pairs (a,b) and (b,c) must drop two
+  * of {a,b,c}, not one of each pair independently — independent pair
+  * resolution can drop all three or keep two near-identical docs).
+  *
+  * Algorithm: every node starts labeled with its own id; each round every
+  * node takes the min of its own label and its neighbors' labels. A round
+  * is one shuffle (edge join + groupBy-min); the loop converges when no
+  * label changed. Convergence is detected with a single scalar aggregate —
+  * sum of labels — which is strictly monotone decreasing while any label
+  * still changes (labels only ever decrease), so one cheap `first()` per
+  * round replaces a full change-count join. The sum is taken in
+  * decimal(38,0) so the monotonicity check is exact at any node count.
+  *
+  * 100 TB story: plain propagation needs O(graph diameter) rounds, which
+  * is the RIGHT trade for duplicate graphs specifically — near-dup
+  * clusters are near-cliques (members are mutually similar, and LSH emits
+  * most intra-cluster pairs), so the diameter is a small constant
+  * regardless of corpus size and the loop runs 2–4 rounds of plain
+  * hash-partitioned shuffles. General graphs with long chains (web link
+  * graphs) would instead want the log-convergent large-star/small-star
+  * contraction; that is deliberately out of scope for a dedup operator.
+  * Each round materializes only (node, label) — 16 bytes/node — never the
+  * document payload. Lineage is cut every round with an eager
+  * localCheckpoint (persist alone would leave the logical plan nesting one
+  * union+join level per round — exponential analysis cost). On a real
+  * cluster with flaky executors, swap localCheckpoint for a reliable
+  * `checkpoint` dir: the algorithm is unchanged, only the storage of the
+  * per-round frontier.
+  */
+object ConnectedComponents {
+
+  /** Assign each node appearing in `edges` the minimum node id reachable
+    * from it (its component representative).
+    *
+    * @param edges undirected edge list; self-loops and duplicates are fine
+    * @return DataFrame(node, cluster_id) — one row per distinct endpoint
+    */
+  def assign(edges: DataFrame, srcCol: String, dstCol: String,
+             maxIter: Int = 25): DataFrame = {
+    val src = col(srcCol).cast("long").as("src")
+    val dst = col(dstCol).cast("long").as("dst")
+    // Symmetrize once; both propagation directions come from this frame.
+    val sym = edges.select(src, dst)
+      .unionByName(edges.select(dst.as("src"), src.as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // coalesce: an empty edge set (no duplicates found) must converge on
+    // the first round, not NPE on a null sum
+    def checksum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+
+    // localCheckpoint (not persist): persist caches data but the logical
+    // plan still nests one level per round — by round ~8 the accumulated
+    // union/join tree is exponential and analysis itself OOMs. Checkpoint
+    // materializes the labels AND truncates lineage, so every round plans
+    // against a flat scan of the previous round's result.
+    var labels = sym.select(col("src").as("node"))
+      .distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(eager = true)
+    var sumPrev = checksum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbor labels + own label → min per node. The groupBy reuses the
+      // hash partitioning of the join output when keys align; either way a
+      // round is exactly one shuffle of (node, label) pairs.
+      val next = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("cluster_id"))
+        .unionByName(labels)
+        .groupBy("node")
+        .agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(eager = true)
+      val sumNext = checksum(next)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = sumNext.compareTo(sumPrev) == 0
+      sumPrev = sumNext
+      it += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "graph diameter exceeds the dedup-cluster assumption")
+    sym.unpersist(blocking = false)
+    labels
+  }
+
+  /** `assign` plus per-cluster size, the usual dedup-report shape. */
+  def withSizes(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val labels = assign(edges, srcCol, dstCol)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("node"), col("cluster_id"), col("cluster_size"))
+  }
+}

@@ -388,13 +388,15 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
-  val q44Oracle: String = {
+  /** The q44 CTE chain up to `est` (candidate pairs + signature-agreement
+    * Jaccard estimate), shared with the q63 cluster-assignment oracle. */
+  private def lshPairChainSql: String = {
     val bandSelects = (0 until 8).map { b =>
       s"SELECT doc_id, $b AS band, ${bandFoldSql(b, 8)} AS bucket FROM m"
     }.mkString("\n      UNION ALL ")
     val eq = (0 until 64)
       .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH ${minhashSigCtes(64)},
+    s"""${minhashSigCtes(64)},
        |bb AS ($bandSelects),
        |sized AS (SELECT band, bucket FROM bb GROUP BY band, bucket
        |          HAVING count(*) >= 2 AND count(*) <= 100),
@@ -404,10 +406,82 @@ object LlmOps {
        |          AND a.doc_id < b.doc_id),
        |est AS (SELECT id_a, id_b, CAST($eq AS DOUBLE) / 64 AS est_jaccard
        |        FROM cand JOIN m x ON x.doc_id = cand.id_a
-       |                  JOIN m y ON y.doc_id = cand.id_b)
+       |                  JOIN m y ON y.doc_id = cand.id_b)""".stripMargin
+  }
+
+  val q44Oracle: String =
+    s"""WITH $lshPairChainSql
        |SELECT id_a, id_b, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** q63: duplicate-CLUSTER assignment — the step after pair detection
+    * that the reference pipeline (and most pair-level dedup demos) leaves
+    * out. Edges are the union of two independent candidate generators:
+    * the MinHash-LSH pairs of q44 (whole en corpus, est_jaccard ≥ 0.5)
+    * and the bounded n-gram-Jaccard pairs of q28 (src0 slice, true
+    * Jaccard ≥ 0.5); [[graft.ops.ConnectedComponents]] then collapses
+    * transitive chains (a~b, b~c ⇒ {a,b,c} one cluster) so each cluster
+    * keeps exactly one canonical doc (min doc_id).
+    *
+    * The Jaccard threshold is applied as `2·|∩| ≥ |∪|` in pure integer
+    * arithmetic — no floating-point boundary on either engine. The oracle
+    * replays the whole thing in SQL with the component step as a
+    * WITH RECURSIVE transitive closure (UNION-dedup'd, so it terminates),
+    * min label per node — exactly the fixpoint the iterative Spark loop
+    * converges to.
+    */
+  def q63DedupClusters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHash
+    val lsh = MinHash.candidatePairs(
+        documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id"), toks(col("text")).as("tokens")),
+        "doc_id", "tokens", shingleN = 2, k = 64, nBands = 8,
+        minJaccard = 0.5, maxBucket = 100, portable = true)
+      .select(col("id_a"), col("id_b"))
+    val t = toks(col("text"))
+    val grams = array_distinct(
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val base = documents(s, d)
+      .filter(col("lang") === "en" && col("source") === "src0" && size(t) >= 2)
+      .select(col("doc_id"), grams.as("grams"))
+    val jac = base.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      .join(base.select(col("doc_id").as("id_b"), col("grams").as("gb")),
+        col("id_a") < col("id_b"))
+      .filter(lit(2) * size(array_intersect(col("ga"), col("gb")))
+        >= size(array_union(col("ga"), col("gb"))))
+      .select(col("id_a"), col("id_b"))
+    graft.ops.ConnectedComponents.withSizes(
+        lsh.unionByName(jac), "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
   }
+
+  val q63Oracle: String =
+    s"""WITH RECURSIVE $lshPairChainSql,
+       |lsh AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+       |jbase AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(t) - 1),
+       |                                 i -> t[i] || ' ' || t[i + 1])) AS grams
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |        FROM documents WHERE lang = 'en' AND source = 'src0')
+       |  WHERE len(t) >= 2),
+       |jac AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |        FROM jbase a JOIN jbase b ON a.doc_id < b.doc_id
+       |        WHERE 2 * len(list_intersect(a.grams, b.grams))
+       |              >= len(list_distinct(list_concat(a.grams, b.grams)))),
+       |edges AS (SELECT id_a, id_b FROM lsh UNION SELECT id_a, id_b FROM jac),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION SELECT id_b, id_a FROM edges),
+       |reach AS (
+       |  SELECT DISTINCT src AS node, src AS lab FROM sym
+       |  UNION
+       |  SELECT s.dst AS node, r.lab FROM reach r JOIN sym s ON s.src = r.node),
+       |lab AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   /** Multimodal binary-column statistics: documents cast to opaque BINARY
     * payloads with a kind derived from the source id — real byte-length
