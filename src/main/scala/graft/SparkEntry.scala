@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Corpus, LlmOps, Relational, Warehouse}
+import graft.queries.{Corpus, LlmOps, Privacy, Relational, Warehouse}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 is registered here as a
@@ -81,6 +81,7 @@ object SparkEntry {
     "q61_chunk"           -> (Corpus.q61Chunk _),
     "q62_stratified_sample"-> (Corpus.q62StratifiedSample _),
     "q63_dedup_clusters"  -> (LlmOps.q63DedupClusters _),
+    "q64_pii_redact"      -> (Privacy.q64PiiRedact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,5 +155,6 @@ object SparkEntry {
     "q61_chunk"           -> Corpus.q61Oracle,
     "q62_stratified_sample"-> Corpus.q62Oracle,
     "q63_dedup_clusters"  -> LlmOps.q63Oracle,
+    "q64_pii_redact"      -> Privacy.q64Oracle,
   )
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** PII scrubbing — the redaction pass every LLM training-data pipeline
+  * runs before a corpus ships (emails, long account/phone digit runs).
+  *
+  * Regex subset is chosen to behave identically under Java regex (Spark)
+  * and RE2 (DuckDB oracle): character classes, bounded/greedy repetition
+  * and capture groups only — no lookaround (RE2 has none), no backrefs in
+  * the PATTERN (only in the replacement, where both engines support group
+  * references — `$1` in Java, `\1` in RE2).
+  *
+  * Scale: both passes are per-row `regexp_replace`/`regexp_count` column
+  * expressions — fully inside whole-stage codegen, no UDF boxing, no
+  * shuffle. At 100 TB this is a map-only scan whose cost is the regex
+  * automaton over each document once.
+  */
+object Privacy {
+
+  /** Anything shaped local@domain.tld (tld ≥ 2 alpha). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Digit runs of ≥9 — account-number shaped. The match consumes the
+    * whole run (greedy `{5,}` + trailing capture of 4), so replacement
+    * keeps only the last four digits: `123456789` → `***6789`. Runs of
+    * ≤8 digits (years, small ids, quantities) are deliberately left.
+    */
+  val LongDigitRunRe = "[0-9]{5,}([0-9]{4})"
+
+  /** Counting variant of [[LongDigitRunRe]] (no capture needed). */
+  val LongDigitRunCountRe = "[0-9]{9,}"
+
+  def redactEmails(c: Column): Column =
+    regexp_replace(c, EmailRe, "[EMAIL]")
+
+  def maskLongDigitRuns(c: Column): Column =
+    regexp_replace(c, LongDigitRunRe, "***$1")
+
+  /** q64: end-to-end PII scrub. The fixture tables carry no free-form
+    * contact text, so the contact line is synthesized DETERMINISTICALLY
+    * from customer columns (name, key-derived email present on 2/3 of
+    * rows, a 10-digit key-derived account number) — the redaction and
+    * counting machinery under test is exactly what production would run
+    * on scraped text, and the oracle builds the identical line in SQL.
+    *
+    * Counts are taken in pipeline order: emails on the raw line, digit
+    * runs AFTER email redaction (an email's local part may itself be a
+    * digit run — production pipelines count what each pass actually
+    * removed, not overlapping raw matches).
+    */
+  def q64PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val acct = lpad(((col("c_custkey") * 7919L + 12345L) % 10000000000L)
+      .cast("string"), 10, "0")
+    val contact = when(col("c_custkey") % 3 === 0, lit("(none)"))
+      .otherwise(concat(lit("user"), col("c_custkey").cast("string"),
+        lit("@mail.example.com")))
+    val raw = concat(
+      lit("Reach "), col("c_name"), lit(" at "), contact,
+      lit(", account "), acct, lit(", segment "), col("c_mktsegment"))
+    val scrubbed = redactEmails(col("raw"))
+    customer(s, d)
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(
+        col("c_custkey"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(scrubbed, lit(LongDigitRunCountRe)).cast("long").as("n_ids"),
+        maskLongDigitRuns(scrubbed).as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  val q64Oracle: String =
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    'Reach ' || c_name || ' at ' ||
+      |    CASE WHEN c_custkey % 3 = 0 THEN '(none)'
+      |         ELSE 'user' || CAST(c_custkey AS VARCHAR) || '@mail.example.com' END ||
+      |    ', account ' ||
+      |    lpad(CAST((c_custkey * 7919 + 12345) % 10000000000 AS VARCHAR), 10, '0') ||
+      |    ', segment ' || c_mktsegment AS raw
+      |  FROM customer),
+      |e1 AS (
+      |  SELECT c_custkey,
+      |    CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+      |  FROM raw)
+      |SELECT c_custkey, n_emails,
+      |  CAST(len(regexp_extract_all(t1, '[0-9]{9,}')) AS BIGINT) AS n_ids,
+      |  regexp_replace(t1, '[0-9]{5,}([0-9]{4})', '***\1', 'g') AS redacted
+      |FROM e1 ORDER BY c_custkey""".stripMargin
+}
