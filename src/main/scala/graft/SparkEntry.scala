@@ -82,6 +82,7 @@ object SparkEntry {
     "q62_stratified_sample"-> (Corpus.q62StratifiedSample _),
     "q63_dedup_clusters"  -> (LlmOps.q63DedupClusters _),
     "q64_pii_redact"      -> (Privacy.q64PiiRedact _),
+    "q65_pack"            -> (Corpus.q65Pack _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,5 +157,6 @@ object SparkEntry {
     "q62_stratified_sample"-> Corpus.q62Oracle,
     "q63_dedup_clusters"  -> LlmOps.q63Oracle,
     "q64_pii_redact"      -> Privacy.q64Oracle,
+    "q65_pack"            -> Corpus.q65Oracle,
   )
 }

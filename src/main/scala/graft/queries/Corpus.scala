@@ -192,4 +192,59 @@ object Corpus {
        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, h
        |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin
   }
+
+  private val PackBudget = 256L
+
+  /** q65: SEQUENCE PACKING — assign documents to fixed-token-budget
+    * training bins (greedy, contiguous, in deterministic doc_id order
+    * within each source). This is the batch-construction step after
+    * chunking (q61): trainers consume fixed-length sequences, and packing
+    * short documents together is what keeps padding waste down.
+    *
+    * A doc belongs to the bin its START offset falls in (`(cum - tok) DIV
+    * budget`), so a doc straddling a boundary stays whole in its starting
+    * bin — the packer never splits documents (that is q61's job). Audited
+    * per bin: doc count, token sum, and whether the bin overflowed its
+    * budget (the straddler's bin legitimately can).
+    *
+    * Scale shape: one window cumsum PARTITIONED BY source — each source
+    * packs in parallel and the sequential prefix is per-source only. At
+    * 100 TB with few giant sources, sub-shard the partition key (source,
+    * hash-bucket) — packing quality is unchanged (bins never cross the
+    * partition key) and the prefix length is bounded by the shard. The
+    * whole query is one scan + one window + one tiny agg shuffle, all
+    * integer arithmetic.
+    */
+  def q65Pack(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), size(t).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      // integral DIV (Column./ is double division); matches the oracle's //
+      .select(col("source"), expr(s"(cum - tok) DIV $PackBudget").as("bin"),
+        col("tok"))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        (sum("tok") > PackBudget).as("overflow"))
+      .orderBy("source", "bin")
+  }
+
+  val q65Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok
+       |  FROM documents),
+       |cums AS (
+       |  SELECT source, tok,
+       |    CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM toks)
+       |SELECT source, (cum - tok) // $PackBudget AS bin,
+       |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tok) AS BIGINT) > $PackBudget AS overflow
+       |FROM cums GROUP BY source, bin ORDER BY source, bin""".stripMargin
 }

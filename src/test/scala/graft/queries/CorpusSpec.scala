@@ -111,4 +111,27 @@ class CorpusSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(out2.toSeq == out.toSeq, "sample must be invariant to partition layout")
   }
+
+  test("q65 packing: docs conserved, bins bounded, overflow flag consistent") {
+    val d = "/root/testdata/sf0.001"
+    val bins = Corpus.q65Pack(spark, d)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(bins.nonEmpty)
+    val docsPerSource = graft.Tables.documents(spark, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val binsBySource = bins.groupBy(_._1)
+    assert(binsBySource.keySet == docsPerSource.keySet)
+    binsBySource.foreach { case (src, bs) =>
+      assert(bs.map(_._3).sum == docsPerSource(src), s"$src lost docs")
+      assert(bs.map(_._2).min == 0L, s"$src does not start at bin 0")
+      bs.foreach { case (_, bin, nDocs, nTok, overflow) =>
+        assert(nDocs >= 1L)
+        assert(overflow == (nTok > 256L), s"$src bin $bin overflow flag")
+        // a bin only exceeds the budget via its final straddling doc: the
+        // docs that START in it fit in < budget + one max-length doc
+        assert(nTok < 256L + 100L, s"$src bin $bin implausibly large")
+      }
+    }
+  }
 }
