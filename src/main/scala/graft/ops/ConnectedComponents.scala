@@ -52,9 +52,13 @@ object ConnectedComponents {
              maxIter: Int = 25): DataFrame = {
     val src = col(srcCol).cast("long").as("src")
     val dst = col(dstCol).cast("long").as("dst")
+    // Materialize the (usually expensive — LSH, pairwise-scoring) edge
+    // plan ONCE before symmetrizing: a plain union of two selects over
+    // `edges` would evaluate that upstream plan twice in the first job.
+    val e0 = edges.select(src, dst).localCheckpoint(eager = true)
     // Symmetrize once; both propagation directions come from this frame.
-    val sym = edges.select(src, dst)
-      .unionByName(edges.select(dst.as("src"), src.as("dst")))
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
