@@ -83,6 +83,7 @@ object SparkEntry {
     "q63_dedup_clusters"  -> (LlmOps.q63DedupClusters _),
     "q64_pii_redact"      -> (Privacy.q64PiiRedact _),
     "q65_pack"            -> (Corpus.q65Pack _),
+    "q66_attribution"     -> (LlmOps.q66Attribution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,5 +159,6 @@ object SparkEntry {
     "q63_dedup_clusters"  -> LlmOps.q63Oracle,
     "q64_pii_redact"      -> Privacy.q64Oracle,
     "q65_pack"            -> Corpus.q65Oracle,
+    "q66_attribution"     -> LlmOps.q66Oracle,
   )
 }

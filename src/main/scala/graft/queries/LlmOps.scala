@@ -483,6 +483,40 @@ object LlmOps {
        |SELECT doc_id, cluster_id, cluster_size
        |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** q66: click→purchase attribution — the batch twin of
+    * [[graft.streaming.EventStreams.attributionJoin]] (stream-stream
+    * interval join; the streaming side is driven through MemoryStream in
+    * StreamingSpec, this registration oracles the identical expression on
+    * the batch events fixture). Hash equi-join on user_id + event-time
+    * range filter; output grows linearly with purchases (each matches the
+    * handful of same-user clicks in its 30-minute lookback).
+    */
+  def q66Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    graft.streaming.EventStreams
+      .attributionJoin(clicks, purchases, "30 MINUTES", "10 minutes")
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val q66Oracle: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+      |             ts AS purchase_ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, click_id, purchase_id,
+      |  epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us, value
+      |FROM c JOIN p ON user_id = p_user
+      |  AND purchase_ts > click_ts
+      |  AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   /** Multimodal binary-column statistics: documents cast to opaque BINARY
     * payloads with a kind derived from the source id — real byte-length
     * arithmetic on BinaryType (the fake-decode surface lives in

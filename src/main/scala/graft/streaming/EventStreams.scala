@@ -37,6 +37,32 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
     events.withWatermark("ts", watermarkDelay).dropDuplicates("event_id")
 
+  /** STREAM-STREAM interval join: attribute each purchase to every click
+    * by the same user in the preceding `maxLag` — the canonical two-stream
+    * correlation (ad attribution, cause→effect pairing). The equi-key
+    * (user_id) plus the two-sided event-time range condition is exactly
+    * what Structured Streaming needs to bound join state: each side's
+    * watermark lets the engine drop buffered rows once no future match can
+    * land in the interval. Batch-wise the same expression is a hash
+    * equi-join on user_id with a range post-filter — never a nested loop.
+    *
+    * Inputs must carry (user_id, click_id, click_ts) / (p_user,
+    * purchase_id, purchase_ts, value); the purchase user column arrives
+    * renamed so self-join column ambiguity never arises (the two sides
+    * usually derive from the SAME source, split by event_type).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      maxLag: String, watermarkDelay: String): DataFrame =
+    clicks.withWatermark("click_ts", watermarkDelay)
+      .join(purchases.withWatermark("purchase_ts", watermarkDelay),
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxLag"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("value"))
+
   /** Gap-based sessionization with EXPLICIT state — the
     * flatMapGroupsWithState formulation (KeyValueGroupedDataset custom
     * state per SURVEY §7.5). A session closes either when a later event

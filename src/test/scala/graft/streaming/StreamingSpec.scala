@@ -174,4 +174,50 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Seq("x", "y", "z"), "each id must be emitted exactly once")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: attribution matches the batch twin") {
+    // (user, id, minute, type, value)
+    val feed = Seq(
+      (1L, 10L, 0, "click", 0.0),
+      (1L, 20L, 5, "purchase", 9.99),   // 5 min after click 10 -> attributed
+      (1L, 11L, 6, "click", 0.0),
+      (1L, 21L, 20, "purchase", 5.0),   // within 30m of BOTH clicks -> 2 rows
+      (2L, 12L, 0, "click", 0.0),
+      (2L, 22L, 45, "purchase", 1.0),   // 45 min later -> NOT attributed
+      (3L, 23L, 10, "purchase", 2.0))   // no click at all -> no row
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts")),
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value")))
+    val names = Seq("user_id", "event_id", "ts", "event_type", "value")
+
+    val batchDf = feed.map { case (u, id, m, t, v) => (u, id, ts(m), t, v) }
+      .toDF(names: _*)
+    val (bc, bp) = split(batchDf)
+    val expected = EventStreams.attributionJoin(bc, bp, "30 MINUTES", "10 minutes")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(expected == Set(
+      (1L, 10L, 20L, 5L * 60000000L, 9.99),
+      (1L, 10L, 21L, 20L * 60000000L, 5.0),
+      (1L, 11L, 21L, 14L * 60000000L, 5.0)))
+
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val (sc, sp) = split(input.toDF().toDF(names: _*))
+    val joined = EventStreams.attributionJoin(sc, sp, "30 MINUTES", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // deliver across several micro-batches, purchases before + after
+      // their clicks are visible, to exercise both-side state buffering
+      val rows = feed.map { case (u, id, m, t, v) => (u, id, ts(m), t, v) }
+      input.addData(rows.take(2)); q.processAllAvailable()
+      input.addData(rows.slice(2, 4)); q.processAllAvailable()
+      input.addData(rows.drop(4)); q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == expected, "stream result must equal the batch twin")
+    } finally q.stop()
+  }
 }
