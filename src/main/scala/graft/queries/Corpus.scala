@@ -233,6 +233,50 @@ object Corpus {
       .orderBy("source", "bin")
   }
 
+  private val VocabTopK = 50
+
+  /** q68: VOCABULARY COVERAGE — the Zipf audit behind tokenizer/vocab
+    * sizing: rank tokens by global frequency and report the cumulative
+    * count the top-k prefix covers (cum_cnt / corpus total = the fraction
+    * of running text a k-entry vocabulary explains). Output is integers
+    * only — the caller divides — so there is no float-rounding boundary
+    * between engines.
+    *
+    * Scale shape: the corpus-sized work is the explode + groupBy(token)
+    * (map-side partial counts, one shuffle of (token, cnt)); the
+    * single-partition window runs over the AGGREGATED vocabulary — at
+    * most a few hundred thousand rows for real corpora regardless of
+    * corpus bytes — never over the token stream itself. Ordering
+    * (cnt desc, token asc) is total, so rank and cumsum are
+    * deterministic on both engines.
+    */
+  def q68VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val ord = Seq(col("cnt").desc, col("token").asc)
+    val wCum = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_cnt", sum("cnt").over(wCum))
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .filter(col("rank") <= VocabTopK)
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"))
+      .orderBy("rank")
+  }
+
+  val q68Oracle: String =
+    s"""WITH t AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+       |r AS (SELECT token, cnt,
+       |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, token) AS rank
+       |  FROM c)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, cnt, cum_cnt
+       |FROM r WHERE rank <= $VocabTopK ORDER BY rank""".stripMargin
+
   val q65Oracle: String =
     s"""WITH toks AS (
        |  SELECT source, doc_id,

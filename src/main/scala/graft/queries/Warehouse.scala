@@ -392,4 +392,42 @@ object Warehouse {
       |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q67: CDC compaction via [[graft.ops.Upsert.merge]] — the events log
+    * split at a cutoff into base snapshot + change feed, merged back with
+    * keep-latest-per-user semantics and `event_type = 'error'` rows acting
+    * as tombstones (a user whose NEWEST event is an error disappears; an
+    * error buried under later activity does not). Version ordering is
+    * (ts, event_id) so ties are total. One hash-partitioned window
+    * shuffle; no self-join, no driver state. Since split + union is the
+    * identity over the full log, the oracle compacts the log directly —
+    * the Spark side exercises the two-input MERGE path.
+    */
+  def q67Upsert(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.events
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    graft.ops.Upsert.merge(
+        base = ev.filter(col("ts") < cutoff),
+        changes = ev.filter(col("ts") >= cutoff),
+        keys = Seq("user_id"),
+        ordering = Seq(col("ts").desc, col("event_id").desc),
+        isTombstone = col("event_type") === "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val q67Oracle: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, ts, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type AS last_type, ts AS last_ts,
+      |  value AS last_value
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
 }
