@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -231,6 +231,59 @@ object Corpus {
         sum("tok").as("n_tokens"),
         (sum("tok") > PackBudget).as("overflow"))
       .orderBy("source", "bin")
+  }
+
+  /** (lang, keep-numerator, keep-denominator) — the target mixture. */
+  private val MixRates: Seq[(String, Int, Int)] =
+    Seq(("en", 3, 4), ("de", 1, 2), ("es", 1, 4), ("fr", 1, 8), ("zh", 1, 8))
+
+  /** q69: DATA-MIXTURE construction — downsample each language to a target
+    * rate (en 3/4, de 1/2, es 1/4, fr/zh 1/8) with the same
+    * content-hash-threshold trick as q62: a doc is kept iff
+    * `hash(text) % denom < num`, a pure function of content, so the
+    * mixture is reproducible across runs, engines, partition layouts and
+    * re-ingestion, and any two overlapping corpus snapshots select
+    * consistently. Both the Spark CASE ladder and the oracle SQL are
+    * generated from the SAME MixRates table, so the two formulations
+    * cannot drift. Map-only filter + one tiny (lang) agg shuffle; rates
+    * are approximate at ±O(1/sqrt(n)) like any hash-bucket sampler.
+    */
+  /** The q69 transform on an arbitrary documents-shaped frame (public so
+    * tests can prove layout-invariance on a repartitioned input). */
+  def mixtureCounts(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions
+    def ladder(f: ((String, Int, Int)) => Int): Column =
+      MixRates.tail.foldLeft(
+          when(col("lang") === MixRates.head._1, f(MixRates.head))) {
+        case (acc, r) => acc.when(col("lang") === r._1, f(r))
+      }.otherwise(0)
+    docs
+      .select(col("lang"),
+        VectorExpressions.hornerHash(col("text")).as("h"),
+        ladder(_._2).as("num"), ladder(_._3).as("den"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("h") % col("den") < col("num"), 1L).otherwise(0L))
+          .as("n_selected"))
+      .orderBy("lang")
+  }
+
+  def q69Mixture(s: SparkSession, d: String): DataFrame =
+    mixtureCounts(documents(s, d))
+
+  val q69Oracle: String = {
+    import graft.functions.PolyHash
+    def sqlCase(f: ((String, Int, Int)) => Int, dflt: Int): String =
+      "CASE lang " + MixRates.map(r => s"WHEN '${r._1}' THEN ${f(r)}")
+        .mkString(" ") + s" ELSE $dflt END"
+    s"""WITH h AS (
+       |  SELECT lang, ${PolyHash.hornerSql("text")} AS h FROM documents),
+       |sel AS (SELECT lang, h, ${sqlCase(_._2, 0)} AS num,
+       |               ${sqlCase(_._3, 1)} AS den FROM h)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN h % den < num THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+       |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   private val VocabTopK = 50

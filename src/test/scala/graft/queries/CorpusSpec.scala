@@ -112,6 +112,28 @@ class CorpusSpec extends SparkSpec {
     assert(out2.toSeq == out.toSeq, "sample must be invariant to partition layout")
   }
 
+  test("q69 mixture: rates approximated, selection invariant to layout") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Corpus.q69Mixture(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    val rates = Map("en" -> 0.75, "de" -> 0.5, "es" -> 0.25,
+      "fr" -> 0.125, "zh" -> 0.125)
+    assert(rows.map(_._1).toSet == rates.keySet)
+    rows.foreach { case (lang, n, sel) =>
+      assert(sel <= n)
+      val got = sel.toDouble / n
+      // hash-bucket sampling: binomial noise, generous 3-sigma-ish bound
+      val tol = 3 * math.sqrt(rates(lang) * (1 - rates(lang)) / n) + 0.02
+      assert(math.abs(got - rates(lang)) <= tol,
+        s"$lang selected $got vs target ${rates(lang)} (tol $tol)")
+    }
+    // pure function of content: same result on a different partition layout
+    val rows2 = Corpus.mixtureCounts(
+        graft.Tables.documents(spark, d).repartition(7, col("doc_id")))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows2.sortBy(_._1) == rows.sortBy(_._1))
+  }
+
   test("q65 packing: docs conserved, bins bounded, overflow flag consistent") {
     val d = "/root/testdata/sf0.001"
     val bins = Corpus.q65Pack(spark, d)
