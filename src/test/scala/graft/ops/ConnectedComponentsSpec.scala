@@ -41,6 +41,42 @@ class ConnectedComponentsSpec extends SparkSpec {
       (5L, 5L, 2L), (6L, 5L, 2L)))
   }
 
+  test("random graphs match a reference union-find (20 seeded cases)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val n = 2 + rnd.nextInt(24)
+      val m = 1 + rnd.nextInt(30)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: path-compressed union-find, then min id per root
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.groupBy(find).flatMap { case (_, ms) =>
+          val lab = ms.min; ms.map(_ -> lab)
+        }.toMap
+        val got = ConnectedComponents
+          .assign(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"n=$n edges=$edges")
+      }
+    }
+  }
+
+  test("a graph whose diameter exceeds maxIter fails loudly, not wrongly") {
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.assign(edges, "a", "b", maxIter = 3)
+    }
+  }
+
   test("q63 fixture invariants: canonical rep is the min member; q44 pairs co-clustered") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.queries.LlmOps.q63DedupClusters(spark, d)
