@@ -75,9 +75,14 @@ object ConnectedComponents {
     // union/join tree is exponential and analysis itself OOMs. Checkpoint
     // materializes the labels AND truncates lineage, so every round plans
     // against a flat scan of the previous round's result.
-    var labels = sym.select(col("src").as("node"))
-      .distinct()
-      .withColumn("cluster_id", col("node"))
+    // Initialization IS round 1: with L0(v) = v, the first propagation
+    // round computes L1(v) = min(v, min of v's neighbors) — exactly one
+    // groupBy-min over the symmetric edges. Starting from L1 saves a full
+    // checkpoint+checksum round on every invocation.
+    var labels = sym
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("cluster_id"))
       .localCheckpoint(eager = true)
     var sumPrev = checksum(labels)
     var converged = false
