@@ -9,9 +9,11 @@ import org.apache.spark.storage.StorageLevel
   * bands, n-gram Jaccard, embedding near-dup) into dedup groups with one
   * canonical representative per group.
   *
-  * Reference scope: the reference pipeline stops at pair-level duplicate
-  * detection; a production training-data pipeline must also pick ONE
-  * survivor per duplicate *cluster* (pairs (a,b) and (b,c) must drop two
+  * Reference scope: the reference pipeline only ever flags exact
+  * duplicate-key rows (`scripts/clean_ticket_sales.py:116`,
+  * `scripts/integrate_weather_sales.py:122` — `duplicated(subset=...)`
+  * on pandas frames); a production training-data pipeline must also pick
+  * ONE survivor per near-duplicate *cluster* (pairs (a,b) and (b,c) must drop two
   * of {a,b,c}, not one of each pair independently — independent pair
   * resolution can drop all three or keep two near-identical docs).
   *

@@ -8,8 +8,10 @@ import org.apache.spark.sql.expressions.Window
   * union the base snapshot with the change log, keep the newest version
   * per key, and drop keys whose winning row is a tombstone. This is the
   * keep-latest upsert every warehouse ingestion needs (the reference
-  * loads with WRITE_TRUNCATE — full replace; at 100 TB you compact
-  * incrementally instead of rewriting the table).
+  * loads with WRITE_TRUNCATE — full replace per run, see
+  * `scripts/load_to_bq.py:38,113` — which is exactly the pattern that
+  * stops scaling: at 100 TB you compact incrementally instead of
+  * rewriting the table).
   *
   * Scale shape: exactly ONE shuffle, hash-partitioned by the merge key —
   * `row_number` over (key / version desc) computes per-key maxima without
