@@ -831,6 +831,51 @@ object LlmOps {
       |        FROM documents))
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q70: intra-document REPETITION — the duplicate-bigram-fraction
+    * quality signal q46's rule set lacks (boilerplate, scraped nav bars,
+    * and generation loops all show up as a document repeating its own
+    * n-grams). Per source: docs flagged repetitive (duplicate fraction
+    * > 20%, i.e. 5·distinct < 4·total in pure integers — no float
+    * boundary) plus the raw gram totals so callers can tune the cut.
+    * Map-only per-doc array work + one tiny agg shuffle.
+    */
+  def q70Repetition(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val grams = transform(sequence(lit(0), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
+    documents(s, d)
+      .filter(size(t) >= 2)
+      .select(col("source"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(lit(5) * col("n_distinct") < lit(4) * col("n_grams"))
+          .as("n_repetitive"),
+        sum("n_grams").as("total_grams"),
+        sum("n_distinct").as("total_distinct"))
+      .orderBy("source")
+  }
+
+  val q70Oracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(count_if(5 * n_distinct < 4 * n_grams) AS BIGINT) AS n_repetitive,
+      |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+      |  CAST(sum(n_distinct) AS BIGINT) AS total_distinct
+      |FROM (
+      |  SELECT source,
+      |    CAST(len(g) AS BIGINT) AS n_grams,
+      |    CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct
+      |  FROM (
+      |    SELECT source,
+      |      list_transform(generate_series(1, len(t) - 1),
+      |                     i -> t[i] || ' ' || t[i + 1]) AS g
+      |    FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      |          FROM documents)
+      |    WHERE len(t) >= 2))
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Document fingerprinting via rolling hash + winnowing (the MOSS
     * scheme): character 8-grams hashed with a Horner-rule polynomial hash
     * (base 257 mod 1e9+7 — pure integer arithmetic, so BOTH engines
