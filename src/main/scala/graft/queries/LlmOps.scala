@@ -837,17 +837,29 @@ object LlmOps {
     * n-grams). Per source: docs flagged repetitive (duplicate fraction
     * > 20%, i.e. 5·distinct < 4·total in pure integers — no float
     * boundary) plus the raw gram totals so callers can tune the cut.
-    * Map-only per-doc array work + one tiny agg shuffle.
+    *
+    * Shape: explode the bigram stream and count per (doc, gram), then
+    * roll up per doc and per source — the same codegen'd explode-scan
+    * q55 uses. A per-doc `transform`+`array_distinct` array formulation
+    * would be map-only, but Spark's higher-order functions run
+    * interpreted (CodegenFallback) and measured 10× slower (5.2 s vs
+    * 0.5 s at sf0.1); the gram-stream shuffle is O(corpus tokens) of
+    * (hash-sized) rows with map-side partial counts — the standard
+    * exact-distinct trade.
     */
   def q70Repetition(s: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
-    val grams = transform(sequence(lit(0), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
     documents(s, d)
       .filter(size(t) >= 2)
-      .select(col("source"),
-        size(grams).cast("long").as("n_grams"),
-        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .select(col("source"), col("doc_id"), t.as("t"))
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - 2)).as("i"), col("t"))
+      .select(col("source"), col("doc_id"),
+        concat_ws(" ", element_at(col("t"), col("i") + 1),
+          element_at(col("t"), col("i") + 2)).as("gram"))
+      .groupBy("source", "doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("source", "doc_id")
+      .agg(sum("cnt").as("n_grams"), count(lit(1)).as("n_distinct"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
