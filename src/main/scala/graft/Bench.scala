@@ -48,7 +48,12 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           return -1.0
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // stderr breadcrumb per iteration (round-6 verdict task 2c): when
+        // the driver environment inflates a warm median, the full log
+        // shows exactly which iteration of which query stalled.
+        System.err.println(f"[bench] $name iter dt=$dt%.3fs")
+        dt
       }
       // Double GC + quiesce: one pass only queues soft/finalizable garbage
       // from the previous query's codegen + shuffle buffers; the second
@@ -85,17 +90,17 @@ object Bench {
     // better because a query was excluded (round-2 advice).
     val total =
       if (failed > 0) -1.0 else results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // Line order matters: the capture harness keeps the output TAIL, so the
-    // bounded compact summary must be the LAST stdout line (round-5 verdict:
-    // summary-first meant the multi-KB iterations line survived truncation
-    // while the headline line was cut — three rounds of lost artifacts).
-    // The summary is ALSO printed first so a human scrolling a full log sees
-    // it immediately; the authoritative copy is the final line.
-    val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    println(summary)
+    // Line order matters: the capture harness keeps the output TAIL, and at
+    // 70 queries even a single line holding the per-query map outgrows that
+    // window (round-6 verdict: the map-bearing line printed LAST was itself
+    // truncated mid-line — fourth round of `parsed: null`). So the LAST
+    // stdout line is now SHORT AND BOUNDED — total/failed/sf only, a few
+    // dozen bytes regardless of query count — and the per-query medians and
+    // iteration arrays are printed on their own earlier lines where they
+    // survive in the tail or not; the headline must.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"iterations","iterations":$its,"sf":"$sfDir"}""")
-    println(summary)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -164,6 +164,22 @@ object ExactDecimal {
       sum(v.bitwiseAND(lit(SplitMask))).as(s"lo_$tag"))
   }
 
+  /** [[splitSums]] restricted to rows satisfying `cond` — the single-scan
+    * conditional-aggregation form of a filtered sum (`sum(CASE WHEN cond
+    * THEN x END)`): rows failing (or null on) `cond` contribute NULL,
+    * which `sum` skips, and a group with NO qualifying rows yields NULL
+    * partials (the same shape a left join against a filtered aggregate
+    * produces — callers `coalesce` at recombine time exactly as they
+    * would the join's null side).
+    */
+  def splitSumsWhen(cond: Column, x: Column, scale: Int, tag: String): Seq[Column] = {
+    import org.apache.spark.sql.functions.{lit, shiftright, sum, when}
+    val v = when(cond, scaled(x, scale))
+    Seq(
+      sum(shiftright(v, SplitShift)).as(s"hi_$tag"),
+      sum(v.bitwiseAND(lit(SplitMask))).as(s"lo_$tag"))
+  }
+
   /** Net-revenue product sums in PURE LONG arithmetic — the fast path for
     * `sum(CAST(price * (1 - disc) AS DECIMAL(18,6)))` when `price` and
     * `disc` are RAW ≤2-decimal money columns (the caller's contract;

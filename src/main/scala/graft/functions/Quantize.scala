@@ -52,7 +52,14 @@ object Quantize {
     * identical operand order (`scale = (max−min)/255.0`, `y = min +
     * code·scale`), min/max ignore null elements and null elements stay
     * null (array_min/array_max/transform semantics), constant vectors
-    * dequantize to vmin exactly. The rounding `halfUp` is bit-equal to
+    * dequantize to vmin exactly. NaN elements follow array_min/array_max's
+    * total order (NaN greatest): any NaN makes vmax — hence scale — NaN
+    * and every non-null element reconstructs to NaN, exactly what the HOF
+    * form computes with ANSI off (`cast(NaN as int)` → 0, then
+    * `vmin + 0·NaN` = NaN); with ANSI ON the HOF form instead RAISES on
+    * that cast while this expression (which has no cast) stays total —
+    * the one deliberate divergence, pinned in QuantizeSpec.
+    * The rounding `halfUp` is bit-equal to
     * Spark's `round()` (BigDecimal HALF_UP of the shortest rendering) on
     * these operands: the quotient is non-negative and < 2^51, where a
     * binary value's shortest rendering has fractional part ".5" iff the
@@ -82,8 +89,12 @@ object Quantize {
         val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
         if (!seen) { vmin = x; vmax = x; seen = true }
         else {
-          if (x < vmin) vmin = x
-          if (x > vmax) vmax = x
+          // Spark's total order for doubles (array_min/array_max): NaN
+          // sorts GREATER than every value, so NaN can win vmax but never
+          // keep vmin — a plain `<`/`>` sweep instead made the result
+          // depend on whether NaN appeared first (round-6 advice, low).
+          if (x < vmin || (vmin != vmin && x == x)) vmin = x
+          if (x > vmax || (x != x && vmax == vmax)) vmax = x
         }
       }
       i += 1

@@ -159,6 +159,20 @@ object Corpus {
     * is what makes a 5-stratum window survive a 20 TB stratum. Strata
     * smaller than the threshold math degenerate to "keep all" (threshold
     * ≥ Mod), so no stratum can lose rows to the prefilter.
+    *
+    * k-per-stratum CONTRACT (round-6 advice): the prefilter bounds the
+    * EXPECTED survivor count (≈ oversample·k per stratum) but not the
+    * minimum — an unlucky hash draw can leave fewer than SampleK
+    * survivors. The failure probability is the lower Chernoff tail of
+    * Binomial(n, oversample·k/n) below k: exp(−k·(oversample−1)²/
+    * (2·oversample)) ≈ 4e-6 at k=20, oversample=3, shrinking
+    * geometrically in k — negligible for real sample sizes, and an
+    * under-fill is DETECTABLE in the output (that stratum returns < k
+    * rows; CorpusSpec asserts exact fill on every fixture). A caller
+    * needing a hard guarantee re-runs just the under-filled strata with
+    * the prefilter disabled (threshold = Mod); that fallback is kept OUT
+    * of this query so the Spark plan and the oracle SQL stay the same
+    * single-pass shape on both engines.
     */
   def q62StratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{PolyHash, VectorExpressions}
@@ -252,15 +266,20 @@ object Corpus {
     * tests can prove layout-invariance on a repartitioned input). */
   def mixtureCounts(docs: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions
-    def ladder(f: ((String, Int, Int)) => Int): Column =
+    // Distinct ELSE branches per column (num→0, den→1), mirroring the
+    // oracle's CASE defaults: a lang outside MixRates must select NOTHING
+    // (0/1 keeps no rows), not divide by zero — Spark 4 runs ANSI-on, so
+    // a shared 0 default made `h % den` a runtime error on any corpus
+    // snapshot with an unlisted language (round-6 advice, medium).
+    def ladder(f: ((String, Int, Int)) => Int, dflt: Int): Column =
       MixRates.tail.foldLeft(
           when(col("lang") === MixRates.head._1, f(MixRates.head))) {
         case (acc, r) => acc.when(col("lang") === r._1, f(r))
-      }.otherwise(0)
+      }.otherwise(dflt)
     docs
       .select(col("lang"),
         VectorExpressions.hornerHash(col("text")).as("h"),
-        ladder(_._2).as("num"), ladder(_._3).as("den"))
+        ladder(_._2, 0).as("num"), ladder(_._3, 1).as("den"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -331,34 +331,75 @@ object Warehouse {
   /** Maintained bucketed warehouse layouts, created once per fixture dir
     * and shared by every query that benefits (q59's distinct side, q60's
     * co-located join) — the point of a maintained physical layout is that
-    * its one-time cost amortizes across the query mix. The default
+    * its one-time cost amortizes across the query mix.
+    *
+    * Cross-process idempotence (round-6 verdict task 2b): the default
     * in-memory catalog forgets table METADATA when the JVM exits while
-    * the managed warehouse directory persists on disk, so a fresh process
-    * would hit LOCATION_ALREADY_EXISTS — `ensureBucketed` clears the
-    * orphaned location before recreating.
+    * the managed warehouse directory persists on disk — and the harness
+    * may run Verify and Bench as separate, possibly interleaved,
+    * processes over the SAME warehouse dir. Delete+recreate (the old
+    * shape) lets process B destroy the layout process A is mid-read on.
+    * Instead: a COMPLETE layout (`_SUCCESS` present — the fixture dirs
+    * are immutable, so same path ⇒ same bytes) is REUSED by registering
+    * an external bucketed table over it; otherwise the CTAS writes to a
+    * process-unique temp table and publishes via a single directory
+    * rename, so a completed layout is never deleted and never observed
+    * half-written. A photo-finish rename losing to a concurrent winner
+    * (Hadoop local-FS rename moves src INSIDE an existing dst) is
+    * detected and the loser's copy discarded.
     */
-  private def ensureBucketed(s: SparkSession, table: String)(create: String => Unit): Unit = {
+  private val BucketCount = 8
+
+  private def ensureBucketed(s: SparkSession, table: String, bucketCol: String)
+                            (create: String => Unit): Unit = {
     s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
-    if (!s.catalog.tableExists(table)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(
-        s"$wh/graft_bucketed.db/${table.split('.').last.toLowerCase}")
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      create(table)
+    if (s.catalog.tableExists(table)) return
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"$wh/graft_bucketed.db/${table.split('.').last.toLowerCase}")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def complete = fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+    // Register the catalog's view of the published layout: an EXTERNAL
+    // table (schema read from the parquet footers) carrying the bucket
+    // spec the writer used — bucket ids live in the file names, so the
+    // files ARE the bucketed layout; only the metadata needs restating.
+    def register(): Unit = {
+      val cols = s.read.parquet(loc.toString).schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $table ($cols) USING PARQUET " +
+        s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
+        s"INTO $BucketCount BUCKETS LOCATION '${loc.toUri}'")
     }
+    if (complete) { register(); return }
+    // No completed writer produced this — a stale partial from a killed
+    // process. Nobody registers (hence reads) a location without _SUCCESS,
+    // so clearing it races with no reader.
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val tmp = s"${table}_w${java.util.UUID.randomUUID.toString.take(8)}"
+    create(tmp)
+    val tmpLoc = new org.apache.hadoop.fs.Path(
+      s"$wh/graft_bucketed.db/${tmp.split('.').last.toLowerCase}")
+    if (!fs.exists(loc) && fs.rename(tmpLoc, loc)) {
+      // rename into a dst that appeared between check and rename nests
+      // src under it — detect and drop the losing copy
+      val nested = new org.apache.hadoop.fs.Path(loc, tmpLoc.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
+    if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true) // lost the race outright
+    s.sql(s"DROP TABLE IF EXISTS $tmp") // metadata only; its dir was moved/cleared
+    register()
   }
 
   /** Lineitem bucketed 8-ways on `l_orderkey` (sorted within buckets). */
   private[queries] def bucketedLineitem(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val lt = s"graft_bucketed.lineitem_q60_$tag"
-    ensureBucketed(s, lt) { t =>
+    ensureBucketed(s, lt, "l_orderkey") { t =>
       lineitem(s, d)
         .select("l_orderkey", "l_returnflag", "l_quantity",
           "l_extendedprice", "l_discount")
         .write.format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t)
+        .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey").saveAsTable(t)
     }
     s.table(lt)
   }
@@ -367,10 +408,10 @@ object Warehouse {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val ot = s"graft_bucketed.orders_q60_$tag"
     val liB = bucketedLineitem(s, d)
-    ensureBucketed(s, ot) { t =>
+    ensureBucketed(s, ot, "o_orderkey") { t =>
       orders(s, d).select("o_orderkey", "o_orderpriority")
         .write.format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t)
+        .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey").saveAsTable(t)
     }
     import graft.functions.ExactDecimal
     val aggs = ExactDecimal.splitProductSums(

@@ -43,6 +43,41 @@ class QuantizeSpec extends SparkSpec {
     assert(advBad == 0L)
   }
 
+  test("NaN elements: order-independent all-NaN reconstruction, HOF-parity with ANSI off") {
+    // NaN sorts greatest in Spark's array_min/array_max total order, so
+    // any NaN poisons vmax → scale → every non-null output. The kernel
+    // must agree regardless of WHERE the NaN sits (the old <,> sweep
+    // special-cased NaN-first), and null slots must stay null.
+    val vecs = Seq(
+      (1L, Seq[java.lang.Float](Float.NaN, 1.0f, 2.0f)),
+      (2L, Seq[java.lang.Float](1.0f, Float.NaN, 2.0f)),
+      (3L, Seq[java.lang.Float](1.0f, null, Float.NaN))).toDF("id", "v")
+    val native = vecs.select(col("id"), Quantize.roundTrip(col("v")).as("y"))
+      .as[(Long, Seq[Option[Double]])].collect().toMap
+    vecs.select(col("v")).as[Seq[Option[Float]]].collect().zip(Seq(1L, 2L, 3L)).foreach {
+      case (in, id) =>
+        native(id).zip(in).foreach {
+          case (out, inEl) =>
+            if (inEl.isEmpty) assert(out.isEmpty, s"null slot must stay null (id=$id)")
+            else assert(out.exists(_.isNaN), s"non-null slot must be NaN (id=$id)")
+        }
+    }
+    // With ANSI off, the HOF form computes the same all-NaN result
+    // (cast(NaN as int) → 0, then vmin + 0·NaN = NaN) — bit parity holds.
+    // With ANSI on (the session default) the HOF raises on that cast and
+    // parity is deliberately out of contract (see roundTrip scaladoc).
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val bad = vecs.select(
+          Quantize.dequantize(Quantize.quantize(col("v"))).as("hof"),
+          Quantize.roundTrip(col("v")).as("native"))
+        .select(to_json(col("hof")).as("h"), to_json(col("native")).as("n"))
+        .filter(col("h") =!= col("n")).count()
+      assert(bad == 0L, "NaN vectors must round-trip identically to the non-ANSI HOF form")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("constant vectors quantize to zero codes and reconstruct exactly") {
     val out = Seq(Seq(0.5f, 0.5f, 0.5f)).toDF("v")
       .select(Quantize.quantize(col("v")).as("q"))

@@ -134,6 +134,22 @@ class CorpusSpec extends SparkSpec {
     assert(rows2.sortBy(_._1) == rows.sortBy(_._1))
   }
 
+  test("q69 mixture: a lang outside MixRates selects nothing (no ANSI divide-by-zero)") {
+    // ANSI is on by default in Spark 4: with a shared 0 default for num
+    // AND den, `h % den` raised DIVIDE_BY_ZERO for any unlisted language
+    // (round-6 advice). The den→1/num→0 defaults must instead keep zero
+    // rows for it, matching the oracle's ELSE branches.
+    val docs = Seq(
+      (1L, "tlh", "Heghlu'meH QaQ jajvam"),
+      (2L, "en", "an ordinary english document"),
+      (3L, "tlh", "qapla' batlh je")).toDF("doc_id", "lang", "text")
+    val rows = Corpus.mixtureCounts(docs)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(rows("tlh") == (2L, 0L), "unknown lang must count docs but select none")
+    assert(rows("en")._1 == 1L)
+  }
+
   test("q65 packing: docs conserved, bins bounded, overflow flag consistent") {
     val d = "/root/testdata/sf0.001"
     val bins = Corpus.q65Pack(spark, d)

@@ -145,6 +145,29 @@ class WarehouseSpec extends SparkSpec {
     assert(got == raw)
   }
 
+  test("q60 completed bucketed layout is REUSED by a fresh catalog, still exchange-free") {
+    // Build (or reuse) the layout, then erase the catalog metadata while
+    // keeping the published directory — exactly what a fresh JVM sees
+    // over a warehouse a previous process populated (the table is
+    // registered EXTERNAL, so DROP keeps the files).
+    Warehouse.q60BucketedJoin(spark, d).write.format("noop").mode("overwrite").save()
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"lineitem_q60_$tag", s"orders_q60_$tag").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_bucketed.$t")
+      val loc = new org.apache.hadoop.fs.Path(s"$wh/graft_bucketed.db/$t/_SUCCESS")
+      assert(fs.exists(loc), s"published layout must survive a metadata drop: $loc")
+    }
+    val out = Warehouse.q60BucketedJoin(spark, d) // must register-over, not rebuild
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"reused external layout must keep the exchange-free join:\n$plan")
+    assert(out.count() == 5)
+  }
+
   test("q58 forward as-of: every click preserved; matched values are future purchases") {
     val e = Tables.events(spark, d)
     val out = Warehouse.q58AsofForward(spark, d)
