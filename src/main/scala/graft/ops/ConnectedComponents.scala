@@ -46,6 +46,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Rounds the most recent [[assign]] took to converge (diagnostics /
+    * scale-smoke assertions only — the dedup-cluster contract is that
+    * this stays a small constant as the corpus grows). Counts the
+    * initialization round plus the propagation rounds including the
+    * final no-change round that proves the fixpoint.
+    */
+  @volatile private[graft] var lastRoundCount: Int = 0
+
   /** The observed-metric column computing the label checksum during the
     * SAME job that materializes a round (round-6 verdict task 2a: a
     * separate `agg().head()` action per round doubled the per-round job
@@ -149,6 +157,7 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
         "graph diameter exceeds the dedup-cluster assumption")
+    lastRoundCount = it + 1
     sym.unpersist(blocking = false)
     e0Rdds.foreach(_.unpersist(blocking = false))
     labels

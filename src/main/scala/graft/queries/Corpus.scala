@@ -316,19 +316,34 @@ object Corpus {
     *
     * Scale shape: the corpus-sized work is the explode + groupBy(token)
     * (map-side partial counts, one shuffle of (token, cnt)); the
-    * single-partition window runs over the AGGREGATED vocabulary — at
-    * most a few hundred thousand rows for real corpora regardless of
-    * corpus bytes — never over the token stream itself. Ordering
-    * (cnt desc, token asc) is total, so rank and cumsum are
-    * deterministic on both engines.
+    * single-partition global window then runs over a STRUCTURALLY
+    * bounded candidate set, not the whole vocabulary (round-6 verdict
+    * task 5): a distributed per-bucket top-K (window partitioned by a
+    * deterministic hash bucket of the token) keeps ≤ VocabTopK rows per
+    * bucket first, so the global sort touches ≤ buckets·K rows BY
+    * CONSTRUCTION — the "vocab ≪ corpus" assumption is no longer load-
+    * bearing. This loses nothing: a global top-K token ranks ≤ K inside
+    * its own bucket (per-bucket rank can only be smaller than global
+    * rank), and `cum_cnt` over the top-K prefix of the total order
+    * (cnt desc, token asc) only ever sums rows of that same prefix, all
+    * of which survive. Ordering is total, so rank and cumsum are
+    * deterministic on both engines; the oracle states the unfiltered
+    * single-window form and CorpusSpec pins their equality.
     */
+  private val VocabBuckets = 32
+
   def q68VocabCoverage(s: SparkSession, d: String): DataFrame = {
     val ord = Seq(col("cnt").desc, col("token").asc)
+    val wBucket = Window.partitionBy(col("__bucket")).orderBy(ord: _*)
     val wCum = Window.orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, d)
       .select(explode(split(trim(col("text")), "\\s+")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("__bucket", pmod(xxhash64(col("token")), lit(VocabBuckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= VocabTopK)
+      .drop("__bucket", "__brank")
       .withColumn("cum_cnt", sum("cnt").over(wCum))
       .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
       .filter(col("rank") <= VocabTopK)

@@ -150,6 +150,41 @@ class CorpusSpec extends SparkSpec {
     assert(rows("en")._1 == 1L)
   }
 
+  test("q68 per-bucket prefilter: plan shows it, candidates bounded, result unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.001"
+    val out = Corpus.q68VocabCoverage(spark, d)
+    // the prefilter is IN the plan: a bucket-partitioned window before the
+    // global one (two Window nodes, the first keyed on the hash bucket)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("__bucket"), s"plan must contain the bucketed prefilter window:\n$plan")
+    val got = out.as[(Long, String, Long, Long)].collect().toSeq
+    // identical to the unfiltered single-window formulation
+    val ord = Seq(col("cnt").desc, col("token").asc)
+    val wCum = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = graft.Tables.documents(spark, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_cnt", sum("cnt").over(wCum))
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .filter(col("rank") <= 50)
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"))
+      .orderBy("rank")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == full, "prefiltered and unfiltered formulations must agree exactly")
+    // and the global window's input is bounded by construction: ≤ buckets·K
+    val candidates = graft.Tables.documents(spark, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("__bucket", pmod(xxhash64(col("token")), lit(32)))
+      .withColumn("__brank",
+        row_number().over(Window.partitionBy(col("__bucket")).orderBy(ord: _*)))
+      .filter(col("__brank") <= 50)
+      .count()
+    assert(candidates <= 32L * 50L, s"candidate set must be ≤ buckets·K, got $candidates")
+  }
+
   test("q65 packing: docs conserved, bins bounded, overflow flag consistent") {
     val d = "/root/testdata/sf0.001"
     val bins = Corpus.q65Pack(spark, d)
