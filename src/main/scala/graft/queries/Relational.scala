@@ -723,7 +723,11 @@ object Relational {
       ExactDecimal.splitSumsWhen(isShip, col("l_quantity"), 6, "qty") ++
         ExactDecimal.splitSumsWhen(isRet, col("l_quantity"), 6, "ret") :+
         count(when(isShip, lit(1))).as("n_ship")
-    lineitem(s, d)
+    // read the maintained bucketed layout (8 files): the raw fixture is a
+    // single row group, so a single-scan plan over it would serialize the
+    // whole map side into one task — the layout restores the parallelism
+    // the two-scan formulation used to get by accident
+    Warehouse.bucketedLineitem(s, d)
       .groupBy("l_partkey", "l_suppkey")
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_ship") > 0)
