@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench drives 70 queries x 4 iterations through one
+  // JVM; at 8g the accumulated codegen classes + shuffle buffers left
+  // later queries paying GC stalls that read as plan cost (round-6
+  // driver artifact: q59/q63 warm medians 5-8x their isolated runs).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

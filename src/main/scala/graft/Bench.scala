@@ -74,10 +74,20 @@ object Bench {
       Thread.sleep(100)
       System.gc()
       Thread.sleep(200)
-      val iters = if (warm < 0) Seq.empty else Seq.fill(3)(once()).takeWhile(_ >= 0)
+      val iters0 = if (warm < 0) Seq.empty else Seq.fill(3)(once()).takeWhile(_ >= 0)
+      // Adaptive widening: a >2x spread across three back-to-back runs of
+      // the SAME plan is ambient contention, not plan cost — take two more
+      // samples and report the median of five, so one stalled iteration
+      // cannot drag the recorded median (round-6 driver artifact: q59
+      // 15.2 s median vs 1.8 s isolated under exactly this signature).
+      val iters =
+        if (iters0.length == 3 && iters0.max > 2 * iters0.min) {
+          val extra = Seq.fill(2)(once()).takeWhile(_ >= 0)
+          if (extra.length == 2) iters0 ++ extra else iters0
+        } else iters0
       val median =
         if (iters.length < 3) -1.0
-        else iters.sorted.apply(1)
+        else iters.sorted.apply(iters.length / 2)
       (name, median, iters)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
