@@ -430,7 +430,9 @@ object LlmOps {
     * min label per node — exactly the fixpoint the iterative Spark loop
     * converges to.
     */
-  def q63DedupClusters(s: SparkSession, d: String): DataFrame = {
+  /** The q63/q72 edge list: LSH candidate pairs over the en corpus
+    * unioned with the bounded n-gram-Jaccard pairs of the src0 slice. */
+  private def dedupEdges(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHash
     val lsh = MinHash.candidatePairs(
         documents(s, d).filter(col("lang") === "en")
@@ -451,14 +453,20 @@ object LlmOps {
       .filter(lit(2) * size(array_intersect(col("ga"), col("gb")))
         >= size(array_union(col("ga"), col("gb"))))
       .select(col("id_a"), col("id_b"))
-    graft.ops.ConnectedComponents.withSizes(
-        lsh.unionByName(jac), "id_a", "id_b")
-      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id")
+    lsh.unionByName(jac)
   }
 
-  val q63Oracle: String =
-    s"""WITH RECURSIVE $lshPairChainSql,
+  def q63DedupClusters(s: SparkSession, d: String): DataFrame =
+    graft.ops.ConnectedComponents.withSizes(
+        dedupEdges(s, d), "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+
+  /** The q63/q72 oracle chain through per-node min labels (`lab`):
+    * pair generation replayed in SQL, then the component step as a
+    * WITH RECURSIVE transitive closure. */
+  private def dedupClusterChainSql: String =
+    s"""$lshPairChainSql,
        |lsh AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
        |jbase AS (
        |  SELECT doc_id,
@@ -478,10 +486,54 @@ object LlmOps {
        |  SELECT DISTINCT src AS node, src AS lab FROM sym
        |  UNION
        |  SELECT s.dst AS node, r.lab FROM reach r JOIN sym s ON s.src = r.node),
-       |lab AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+       |lab AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  val q63Oracle: String =
+    s"""WITH RECURSIVE $dedupClusterChainSql,
        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
        |SELECT doc_id, cluster_id, cluster_size
        |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  /** q72: DEDUP SURVIVORSHIP — the purge that turns q63's cluster
+    * assignment into the cleaned corpus: every cluster keeps exactly its
+    * canonical member (min doc_id — the label the components converge
+    * to), every other member is dropped, documents in no cluster pass
+    * through untouched. This is the cluster-level generalization of the
+    * reference's row-level `duplicated(subset=...)` drop
+    * (`scripts/clean_ticket_sales.py:116`) and the step most pair-level
+    * dedup demos stop short of. Output is the per-source audit
+    * (n_docs/n_kept/n_removed) rather than the corpus itself, so the
+    * gate hashes exact integers.
+    *
+    * Scale shape: edges + components as q63; the removal set (non-
+    * canonical members, ≤ the duplicate population, orders of magnitude
+    * below the corpus) is broadcast into a map-side left join against
+    * the full documents scan — the corpus itself is never shuffled. If
+    * duplication were ever a large FRACTION of a 100 TB corpus, swap the
+    * broadcast for a plain shuffled left-anti join; semantics unchanged.
+    */
+  def q72DedupPurge(s: SparkSession, d: String): DataFrame = {
+    val removed = graft.ops.ConnectedComponents
+      .assign(dedupEdges(s, d), "id_a", "id_b")
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"), lit(1).as("__rm"))
+    documents(s, d).select("doc_id", "source")
+      .join(broadcast(removed), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rm").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rm") === 1, 1L).otherwise(0L)).as("n_removed"))
+      .orderBy("source")
+  }
+
+  val q72Oracle: String =
+    s"""WITH RECURSIVE $dedupClusterChainSql,
+       |removed AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** q66: click→purchase attribution — the batch twin of
     * [[graft.streaming.EventStreams.attributionJoin]] (stream-stream

@@ -442,6 +442,62 @@ object Warehouse {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q71: BLOOM-FILTER SEMI-JOIN PRUNING ([[graft.functions.BloomPrune]])
+    * — drop fact rows whose key cannot match a filtered dimension INSIDE
+    * the scan stage, before any shuffle or join, using a fixed-size
+    * sketch shipped as a literal. The query runs the pruned path and the
+    * exact semi-join side by side and emits the containment invariants
+    * as pinned booleans (the q59 sketch-audit pattern):
+    *
+    *  - `n_missed` = rows in the exact semi-join the bloom rejected —
+    *    ZERO by construction (no false negatives), stated as 0 by the
+    *    oracle, so any bloom bug hash-fails the gate;
+    *  - `fp_ok` = observed false positives ≤ 5× the sizing fpp over the
+    *    non-matching population (+64 absolute slack for small fixtures)
+    *    — TRUE on both sides; a mis-sized or mis-hashed filter flips it.
+    *
+    * The bloom is sized from the dim-side count (one tiny agg job — the
+    * same stats a runtime filter consults), built by a distributed
+    * OR-merging aggregate, and probed with a codegen'd expression; the
+    * only driver materialization is the sketch itself (~117 KB at
+    * fpp=0.01 for 10^5 keys), which is the point: at 100 TB that replaces
+    * either a fact-side shuffle or a tens-of-GB broadcast hash set.
+    * The exact-side broadcast join here is the VERIFICATION harness, not
+    * the operator: at scale only the bloom probe (plus whatever exact
+    * consumer follows) survives.
+    */
+  def q71BloomPrune(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BloomPrune
+    val Fpp = 0.01
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val nKeys = urgent.count()
+    val bloom = BloomPrune.buildBloom(urgent, col("o_orderkey"), nKeys, Fpp)
+    val li = bucketedLineitem(s, d)
+    li.select(col("l_orderkey"),
+        BloomPrune.mightContain(bloom, col("l_orderkey")).as("__bloom"))
+      .join(broadcast(urgent.withColumn("__exact", lit(1))),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("__exact") === 1, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("__exact") === 1 && !col("__bloom"), 1L).otherwise(0L))
+          .as("n_missed"),
+        sum(when(col("__bloom") && col("__exact").isNull, 1L).otherwise(0L))
+          .as("__fp"))
+      .select(col("n_rows"), col("n_exact"), col("n_missed"),
+        (col("__fp") <= (col("n_rows") - col("n_exact")) * lit(5 * Fpp) + lit(64L))
+          .as("fp_ok"))
+  }
+
+  val q71Oracle: String =
+    """WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  CAST(0 AS BIGINT) AS n_missed,
+      |  TRUE AS fp_ok
+      |FROM lineitem LEFT JOIN u ON l_orderkey = u.o_orderkey""".stripMargin
+
   /** q67: CDC compaction via [[graft.ops.Upsert.merge]] — the events log
     * split at a cutoff into base snapshot + change feed, merged back with
     * keep-latest-per-user semantics and `event_type = 'error'` rows acting

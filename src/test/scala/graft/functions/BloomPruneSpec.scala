@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("no false negatives: every true member passes the probe") {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bloom = BloomPrune.buildBloom(urgent, col("o_orderkey"), urgent.count(), 0.01)
+    val missed = urgent
+      .filter(!BloomPrune.mightContain(bloom, col("o_orderkey")))
+      .count()
+    assert(missed == 0L, s"$missed inserted keys rejected by their own bloom")
+  }
+
+  test("false-positive rate stays near the sizing fpp") {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bloom = BloomPrune.buildBloom(urgent, col("o_orderkey"), urgent.count(), 0.01)
+    // orderkeys are sparse in [1, 8*count): probe definite non-members
+    val nonMembers = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT").select(col("o_orderkey"))
+    val n = nonMembers.count()
+    val fp = nonMembers
+      .filter(BloomPrune.mightContain(bloom, col("o_orderkey")))
+      .count()
+    assert(fp <= 5 * 0.01 * n + 64,
+      s"$fp false positives over $n non-members exceeds 5x fpp")
+  }
+
+  test("probe is an expression, not a join, and stays in whole-stage codegen") {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bloom = BloomPrune.buildBloom(urgent, col("o_orderkey"), urgent.count(), 0.01)
+    val pruned = Tables.lineitem(spark, d)
+      .filter(BloomPrune.mightContain(bloom, col("l_orderkey")))
+      .select("l_orderkey")
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"bloom pruning must not plan a join:\n$plan")
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(plan).isDefined,
+      s"bloom probe must stay inside codegen:\n$plan")
+    // and the pruned count lies between exact-match count and full count
+    val exact = Tables.lineitem(spark, d)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val got = pruned.count()
+    val total = Tables.lineitem(spark, d).count()
+    assert(got >= exact && got < total, s"pruned=$got exact=$exact total=$total")
+  }
+
+  test("an empty key set rejects everything, like a semi-join with an empty dim") {
+    val empty = Tables.orders(spark, d)
+      .filter(col("o_orderkey") < 0).select(col("o_orderkey"))
+    val bloom = BloomPrune.buildBloom(empty, col("o_orderkey"), 0L, 0.01)
+    val passed = Tables.lineitem(spark, d)
+      .filter(BloomPrune.mightContain(bloom, col("l_orderkey"))).count()
+    assert(passed == 0L)
+  }
+}
