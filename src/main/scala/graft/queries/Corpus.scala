@@ -378,4 +378,74 @@ object Corpus {
        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
        |  CAST(sum(tok) AS BIGINT) > $PackBudget AS overflow
        |FROM cums GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  private val IndexDfMin = 2L
+  private val IndexTopTokens = 20
+  private val IndexPostings = 5
+  private val IndexBuckets = 32
+
+  /** q73: INVERTED-INDEX construction — the posting-list build behind
+    * BM25-style retrieval over a training corpus (retrieval-based dedup
+    * triage, contamination lookup, RAG source indexing). Two levels:
+    * per-(token, doc) term frequency, then per-token document frequency;
+    * the registered query materializes the postings of the
+    * [[IndexTopTokens]] highest-df non-hapax tokens, top
+    * [[IndexPostings]] docs each by (tf desc, doc_id asc), exploded to
+    * scalar rows so the gate hashes exact integers. (A production index
+    * would also band out stopwords by df ceiling; the fixture's
+    * deliberately tiny vocabulary makes every token stopword-frequent,
+    * so the registered query indexes the head and relies on the
+    * structural bound below instead.)
+    *
+    * Scale shape: the corpus-sized work is explode + the ONE
+    * (token, doc_id) shuffle; document frequency is a partial-aggregated
+    * re-shuffle carrying only (token, partial-count) pairs — vocabulary-
+    * sized, not corpus-sized. Token selection is a bounded
+    * TakeOrderedAndProject over the df frame and comes BACK as a
+    * broadcast. The per-token top-tf postings are NOT found by sorting
+    * each token's full posting list in one partition — a head token's
+    * list is corpus-sized, the classic skew trap — but with the q68
+    * two-level trick: rank within (token, doc-hash bucket), keep ≤ k per
+    * bucket, then rank the ≤ buckets·k survivors per token. Both
+    * orderings are total, so the index is deterministic on both engines.
+    */
+  def q73InvertedIndex(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val top = dfreq
+      .filter(col("df") >= IndexDfMin)
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(IndexTopTokens)
+    val postOrd = Seq(col("tf").desc, col("doc_id").asc)
+    val wBucket = Window.partitionBy(col("token"), col("__bucket")).orderBy(postOrd: _*)
+    val wPost = Window.partitionBy("token").orderBy(postOrd: _*)
+    tf.join(broadcast(top), Seq("token"))
+      .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(IndexBuckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= IndexPostings)
+      .drop("__bucket", "__brank")
+      .withColumn("rank", row_number().over(wPost).cast("long"))
+      .filter(col("rank") <= IndexPostings)
+      .select(col("token"), col("df"), col("rank"), col("doc_id"), col("tf"))
+      .orderBy("token", "rank")
+  }
+
+  val q73Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT token, doc_id, count(*) AS tf FROM t GROUP BY token, doc_id),
+       |dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |top AS (SELECT token, df FROM dfx
+       |        WHERE df >= $IndexDfMin
+       |        ORDER BY df DESC, token LIMIT $IndexTopTokens),
+       |r AS (SELECT tf.token, top.df, tf.doc_id, tf.tf,
+       |        row_number() OVER (PARTITION BY tf.token
+       |                           ORDER BY tf.tf DESC, tf.doc_id) AS rank
+       |      FROM tf JOIN top USING (token))
+       |SELECT token, CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank,
+       |  doc_id, CAST(tf AS BIGINT) AS tf
+       |FROM r WHERE rank <= $IndexPostings ORDER BY token, rank""".stripMargin
 }

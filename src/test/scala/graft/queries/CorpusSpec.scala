@@ -185,6 +185,33 @@ class CorpusSpec extends SparkSpec {
     assert(candidates <= 32L * 50L, s"candidate set must be ≤ buckets·K, got $candidates")
   }
 
+  test("q73 inverted index: postings are the true top-tf docs despite the bucket prefilter") {
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.001"
+    val out = Corpus.q73InvertedIndex(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // recompute the per-token top-5 with a plain single-window formulation
+    val tf = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val tokens = out.map(_._1).distinct
+    val plain = tf.filter(col("token").isin(tokens: _*))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("token").orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("token"), col("rank"), col("doc_id"), col("tf"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._3, r._4, r._5)).sortBy(r => (r._1, r._2)) == plain,
+      "bucketed two-level top-k must equal the single-window top-k")
+    // postings per token: exactly min(5, df); ranks contiguous from 1
+    out.groupBy(_._1).foreach { case (tok, rows) =>
+      val dfv = rows.head._2
+      assert(rows.map(_._3).sorted == (1L to math.min(5L, dfv)),
+        s"$tok ranks must be 1..min(5, df)")
+    }
+  }
+
   test("q65 packing: docs conserved, bins bounded, overflow flag consistent") {
     val d = "/root/testdata/sf0.001"
     val bins = Corpus.q65Pack(spark, d)
