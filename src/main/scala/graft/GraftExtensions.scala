@@ -118,6 +118,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("scaled_long", args, 2)
         ExactDecimal.ScaledLong(args(0), intLit(args(1), "scaled_long", "scale"))
+      }),
+    (FunctionIdentifier("morton_code"),
+      info("morton_code",
+        "morton_code(x, y, bits) - z-order interleave of the low bits of two bigints"),
+      (args: Seq[Expression]) => {
+        arity("morton_code", args, 3)
+        graft.functions.ZOrder.MortonCode(args(0), args(1),
+          intLit(args(2), "morton_code", "bits"))
       }))
 
   /** Late registration on an already-built session (the extensions hook

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -497,6 +497,71 @@ object Warehouse {
       |  CAST(0 AS BIGINT) AS n_missed,
       |  TRUE AS fp_ok
       |FROM lineitem LEFT JOIN u ON l_orderkey = u.o_orderkey""".stripMargin
+
+  private val ZQBits = 8
+  private val ZTileBits = 4 // 16 tiles = the level-2 quadrants of the curve
+
+  /** q74: Z-ORDER CLUSTERING AUDIT ([[graft.functions.ZOrder]]) — the
+    * measurement that justifies a multi-dim layout: bucket the distinct
+    * (l_partkey, l_suppkey) key space by the top [[ZTileBits]] bits of
+    * the Morton curve (the level-2 quadrant blocks — what 16 files hold
+    * after clustering on z) and report each block's min/max span in BOTH
+    * dimensions. Tight spans on both = file-level min/max skipping works
+    * for predicates on EITHER key — the property a single-column sort
+    * only gives its leading key (ZOrderSpec quantifies the contrast:
+    * z-blocks bound both raw-key spans near a quarter of their ranges,
+    * a partkey sort leaves suppkey full-width).
+    *
+    * Keys are first normalized to [[ZQBits]] bits with min/max scaling
+    * (integer floor-div, both extrema from one tiny aggregate) — raw
+    * interleave would be skew-blind when one key uses fewer bits than
+    * the other (suppkey fills 10 of partkey's 15), which is exactly why
+    * layout engines z-order on range-bucketed, not raw, values. The
+    * whole audit is a codegen'd map expression plus one small groupBy —
+    * no global sort, no window; every output is an exact integer and the
+    * oracle replays quantize + interleave with shift-mask terms
+    * generated from the SAME constants.
+    */
+  def q74ZorderAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ZOrder
+    val qmax = (1 << ZQBits) - 1 // 255
+    val ext = lineitem(s, d).agg(
+      min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
+    val (pLo, pHi, sLo, sHi) = (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
+    def quant(c: Column, lo: Long, hi: Long): Column =
+      (c - lit(lo)) * lit(qmax.toLong) / lit(math.max(hi - lo, 1L))
+    val z = ZOrder.morton(
+      quant(col("l_partkey"), pLo, pHi).cast("long"),
+      quant(col("l_suppkey"), sLo, sHi).cast("long"), ZQBits)
+    lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      .withColumn("tile", shiftright(z, 2 * ZQBits - ZTileBits).cast("long"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("l_partkey").as("part_lo"), max("l_partkey").as("part_hi"),
+        min("l_suppkey").as("supp_lo"), max("l_suppkey").as("supp_hi"))
+      .orderBy("tile")
+  }
+
+  val q74Oracle: String = {
+    import graft.functions.ZOrder
+    val qmax = (1 << ZQBits) - 1
+    val z = ZOrder.mortonSql("pq", "sq", ZQBits)
+    s"""WITH ext AS (
+       |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+       |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+       |  FROM lineitem),
+       |pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |q AS (SELECT l_partkey, l_suppkey,
+       |        (l_partkey - plo) * $qmax // greatest(phi - plo, 1) AS pq,
+       |        (l_suppkey - slo) * $qmax // greatest(shi - slo, 1) AS sq
+       |      FROM pairs, ext),
+       |t AS (SELECT l_partkey, l_suppkey,
+       |        $z >> ${2 * ZQBits - ZTileBits} AS tile FROM q)
+       |SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n_pairs,
+       |  min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+       |  min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+       |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+  }
 
   /** q67: CDC compaction via [[graft.ops.Upsert.merge]] — the events log
     * split at a cutoff into base snapshot + change feed, merged back with
