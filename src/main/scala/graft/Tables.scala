@@ -26,11 +26,14 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def enableReuse(): Unit = { reuse = true }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    pathTable(spark, s"$dir/$name.parquet")
+
+  /** Same reuse semantics for an arbitrary parquet path (used by the
+    * maintained layouts in `graft.sources.Layouts`). */
+  def pathTable(spark: SparkSession, path: String): DataFrame =
     if (reuse) byPath.computeIfAbsent(path, p => spark.read.parquet(p))
     else spark.read.parquet(path)
-  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -13,6 +13,11 @@ import graft.ops.Splits
   */
 object Corpus {
 
+  /** documents through the maintained split layout — see the twin note in
+    * [[LlmOps]]; every query here is layout-robust by contract. */
+  private def documents(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.documents(s, d)
+
   private val SplitCuts = Seq("train" -> 800L, "val" -> 900L, "test" -> 1000L)
 
   /** Deterministic 80/10/10 TRAIN/VAL/TEST split ([[graft.ops.Splits]]):

@@ -24,6 +24,15 @@ import Num.{sumD, avgD}
   */
 object LlmOps {
 
+  /** documents through the maintained split layout
+    * ([[graft.sources.Layouts]]): same rows, splittable files — the text
+    * kernels here are CPU-bound, so the map-side parallelism the
+    * one-row-group fixture cannot provide is the entire game. Shadows the
+    * `Tables._` import for every query in this object.
+    */
+  private def documents(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.documents(s, d)
+
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
   // --- Similarity search --------------------------------------------------

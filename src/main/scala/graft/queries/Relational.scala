@@ -630,7 +630,9 @@ object Relational {
     * bround/round distinction the oracle emulates explicitly.
     */
   def q34MessyParse(s: SparkSession, d: String): DataFrame = {
-    val messy = orders(s, d).select(
+    // split layout: the parse kernels are CPU-bound and the raw fixture
+    // is one row group = one map task (graft.sources.Layouts)
+    val messy = graft.sources.Layouts.orders(s, d).select(
       date_format(col("o_orderdate"), "M/d/yyyy").as("dt_str"),
       // every 10th order's price is garbage → coerceDouble must yield null
       when(col("o_orderkey") % 10 === 0, lit("n/a"))

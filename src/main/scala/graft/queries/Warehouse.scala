@@ -525,7 +525,10 @@ object Warehouse {
   def q74ZorderAudit(s: SparkSession, d: String): DataFrame = {
     import graft.functions.ZOrder
     val qmax = (1 << ZQBits) - 1 // 255
-    val ext = lineitem(s, d).agg(
+    // the maintained bucketed layout's 8 files parallelize the map-side
+    // partial distinct (raw fixture = one row group = one task)
+    val li = bucketedLineitem(s, d)
+    val ext = li.agg(
       min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
     val (pLo, pHi, sLo, sHi) = (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
     def quant(c: Column, lo: Long, hi: Long): Column =
@@ -533,7 +536,7 @@ object Warehouse {
     val z = ZOrder.morton(
       quant(col("l_partkey"), pLo, pHi).cast("long"),
       quant(col("l_suppkey"), sLo, sHi).cast("long"), ZQBits)
-    lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+    li.select("l_partkey", "l_suppkey").distinct()
       .withColumn("tile", shiftright(z, 2 * ZQBits - ZTileBits).cast("long"))
       .groupBy("tile")
       .agg(count(lit(1)).as("n_pairs"),

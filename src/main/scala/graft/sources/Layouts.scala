@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Maintained physical layouts, published once per fixture dir and reused
+  * by every query that benefits — the warehouse discipline that a layout's
+  * one-time cost amortizes across the query mix.
+  *
+  * Why this exists at all: the driver's fixture parquet files are each ONE
+  * row group, and parquet splits only at row-group boundaries, so any
+  * query scanning them gets a single map task no matter how many cores the
+  * cluster has. At 100 TB the ingest layer would never produce such files;
+  * re-materializing the hot tables into a few splittable files is exactly
+  * what a production warehouse's OPTIMIZE/compaction job does. Correctness
+  * is untouched — same rows, different file boundaries — and every
+  * registered query is layout-robust by contract (the oracle gate hashes
+  * sorted output).
+  *
+  * Publishing protocol (shared with the bucketed CTAS layouts in
+  * `queries/Warehouse.scala`): a COMPLETE layout (`_SUCCESS` present;
+  * fixture dirs are immutable, so same path ⇒ same bytes) is reused as-is;
+  * otherwise the builder writes to a process-unique temp dir and publishes
+  * with a single atomic rename — a concurrent/interleaved Verify and Bench
+  * can never observe a half-written layout or delete a completed one. A
+  * photo-finish rename losing to a concurrent winner (Hadoop local-FS
+  * rename nests src inside an existing dst) is detected and the loser's
+  * copy discarded.
+  */
+object Layouts {
+
+  /** Files per re-materialized table: enough to feed the map side of a
+    * local[32] run (each file is one task) without producing the
+    * many-tiny-files pathology the layout exists to avoid.
+    */
+  val SplitFiles = 8
+
+  /** Ensure `<warehouse>/graft_layouts/<name>` holds the directory
+    * `build(tmpPath)` produces; returns the published path.
+    */
+  def ensureDir(s: SparkSession, name: String)(build: String => Unit): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val root = new Path(s"$wh/graft_layouts")
+    val loc = new Path(root, name)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(loc, "_SUCCESS"))) return loc.toString
+    // a dir without _SUCCESS is a stale partial from a killed process —
+    // never registered, so clearing it races with no reader
+    if (fs.exists(loc)) fs.delete(loc, true)
+    fs.mkdirs(root)
+    val tmp = new Path(root, s"${name}_w${java.util.UUID.randomUUID.toString.take(8)}")
+    build(tmp.toString)
+    if (!fs.exists(loc) && fs.rename(tmp, loc)) {
+      val nested = new Path(loc, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    loc.toString
+  }
+
+  private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** A fixture table re-materialized as [[SplitFiles]] parquet files
+    * (hash-distributed on `key` — any stable column works; a key keeps
+    * the distribution deterministic-by-content rather than by input
+    * order).
+    */
+  def split(s: SparkSession, d: String, name: String, key: String): DataFrame = {
+    val p = ensureDir(s, s"${name}_x${SplitFiles}_${tag(d)}") { tmp =>
+      graft.Tables.table(s, d, name)
+        .repartition(SplitFiles, col(key))
+        .write.parquet(tmp)
+    }
+    graft.Tables.pathTable(s, p)
+  }
+
+  /** documents via the split layout — feeds every text-heavy operator:
+    * tokenize/shingle/minhash/regex kernels are CPU-bound, so map-side
+    * parallelism is the entire game. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    split(s, d, "documents", "doc_id")
+
+  /** customer via the split layout (q64's regex-redaction scan). */
+  def customer(s: SparkSession, d: String): DataFrame =
+    split(s, d, "customer", "c_custkey")
+
+  /** orders via the split layout (q34's multi-format parse scan). */
+  def orders(s: SparkSession, d: String): DataFrame =
+    split(s, d, "orders", "o_orderkey")
+}
