@@ -33,6 +33,10 @@ object LlmOps {
   private def documents(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.documents(s, d)
 
+  /** events through the same split layout (and past the nanos→µs cast). */
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.events(s, d)
+
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
   // --- Similarity search --------------------------------------------------

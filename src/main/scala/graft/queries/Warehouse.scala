@@ -19,6 +19,12 @@ import Num.dec
   */
 object Warehouse {
 
+  /** events through the maintained split layout
+    * ([[graft.sources.Layouts]]) — same rows past the nanos→µs cast,
+    * splittable files for the window/as-of/upsert scans here. */
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.events(s, d)
+
   /** PIVOT — long-to-wide reshape with an EXPLICIT value list (Spark's
     * two-arg pivot; the one-arg variant runs an extra distinct-collect
     * job to discover values — never do that at 100 TB). Quantities are
@@ -577,7 +583,6 @@ object Warehouse {
     * the Spark side exercises the two-input MERGE path.
     */
   def q67Upsert(s: SparkSession, d: String): DataFrame = {
-    import graft.Tables.events
     val ev = events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"),
         col("event_id"), col("value"))

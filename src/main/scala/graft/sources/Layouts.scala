@@ -88,4 +88,18 @@ object Layouts {
   /** orders via the split layout (q34's multi-format parse scan). */
   def orders(s: SparkSession, d: String): DataFrame =
     split(s, d, "orders", "o_orderkey")
+
+  /** events via the split layout. Publishes the frame AFTER
+    * `Tables.events`' nanos→µs timestamp conversion, so the layout is
+    * plain standard-timestamp parquet and readers need none of the
+    * fixture's `nanosAsLong` special-casing.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val p = ensureDir(s, s"events_x${SplitFiles}_${tag(d)}") { tmp =>
+      graft.Tables.events(s, d)
+        .repartition(SplitFiles, col("user_id"))
+        .write.parquet(tmp)
+    }
+    graft.Tables.pathTable(s, p)
+  }
 }
