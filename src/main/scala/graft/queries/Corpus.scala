@@ -437,6 +437,69 @@ object Corpus {
       .orderBy("token", "rank")
   }
 
+  private val NgramMaxN = 3
+  private val NgramTopK = 10
+
+  /** q75: MULTI-ORDER N-GRAM COUNTS — the unigram/bigram/trigram
+    * frequency tables behind n-gram contamination checks, perplexity
+    * baselines, and repetition analysis, built in ONE corpus pass: each
+    * document emits all its n-grams for n = 1..[[NgramMaxN]] tagged with
+    * their order (one generated array concat, ONE explode — not one scan
+    * per order), partial-aggregated into (n, gram) counts. The registered
+    * output is the top [[NgramTopK]] grams per order by the total
+    * (cnt desc, gram asc) order, selected with the q68 bucket trick so no
+    * single-partition sort ever sees a full order's vocabulary.
+    *
+    * Scale shape: explode ×(3·tokens) rows, map-side combine into the one
+    * (n, gram) shuffle; everything after the aggregate is
+    * vocabulary-sized. The oracle replays the same counts as three
+    * unioned CTEs — shape differs, semantics identical, and the integer
+    * outputs leave no rounding boundary.
+    */
+  def q75NgramCounts(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    def gramsOf(n: Int): Column =
+      transform(sequence(lit(0), size(t) - n),
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*).as("gram")))
+    val all = concat((1 to NgramMaxN).map(gramsOf): _*)
+    val ord = Seq(col("cnt").desc, col("gram").asc)
+    val wBucket = Window.partitionBy(col("n"), col("__bucket")).orderBy(ord: _*)
+    val wTop = Window.partitionBy(col("n")).orderBy(ord: _*)
+    documents(s, d)
+      .filter(size(t) >= NgramMaxN)
+      .select(explode(all).as("g"))
+      .select(col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("n", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("__bucket", pmod(xxhash64(col("gram")), lit(VocabBuckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= NgramTopK)
+      .drop("__bucket", "__brank")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= NgramTopK)
+      .select(col("n").cast("long").as("n"), col("rank"), col("gram"), col("cnt"))
+      .orderBy("n", "rank")
+  }
+
+  val q75Oracle: String = {
+    val grams = (1 to NgramMaxN).map { n =>
+      val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+      s"""SELECT $n AS n, unnest(list_transform(
+         |    generate_series(1, len(t) - ${n - 1}), i -> $parts)) AS gram
+         |  FROM toks""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $NgramMaxN),
+       |g AS ($grams),
+       |c AS (SELECT n, gram, count(*) AS cnt FROM g GROUP BY n, gram),
+       |r AS (SELECT n, gram, cnt,
+       |        row_number() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rank
+       |      FROM c)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank, gram, cnt
+       |FROM r WHERE rank <= $NgramTopK ORDER BY n, rank""".stripMargin
+  }
+
   val q73Oracle: String =
     s"""WITH t AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

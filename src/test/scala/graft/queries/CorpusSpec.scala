@@ -212,6 +212,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q75 ngram counts: one row set per order, ranks contiguous, counts recomputable") {
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.001"
+    val rows = Corpus.q75NgramCounts(spark, d)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(rows.map(_._1).distinct.sorted == Seq(1L, 2L, 3L))
+    rows.groupBy(_._1).foreach { case (n, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.length), s"order $n ranks")
+      rs.foreach { case (_, _, gram, _) =>
+        assert(gram.split(" ").length == n, s"order-$n gram '$gram'")
+      }
+      // counts descend with rank (ties broken by gram asc)
+      assert(rs.sortBy(_._2).map(_._4).sliding(2).forall(p => p.head >= p.last))
+    }
+    // spot-recompute: the top bigram's count equals a direct filter-count
+    val (_, _, topBigram, cnt) = rows.filter(_._1 == 2L).minBy(_._2)
+    val t = split(trim(col("text")), "\\s+")
+    val direct = graft.Tables.documents(spark, d)
+      .filter(size(t) >= 3)
+      .select(explode(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))).as("g"))
+      .filter(col("g") === topBigram).count()
+    assert(direct == cnt, s"top bigram '$topBigram' count $cnt vs direct $direct")
+  }
+
   test("q65 packing: docs conserved, bins bounded, overflow flag consistent") {
     val d = "/root/testdata/sf0.001"
     val bins = Corpus.q65Pack(spark, d)
