@@ -458,18 +458,27 @@ object Corpus {
     */
   def q75NgramCounts(s: SparkSession, d: String): DataFrame = {
     val t = split(trim(col("text")), "\\s+")
-    def gramsOf(n: Int): Column =
-      transform(sequence(lit(0), size(t) - n),
-        i => struct(lit(n).as("n"),
-          concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*).as("gram")))
-    val all = concat((1 to NgramMaxN).map(gramsOf): _*)
+    // Codegen discipline (the q70 lesson): grams are built by exploding an
+    // INTEGER sequence and projecting element_at/concat_ws — whole-stage-
+    // codegen'd — never by a `transform` lambda, whose per-element
+    // interpreted eval measured ~10x slower on exactly this shape. The
+    // order dimension is a second tiny explode (1..maxN) with a range
+    // filter, so one corpus pass still yields every order's grams.
+    def el(k: Column): Column = element_at(col("t"), col("i") + k)
+    val gram =
+      when(col("n") === 1, el(lit(0)))
+        .when(col("n") === 2, concat_ws(" ", el(lit(0)), el(lit(1))))
+        .otherwise(concat_ws(" ", el(lit(0)), el(lit(1)), el(lit(2))))
     val ord = Seq(col("cnt").desc, col("gram").asc)
     val wBucket = Window.partitionBy(col("n"), col("__bucket")).orderBy(ord: _*)
     val wTop = Window.partitionBy(col("n")).orderBy(ord: _*)
     documents(s, d)
       .filter(size(t) >= NgramMaxN)
-      .select(explode(all).as("g"))
-      .select(col("g.n").as("n"), col("g.gram").as("gram"))
+      .select(t.as("t"))
+      .select(explode(sequence(lit(1), size(col("t")))).as("i"), col("t"))
+      .select(explode(sequence(lit(1), lit(NgramMaxN))).as("n"), col("i"), col("t"))
+      .filter(col("i") + col("n") - 1 <= size(col("t")))
+      .select(col("n"), gram.as("gram"))
       .groupBy("n", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("__bucket", pmod(xxhash64(col("gram")), lit(VocabBuckets)))
       .withColumn("__brank", row_number().over(wBucket))
