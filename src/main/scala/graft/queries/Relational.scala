@@ -35,15 +35,18 @@ object Relational {
       // TakeOrderedAndProject (per-partition heaps), so no global sort
       // grows with the fact table — the unbounded orderBy this replaces
       // was a determinism aid that would range-partition the whole
-      // filtered fact at scale. (l_orderkey, l_linenumber) is a unique
-      // key, so the top-5000 slice is a total order — still hash-exact.
-      .orderBy("l_orderkey", "l_linenumber")
+      // filtered fact at scale. The synthetic fixture does NOT enforce
+      // TPC-H's (l_orderkey, l_linenumber) uniqueness (143k duplicate
+      // pairs at sf0.1), so the sort lists EVERY projected column — rows
+      // still tied are bytewise identical and any order of them is the
+      // same output.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .limit(5000)
 
   val q01Oracle: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem WHERE l_quantity > 45
-      |ORDER BY l_orderkey, l_linenumber LIMIT 5000""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 5000""".stripMargin
 
   /** F2/F3/A9 — slugify (reference transform_weather.py:21-26) + distinct. */
   def q02Slugify(s: SparkSession, d: String): DataFrame =
