@@ -608,4 +608,80 @@ object Warehouse {
       |  value AS last_value
       |FROM r WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
+
+  private val SnapT1 = "2024-01-15 00:00:00"
+
+  /** q76: SNAPSHOT RECONCILIATION — the validation twin of q67's CDC
+    * compaction: materialize the keep-latest state at two points in the
+    * log (T1 = [[SnapT1]], T2 = end) and reconcile them with a FULL
+    * OUTER join on the key, classifying every entity as added (absent at
+    * T1), removed (tombstoned since T1), changed (different surviving
+    * event), or unchanged. This is how a pipeline proves an incremental
+    * merge equals a from-scratch rebuild — the check the reference's
+    * row-count preflight (`scripts/run_pipeline.py`) approximates with
+    * counts alone — and the one join type (full outer) the rest of the
+    * surface never exercises.
+    *
+    * Change detection compares the ENTIRE surviving event (ts, event_id,
+    * type, value) — the fixture does not guarantee event_id uniqueness,
+    * so no single column is trusted as an identity. Scale shape: two
+    * keyed window shuffles (each snapshot) + one co-partitioned full
+    * outer join on the same key + a 4-row aggregate; nothing driver-side.
+    */
+  /** The q76 reconciliation over any events-shaped log (public so the
+    * spec can exercise every category — the fixture's dense log happens
+    * to leave no user "unchanged"). */
+  def snapshotDiff(log: DataFrame, t1: String): DataFrame = {
+    import graft.ops.Upsert
+    def snap(upTo: Option[String]): DataFrame =
+      Upsert.keepLatest(
+          upTo.fold(log)(t => log.filter(col("ts") <= lit(t).cast("timestamp"))),
+          Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+        .filter(col("event_type") =!= "error")
+    val s1 = snap(Some(t1)).select(col("user_id"),
+      struct(col("ts"), col("event_id"), col("event_type"), col("value")).as("v1"))
+    val s2 = snap(None).select(col("user_id"),
+      struct(col("ts"), col("event_id"), col("event_type"), col("value")).as("v2"))
+    s1.join(s2, Seq("user_id"), "full_outer")
+      .select(
+        when(col("v1").isNull, lit("added"))
+          .when(col("v2").isNull, lit("removed"))
+          .when(col("v1") === col("v2"), lit("unchanged"))
+          .otherwise(lit("changed")).as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n_users"))
+      .orderBy("category")
+  }
+
+  def q76SnapshotDiff(s: SparkSession, d: String): DataFrame =
+    snapshotDiff(
+      events(s, d).select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value")),
+      SnapT1)
+
+  val q76Oracle: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, ts, event_id, event_type, value FROM (
+       |    SELECT user_id, ts, event_id, event_type, value,
+       |      row_number() OVER (PARTITION BY user_id
+       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '$SnapT1')
+       |  WHERE rn = 1 AND event_type <> 'error'),
+       |s2 AS (
+       |  SELECT user_id, ts, event_id, event_type, value FROM (
+       |    SELECT user_id, ts, event_id, event_type, value,
+       |      row_number() OVER (PARTITION BY user_id
+       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events)
+       |  WHERE rn = 1 AND event_type <> 'error'),
+       |j AS (
+       |  SELECT CASE
+       |      WHEN s1.user_id IS NULL THEN 'added'
+       |      WHEN s2.user_id IS NULL THEN 'removed'
+       |      WHEN s1.ts = s2.ts AND s1.event_id = s2.event_id
+       |        AND s1.event_type = s2.event_type AND s1.value = s2.value
+       |        THEN 'unchanged'
+       |      ELSE 'changed' END AS category
+       |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+       |SELECT category, count(*) AS n_users
+       |FROM j GROUP BY category ORDER BY category""".stripMargin
 }

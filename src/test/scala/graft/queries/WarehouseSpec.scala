@@ -168,6 +168,26 @@ class WarehouseSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("q76 snapshot diff classifies all four categories on a crafted log") {
+    // u1 unchanged (only pre-T1 activity), u2 changed (later event),
+    // u3 removed (tombstoned after T1), u4 added (first event after T1),
+    // u5 never visible (tombstoned before T1, nothing after)
+    val t = (x: String) => java.sql.Timestamp.valueOf(x)
+    val log = Seq(
+      (1L, "click", t("2024-01-10 00:00:00"), 100L, 1.0),
+      (2L, "click", t("2024-01-10 00:00:00"), 101L, 1.0),
+      (2L, "purchase", t("2024-01-20 00:00:00"), 102L, 9.0),
+      (3L, "click", t("2024-01-10 00:00:00"), 103L, 1.0),
+      (3L, "error", t("2024-01-21 00:00:00"), 104L, 0.0),
+      (4L, "click", t("2024-01-22 00:00:00"), 105L, 1.0),
+      (5L, "error", t("2024-01-09 00:00:00"), 106L, 0.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Warehouse.snapshotDiff(log, "2024-01-15 00:00:00")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("q58 forward as-of: every click preserved; matched values are future purchases") {
     val e = Tables.events(spark, d)
     val out = Warehouse.q58AsofForward(spark, d)
