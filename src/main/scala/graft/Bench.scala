@@ -82,8 +82,11 @@ object Bench {
       // 15.2 s median vs 1.8 s isolated under exactly this signature).
       val iters =
         if (iters0.length == 3 && iters0.max > 2 * iters0.min) {
-          val extra = Seq.fill(2)(once()).takeWhile(_ >= 0)
-          if (extra.length == 2) iters0 ++ extra else iters0
+          val extra = Seq.fill(2)(once())
+          // a failure during widening is a real failure — report -1, do
+          // NOT fall back to the clean 3-sample median (the file's
+          // contract: failures are never silently recorded as fast)
+          if (extra.exists(_ < 0)) Seq.empty else iters0 ++ extra
         } else iters0
       val median =
         if (iters.length < 3) -1.0

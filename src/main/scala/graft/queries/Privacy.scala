@@ -40,6 +40,11 @@ object Privacy {
   def maskLongDigitRuns(c: Column): Column =
     regexp_replace(c, LongDigitRunRe, "***$1")
 
+  /** customer through the maintained split layout — the redaction scan is
+    * regex-CPU-bound; see [[graft.sources.Layouts]]. */
+  private def customer(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.customer(s, d)
+
   /** q64: end-to-end PII scrub. The fixture tables carry no free-form
     * contact text, so the contact line is synthesized DETERMINISTICALLY
     * from customer columns (name, key-derived email present on 2/3 of
@@ -52,11 +57,6 @@ object Privacy {
     * digit run — production pipelines count what each pass actually
     * removed, not overlapping raw matches).
     */
-  /** customer through the maintained split layout — the redaction scan is
-    * regex-CPU-bound; see [[graft.sources.Layouts]]. */
-  private def customer(s: SparkSession, d: String): DataFrame =
-    graft.sources.Layouts.customer(s, d)
-
   def q64PiiRedact(s: SparkSession, d: String): DataFrame = {
     val acct = lpad(((col("c_custkey") * 7919L + 12345L) % 10000000000L)
       .cast("string"), 10, "0")

@@ -377,22 +377,35 @@ object Warehouse {
         s"INTO $BucketCount BUCKETS LOCATION '${loc.toUri}'")
     }
     if (complete) { register(); return }
-    // No completed writer produced this — a stale partial from a killed
-    // process. Nobody registers (hence reads) a location without _SUCCESS,
-    // so clearing it races with no reader.
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      // A dir at loc without _SUCCESS is a legacy/corrupt leftover
+      // (writers only RENAME complete dirs in). Re-check completeness
+      // immediately before touching it, then move it ASIDE atomically
+      // and delete the aside copy — never delete at loc in place, so a
+      // concurrently published layout cannot be destroyed.
+      if (complete) { register(); return }
+      val aside = new org.apache.hadoop.fs.Path(
+        s"$wh/graft_bucketed.db/${table.split('.').last.toLowerCase}" +
+          s"_stale_w${java.util.UUID.randomUUID.toString.take(8)}")
+      if (fs.rename(loc, aside)) fs.delete(aside, true)
+    }
     val tmp = s"${table}_w${java.util.UUID.randomUUID.toString.take(8)}"
-    create(tmp)
     val tmpLoc = new org.apache.hadoop.fs.Path(
       s"$wh/graft_bucketed.db/${tmp.split('.').last.toLowerCase}")
-    if (!fs.exists(loc) && fs.rename(tmpLoc, loc)) {
-      // rename into a dst that appeared between check and rename nests
-      // src under it — detect and drop the losing copy
-      val nested = new org.apache.hadoop.fs.Path(loc, tmpLoc.getName)
-      if (fs.exists(nested)) fs.delete(nested, true)
+    try {
+      create(tmp)
+      if (!fs.exists(loc) && fs.rename(tmpLoc, loc)) {
+        // rename into a dst that appeared between check and rename nests
+        // src under it — detect and drop the losing copy
+        val nested = new org.apache.hadoop.fs.Path(loc, tmpLoc.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
+    } finally {
+      // failed CTAS or lost publish race — always reclaim the temp dir
+      // and its catalog entry (process-unique: nothing references them)
+      if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+      s.sql(s"DROP TABLE IF EXISTS $tmp") // metadata only; dir moved/cleared
     }
-    if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true) // lost the race outright
-    s.sql(s"DROP TABLE IF EXISTS $tmp") // metadata only; its dir was moved/cleared
     register()
   }
 
@@ -537,11 +550,15 @@ object Warehouse {
     val ext = li.agg(
       min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
     val (pLo, pHi, sLo, sHi) = (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
-    def quant(c: Column, lo: Long, hi: Long): Column =
-      (c - lit(lo)) * lit(qmax.toLong) / lit(math.max(hi - lo, 1L))
+    // integer DIV, not double division + truncate: a double quotient is
+    // exact only while (c-lo)·qmax fits 2^53 — hash- or timestamp-valued
+    // keys would cross that and diverge from the oracle's exact floor-div
+    // (operands are nonnegative, so truncating DIV == floor on both sides)
+    def quant(c: String, lo: Long, hi: Long): Column =
+      expr(s"(($c - ${lo}L) * ${qmax}L) DIV ${math.max(hi - lo, 1L)}L")
     val z = ZOrder.morton(
-      quant(col("l_partkey"), pLo, pHi).cast("long"),
-      quant(col("l_suppkey"), sLo, sHi).cast("long"), ZQBits)
+      quant("l_partkey", pLo, pHi).cast("long"),
+      quant("l_suppkey", sLo, sHi).cast("long"), ZQBits)
     li.select("l_partkey", "l_suppkey").distinct()
       .withColumn("tile", shiftright(z, 2 * ZQBits - ZTileBits).cast("long"))
       .groupBy("tile")
@@ -587,11 +604,15 @@ object Warehouse {
       .select(col("user_id"), col("event_type"), col("ts"),
         col("event_id"), col("value"))
     val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    // (event_type, value) complete the version order — the fixture does
+    // not guarantee (ts, event_id) uniqueness per user, and a non-total
+    // order would pick an engine-dependent survivor (q76's twin note)
     graft.ops.Upsert.merge(
         base = ev.filter(col("ts") < cutoff),
         changes = ev.filter(col("ts") >= cutoff),
         keys = Seq("user_id"),
-        ordering = Seq(col("ts").desc, col("event_id").desc),
+        ordering = Seq(col("ts").desc, col("event_id").desc,
+          col("event_type").desc, col("value").desc),
         isTombstone = col("event_type") === "error")
       .select(col("user_id"), col("event_type").as("last_type"),
         col("ts").as("last_ts"), col("value").as("last_value"))
@@ -602,7 +623,8 @@ object Warehouse {
     """WITH r AS (
       |  SELECT user_id, event_type, ts, value,
       |    row_number() OVER (PARTITION BY user_id
-      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |                       ORDER BY ts DESC, event_id DESC,
+      |                                event_type DESC, value DESC) AS rn
       |  FROM events)
       |SELECT user_id, event_type AS last_type, ts AS last_ts,
       |  value AS last_value
@@ -633,10 +655,16 @@ object Warehouse {
     * to leave no user "unchanged"). */
   def snapshotDiff(log: DataFrame, t1: String): DataFrame = {
     import graft.ops.Upsert
+    // (event_type, value) complete the ordering: the fixture does not
+    // guarantee (ts, event_id) uniqueness per user, and a non-total
+    // survivor order would be engine-dependent — rows still tied after
+    // all four columns are interchangeable for this query's output
     def snap(upTo: Option[String]): DataFrame =
       Upsert.keepLatest(
           upTo.fold(log)(t => log.filter(col("ts") <= lit(t).cast("timestamp"))),
-          Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc,
+            col("event_type").desc, col("value").desc))
         .filter(col("event_type") =!= "error")
     val s1 = snap(Some(t1)).select(col("user_id"),
       struct(col("ts"), col("event_id"), col("event_type"), col("value")).as("v1"))
@@ -663,22 +691,26 @@ object Warehouse {
        |  SELECT user_id, ts, event_id, event_type, value FROM (
        |    SELECT user_id, ts, event_id, event_type, value,
        |      row_number() OVER (PARTITION BY user_id
-       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |                         ORDER BY ts DESC, event_id DESC,
+       |                                  event_type DESC, value DESC) AS rn
        |    FROM events WHERE ts <= TIMESTAMP '$SnapT1')
        |  WHERE rn = 1 AND event_type <> 'error'),
        |s2 AS (
        |  SELECT user_id, ts, event_id, event_type, value FROM (
        |    SELECT user_id, ts, event_id, event_type, value,
        |      row_number() OVER (PARTITION BY user_id
-       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |                         ORDER BY ts DESC, event_id DESC,
+       |                                  event_type DESC, value DESC) AS rn
        |    FROM events)
        |  WHERE rn = 1 AND event_type <> 'error'),
        |j AS (
        |  SELECT CASE
        |      WHEN s1.user_id IS NULL THEN 'added'
        |      WHEN s2.user_id IS NULL THEN 'removed'
-       |      WHEN s1.ts = s2.ts AND s1.event_id = s2.event_id
-       |        AND s1.event_type = s2.event_type AND s1.value = s2.value
+       |      WHEN s1.ts IS NOT DISTINCT FROM s2.ts
+       |        AND s1.event_id IS NOT DISTINCT FROM s2.event_id
+       |        AND s1.event_type IS NOT DISTINCT FROM s2.event_type
+       |        AND s1.value IS NOT DISTINCT FROM s2.value
        |        THEN 'unchanged'
        |      ELSE 'changed' END AS category
        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)

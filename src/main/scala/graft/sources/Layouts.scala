@@ -44,18 +44,33 @@ object Layouts {
     val root = new Path(s"$wh/graft_layouts")
     val loc = new Path(root, name)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(loc, "_SUCCESS"))) return loc.toString
-    // a dir without _SUCCESS is a stale partial from a killed process —
-    // never registered, so clearing it races with no reader
-    if (fs.exists(loc)) fs.delete(loc, true)
+    def complete = fs.exists(new Path(loc, "_SUCCESS"))
+    if (complete) return loc.toString
+    if (fs.exists(loc)) {
+      // Under this protocol a dir at loc without _SUCCESS should not
+      // exist (writers only ever RENAME complete dirs in) — treat it as
+      // a legacy/corrupt leftover. Re-check completeness immediately
+      // before touching it (a concurrent writer may have published
+      // between the two checks), then move it ASIDE atomically and
+      // delete the aside copy — never delete at loc itself, so a
+      // published layout is never destroyed in place.
+      if (complete) return loc.toString
+      val aside = new Path(root, s"${name}_stale_w${java.util.UUID.randomUUID.toString.take(8)}")
+      if (fs.rename(loc, aside)) fs.delete(aside, true)
+    }
     fs.mkdirs(root)
     val tmp = new Path(root, s"${name}_w${java.util.UUID.randomUUID.toString.take(8)}")
-    build(tmp.toString)
-    if (!fs.exists(loc) && fs.rename(tmp, loc)) {
-      val nested = new Path(loc, tmp.getName)
-      if (fs.exists(nested)) fs.delete(nested, true)
+    try {
+      build(tmp.toString)
+      if (!fs.exists(loc) && fs.rename(tmp, loc)) {
+        val nested = new Path(loc, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
+    } finally {
+      // build failure or a lost publish race both leave tmp behind —
+      // always reclaim it (process-unique name: nothing references it)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
     }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
     loc.toString
   }
 
