@@ -24,6 +24,21 @@ object Relational {
   // Cross-engine numeric determinism helpers — see graft.queries.Num.
   import Num.{dec, sumD, avgD, sumM, avgM}
 
+  /** Fact/large-table reads go through the maintained layouts (bucketed
+    * lineitem, split orders/customer — see [[graft.sources.Layouts]] and
+    * the twin note in [[Warehouse]]): same rows, splittable files, so the
+    * map side parallelizes where the one-row-group fixture would pin it
+    * to a single task. Shadows the `Tables._` import for this object;
+    * small dims (part/supplier/nation/region) stay on the raw fixture —
+    * they broadcast anyway.
+    */
+  private def lineitem(s: SparkSession, d: String): DataFrame =
+    Warehouse.bucketedLineitem(s, d)
+  private def orders(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.orders(s, d)
+  private def customer(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.customer(s, d)
+
   /** S1/P2/P5 — projected, filtered scan. Filter + projection must reach the
     * parquet reader (PushedFilters/ReadSchema in explain).
     */

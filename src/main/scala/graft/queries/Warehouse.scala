@@ -409,27 +409,36 @@ object Warehouse {
     register()
   }
 
-  /** Lineitem bucketed 8-ways on `l_orderkey` (sorted within buckets).
-    * Carries the part/supp keys too: parquet is columnar, so the extra
-    * columns cost q59/q60's pruned scans nothing, while q35 gets the
-    * layout's 8-file map-side parallelism (the raw fixture is a single
-    * row group = a single map task — a one-file artifact a maintained
-    * warehouse layout exists to fix). The table name carries a layout
-    * version (`v2`) so a warehouse populated by an older binary can
+  /** Lineitem bucketed 8-ways on `l_orderkey` (sorted within buckets),
+    * carrying the FULL column set: parquet is columnar, so unused
+    * columns cost a pruned scan nothing, while every lineitem query gets
+    * the layout's 8-file map-side parallelism (the raw fixture is a
+    * single row group = a single map task — a one-file artifact a
+    * maintained warehouse layout exists to fix) and orderkey joins get
+    * the exchange-free bucketing. The table name carries a layout
+    * version (`v3`) so a warehouse populated by an older binary can
     * never satisfy the register-over-reuse path with a narrower schema.
     */
   private[queries] def bucketedLineitem(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val lt = s"graft_bucketed.lineitem_v2_$tag"
+    val lt = s"graft_bucketed.lineitem_v3_$tag"
     ensureBucketed(s, lt, "l_orderkey") { t =>
-      lineitem(s, d)
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
-          "l_quantity", "l_extendedprice", "l_discount")
+      graft.Tables.lineitem(s, d)
         .write.format("parquet")
         .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey").saveAsTable(t)
     }
     s.table(lt)
   }
+
+  /** Every lineitem read in this object goes through the maintained
+    * bucketed layout (shadows the `Tables._` import). */
+  private def lineitem(s: SparkSession, d: String): DataFrame =
+    bucketedLineitem(s, d)
+
+  /** orders/customer reads through the split layouts
+    * ([[graft.sources.Layouts]]) for the same map-side parallelism. */
+  private def orders(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.orders(s, d)
 
   def q60BucketedJoin(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")

@@ -155,7 +155,7 @@ class WarehouseSpec extends SparkSpec {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"lineitem_v2_$tag", s"orders_q60_$tag").foreach { t =>
+    Seq(s"lineitem_v3_$tag", s"orders_q60_$tag").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS graft_bucketed.$t")
       val loc = new org.apache.hadoop.fs.Path(s"$wh/graft_bucketed.db/$t/_SUCCESS")
       assert(fs.exists(loc), s"published layout must survive a metadata drop: $loc")
