@@ -301,11 +301,35 @@ object Warehouse {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_orders_exact"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("acd"))
+    // Exact median WITHOUT a sort-collect buffer: l_quantity is integral
+    // on a 50-value domain, so a (flag, quantity) COUNT histogram plus a
+    // cumulative walk yields quantile_cont(0.5) exactly — the value(s)
+    // straddling positions (n+1) DIV 2 and (n+2) DIV 2, averaged. The
+    // old `percentile` aggregate collected every row's value into a
+    // per-group array (the one remaining corpus-sized sort buffer in the
+    // suite); the histogram is 150 rows no matter the corpus size. The
+    // interpolation (vl+vh)/2 on integral doubles is exact, so the
+    // result stays bit-equal to the oracle's quantile_cont.
+    val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    val medians = li
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("tot", sum("c").over(wTot))
+      .groupBy("l_returnflag")
+      // positions are INTEGER floors: (n+1)/2 in double then cast —
+      // division by 2 is exact and truncation equals floor for n ≥ 0
+      .agg(((
+        min(when(col("cum") >= ((col("tot") + 1) / 2).cast("long"),
+          col("l_quantity"))) +
+          min(when(col("cum") >= ((col("tot") + 2) / 2).cast("long"),
+            col("l_quantity")))
+        ) / 2.0).as("p50_exact"))
     val pcts = li
       .groupBy("l_returnflag")
-      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"))
-    distincts.join(pcts, Seq("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"))
+    distincts.join(medians, Seq("l_returnflag")).join(pcts, Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("n_orders_exact"), col("p50_exact"),
         (abs(col("acd") - col("n_orders_exact"))
