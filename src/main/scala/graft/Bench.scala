@@ -80,13 +80,18 @@ object Bench {
       // samples and report the median of five, so one stalled iteration
       // cannot drag the recorded median (round-6 driver artifact: q59
       // 15.2 s median vs 1.8 s isolated under exactly this signature).
+      // A failure during widening is a real failure — report -1, do NOT
+      // fall back to the clean 3-sample median (the file's contract:
+      // failures are never silently recorded as fast). Short-circuit so
+      // the second extra run is skipped once the first has failed.
       val iters =
         if (iters0.length == 3 && iters0.max > 2 * iters0.min) {
-          val extra = Seq.fill(2)(once())
-          // a failure during widening is a real failure — report -1, do
-          // NOT fall back to the clean 3-sample median (the file's
-          // contract: failures are never silently recorded as fast)
-          if (extra.exists(_ < 0)) Seq.empty else iters0 ++ extra
+          val e1 = once()
+          if (e1 < 0) Seq.empty
+          else {
+            val e2 = once()
+            if (e2 < 0) Seq.empty else iters0 ++ Seq(e1, e2)
+          }
         } else iters0
       val median =
         if (iters.length < 3) -1.0

@@ -47,26 +47,54 @@ object Warehouse {
       |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_r
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
-  /** Exact per-group QUARTILES via the built-in sort-based `percentile`.
+  /** Exact per-group QUARTILES from a VALUE HISTOGRAM, not the built-in
+    * sort-based `percentile` (which collects every row's value into a
+    * per-group buffer — a corpus-sized aggregation state): l_quantity is
+    * integral on a 50-value domain, so a (flag, quantity) count
+    * histogram plus a cumulative walk locates each quantile's straddling
+    * values exactly, and the state is 150 rows at ANY corpus size.
+    *
     * Cross-engine determinism: the requested percentages are DYADIC
     * (0.25/0.5/0.75 are exact doubles) and l_quantity is integer-valued,
-    * so `p*(n-1)` and the interpolation `lo + frac*(hi-lo)` are computed
-    * EXACTLY by any formula either engine uses — no low-bit divergence
-    * (arbitrary p over arbitrary doubles would differ in the last ulp:
-    * DuckDB and Spark interpolate with differently-ordered float ops).
-    * Scale note: exact percentile materializes per-group value counts;
-    * the 100 TB path is `approx_percentile` (t-digest sketch, one pass,
-    * mergeable partials) — same plan shape, bounded state.
+    * so the 0-based position `a·(n-1)/b`, its floor, the quarter-valued
+    * fraction, and the interpolation `lo + frac·(hi-lo)` are all
+    * computed EXACTLY by any formula either engine uses — no low-bit
+    * divergence (arbitrary p over arbitrary doubles would differ in the
+    * last ulp). For a continuous-valued column the 100 TB path is
+    * `approx_percentile` (t-digest sketch, mergeable partials), which
+    * q59 runs beside its exact counterpart.
     */
   def q50Percentile(s: SparkSession, d: String): DataFrame = {
-    val qs = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)))
-    lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_rows"), qs.as("qs"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    val hist = lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("tot", sum("c").over(wTot))
+    // 1-based rank of quantile a/b's LOWER straddling value: floor of the
+    // 0-based position, plus one. b is a power of two, so the double
+    // division is exact and truncation equals floor.
+    def kLo(a: Int, b: Int): Column =
+      ((lit(a.toLong) * (col("tot") - 1)) / b).cast("long") + 1
+    val aggs = Seq((1, 4, "25"), (1, 2, "50"), (3, 4, "75")).flatMap {
+      case (a, b, t) =>
+        Seq(
+          min(when(col("cum") >= kLo(a, b), col("l_quantity"))).as(s"lo$t"),
+          min(when(col("cum") >= kLo(a, b) + 1, col("l_quantity"))).as(s"hi$t"))
+    } :+ max(col("tot")).as("n_rows")
+    // hi is NULL when the quantile lands exactly on the last rank; frac
+    // is 0 there, so coalescing to lo keeps the arithmetic total
+    def interp(a: Int, b: Int, t: String): Column = {
+      val frac =
+        ((lit(a.toLong) * (col("n_rows") - 1)) % b).cast("double") / b
+      (col(s"lo$t") +
+        frac * (coalesce(col(s"hi$t"), col(s"lo$t")) - col(s"lo$t"))).as(s"p$t")
+    }
+    hist.groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("l_returnflag"), col("n_rows"),
-        element_at(col("qs"), 1).as("p25"),
-        element_at(col("qs"), 2).as("p50"),
-        element_at(col("qs"), 3).as("p75"))
+        interp(1, 4, "25"), interp(1, 2, "50"), interp(3, 4, "75"))
       .orderBy("l_returnflag")
   }
 
@@ -306,10 +334,11 @@ object Warehouse {
     // cumulative walk yields quantile_cont(0.5) exactly — the value(s)
     // straddling positions (n+1) DIV 2 and (n+2) DIV 2, averaged. The
     // old `percentile` aggregate collected every row's value into a
-    // per-group array (the one remaining corpus-sized sort buffer in the
-    // suite); the histogram is 150 rows no matter the corpus size. The
-    // interpolation (vl+vh)/2 on integral doubles is exact, so the
-    // result stays bit-equal to the oracle's quantile_cont.
+    // per-group array (q50 had the same shape and got the same
+    // histogram rewrite); the histogram is 150 rows no matter the
+    // corpus size. The interpolation (vl+vh)/2 on integral doubles is
+    // exact, so the result stays bit-equal to the oracle's
+    // quantile_cont.
     val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy("l_returnflag")
@@ -371,12 +400,9 @@ object Warehouse {
     * shape) lets process B destroy the layout process A is mid-read on.
     * Instead: a COMPLETE layout (`_SUCCESS` present — the fixture dirs
     * are immutable, so same path ⇒ same bytes) is REUSED by registering
-    * an external bucketed table over it; otherwise the CTAS writes to a
-    * process-unique temp table and publishes via a single directory
-    * rename, so a completed layout is never deleted and never observed
-    * half-written. A photo-finish rename losing to a concurrent winner
-    * (Hadoop local-FS rename moves src INSIDE an existing dst) is
-    * detected and the loser's copy discarded.
+    * an external bucketed table over it; otherwise the CTAS publishes
+    * through [[graft.sources.Layouts.publish]] — the single shared copy
+    * of the atomic temp-dir/rename/race-recovery protocol.
     */
   private val BucketCount = 8
 
@@ -385,52 +411,34 @@ object Warehouse {
     s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
     if (s.catalog.tableExists(table)) return
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(
-      s"$wh/graft_bucketed.db/${table.split('.').last.toLowerCase}")
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def complete = fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+    val root = new org.apache.hadoop.fs.Path(s"$wh/graft_bucketed.db")
+    val short = table.split('.').last.toLowerCase
+    // The race-handling publish protocol lives in ONE place
+    // (graft.sources.Layouts.publish); this wrapper only layers the
+    // catalog choreography on top: the CTAS writes through a
+    // process-unique temp TABLE whose managed directory IS the temp dir
+    // the protocol publishes (Spark lowercases the dir name — `short`
+    // and the uuid suffix already are), and the temp metadata is
+    // dropped afterwards (its dir has been moved or reclaimed by then,
+    // so the drop touches metadata only).
+    var tmpTable: Option[String] = None
+    val loc =
+      try {
+        graft.sources.Layouts.publish(s, root, short) { tmp =>
+          val t = s"graft_bucketed.${tmp.getName}"
+          tmpTable = Some(t)
+          create(t)
+        }
+      } finally tmpTable.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     // Register the catalog's view of the published layout: an EXTERNAL
     // table (schema read from the parquet footers) carrying the bucket
     // spec the writer used — bucket ids live in the file names, so the
     // files ARE the bucketed layout; only the metadata needs restating.
-    def register(): Unit = {
-      val cols = s.read.parquet(loc.toString).schema.fields
-        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      s.sql(s"CREATE TABLE IF NOT EXISTS $table ($cols) USING PARQUET " +
-        s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
-        s"INTO $BucketCount BUCKETS LOCATION '${loc.toUri}'")
-    }
-    if (complete) { register(); return }
-    if (fs.exists(loc)) {
-      // A dir at loc without _SUCCESS is a legacy/corrupt leftover
-      // (writers only RENAME complete dirs in). Re-check completeness
-      // immediately before touching it, then move it ASIDE atomically
-      // and delete the aside copy — never delete at loc in place, so a
-      // concurrently published layout cannot be destroyed.
-      if (complete) { register(); return }
-      val aside = new org.apache.hadoop.fs.Path(
-        s"$wh/graft_bucketed.db/${table.split('.').last.toLowerCase}" +
-          s"_stale_w${java.util.UUID.randomUUID.toString.take(8)}")
-      if (fs.rename(loc, aside)) fs.delete(aside, true)
-    }
-    val tmp = s"${table}_w${java.util.UUID.randomUUID.toString.take(8)}"
-    val tmpLoc = new org.apache.hadoop.fs.Path(
-      s"$wh/graft_bucketed.db/${tmp.split('.').last.toLowerCase}")
-    try {
-      create(tmp)
-      if (!fs.exists(loc) && fs.rename(tmpLoc, loc)) {
-        // rename into a dst that appeared between check and rename nests
-        // src under it — detect and drop the losing copy
-        val nested = new org.apache.hadoop.fs.Path(loc, tmpLoc.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
-    } finally {
-      // failed CTAS or lost publish race — always reclaim the temp dir
-      // and its catalog entry (process-unique: nothing references them)
-      if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
-      s.sql(s"DROP TABLE IF EXISTS $tmp") // metadata only; dir moved/cleared
-    }
-    register()
+    val cols = s.read.parquet(loc.toString).schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    s.sql(s"CREATE TABLE IF NOT EXISTS $table ($cols) USING PARQUET " +
+      s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
+      s"INTO $BucketCount BUCKETS LOCATION '${loc.toUri}'")
   }
 
   /** Lineitem bucketed 8-ways on `l_orderkey` (sorted within buckets),
@@ -584,9 +592,14 @@ object Warehouse {
       min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
     val (pLo, pHi, sLo, sHi) = (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
     // integer DIV, not double division + truncate: a double quotient is
-    // exact only while (c-lo)·qmax fits 2^53 — hash- or timestamp-valued
-    // keys would cross that and diverge from the oracle's exact floor-div
-    // (operands are nonnegative, so truncating DIV == floor on both sides)
+    // exact only while (c-lo)·qmax fits 2^53 — wide key domains would
+    // cross that and diverge from the oracle's exact floor-div
+    // (operands are nonnegative, so truncating DIV == floor on both
+    // sides). The long NUMERATOR bounds the technique at ranges below
+    // 2^63/qmax ≈ 2^55 — enforced, not assumed; full-width hash-valued
+    // keys need a pre-shift before quantization.
+    require(pHi - pLo <= Long.MaxValue / qmax && sHi - sLo <= Long.MaxValue / qmax,
+      s"q74 key range exceeds the exact-quantization envelope (2^63/$qmax)")
     def quant(c: String, lo: Long, hi: Long): Column =
       expr(s"(($c - ${lo}L) * ${qmax}L) DIV ${math.max(hi - lo, 1L)}L")
     val z = ZOrder.morton(
@@ -627,8 +640,10 @@ object Warehouse {
     * keep-latest-per-user semantics and `event_type = 'error'` rows acting
     * as tombstones (a user whose NEWEST event is an error disappears; an
     * error buried under later activity does not). Version ordering is
-    * (ts, event_id) so ties are total. One hash-partitioned window
-    * shuffle; no self-join, no driver state. Since split + union is the
+    * (ts, event_id, event_type, value) — the fixture guarantees no
+    * uniqueness for any prefix, so only the full tuple makes the
+    * survivor total. One hash-partitioned window shuffle; no self-join,
+    * no driver state. Since split + union is the
     * identity over the full log, the oracle compacts the log directly —
     * the Spark side exercises the two-input MERGE path.
     */

@@ -36,42 +36,63 @@ object Layouts {
     */
   val SplitFiles = 8
 
-  /** Ensure `<warehouse>/graft_layouts/<name>` holds the directory
-    * `build(tmpPath)` produces; returns the published path.
+  /** The publish protocol over an explicit root — the ONE copy of the
+    * race-handling logic, shared by the plain-dir layouts here and the
+    * bucketed CTAS layouts in `queries/Warehouse` (they previously
+    * duplicated it in lockstep). Semantics:
+    *
+    *  - a COMPLETE dir at `root/name` (`_SUCCESS` present) is reused;
+    *  - a dir WITHOUT `_SUCCESS` is a legacy/corrupt leftover (writers
+    *    only ever RENAME complete dirs in) — it is moved ASIDE
+    *    atomically, never deleted in place. If the aside turns out
+    *    complete (we raced a publisher between check and rename), it is
+    *    renamed straight BACK and reused — a published layout is never
+    *    destroyed;
+    *  - otherwise `build(tmp)` writes a process-unique temp dir that is
+    *    published with one atomic rename; a photo-finish loser's copy
+    *    (Hadoop local-FS rename nests src inside an existing dst) is
+    *    detected and dropped, and tmp is always reclaimed in a finally.
+    *
+    * A process killed between its aside-rename and the aside-delete can
+    * leak one `*_stale_w*` dir; nothing references it and the next
+    * publish proceeds regardless (accepted residue — sweeping it cannot
+    * be told apart from another process's in-flight work portably).
     */
-  def ensureDir(s: SparkSession, name: String)(build: String => Unit): String = {
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    val root = new Path(s"$wh/graft_layouts")
+  def publish(s: SparkSession, root: Path, name: String)(build: Path => Unit): Path = {
     val loc = new Path(root, name)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def complete = fs.exists(new Path(loc, "_SUCCESS"))
-    if (complete) return loc.toString
+    def complete(p: Path) = fs.exists(new Path(p, "_SUCCESS"))
+    def uuid = java.util.UUID.randomUUID.toString.take(8)
+    if (complete(loc)) return loc
     if (fs.exists(loc)) {
-      // Under this protocol a dir at loc without _SUCCESS should not
-      // exist (writers only ever RENAME complete dirs in) — treat it as
-      // a legacy/corrupt leftover. Re-check completeness immediately
-      // before touching it (a concurrent writer may have published
-      // between the two checks), then move it ASIDE atomically and
-      // delete the aside copy — never delete at loc itself, so a
-      // published layout is never destroyed in place.
-      if (complete) return loc.toString
-      val aside = new Path(root, s"${name}_stale_w${java.util.UUID.randomUUID.toString.take(8)}")
-      if (fs.rename(loc, aside)) fs.delete(aside, true)
+      if (complete(loc)) return loc // published between the two checks
+      val aside = new Path(root, s"${name}_stale_w$uuid")
+      if (fs.rename(loc, aside)) {
+        if (complete(aside) && !fs.exists(loc) && fs.rename(aside, loc))
+          return loc // raced a publisher mid-rename: restored, reuse
+        fs.delete(aside, true)
+      }
     }
     fs.mkdirs(root)
-    val tmp = new Path(root, s"${name}_w${java.util.UUID.randomUUID.toString.take(8)}")
+    val tmp = new Path(root, s"${name}_w$uuid")
     try {
-      build(tmp.toString)
+      build(tmp)
       if (!fs.exists(loc) && fs.rename(tmp, loc)) {
         val nested = new Path(loc, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true)
       }
     } finally {
-      // build failure or a lost publish race both leave tmp behind —
-      // always reclaim it (process-unique name: nothing references it)
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }
-    loc.toString
+    loc
+  }
+
+  /** Ensure `<warehouse>/graft_layouts/<name>` holds the directory
+    * `build(tmpPath)` produces; returns the published path.
+    */
+  def ensureDir(s: SparkSession, name: String)(build: String => Unit): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    publish(s, new Path(s"$wh/graft_layouts"), name)(p => build(p.toString)).toString
   }
 
   private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
