@@ -116,9 +116,28 @@ object Bench {
     // dozen bytes regardless of query count — and the per-query medians and
     // iteration arrays are printed on their own earlier lines where they
     // survive in the tail or not; the headline must.
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}"""
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"iterations","iterations":$its,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
+    println(headline)
+    // Belt-and-braces artifact (round-7 verdict task 1): the stdout capture
+    // harness keeps only a bounded TAIL and its parser has eaten the final
+    // line five rounds running (sbt's own `[success]` trailer prints after
+    // ours and cannot be suppressed from here). Writing the same summary to
+    // a file makes the headline independent of any stdout capture; stdout
+    // stays authoritative for the driver, the file is the durable copy.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SUMMARY.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try {
+        w.println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+        w.println(s"""{"metric":"iterations","iterations":$its,"sf":"$sfDir"}""")
+        w.println(headline)
+      } finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] summary file write failed ($outPath): ${e.getMessage}")
+    }
     spark.stop()
   }
 }
