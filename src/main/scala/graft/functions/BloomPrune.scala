@@ -33,6 +33,26 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomPrune {
 
+  /** `BloomFilterAggregate` silently CLAMPS its sizing to the session
+    * confs `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4M
+    * default) and `.maxNumBits` (64M default): a build sized for more
+    * keys would quietly degrade to a far higher fpp than requested — at
+    * 10^9 keys the probe becomes a near-pass-through and the fp audit
+    * flips. Oversized requests must therefore fail LOUDLY; callers that
+    * genuinely need a bigger sketch raise those confs first, which also
+    * raises this guard.
+    */
+  private def requireWithinClamp(keys: DataFrame, items: Long, bits: Long): Unit = {
+    val conf = keys.sparkSession.conf
+    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(items <= maxItems && bits <= maxBits,
+      s"bloom sizing (items=$items, bits=$bits) exceeds the session clamp " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits) — BloomFilterAggregate " +
+        "would silently truncate the sketch and degrade fpp; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits} to build this size")
+  }
+
   /** Aggregate `key` (hashed with xxhash64, the builder the optimizer's
     * runtime-filter rule uses) into a serialized bloom filter sized for
     * `expectedItems` at `fpp`. One small binary row on the driver — the
@@ -40,13 +60,44 @@ object BloomPrune {
     * performs; the per-row work is distributed (partial sketches OR-merge
     * associatively on the map side).
     */
-  def buildBloom(keys: DataFrame, key: Column, expectedItems: Long, fpp: Double): Array[Byte] = {
-    val child = new XxHash64(Seq(GraftColumnBridge.expression(key)))
-    val bits = BloomFilter.optimalNumOfBits(math.max(expectedItems, 1L), fpp)
-    val agg = new BloomFilterAggregate(child,
-      Literal(math.max(expectedItems, 1L)), Literal(bits)).toAggregateExpression()
-    val row = keys.agg(GraftColumnBridge.column(agg).as("bf")).head()
-    if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
+  def buildBloom(keys: DataFrame, key: Column, expectedItems: Long, fpp: Double): Array[Byte] =
+    buildBloomWithCount(keys, key, expectedItems, fpp, rebuildOnOverflow = false)._1
+
+  /** Single-action build: the sketch (sized for `capacityHint`) and the
+    * exact key count come out of ONE aggregation job — the shape a
+    * runtime filter wants, where a separate pre-count would double the
+    * dim-side passes. The hint plays the role table statistics play on a
+    * real warehouse (a runtime filter consults stats, it never
+    * pre-scans); when the hint UNDERSHOOTS the data, the sketch's
+    * effective fpp is worse than requested, so the build detects it from
+    * the same job's count and rebuilds once at the exact size — a rare
+    * second pass that replaces a guaranteed extra pass on every call.
+    * Overshooting merely lowers the realized fpp (a bigger, safer
+    * sketch); both directions keep the no-false-negative guarantee.
+    */
+  def buildBloomWithCount(keys: DataFrame, key: Column, capacityHint: Long, fpp: Double,
+                          rebuildOnOverflow: Boolean = true): (Array[Byte], Long) = {
+    def once(cap: Long): (Array[Byte], Long) = {
+      val child = new XxHash64(Seq(GraftColumnBridge.expression(key)))
+      val capped = math.max(cap, 1L)
+      val bits = BloomFilter.optimalNumOfBits(capped, fpp)
+      requireWithinClamp(keys, capped, bits)
+      val agg = new BloomFilterAggregate(child,
+        Literal(capped), Literal(bits)).toAggregateExpression()
+      val row = keys.agg(
+        GraftColumnBridge.column(agg).as("bf"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")).head()
+      val bytes = if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
+      (bytes, row.getLong(1))
+    }
+    val (bytes, n) = once(capacityHint)
+    if (n <= math.max(capacityHint, 1L) || !rebuildOnOverflow) (bytes, n)
+    else {
+      System.err.println(
+        s"[bloom] capacity hint $capacityHint undershot actual $n keys — rebuilding at exact size")
+      (once(n)._1, n)
+    }
   }
 
   /** Membership probe against a built bloom, as a codegen'd Column —

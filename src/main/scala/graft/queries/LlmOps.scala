@@ -518,12 +518,18 @@ object LlmOps {
     * (n_docs/n_kept/n_removed) rather than the corpus itself, so the
     * gate hashes exact integers.
     *
-    * Scale shape: edges + components as q63; the removal set (non-
-    * canonical members, ≤ the duplicate population, orders of magnitude
-    * below the corpus) is broadcast into a map-side left join against
-    * the full documents scan — the corpus itself is never shuffled. If
-    * duplication were ever a large FRACTION of a 100 TB corpus, swap the
-    * broadcast for a plain shuffled left-anti join; semantics unchanged.
+    * Scale shape: edges + components as q63; the join strategy against
+    * the removal set is SIZE-GUARDED, not forced (round-7 verdict task
+    * 2): no broadcast hint — AQE observes the removal set's true runtime
+    * size (the components output is already materialized by the loop's
+    * localCheckpoints, so the size is real, not an estimate) and
+    * converts the join to a map-side broadcast exactly when the set fits
+    * the broadcast threshold. On a typical corpus (duplicates ≪ corpus)
+    * that yields the same map-side plan the old forced hint produced; on
+    * a raw web crawl where 30–50% duplicate rates make the removal set
+    * billions of rows, the forced broadcast would OOM every executor,
+    * and the guard instead leaves a plain shuffled join. DedupPurgeSpec
+    * pins both sides of the guard.
     */
   def q72DedupPurge(s: SparkSession, d: String): DataFrame = {
     val removed = graft.ops.ConnectedComponents
@@ -531,7 +537,7 @@ object LlmOps {
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"), lit(1).as("__rm"))
     documents(s, d).select("doc_id", "source")
-      .join(broadcast(removed), Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__rm").isNull, 1L).otherwise(0L)).as("n_kept"),

@@ -516,11 +516,15 @@ object Warehouse {
     *    non-matching population (+64 absolute slack for small fixtures)
     *    — TRUE on both sides; a mis-sized or mis-hashed filter flips it.
     *
-    * The bloom is sized from the dim-side count (one tiny agg job — the
-    * same stats a runtime filter consults), built by a distributed
-    * OR-merging aggregate, and probed with a codegen'd expression; the
-    * only driver materialization is the sketch itself (~117 KB at
-    * fpp=0.01 for 10^5 keys), which is the point: at 100 TB that replaces
+    * The bloom build is SINGLE-ACTION (round-7 verdict task 6): the
+    * sketch and the exact key count come out of one distributed
+    * OR-merging aggregation, sized from a capacity HINT (the role table
+    * statistics play for a real runtime filter — it never pre-scans the
+    * dim); an undershooting hint is detected from that same job's count
+    * and triggers one exact-size rebuild, while overshooting only lowers
+    * the realized fpp. The probe is a codegen'd expression; the only
+    * driver materialization is the sketch itself (~157 KB at fpp=0.01
+    * for the 2^17 hint), which is the point: at 100 TB that replaces
     * either a fact-side shuffle or a tens-of-GB broadcast hash set.
     * The exact-side broadcast join here is the VERIFICATION harness, not
     * the operator: at scale only the bloom probe (plus whatever exact
@@ -529,10 +533,14 @@ object Warehouse {
   def q71BloomPrune(s: SparkSession, d: String): DataFrame = {
     import graft.functions.BloomPrune
     val Fpp = 0.01
+    // covers urgent-order cardinality through sf1 (~300k keys rebuilds
+    // once — correct, just not hint-optimal); oversizing at small sf
+    // costs only sketch bytes, never the fp bound
+    val CapacityHint = 1L << 17
     val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val nKeys = urgent.count()
-    val bloom = BloomPrune.buildBloom(urgent, col("o_orderkey"), nKeys, Fpp)
+    val (bloom, _) =
+      BloomPrune.buildBloomWithCount(urgent, col("o_orderkey"), CapacityHint, Fpp)
     val li = bucketedLineitem(s, d)
     li.select(col("l_orderkey"),
         BloomPrune.mightContain(bloom, col("l_orderkey")).as("__bloom"))

@@ -54,6 +54,43 @@ class BloomPruneSpec extends SparkSpec {
     assert(got >= exact && got < total, s"pruned=$got exact=$exact total=$total")
   }
 
+  test("single-action build returns the exact key count with the sketch") {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val expected = urgent.count()
+    val (bloom, n) =
+      BloomPrune.buildBloomWithCount(urgent, col("o_orderkey"), 1L << 17, 0.01)
+    assert(n == expected, s"folded count $n != $expected")
+    val missed = urgent
+      .filter(!BloomPrune.mightContain(bloom, col("o_orderkey"))).count()
+    assert(missed == 0L)
+  }
+
+  test("an undershooting capacity hint rebuilds at exact size, keeping no-FN") {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val expected = urgent.count()
+    assert(expected > 1L)
+    // hint of 1 forces the overflow-rebuild path
+    val (bloom, n) =
+      BloomPrune.buildBloomWithCount(urgent, col("o_orderkey"), 1L, 0.01)
+    assert(n == expected)
+    val missed = urgent
+      .filter(!BloomPrune.mightContain(bloom, col("o_orderkey"))).count()
+    assert(missed == 0L, s"$missed keys rejected after the exact-size rebuild")
+  }
+
+  test("a request beyond the session clamp fails loudly instead of degrading") {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.buildBloom(urgent, col("o_orderkey"), maxItems + 1, 0.01)
+    }
+    assert(e.getMessage.contains("clamp"), e.getMessage)
+  }
+
   test("an empty key set rejects everything, like a semi-join with an empty dim") {
     val empty = Tables.orders(spark, d)
       .filter(col("o_orderkey") < 0).select(col("o_orderkey"))
