@@ -86,6 +86,15 @@ object Bench {
       // the second extra run is skipped once the first has failed.
       val iters =
         if (iters0.length == 3 && iters0.max > 2 * iters0.min) {
+          // Attribution breadcrumb before widening: for queries with a
+          // registered per-branch diagnostic, time each constituent plan
+          // once so a recurring stall is attributable (scheduling delay
+          // hits every branch; a plan regression names its branch).
+          if (name == "q59_sketches")
+            try graft.queries.Warehouse.q59Diagnose(spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] q59 diagnose failed: ${e.getMessage}")
+            }
           val e1 = once()
           if (e1 < 0) Seq.empty
           else {

@@ -46,14 +46,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** Rounds the most recent [[assign]] took to converge (diagnostics /
-    * scale-smoke assertions only — the dedup-cluster contract is that
-    * this stays a small constant as the corpus grows). Counts the
-    * initialization round plus the propagation rounds including the
-    * final no-change round that proves the fixpoint.
-    */
-  @volatile private[graft] var lastRoundCount: Int = 0
-
   /** The observed-metric column computing the label checksum during the
     * SAME job that materializes a round (round-6 verdict task 2a: a
     * separate `agg().head()` action per round doubled the per-round job
@@ -91,7 +83,20 @@ object ConnectedComponents {
     * @return DataFrame(node, cluster_id) — one row per distinct endpoint
     */
   def assign(edges: DataFrame, srcCol: String, dstCol: String,
-             maxIter: Int = 25): DataFrame = {
+             maxIter: Int = 25): DataFrame =
+    assignCounted(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[assign]] plus the number of rounds the propagation took to
+    * converge (initialization round + propagation rounds including the
+    * final no-change round that proves the fixpoint) — the scale-smoke
+    * diagnostic: the dedup-cluster contract is that this stays a small
+    * constant as the corpus grows. Returned PER CALL rather than parked
+    * in object state, so concurrent invocations (parallel suites, two
+    * dedup queries in one session) can never clobber each other's
+    * reading.
+    */
+  def assignCounted(edges: DataFrame, srcCol: String, dstCol: String,
+                    maxIter: Int = 25): (DataFrame, Int) = {
     val src = col(srcCol).cast("long").as("src")
     val dst = col(dstCol).cast("long").as("dst")
     // Materialize the (usually expensive — LSH, pairwise-scoring) edge
@@ -157,10 +162,9 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
         "graph diameter exceeds the dedup-cluster assumption")
-    lastRoundCount = it + 1
     sym.unpersist(blocking = false)
     e0Rdds.foreach(_.unpersist(blocking = false))
-    labels
+    (labels, it + 1)
   }
 
   /** `assign` plus per-cluster size, the usual dedup-report shape. */

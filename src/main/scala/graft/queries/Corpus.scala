@@ -443,7 +443,11 @@ object Corpus {
   /** q75: MULTI-ORDER N-GRAM COUNTS — the unigram/bigram/trigram
     * frequency tables behind n-gram contamination checks, perplexity
     * baselines, and repetition analysis, built in ONE corpus pass: each
-    * document emits all its n-grams for n = 1..[[NgramMaxN]] tagged with
+    * document emits all its n-grams for EVERY ORDER IT IS LONG ENOUGH
+    * FOR (a 2-token doc contributes its unigrams and its one bigram, no
+    * trigrams — the per-(position, order) range filter is the only
+    * gate; round-7 advice: the old global `size >= maxN` filter
+    * silently dropped short docs from ALL orders) tagged with
     * their order (one generated array concat, ONE explode — not one scan
     * per order), partial-aggregated into (n, gram) counts. The registered
     * output is the top [[NgramTopK]] grams per order by the total
@@ -473,8 +477,9 @@ object Corpus {
     val wBucket = Window.partitionBy(col("n"), col("__bucket")).orderBy(ord: _*)
     val wTop = Window.partitionBy(col("n")).orderBy(ord: _*)
     documents(s, d)
-      .filter(size(t) >= NgramMaxN)
       .select(t.as("t"))
+      // size >= 1 always holds (split of a trimmed string yields at least
+      // one element), so sequence(1, size) never runs descending
       .select(explode(sequence(lit(1), size(col("t")))).as("i"), col("t"))
       .select(explode(sequence(lit(1), lit(NgramMaxN))).as("n"), col("i"), col("t"))
       .filter(col("i") + col("n") - 1 <= size(col("t")))
@@ -493,13 +498,15 @@ object Corpus {
   val q75Oracle: String = {
     val grams = (1 to NgramMaxN).map { n =>
       val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+      // generate_series(1, len - n + 1) is empty when len < n, so each
+      // order self-filters to documents long enough for it — mirroring
+      // the engine's per-(position, order) range filter
       s"""SELECT $n AS n, unnest(list_transform(
          |    generate_series(1, len(t) - ${n - 1}), i -> $parts)) AS gram
          |  FROM toks""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH toks AS (
-       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
-       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $NgramMaxN),
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |g AS ($grams),
        |c AS (SELECT n, gram, count(*) AS cnt FROM g GROUP BY n, gram),
        |r AS (SELECT n, gram, cnt,

@@ -307,6 +307,66 @@ object Warehouse {
     * input split (the local fixture is a single row group, so its map
     * side is one task — a fixture artifact, not a plan property).
     */
+  // q59's three branches as named builders so the SAME plans q59Sketches
+  // joins can be timed one at a time by [[q59Diagnose]] when an in-bench
+  // iteration stalls (round-7 verdict task 8).
+  private def q59Distincts(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag", "l_orderkey").agg(count(lit(1)).as("__n"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_orders_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("acd"))
+
+  /** Exact median WITHOUT a sort-collect buffer: l_quantity is integral
+    * on a 50-value domain, so a (flag, quantity) COUNT histogram plus a
+    * cumulative walk yields quantile_cont(0.5) exactly — the value(s)
+    * straddling positions (n+1) DIV 2 and (n+2) DIV 2, averaged. The
+    * old `percentile` aggregate collected every row's value into a
+    * per-group array (q50 had the same shape and got the same
+    * histogram rewrite); the histogram is 150 rows no matter the
+    * corpus size. The interpolation (vl+vh)/2 on integral doubles is
+    * exact, so the result stays bit-equal to the oracle's
+    * quantile_cont.
+    */
+  private def q59Medians(li: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    li.groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("tot", sum("c").over(wTot))
+      .groupBy("l_returnflag")
+      // positions are INTEGER floors: (n+1)/2 in double then cast —
+      // division by 2 is exact and truncation equals floor for n ≥ 0
+      .agg(((
+        min(when(col("cum") >= ((col("tot") + 1) / 2).cast("long"),
+          col("l_quantity"))) +
+          min(when(col("cum") >= ((col("tot") + 2) / 2).cast("long"),
+            col("l_quantity")))
+        ) / 2.0).as("p50_exact"))
+  }
+
+  private def q59Pcts(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"))
+
+  /** Per-branch attribution for a stalled q59 iteration (round-7 verdict
+    * task 8: the driver hit one ambient 23.7 s iteration that the bench's
+    * adaptive widening absorbed but nothing could attribute). Runs each
+    * of q59's three constituent aggregations as its own timed noop-write
+    * and prints the split on stderr — scheduling-delay stalls hit every
+    * branch roughly equally, a plan-cost regression names its branch.
+    */
+  def q59Diagnose(s: SparkSession, d: String): Unit = {
+    val li = bucketedLineitem(s, d)
+    Seq("distincts" -> q59Distincts(li), "medians" -> q59Medians(li),
+        "pcts" -> q59Pcts(li)).foreach { case (name, df) =>
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      System.err.println(
+        f"[bench] q59_sketches branch=$name dt=${(System.nanoTime() - t0) / 1e9}%.3fs")
+    }
+  }
+
   def q59Sketches(s: SparkSession, d: String): DataFrame = {
     // Two separate aggregations joined on the 3-row group key, NOT one agg
     // mixing countDistinct with percentile buffers: that single-agg shape
@@ -324,40 +384,9 @@ object Warehouse {
     // single-row-group raw fixture cannot (2.2 → ~1.1 s at sf0.1) — the
     // point of a maintained layout is that it serves the whole query mix.
     val li = bucketedLineitem(s, d)
-    val distincts = li
-      .groupBy("l_returnflag", "l_orderkey").agg(count(lit(1)).as("__n"))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_orders_exact"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("acd"))
-    // Exact median WITHOUT a sort-collect buffer: l_quantity is integral
-    // on a 50-value domain, so a (flag, quantity) COUNT histogram plus a
-    // cumulative walk yields quantile_cont(0.5) exactly — the value(s)
-    // straddling positions (n+1) DIV 2 and (n+2) DIV 2, averaged. The
-    // old `percentile` aggregate collected every row's value into a
-    // per-group array (q50 had the same shape and got the same
-    // histogram rewrite); the histogram is 150 rows no matter the
-    // corpus size. The interpolation (vl+vh)/2 on integral doubles is
-    // exact, so the result stays bit-equal to the oracle's
-    // quantile_cont.
-    val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy("l_returnflag")
-    val medians = li
-      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(wCum))
-      .withColumn("tot", sum("c").over(wTot))
-      .groupBy("l_returnflag")
-      // positions are INTEGER floors: (n+1)/2 in double then cast —
-      // division by 2 is exact and truncation equals floor for n ≥ 0
-      .agg(((
-        min(when(col("cum") >= ((col("tot") + 1) / 2).cast("long"),
-          col("l_quantity"))) +
-          min(when(col("cum") >= ((col("tot") + 2) / 2).cast("long"),
-            col("l_quantity")))
-        ) / 2.0).as("p50_exact"))
-    val pcts = li
-      .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"))
+    val distincts = q59Distincts(li)
+    val medians = q59Medians(li)
+    val pcts = q59Pcts(li)
     distincts.join(medians, Seq("l_returnflag")).join(pcts, Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("n_orders_exact"), col("p50_exact"),

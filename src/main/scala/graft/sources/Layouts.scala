@@ -84,6 +84,15 @@ object Layouts {
     } finally {
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }
+    // The protocol's own writers only ever rename COMPLETE dirs in, but a
+    // lose-race tail can observe a dir someone ELSE created outside the
+    // protocol (legacy writer, manual copy) — returning it as published
+    // would serve a half-written layout. Fail loudly rather than guess:
+    // the dir is not ours to repair, and every caller treats the returned
+    // path as complete.
+    require(complete(loc),
+      s"$loc exists without _SUCCESS after publish — a non-protocol writer " +
+        "owns this path; remove the stale dir and retry")
     loc
   }
 
@@ -97,13 +106,23 @@ object Layouts {
 
   private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Builder-semantics version baked into every split-layout dir name
+    * (the bucketed CTAS layouts carry the same token — `lineitem_v3`):
+    * a warehouse populated by an OLDER binary must never satisfy the
+    * reuse path with bytes the current builder would not produce. Bump
+    * whenever the builder's semantics change — the repartition key, the
+    * file count, or any upstream conversion the layout bakes in (e.g.
+    * `Tables.events`' nanos→µs timestamp rewrite).
+    */
+  private val LayoutVersion = "v1"
+
   /** A fixture table re-materialized as [[SplitFiles]] parquet files
     * (hash-distributed on `key` — any stable column works; a key keeps
     * the distribution deterministic-by-content rather than by input
     * order).
     */
   def split(s: SparkSession, d: String, name: String, key: String): DataFrame = {
-    val p = ensureDir(s, s"${name}_x${SplitFiles}_${tag(d)}") { tmp =>
+    val p = ensureDir(s, s"${name}_${LayoutVersion}_x${SplitFiles}_${tag(d)}") { tmp =>
       graft.Tables.table(s, d, name)
         .repartition(SplitFiles, col(key))
         .write.parquet(tmp)
@@ -131,7 +150,7 @@ object Layouts {
     * fixture's `nanosAsLong` special-casing.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val p = ensureDir(s, s"events_x${SplitFiles}_${tag(d)}") { tmp =>
+    val p = ensureDir(s, s"events_${LayoutVersion}_x${SplitFiles}_${tag(d)}") { tmp =>
       graft.Tables.events(s, d)
         .repartition(SplitFiles, col("user_id"))
         .write.parquet(tmp)

@@ -54,7 +54,7 @@ class DedupScaleSmokeSpec extends SparkSpec {
     val pairs = MinHash.candidatePairs(corpus10x, "doc_id", "tokens",
       shingleN = 2, k = 64, nBands = 8,
       minJaccard = 0.5, maxBucket = MaxBucket, portable = true)
-    val clusters = ConnectedComponents.withSizes(pairs, "id_a", "id_b")
+    val (clusters, rounds) = ConnectedComponents.assignCounted(pairs, "id_a", "id_b")
     val byCluster = clusters.select(col("node"), col("cluster_id"))
       .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
 
@@ -71,7 +71,6 @@ class DedupScaleSmokeSpec extends SparkSpec {
 
     // convergence must not degrade with replication: cliques keep the
     // diameter — and therefore the round count — a small constant
-    assert(ConnectedComponents.lastRoundCount <= 4,
-      s"CC took ${ConnectedComponents.lastRoundCount} rounds on the 10x corpus")
+    assert(rounds <= 4, s"CC took $rounds rounds on the 10x corpus")
   }
 }

@@ -55,6 +55,18 @@ class LayoutsSpec extends SparkSpec {
     assert(!built && fs.exists(new Path(out, "victim")))
   }
 
+  test("a build that yields no _SUCCESS fails loudly instead of publishing") {
+    // the post-build completeness check (round-7 advice): a dir at the
+    // published path without _SUCCESS must never be RETURNED as complete
+    val root = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      Layouts.publish(spark, root, "t") { tmp =>
+        writeLayout(tmp, "incomplete", complete = false)
+      }
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+  }
+
   test("a failed build leaks no temp directory") {
     val root = freshRoot()
     intercept[RuntimeException] {
