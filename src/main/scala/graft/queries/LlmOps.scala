@@ -679,6 +679,138 @@ object LlmOps {
       |  round(max(sim), 4) AS max_sim
       |FROM sims GROUP BY 1 ORDER BY label""".stripMargin
 
+  // --- Semantic dedup (q77) ----------------------------------------------
+
+  private val SemDedupK = 8
+  private val SemDedupTau = 0.5
+  private val SemDedupMaxCell = 10000L
+
+  /** SEMANTIC DEDUP (the SemDeDup recipe): cluster the corpus in
+    * embedding space, then within each cluster drop every member that is
+    * cosine-similar to a lower-id member — the third dedup leg beside
+    * exact content hashing (q26/q27) and lexical MinHash/Jaccard
+    * (q44/q63): it catches paraphrases and re-renderings that share no
+    * surface n-grams at all.
+    *
+    * Two-stage shape, both stages bounded:
+    *
+    *  1. ASSIGNMENT — argmax-cosine against a small centroid set,
+    *     computed as one broadcast + a `max_by` aggregate whose partials
+    *     collapse map-side, so the shuffle carries one (id, cell,
+    *     embedding) row per vector, never the N×K sim matrix. The
+    *     (csim, cell_id) ordering struct is unique per vector (cell ids
+    *     are distinct), so the argmax is deterministic on both engines.
+    *     At 100 TB the centroids come from a trained k-means (K up to
+    *     ~10^5 still broadcasts in MBs); here K deterministic corpus
+    *     seeds stand in, exactly like q25's precomputed IVF cells.
+    *  2. WITHIN-CELL PAIRWISE — quadratic only inside a cell, with the
+    *     same `maxCell` degenerate-cell guard as q42/candidatePairs;
+    *     cells above the bound are excluded, never allowed to blow up
+    *     one task. The keep rule (drop x iff a LOWER-id cell-mate is
+    *     ≥ tau similar) resolves chains deterministically without a
+    *     transitive closure: the lowest member of any similarity chain
+    *     always survives, and every other chain member has a lower-id
+    *     similar mate by construction. Cross-cell near-dups are missed
+    *     by design — that is SemDeDup's stated approximation, and the
+    *     price of never comparing across cells.
+    *
+    * Output is the per-cell audit (members/removed/kept + max pair
+    * similarity) so the gate hashes integers plus one rounded double.
+    */
+  def semanticDedupAudit(e: DataFrame, centroids: DataFrame,
+                         tau: Double, maxCell: Long): DataFrame = {
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(col("cell_id"), col("embedding")).as("v"),
+        struct(
+          VectorExpressions.cosine(col("embedding"), col("c_emb")).as("csim"),
+          col("cell_id").as("cell_id")).as("o"))
+      .groupBy("vec_id").agg(max_by(col("v"), col("o")).as("v"))
+      .select(col("vec_id"), col("v.cell_id").as("cell_id"),
+        col("v.embedding").as("embedding"))
+    val liveCells = assigned.groupBy("cell_id")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1 && col("n_members") <= maxCell)
+    val m = assigned.join(liveCells.select("cell_id"), Seq("cell_id"))
+    val sims = m
+      .select(col("cell_id"), col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(m.select(
+        col("cell_id"), col("vec_id").as("ib"), col("embedding").as("eb")),
+        Seq("cell_id"))
+      .filter(col("ia") < col("ib"))
+      .select(col("cell_id"), col("ib"),
+        VectorExpressions.cosine(col("ea"), col("eb")).as("sim"))
+    // one pass over the pairs: max sim per (cell, candidate) decides that
+    // candidate's removal AND rolls up to the cell's max — no distinct,
+    // no second pairwise scan
+    val cagg = sims.groupBy("cell_id", "ib").agg(max(col("sim")).as("mx"))
+      .groupBy("cell_id")
+      .agg(sum(when(col("mx") >= tau, 1L).otherwise(0L)).as("n_removed"),
+        round(max(col("mx")), 4).as("max_sim"))
+    // every live cell has >= 2 members, hence >= 1 pair: inner join is total
+    liveCells.join(cagg, Seq("cell_id"))
+      .select(col("cell_id").cast("long").as("cell_id"), col("n_members"),
+        col("n_removed"),
+        (col("n_members") - col("n_removed")).as("n_kept"), col("max_sim"))
+      .orderBy("cell_id")
+  }
+
+  /** q77: [[semanticDedupAudit]] over the embeddings fixture with
+    * vec_id 1..[[SemDedupK]] as the deterministic centroid seeds. */
+  def q77SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id").between(1, SemDedupK))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    semanticDedupAudit(e, cents, SemDedupTau, SemDedupMaxCell)
+  }
+
+  /** The oracle replays assignment (row_number over (csim DESC, cell_id
+    * DESC) ≡ the engine's max_by over the (csim, cell_id) struct), the
+    * cell-size guard, the within-cell pairwise cosine, and the
+    * keep-lowest rule in SQL; cosine is the same sequential double
+    * accumulation as q24/q42, so the doubles are engine-identical.
+    */
+  val q77Oracle: String =
+    s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND $SemDedupK),
+       |ax AS (SELECT e.vec_id, c.cell_id,
+       |         unnest(e.embedding) AS x, unnest(c.c_emb) AS y
+       |       FROM embeddings e CROSS JOIN c),
+       |asim AS (SELECT vec_id, cell_id,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS csim
+       |  FROM ax GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY csim DESC, cell_id DESC) AS rn
+       |    FROM asim) WHERE rn = 1),
+       |live AS (SELECT cell_id, count(*) AS n_members FROM assigned
+       |         GROUP BY 1 HAVING count(*) > 1 AND count(*) <= $SemDedupMaxCell),
+       |m AS (SELECT a.cell_id, a.vec_id, e.embedding
+       |      FROM assigned a JOIN live USING (cell_id)
+       |      JOIN embeddings e USING (vec_id)),
+       |p AS (SELECT a.cell_id, a.vec_id AS ia, b.vec_id AS ib,
+       |        a.embedding AS ea, b.embedding AS eb
+       |      FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+       |px AS (SELECT cell_id, ia, ib, unnest(ea) AS x, unnest(eb) AS y FROM p),
+       |sims AS (SELECT cell_id, ia, ib,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+       |  FROM px GROUP BY 1, 2, 3),
+       |perb AS (SELECT cell_id, ib, max(sim) AS mx FROM sims GROUP BY 1, 2),
+       |cagg AS (SELECT cell_id,
+       |    CAST(count_if(mx >= $SemDedupTau) AS BIGINT) AS n_removed,
+       |    round(max(mx), 4) AS max_sim
+       |  FROM perb GROUP BY 1)
+       |SELECT CAST(l.cell_id AS BIGINT) AS cell_id, l.n_members,
+       |  g.n_removed, l.n_members - g.n_removed AS n_kept, g.max_sim
+       |FROM live l JOIN cagg g USING (cell_id) ORDER BY cell_id""".stripMargin
+
   /** Benchmark DECONTAMINATION — the training-data operation next to dedup:
     * flag train documents sharing long-substring content with a held-out
     * benchmark split, via winnowed rolling-hash fingerprint overlap (the
