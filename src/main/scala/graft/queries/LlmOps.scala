@@ -811,6 +811,75 @@ object LlmOps {
        |  g.n_removed, l.n_members - g.n_removed AS n_kept, g.max_sim
        |FROM live l JOIN cagg g USING (cell_id) ORDER BY cell_id""".stripMargin
 
+  // --- Quality-classifier scoring (q78) -----------------------------------
+
+  private val QcBuckets = 1024L // hashing-trick feature dimension
+  private val QcWMod = 21L      // weight quantization: w_int in [-10, 10]
+
+  /** Per-doc integer logit of the hashing-trick linear classifier:
+    * tokens hash (portable Horner mod 1e9+7) into [[QcBuckets]] feature
+    * buckets; each bucket's weight comes from a closed-form table
+    * w(j) = ((j·37 + 11) mod [[QcWMod]]) − 10, integer-quantized to
+    * tenths exactly as production fasttext-style filters quantize for
+    * speed. The logit is a plain integer SUM, so scoring is exact on any
+    * engine — the only doubles appear at the final ÷10 presentation
+    * step, which is a single exact-operand division.
+    */
+  def qualityLogits(docs: DataFrame): DataFrame = {
+    val j = pmod(VectorExpressions.hornerHash(col("token")), lit(QcBuckets))
+    val w = (pmod(j * lit(37L) + lit(11L), lit(QcWMod)) - lit(10L)).as("w")
+    docs
+      .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("token"))
+      .select(col("doc_id"), col("source"), w)
+      .groupBy("doc_id", "source")
+      .agg(sum(col("w")).as("logit"))
+  }
+
+  /** q78: QUALITY-CLASSIFIER SCORING — linear model inference over the
+    * corpus, the fasttext-quality-filter shape every production pipeline
+    * runs next to rule-based filters (q46 Gopher): hashing-trick
+    * features (no vocabulary table to ship — the hash IS the feature
+    * index), a fixed weight table, keep iff logit ≥ 0. A trained model's
+    * weights would arrive as a literal array; the closed-form table here
+    * is that array in generator form, which keeps the DuckDB oracle able
+    * to compute the identical weights from the identical arithmetic.
+    *
+    * Scale shape: explode → codegen'd hash+weight arithmetic → two-level
+    * integer aggregation ((doc) then (source)) — the q73/q75 discipline:
+    * map-side partials collapse each doc's tokens before the shuffle,
+    * and nothing wider than (doc_id, source, long) ever moves. No UDF,
+    * no float accumulation, no model broadcast.
+    */
+  def q78QualityScore(s: SparkSession, d: String): DataFrame =
+    qualityLogits(documents(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("logit") >= 0).as("n_keep"),
+        (sum(col("logit")).cast("double") / (lit(10.0) * count(lit(1))))
+          .as("avg_score"))
+      .orderBy("source")
+
+  /** The oracle replays hash → bucket → weight → logit → per-source
+    * rollup in SQL from the same constants; every aggregate is integer
+    * until the single final division.
+    */
+  val q78Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |f AS (SELECT doc_id, source,
+       |    ((${PolyHash.hornerSql("token")} % $QcBuckets) * 37 + 11) % $QcWMod - 10 AS w
+       |  FROM t),
+       |dl AS (SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS logit
+       |       FROM f GROUP BY doc_id, source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(count_if(logit >= 0) AS BIGINT) AS n_keep,
+       |  CAST(sum(logit) AS DOUBLE) / (10.0 * count(*)) AS avg_score
+       |FROM dl GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Benchmark DECONTAMINATION — the training-data operation next to dedup:
     * flag train documents sharing long-substring content with a held-out
     * benchmark split, via winnowed rolling-hash fingerprint overlap (the
