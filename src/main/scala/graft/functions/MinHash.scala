@@ -80,7 +80,7 @@ object MinHash {
     * row and are dropped by an attribute-only filter that cannot be
     * pushed through the kernel projection.
     */
-  private def explodedBands(
+  private[graft] def explodedBands(
       docs: DataFrame, idCol: String, tokensCol: String,
       shingleN: Int, k: Int, nBands: Int, portable: Boolean): DataFrame =
     docs

@@ -427,6 +427,108 @@ object LlmOps {
        |SELECT id_a, id_b, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  // --- Incremental dedup (q79) --------------------------------------------
+
+  private val IncrNewMod = 10L // doc_id % 10 >= 8 plays the new snapshot
+
+  /** q79: INCREMENTAL DEDUP AGAINST AN EXISTING CORPUS — the
+    * continual-ingest shape a 100 TB pipeline actually runs: q44/q63
+    * cover the batch REBUILD (re-band everything, all intra-corpus
+    * pairs); a daily snapshot instead probes a MAINTAINED MinHash index
+    * with only the new documents. Here the index is two published
+    * layouts ([[graft.sources.Layouts.ensureDir]] — built once per
+    * fixture dir, exactly like the bucketed lineitem):
+    *
+    *  - `mhidx_bands`: (band, bucket, id) of the existing corpus — the
+    *    LSH posting lists;
+    *  - `mhidx_sigs`:  (id, sig) — signatures for candidate scoring.
+    *
+    * The incremental pass bands ONLY the new slice, then generates
+    * exactly two pair classes: new-vs-old (new bands joined against the
+    * index posting lists) and new-vs-new (self-join of the new bands).
+    * Old-vs-old pairs are never formed — that is the entire point: the
+    * probe cost scales with the snapshot, not the corpus. The
+    * degenerate-bucket guard counts index + new occupancy together
+    * (scanning the 12-byte index rows, NOT re-banding the corpus), so
+    * the guarded bucket set is identical to what a batch q44 over the
+    * union would keep, and a bucket the batch guard would drop is
+    * dropped here too.
+    *
+    * Output: (id_a, id_b, kind, est_jaccard) with id_a < id_b; 'kind'
+    * classifies new_old vs new_new so downstream survivorship can treat
+    * collisions with the existing corpus (drop the new doc) differently
+    * from intra-snapshot duplicates (keep-min). The pair key is unique,
+    * so the sort is total at every scale.
+    */
+  def q79IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHash
+    import graft.sources.Layouts
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    def en = documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+    def old = en.filter(col("doc_id") % IncrNewMod < 8)
+    val nw = en.filter(col("doc_id") % IncrNewMod >= 8)
+    val bandsPath = Layouts.ensureDir(s, s"mhidx_bands_v1_$tag") { tmp =>
+      MinHash.explodedBands(old, "doc_id", "tokens", 2, 64, 8, portable = true)
+        .select("band", "bucket", "id").write.parquet(tmp)
+    }
+    val sigsPath = Layouts.ensureDir(s, s"mhidx_sigs_v1_$tag") { tmp =>
+      old.select(col("doc_id").as("id"),
+          MinHash.signature(col("tokens"), 2, 64, portable = true).as("sig"))
+        .filter(col("sig").isNotNull).write.parquet(tmp)
+    }
+    val idxBands = s.read.parquet(bandsPath)
+    val idxSigs = s.read.parquet(sigsPath)
+    val newBands = MinHash.explodedBands(nw, "doc_id", "tokens", 2, 64, 8,
+      portable = true).select("band", "bucket", "id")
+    val newSigs = nw.select(col("doc_id").as("id"),
+        MinHash.signature(col("tokens"), 2, 64, portable = true).as("sig"))
+      .filter(col("sig").isNotNull)
+    // bucket guard over index + snapshot occupancy — same bound as q44's
+    // batch guard, computed from the index rows, never from re-banding
+    val sized = idxBands.unionByName(newBands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") > 1 && col("__bs") <= 100)
+      .select("band", "bucket")
+    val idxJ = idxBands.join(sized, Seq("band", "bucket"))
+    val newJ = newBands.join(sized, Seq("band", "bucket"))
+    val newOld = newJ.select(col("band"), col("bucket"), col("id").as("id_n"))
+      .join(idxJ.select(col("band"), col("bucket"), col("id").as("id_o")),
+        Seq("band", "bucket"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), lit("new_old").as("kind"))
+    val newNew = newJ.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(newJ.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit("new_new").as("kind"))
+    val sigs = idxSigs.unionByName(newSigs)
+    newOld.unionByName(newNew).distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("kind"),
+        MinHash.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The oracle replays the SAME semantics from scratch (an oracle has
+    * no maintained state): full banding, the batch bucket guard, then
+    * the pair set restricted to at-least-one-new — provably identical
+    * to the index-probe plan's output because the guarded bucket set is
+    * the union-occupancy one on both sides.
+    */
+  val q79Oracle: String =
+    s"""WITH $lshPairChainSql,
+       |inc AS (SELECT id_a, id_b, est_jaccard FROM est
+       |        WHERE est_jaccard >= 0.5
+       |          AND (id_a % $IncrNewMod >= 8 OR id_b % $IncrNewMod >= 8))
+       |SELECT id_a, id_b,
+       |  CASE WHEN id_a % $IncrNewMod >= 8 AND id_b % $IncrNewMod >= 8
+       |       THEN 'new_new' ELSE 'new_old' END AS kind,
+       |  est_jaccard
+       |FROM inc ORDER BY id_a, id_b""".stripMargin
+
   /** q63: duplicate-CLUSTER assignment — the step after pair detection
     * that the reference pipeline (and most pair-level dedup demos) leaves
     * out. Edges are the union of two independent candidate generators:
