@@ -982,6 +982,78 @@ object LlmOps {
        |FROM dl GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --- Quality-weighted sampling (q80) ------------------------------------
+
+  private val WsM = 1000000L  // hash threshold modulus
+  private val WsWMax = 100L   // weight ceiling == acceptance denominator
+
+  /** q80: QUALITY-WEIGHTED DETERMINISTIC SAMPLING — importance
+    * resampling for corpus curation: each document is kept with
+    * probability proportional to its classifier weight (the q78 logit,
+    * shifted and clamped into [1, [[WsWMax]]]), decided by the
+    * content-hash-threshold trick (q69) generalized from one fixed rate
+    * per stratum to a PER-DOCUMENT rate: keep iff h·Wmax < w·M with h a
+    * salted content hash in [0, M). Everything is exact integer
+    * arithmetic (the cross-multiplication sidesteps any rational or
+    * float boundary), so the selection is reproducible across runs,
+    * engines, layouts, and snapshots — the property that makes a
+    * curation decision re-derivable months later, which per-row RNG
+    * sampling fundamentally cannot give.
+    *
+    * Scale shape: one corpus pass — the salted doc hash rides the same
+    * scan as the token explode (carried through the per-doc aggregate as
+    * a grouping column, 8 bytes), then the q73/q75 two-level integer
+    * aggregation. Map-only decision, one (doc) + one (source) shuffle,
+    * no joins, no RNG state.
+    */
+  def q80WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val j = pmod(VectorExpressions.hornerHash(col("token")), lit(QcBuckets))
+    val wtok = pmod(j * lit(37L) + lit(11L), lit(QcWMod)) - lit(10L)
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        pmod(VectorExpressions.hornerHash(concat(lit("q80:"), col("text"))),
+          lit(WsM)).as("h"),
+        explode(toks(col("text"))).as("token"))
+      .select(col("doc_id"), col("source"), col("h"), wtok.as("w"))
+      .groupBy("doc_id", "source", "h").agg(sum("w").as("logit"))
+      .withColumn("wgt",
+        greatest(least(col("logit") + lit(50L), lit(WsWMax)), lit(1L)))
+      .withColumn("keep", col("h") * lit(WsWMax) < col("wgt") * lit(WsM))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("keep")).as("n_kept"),
+        sum(col("wgt")).as("sum_w"),
+        (count_if(col("keep")).cast("double") / count(lit(1))).as("kept_frac"))
+      .orderBy("source")
+  }
+
+  /** The oracle replays salt-hash, logit, clamp, and the integer
+    * cross-multiplication from the same constants; the doc hash is
+    * computed once per document (its own CTE) rather than per token.
+    */
+  val q80Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH d0 AS (
+       |  SELECT doc_id, source, text,
+       |    ${PolyHash.hornerSql("'q80:' || text")} % $WsM AS h
+       |  FROM documents),
+       |t AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM d0),
+       |f AS (SELECT doc_id,
+       |    ((${PolyHash.hornerSql("token")} % $QcBuckets) * 37 + 11) % $QcWMod - 10 AS w
+       |  FROM t),
+       |dl AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit FROM f GROUP BY doc_id),
+       |dd AS (SELECT d0.source, d0.h,
+       |    greatest(least(dl.logit + 50, $WsWMax), 1) AS wgt
+       |  FROM d0 JOIN dl USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(count_if(h * $WsWMax < wgt * $WsM) AS BIGINT) AS n_kept,
+       |  CAST(sum(wgt) AS BIGINT) AS sum_w,
+       |  CAST(count_if(h * $WsWMax < wgt * $WsM) AS DOUBLE) / count(*) AS kept_frac
+       |FROM dd GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Benchmark DECONTAMINATION — the training-data operation next to dedup:
     * flag train documents sharing long-substring content with a held-out
     * benchmark split, via winnowed rolling-hash fingerprint overlap (the
