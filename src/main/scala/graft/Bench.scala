@@ -86,21 +86,26 @@ object Bench {
       // the second extra run is skipped once the first has failed.
       val iters =
         if (iters0.length == 3 && iters0.max > 2 * iters0.min) {
-          // Attribution breadcrumb before widening: for queries with a
-          // registered per-branch diagnostic, time each constituent plan
-          // once so a recurring stall is attributable (scheduling delay
-          // hits every branch; a plan regression names its branch).
-          if (name == "q59_sketches")
-            try graft.queries.Warehouse.q59Diagnose(spark, sfDir)
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] q59 diagnose failed: ${e.getMessage}")
-            }
           val e1 = once()
-          if (e1 < 0) Seq.empty
-          else {
-            val e2 = once()
-            if (e2 < 0) Seq.empty else iters0 ++ Seq(e1, e2)
+          val widened =
+            if (e1 < 0) Seq.empty[Double]
+            else {
+              val e2 = once()
+              if (e2 < 0) Seq.empty[Double] else iters0 ++ Seq(e1, e2)
+            }
+          // Attribution breadcrumb AFTER the widening samples: the
+          // registered per-branch diagnostic times each constituent plan
+          // so a recurring stall is attributable (scheduling delay hits
+          // every branch; a plan regression names its branch). It runs
+          // last so its own allocation debt cannot contaminate e1/e2 —
+          // the exact warmup-debt mechanism documented above.
+          SparkEntry.diagnostics.get(name).foreach { diag =>
+            try diag(spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name diagnose failed: ${e.getMessage}")
+            }
           }
+          widened
         } else iters0
       val median =
         if (iters.length < 3) -1.0

@@ -100,6 +100,16 @@ object SparkEntry {
     "q80_weighted_sample"  -> (LlmOps.q80WeightedSample _),
   )
 
+  /** Optional per-branch stall diagnostics, keyed by query name: Bench
+    * invokes the entry when a query's timed iterations disperse (the
+    * ambient-stall signature that triggers adaptive widening), so a
+    * recurring stall is attributable to a constituent plan rather than
+    * inferable. Register here, never special-case names in Bench.
+    */
+  def diagnostics: Map[String, (SparkSession, String) => Unit] = Map(
+    "q59_sketches" -> (Warehouse.q59Diagnose _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

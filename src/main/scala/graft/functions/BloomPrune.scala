@@ -63,21 +63,27 @@ object BloomPrune {
   def buildBloom(keys: DataFrame, key: Column, expectedItems: Long, fpp: Double): Array[Byte] =
     buildBloomWithCount(keys, key, expectedItems, fpp, rebuildOnOverflow = false)._1
 
-  /** Single-action build: the sketch (sized for `capacityHint`) and the
-    * exact key count come out of ONE aggregation job — the shape a
-    * runtime filter wants, where a separate pre-count would double the
-    * dim-side passes. The hint plays the role table statistics play on a
-    * real warehouse (a runtime filter consults stats, it never
-    * pre-scans); when the hint UNDERSHOOTS the data, the sketch's
-    * effective fpp is worse than requested, so the build detects it from
-    * the same job's count and rebuilds once at the exact size — a rare
-    * second pass that replaces a guaranteed extra pass on every call.
-    * Overshooting merely lowers the realized fpp (a bigger, safer
-    * sketch); both directions keep the no-false-negative guarantee.
+  /** Single-action build: the sketch (sized for `capacityHint`), the row
+    * count, and a DISTINCT-key estimate come out of ONE aggregation job —
+    * the shape a runtime filter wants, where a separate pre-count would
+    * double the dim-side passes. The hint plays the role table statistics
+    * play on a real warehouse (a runtime filter consults stats, it never
+    * pre-scans). Bloom fpp is governed by DISTINCT insertions, not rows
+    * (re-inserting a key flips no new bits), so the undershoot check and
+    * the rebuild size both use the same job's `approx_count_distinct`
+    * (rsd 0.02, padded 10%): a duplicate-heavy key column — the case
+    * where rows ≫ distinct — neither triggers a pointless rebuild nor
+    * slams into the clamp guard at row-count scale. When the DISTINCT
+    * estimate exceeds the hint, the sketch's effective fpp is worse than
+    * requested and the build rebuilds once at the estimated size — a
+    * rare second pass replacing a guaranteed extra pass on every call.
+    * Overshooting merely lowers the realized fpp; both directions keep
+    * the no-false-negative guarantee. Returns (sketch, ROW count).
     */
   def buildBloomWithCount(keys: DataFrame, key: Column, capacityHint: Long, fpp: Double,
                           rebuildOnOverflow: Boolean = true): (Array[Byte], Long) = {
-    def once(cap: Long): (Array[Byte], Long) = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, count, lit}
+    def once(cap: Long): (Array[Byte], Long, Long) = {
       val child = new XxHash64(Seq(GraftColumnBridge.expression(key)))
       val capped = math.max(cap, 1L)
       val bits = BloomFilter.optimalNumOfBits(capped, fpp)
@@ -86,17 +92,18 @@ object BloomPrune {
         Literal(capped), Literal(bits)).toAggregateExpression()
       val row = keys.agg(
         GraftColumnBridge.column(agg).as("bf"),
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n")).head()
+        count(lit(1)).as("n"),
+        approx_count_distinct(key, 0.02).as("nd")).head()
       val bytes = if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
-      (bytes, row.getLong(1))
+      (bytes, row.getLong(1), row.getLong(2))
     }
-    val (bytes, n) = once(capacityHint)
-    if (n <= math.max(capacityHint, 1L) || !rebuildOnOverflow) (bytes, n)
+    val (bytes, n, distinctEst) = once(capacityHint)
+    if (distinctEst <= math.max(capacityHint, 1L) || !rebuildOnOverflow) (bytes, n)
     else {
-      System.err.println(
-        s"[bloom] capacity hint $capacityHint undershot actual $n keys — rebuilding at exact size")
-      (once(n)._1, n)
+      val resized = distinctEst + distinctEst / 10
+      System.err.println(s"[bloom] capacity hint $capacityHint undershot ~$distinctEst " +
+        s"distinct keys — rebuilding at $resized")
+      (once(resized)._1, n)
     }
   }
 

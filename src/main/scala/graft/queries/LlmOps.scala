@@ -431,6 +431,19 @@ object LlmOps {
 
   private val IncrNewMod = 10L // doc_id % 10 >= 8 plays the new snapshot
 
+  private val IncrShingleN = 2
+  private val IncrK = 64
+  private val IncrBands = 8
+
+  /** Version + parameter token baked into the q79 index layout names: a
+    * warehouse populated under DIFFERENT banding parameters (shingle n,
+    * signature width, band count, snapshot split, language filter) must
+    * never satisfy the reuse path — the name changes with the semantics,
+    * mechanically, instead of relying on a human bumping a bare "v1".
+    */
+  private val IncrIndexTag: String =
+    s"v1_s${IncrShingleN}k${IncrK}b${IncrBands}m${IncrNewMod}en"
+
   /** q79: INCREMENTAL DEDUP AGAINST AN EXISTING CORPUS — the
     * continual-ingest shape a 100 TB pipeline actually runs: q44/q63
     * cover the batch REBUILD (re-band everything, all intra-corpus
@@ -463,26 +476,27 @@ object LlmOps {
   def q79IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHash
     import graft.sources.Layouts
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Layouts.tag(d)
     def en = documents(s, d).filter(col("lang") === "en")
       .select(col("doc_id"), toks(col("text")).as("tokens"))
     def old = en.filter(col("doc_id") % IncrNewMod < 8)
     val nw = en.filter(col("doc_id") % IncrNewMod >= 8)
-    val bandsPath = Layouts.ensureDir(s, s"mhidx_bands_v1_$tag") { tmp =>
-      MinHash.explodedBands(old, "doc_id", "tokens", 2, 64, 8, portable = true)
+    val bandsPath = Layouts.ensureDir(s, s"mhidx_bands_${IncrIndexTag}_$tag") { tmp =>
+      MinHash.explodedBands(old, "doc_id", "tokens", IncrShingleN, IncrK,
+          IncrBands, portable = true)
         .select("band", "bucket", "id").write.parquet(tmp)
     }
-    val sigsPath = Layouts.ensureDir(s, s"mhidx_sigs_v1_$tag") { tmp =>
+    val sigsPath = Layouts.ensureDir(s, s"mhidx_sigs_${IncrIndexTag}_$tag") { tmp =>
       old.select(col("doc_id").as("id"),
-          MinHash.signature(col("tokens"), 2, 64, portable = true).as("sig"))
+          MinHash.signature(col("tokens"), IncrShingleN, IncrK, portable = true).as("sig"))
         .filter(col("sig").isNotNull).write.parquet(tmp)
     }
     val idxBands = s.read.parquet(bandsPath)
     val idxSigs = s.read.parquet(sigsPath)
-    val newBands = MinHash.explodedBands(nw, "doc_id", "tokens", 2, 64, 8,
-      portable = true).select("band", "bucket", "id")
+    val newBands = MinHash.explodedBands(nw, "doc_id", "tokens", IncrShingleN,
+      IncrK, IncrBands, portable = true).select("band", "bucket", "id")
     val newSigs = nw.select(col("doc_id").as("id"),
-        MinHash.signature(col("tokens"), 2, 64, portable = true).as("sig"))
+        MinHash.signature(col("tokens"), IncrShingleN, IncrK, portable = true).as("sig"))
       .filter(col("sig").isNotNull)
     // bucket guard over index + snapshot occupancy — same bound as q44's
     // batch guard, computed from the index rows, never from re-banding
@@ -918,6 +932,17 @@ object LlmOps {
   private val QcBuckets = 1024L // hashing-trick feature dimension
   private val QcWMod = 21L      // weight quantization: w_int in [-10, 10]
 
+  /** The classifier's per-token weight (over a `token` column): hash →
+    * feature bucket → closed-form integer weight. ONE definition shared
+    * by scoring (q78) and quality-weighted sampling (q80), so the
+    * sampling weights can never drift from the classifier they claim to
+    * be proportional to.
+    */
+  private def tokenWeight: Column = {
+    val j = pmod(VectorExpressions.hornerHash(col("token")), lit(QcBuckets))
+    pmod(j * lit(37L) + lit(11L), lit(QcWMod)) - lit(10L)
+  }
+
   /** Per-doc integer logit of the hashing-trick linear classifier:
     * tokens hash (portable Horner mod 1e9+7) into [[QcBuckets]] feature
     * buckets; each bucket's weight comes from a closed-form table
@@ -927,15 +952,12 @@ object LlmOps {
     * engine — the only doubles appear at the final ÷10 presentation
     * step, which is a single exact-operand division.
     */
-  def qualityLogits(docs: DataFrame): DataFrame = {
-    val j = pmod(VectorExpressions.hornerHash(col("token")), lit(QcBuckets))
-    val w = (pmod(j * lit(37L) + lit(11L), lit(QcWMod)) - lit(10L)).as("w")
+  def qualityLogits(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("token"))
-      .select(col("doc_id"), col("source"), w)
+      .select(col("doc_id"), col("source"), tokenWeight.as("w"))
       .groupBy("doc_id", "source")
       .agg(sum(col("w")).as("logit"))
-  }
 
   /** q78: QUALITY-CLASSIFIER SCORING — linear model inference over the
     * corpus, the fasttext-quality-filter shape every production pipeline
@@ -1007,14 +1029,12 @@ object LlmOps {
     * no joins, no RNG state.
     */
   def q80WeightedSample(s: SparkSession, d: String): DataFrame = {
-    val j = pmod(VectorExpressions.hornerHash(col("token")), lit(QcBuckets))
-    val wtok = pmod(j * lit(37L) + lit(11L), lit(QcWMod)) - lit(10L)
     val perDoc = documents(s, d)
       .select(col("doc_id"), col("source"),
         pmod(VectorExpressions.hornerHash(concat(lit("q80:"), col("text"))),
           lit(WsM)).as("h"),
         explode(toks(col("text"))).as("token"))
-      .select(col("doc_id"), col("source"), col("h"), wtok.as("w"))
+      .select(col("doc_id"), col("source"), col("h"), tokenWeight.as("w"))
       .groupBy("doc_id", "source", "h").agg(sum("w").as("logit"))
       .withColumn("wgt",
         greatest(least(col("logit") + lit(50L), lit(WsWMax)), lit(1L)))

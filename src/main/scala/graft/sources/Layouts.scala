@@ -77,6 +77,13 @@ object Layouts {
     val tmp = new Path(root, s"${name}_w$uuid")
     try {
       build(tmp)
+      // The protocol OWNS its completeness marker: a session tuned with
+      // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common
+      // object-store setting) writes complete dirs without _SUCCESS, and
+      // our own publish must not then fail the completeness check below.
+      // build() throwing on failure is the protocol's atomicity source;
+      // reaching this line means the dir is complete by construction.
+      if (fs.exists(tmp) && !complete(tmp)) fs.create(new Path(tmp, "_SUCCESS")).close()
       if (!fs.exists(loc) && fs.rename(tmp, loc)) {
         val nested = new Path(loc, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true)
@@ -104,7 +111,13 @@ object Layouts {
     publish(s, new Path(s"$wh/graft_layouts"), name)(p => build(p.toString)).toString
   }
 
-  private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+  /** Fixture-dir → layout-name tag, the ONE copy of the sanitization
+    * every maintained-layout name builds on (split layouts here, the
+    * bucketed CTAS tables in `queries/Warehouse`, the q79 MinHash index)
+    * — a divergent copy would let two names disagree about which dir
+    * they describe.
+    */
+  private[graft] def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Builder-semantics version baked into every split-layout dir name
     * (the bucketed CTAS layouts carry the same token — `lineitem_v3`):

@@ -80,6 +80,20 @@ class BloomPruneSpec extends SparkSpec {
     assert(missed == 0L, s"$missed keys rejected after the exact-size rebuild")
   }
 
+  test("duplicate-keyed input sizes by distinct keys, not rows") {
+    // fpp is governed by distinct insertions; a rows >> distinct input
+    // must neither rebuild nor hit the clamp at row-count scale. 5M rows
+    // over 1000 distinct keys with a 2000 hint: the old row-count check
+    // would rebuild at 5M and throw on the 4M clamp.
+    import spark.implicits._
+    val keys = spark.range(5000000L).select((col("id") % 1000L).as("k"))
+    val (bloom, n) = BloomPrune.buildBloomWithCount(keys, col("k"), 2000L, 0.01)
+    assert(n == 5000000L, "returned count is the ROW count")
+    val missed = spark.range(1000L).select(col("id").as("k"))
+      .filter(!BloomPrune.mightContain(bloom, col("k"))).count()
+    assert(missed == 0L)
+  }
+
   test("a request beyond the session clamp fails loudly instead of degrading") {
     val urgent = Tables.orders(spark, d)
       .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))

@@ -55,13 +55,27 @@ class LayoutsSpec extends SparkSpec {
     assert(!built && fs.exists(new Path(out, "victim")))
   }
 
-  test("a build that yields no _SUCCESS fails loudly instead of publishing") {
-    // the post-build completeness check (round-7 advice): a dir at the
-    // published path without _SUCCESS must never be RETURNED as complete
+  test("the protocol owns its marker: a committer writing no _SUCCESS still publishes complete") {
+    // marksuccessfuljobs=false (object-store tuning) leaves build output
+    // unmarked; publish self-marks before the rename, because build()
+    // throwing is the atomicity source, not the committer's marker
+    val root = freshRoot()
+    val loc = Layouts.publish(spark, root, "t") { tmp =>
+      writeLayout(tmp, "unmarked", complete = false)
+    }
+    assert(fs.exists(new Path(loc, "unmarked")) && fs.exists(new Path(loc, "_SUCCESS")))
+  }
+
+  test("a non-protocol writer squatting on the published path fails loudly") {
+    // the post-build completeness check (round-7 advice): a FOREIGN
+    // incomplete dir at the published path must never be RETURNED as
+    // complete — simulate a legacy writer racing in mid-publish
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {
       Layouts.publish(spark, root, "t") { tmp =>
-        writeLayout(tmp, "incomplete", complete = false)
+        writeLayout(tmp, "mine", complete = true)
+        // foreign incomplete dir appears at loc AFTER the stale sweep
+        writeLayout(new Path(root, "t"), "foreign", complete = false)
       }
     }
     assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
