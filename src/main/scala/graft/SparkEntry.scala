@@ -98,6 +98,7 @@ object SparkEntry {
     "q78_quality_score"   -> (LlmOps.q78QualityScore _),
     "q79_incremental_dedup"-> (LlmOps.q79IncrementalDedup _),
     "q80_weighted_sample"  -> (LlmOps.q80WeightedSample _),
+    "q81_kmeans_step"      -> (LlmOps.q81KmeansStep _),
   )
 
   /** Optional per-branch stall diagnostics, keyed by query name: Bench
@@ -198,5 +199,6 @@ object SparkEntry {
     "q78_quality_score"   -> LlmOps.q78Oracle,
     "q79_incremental_dedup"-> LlmOps.q79Oracle,
     "q80_weighted_sample"  -> LlmOps.q80Oracle,
+    "q81_kmeans_step"      -> LlmOps.q81Oracle,
   )
 }

@@ -833,9 +833,16 @@ object LlmOps {
     * Output is the per-cell audit (members/removed/kept + max pair
     * similarity) so the gate hashes integers plus one rounded double.
     */
-  def semanticDedupAudit(e: DataFrame, centroids: DataFrame,
-                         tau: Double, maxCell: Long): DataFrame = {
-    val assigned = e.select(col("vec_id"), col("embedding"))
+  /** Argmax-cosine cell assignment against a broadcast centroid set —
+    * the shared first stage of semantic dedup (q77) and the k-means
+    * update step (q81): one broadcast + a `max_by` aggregate whose
+    * partials collapse map-side, so the shuffle carries one (id, cell,
+    * embedding) row per vector, never the N×K sim matrix. The
+    * (csim, cell_id) ordering struct is unique per vector (cell ids are
+    * distinct), so the argmax is deterministic on both engines.
+    */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"),
         struct(col("cell_id"), col("embedding")).as("v"),
@@ -845,6 +852,10 @@ object LlmOps {
       .groupBy("vec_id").agg(max_by(col("v"), col("o")).as("v"))
       .select(col("vec_id"), col("v.cell_id").as("cell_id"),
         col("v.embedding").as("embedding"))
+
+  def semanticDedupAudit(e: DataFrame, centroids: DataFrame,
+                         tau: Double, maxCell: Long): DataFrame = {
+    val assigned = assignCells(e, centroids)
     val liveCells = assigned.groupBy("cell_id")
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1 && col("n_members") <= maxCell)
@@ -881,15 +892,15 @@ object LlmOps {
     semanticDedupAudit(e, cents, SemDedupTau, SemDedupMaxCell)
   }
 
-  /** The oracle replays assignment (row_number over (csim DESC, cell_id
-    * DESC) ≡ the engine's max_by over the (csim, cell_id) struct), the
-    * cell-size guard, the within-cell pairwise cosine, and the
-    * keep-lowest rule in SQL; cosine is the same sequential double
-    * accumulation as q24/q42, so the doubles are engine-identical.
+  /** The q77/q81 shared oracle prefix: centroid seeds + argmax-cosine
+    * cell assignment (row_number over (csim DESC, cell_id DESC) ≡ the
+    * engine's max_by over the (csim, cell_id) struct); cosine is the
+    * same sequential double accumulation as q24/q42, so the doubles are
+    * engine-identical.
     */
-  val q77Oracle: String =
-    s"""WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb
-       |           FROM embeddings WHERE vec_id BETWEEN 1 AND $SemDedupK),
+  private def cellAssignCtes: String =
+    s"""c AS (SELECT vec_id AS cell_id, embedding AS c_emb
+       |      FROM embeddings WHERE vec_id BETWEEN 1 AND $SemDedupK),
        |ax AS (SELECT e.vec_id, c.cell_id,
        |         unnest(e.embedding) AS x, unnest(c.c_emb) AS y
        |       FROM embeddings e CROSS JOIN c),
@@ -903,7 +914,12 @@ object LlmOps {
        |    SELECT vec_id, cell_id,
        |      row_number() OVER (PARTITION BY vec_id
        |                         ORDER BY csim DESC, cell_id DESC) AS rn
-       |    FROM asim) WHERE rn = 1),
+       |    FROM asim) WHERE rn = 1)""".stripMargin
+
+  /** The oracle replays assignment, the cell-size guard, the
+    * within-cell pairwise cosine, and the keep-lowest rule in SQL. */
+  val q77Oracle: String =
+    s"""WITH $cellAssignCtes,
        |live AS (SELECT cell_id, count(*) AS n_members FROM assigned
        |         GROUP BY 1 HAVING count(*) > 1 AND count(*) <= $SemDedupMaxCell),
        |m AS (SELECT a.cell_id, a.vec_id, e.embedding
@@ -926,6 +942,91 @@ object LlmOps {
        |SELECT CAST(l.cell_id AS BIGINT) AS cell_id, l.n_members,
        |  g.n_removed, l.n_members - g.n_removed AS n_kept, g.max_sim
        |FROM live l JOIN cagg g USING (cell_id) ORDER BY cell_id""".stripMargin
+
+  // --- k-means update step (q81) ------------------------------------------
+
+  private val KmQScale = 1048576L // 2^20: float components quantize exactly
+
+  /** q81: K-MEANS UPDATE STEP (one Lloyd iteration) — the training side
+    * of the centroid machinery q25/q77 consume: assign every vector to
+    * its argmax-cosine centroid ([[assignCells]], broadcast + map-side
+    * partials), then recompute each cell's centroid as the member mean.
+    * At 100 TB this IS how embedding-space k-means runs: K bounded
+    * (centroids broadcast), one corpus pass per iteration, the shuffle
+    * carrying only (cell, dim, partial-sum) triples — never the vectors
+    * twice.
+    *
+    * Exactness discipline: float sums in shuffle order are
+    * non-deterministic in the last ulp, so the accumulation is INTEGER —
+    * each component is scaled by 2^20 (a power of two: exact on a float
+    * value in double) and rounded (half-away-from-zero on both engines),
+    * summed as longs, and the mean emerges from ONE exact-operand
+    * division at presentation. The drift diagnostic |n·seed − Σmember|
+    * (L1 over dims, scaled) stays in integers end-to-end — the
+    * convergence signal a k-means driver loop would threshold on.
+    *
+    * Output: per cell — member count, scaled L1 drift from the seed, and
+    * the dim-0 mean as a spot-check double.
+    */
+  def q81KmeansStep(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id").between(1, SemDedupK))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    kmeansUpdateAudit(e, cents)
+  }
+
+  /** The update rule over explicit inputs (spec seam): e(vec_id,
+    * embedding), centroids(cell_id, c_emb). */
+  def kmeansUpdateAudit(e: DataFrame, cents: DataFrame): DataFrame = {
+    val qx = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val members = assignCells(e, cents)
+      .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cell_id"), col("pos"), qx.as("qx"))
+      .groupBy("cell_id", "pos")
+      .agg(sum("qx").as("sumq"), count(lit(1)).as("cnt"))
+    val seeds = cents
+      .select(col("cell_id"), posexplode(col("c_emb")).as(Seq("pos", "x")))
+      .select(col("cell_id"), col("pos"), qx.as("seedq"))
+    members.join(seeds, Seq("cell_id", "pos"))
+      .groupBy("cell_id")
+      .agg(max(col("cnt")).as("n_members"),
+        sum(abs(col("cnt") * col("seedq") - col("sumq"))).as("l1_drift_q"),
+        sum(when(col("pos") === 0,
+          col("sumq").cast("double") / (col("cnt") * lit(KmQScale.toDouble))))
+          .as("c0"))
+      .select(col("cell_id").cast("long").as("cell_id"), col("n_members"),
+        col("l1_drift_q"), col("c0"))
+      .orderBy("cell_id")
+  }
+
+  /** The oracle replays assignment (shared CTEs), the 2^20 quantization,
+    * the integer sums, and the scaled L1 drift; the single c0 division
+    * has exact operands on both engines.
+    */
+  val q81Oracle: String =
+    s"""WITH $cellAssignCtes,
+       |mem AS (SELECT a.cell_id, e.vec_id, e.embedding
+       |        FROM assigned a JOIN embeddings e USING (vec_id)),
+       |mq AS (SELECT cell_id, pos,
+       |    CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
+       |  FROM (SELECT cell_id, unnest(embedding) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS pos
+       |        FROM mem)),
+       |ms AS (SELECT cell_id, pos, CAST(sum(qx) AS BIGINT) AS sumq,
+       |         count(*) AS cnt
+       |       FROM mq GROUP BY 1, 2),
+       |sq AS (SELECT cell_id, pos,
+       |    CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT) AS seedq
+       |  FROM (SELECT cell_id, unnest(c_emb) AS x,
+       |          unnest(generate_series(1, len(c_emb))) AS pos
+       |        FROM c))
+       |SELECT CAST(ms.cell_id AS BIGINT) AS cell_id,
+       |  CAST(max(cnt) AS BIGINT) AS n_members,
+       |  CAST(sum(abs(cnt * seedq - sumq)) AS BIGINT) AS l1_drift_q,
+       |  CAST(sum(CASE WHEN ms.pos = 1
+       |       THEN CAST(sumq AS DOUBLE) / (cnt * $KmQScale) END) AS DOUBLE) AS c0
+       |FROM ms JOIN sq ON ms.cell_id = sq.cell_id AND ms.pos = sq.pos
+       |GROUP BY 1 ORDER BY cell_id""".stripMargin
 
   // --- Quality-classifier scoring (q78) -----------------------------------
 
