@@ -133,6 +133,48 @@ object MinHash {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** The asymmetric index-probe at the heart of incremental dedup (q79
+    * and the streaming [[graft.streaming.IncrementalIndex]] sink): given
+    * an existing corpus's posting lists (band, bucket, id) + signatures
+    * (id, sig), and a NEW slice's bands + signatures, emit exactly two
+    * pair classes — new-vs-old and new-vs-new — with the signature-
+    * agreement Jaccard estimate. Old-vs-old pairs are never formed, so
+    * probe cost scales with the new slice, not the corpus. The
+    * degenerate-bucket guard counts index + new occupancy together
+    * (scanning the 12-byte index rows, not re-banding), giving the same
+    * guarded bucket set a batch rebuild over the union would keep.
+    * Requires globally disjoint old/new id spaces (pairs are oriented
+    * id_a < id_b via least/greatest).
+    */
+  def incrementalProbe(idxBands: DataFrame, idxSigs: DataFrame,
+      newBands: DataFrame, newSigs: DataFrame,
+      maxBucket: Int, minJaccard: Double): DataFrame = {
+    val sized = idxBands.unionByName(newBands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") > 1 && col("__bs") <= maxBucket)
+      .select("band", "bucket")
+    val idxJ = idxBands.join(sized, Seq("band", "bucket"))
+    val newJ = newBands.join(sized, Seq("band", "bucket"))
+    val newOld = newJ.select(col("band"), col("bucket"), col("id").as("id_n"))
+      .join(idxJ.select(col("band"), col("bucket"), col("id").as("id_o")),
+        Seq("band", "bucket"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), lit("new_old").as("kind"))
+    val newNew = newJ.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(newJ.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit("new_new").as("kind"))
+    val sigs = idxSigs.unionByName(newSigs)
+    newOld.unionByName(newNew).distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("kind"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
   /** The buckets [[candidatePairs]]' degenerate-cluster guard excluded:
     * (band, bucket, bucket_size) with bucket_size > maxBucket. Same
     * signature/banding arguments → same buckets. At scale this is the

@@ -498,31 +498,11 @@ object LlmOps {
     val newSigs = nw.select(col("doc_id").as("id"),
         MinHash.signature(col("tokens"), IncrShingleN, IncrK, portable = true).as("sig"))
       .filter(col("sig").isNotNull)
+    // the shared asymmetric probe (also the streaming sink's engine):
     // bucket guard over index + snapshot occupancy — same bound as q44's
     // batch guard, computed from the index rows, never from re-banding
-    val sized = idxBands.unionByName(newBands)
-      .groupBy("band", "bucket").agg(count(lit(1)).as("__bs"))
-      .filter(col("__bs") > 1 && col("__bs") <= 100)
-      .select("band", "bucket")
-    val idxJ = idxBands.join(sized, Seq("band", "bucket"))
-    val newJ = newBands.join(sized, Seq("band", "bucket"))
-    val newOld = newJ.select(col("band"), col("bucket"), col("id").as("id_n"))
-      .join(idxJ.select(col("band"), col("bucket"), col("id").as("id_o")),
-        Seq("band", "bucket"))
-      .select(least(col("id_n"), col("id_o")).as("id_a"),
-        greatest(col("id_n"), col("id_o")).as("id_b"), lit("new_old").as("kind"))
-    val newNew = newJ.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(newJ.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit("new_new").as("kind"))
-    val sigs = idxSigs.unionByName(newSigs)
-    newOld.unionByName(newNew).distinct()
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("kind"),
-        MinHash.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+    MinHash.incrementalProbe(idxBands, idxSigs, newBands, newSigs,
+        maxBucket = 100, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
   }
 
