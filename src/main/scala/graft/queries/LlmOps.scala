@@ -781,38 +781,6 @@ object LlmOps {
   private val SemDedupTau = 0.5
   private val SemDedupMaxCell = 10000L
 
-  /** SEMANTIC DEDUP (the SemDeDup recipe): cluster the corpus in
-    * embedding space, then within each cluster drop every member that is
-    * cosine-similar to a lower-id member — the third dedup leg beside
-    * exact content hashing (q26/q27) and lexical MinHash/Jaccard
-    * (q44/q63): it catches paraphrases and re-renderings that share no
-    * surface n-grams at all.
-    *
-    * Two-stage shape, both stages bounded:
-    *
-    *  1. ASSIGNMENT — argmax-cosine against a small centroid set,
-    *     computed as one broadcast + a `max_by` aggregate whose partials
-    *     collapse map-side, so the shuffle carries one (id, cell,
-    *     embedding) row per vector, never the N×K sim matrix. The
-    *     (csim, cell_id) ordering struct is unique per vector (cell ids
-    *     are distinct), so the argmax is deterministic on both engines.
-    *     At 100 TB the centroids come from a trained k-means (K up to
-    *     ~10^5 still broadcasts in MBs); here K deterministic corpus
-    *     seeds stand in, exactly like q25's precomputed IVF cells.
-    *  2. WITHIN-CELL PAIRWISE — quadratic only inside a cell, with the
-    *     same `maxCell` degenerate-cell guard as q42/candidatePairs;
-    *     cells above the bound are excluded, never allowed to blow up
-    *     one task. The keep rule (drop x iff a LOWER-id cell-mate is
-    *     ≥ tau similar) resolves chains deterministically without a
-    *     transitive closure: the lowest member of any similarity chain
-    *     always survives, and every other chain member has a lower-id
-    *     similar mate by construction. Cross-cell near-dups are missed
-    *     by design — that is SemDeDup's stated approximation, and the
-    *     price of never comparing across cells.
-    *
-    * Output is the per-cell audit (members/removed/kept + max pair
-    * similarity) so the gate hashes integers plus one rounded double.
-    */
   /** Argmax-cosine cell assignment against a broadcast centroid set —
     * the shared first stage of semantic dedup (q77) and the k-means
     * update step (q81): one broadcast + a `max_by` aggregate whose
@@ -833,6 +801,35 @@ object LlmOps {
       .select(col("vec_id"), col("v.cell_id").as("cell_id"),
         col("v.embedding").as("embedding"))
 
+  /** SEMANTIC DEDUP (the SemDeDup recipe): cluster the corpus in
+    * embedding space, then within each cluster drop every member that is
+    * cosine-similar to a lower-id member — the third dedup leg beside
+    * exact content hashing (q26/q27) and lexical MinHash/Jaccard
+    * (q44/q63): it catches paraphrases and re-renderings that share no
+    * surface n-grams at all.
+    *
+    * Two-stage shape, both stages bounded:
+    *
+    *  1. ASSIGNMENT — [[assignCells]]: broadcast centroids + map-side
+    *     argmax partials. At 100 TB the centroids come from a trained
+    *     k-means (K up to ~10^5 still broadcasts in MBs; q81 is the
+    *     update step of exactly that training loop); here K
+    *     deterministic corpus seeds stand in, like q25's precomputed
+    *     IVF cells.
+    *  2. WITHIN-CELL PAIRWISE — quadratic only inside a cell, with the
+    *     same `maxCell` degenerate-cell guard as q42/candidatePairs;
+    *     cells above the bound are excluded, never allowed to blow up
+    *     one task. The keep rule (drop x iff a LOWER-id cell-mate is
+    *     ≥ tau similar) resolves chains deterministically without a
+    *     transitive closure: the lowest member of any similarity chain
+    *     always survives, and every other chain member has a lower-id
+    *     similar mate by construction. Cross-cell near-dups are missed
+    *     by design — that is SemDeDup's stated approximation, and the
+    *     price of never comparing across cells.
+    *
+    * Output is the per-cell audit (members/removed/kept + max pair
+    * similarity) so the gate hashes integers plus one rounded double.
+    */
   def semanticDedupAudit(e: DataFrame, centroids: DataFrame,
                          tau: Double, maxCell: Long): DataFrame = {
     val assigned = assignCells(e, centroids)

@@ -481,7 +481,7 @@ object Warehouse {
     * never satisfy the register-over-reuse path with a narrower schema.
     */
   private[queries] def bucketedLineitem(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = graft.sources.Layouts.tag(d)
     val lt = s"graft_bucketed.lineitem_v3_$tag"
     ensureBucketed(s, lt, "l_orderkey") { t =>
       graft.Tables.lineitem(s, d)
@@ -502,7 +502,7 @@ object Warehouse {
     graft.sources.Layouts.orders(s, d)
 
   def q60BucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = graft.sources.Layouts.tag(d)
     val ot = s"graft_bucketed.orders_q60_$tag"
     val liB = bucketedLineitem(s, d)
     ensureBucketed(s, ot, "o_orderkey") { t =>

@@ -77,13 +77,19 @@ object Layouts {
     val tmp = new Path(root, s"${name}_w$uuid")
     try {
       build(tmp)
-      // The protocol OWNS its completeness marker: a session tuned with
-      // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common
-      // object-store setting) writes complete dirs without _SUCCESS, and
-      // our own publish must not then fail the completeness check below.
-      // build() throwing on failure is the protocol's atomicity source;
-      // reaching this line means the dir is complete by construction.
-      if (fs.exists(tmp) && !complete(tmp)) fs.create(new Path(tmp, "_SUCCESS")).close()
+      // A session tuned with mapreduce.fileoutputcommitter
+      // .marksuccessfuljobs=false (common object-store setting) writes
+      // complete dirs without _SUCCESS; ONLY then does the protocol
+      // stamp its own marker (build() throwing is the completeness
+      // signal in that configuration). With markers ENABLED — the
+      // default — a build that ends without one did NOT complete a
+      // write job (e.g. a builder that swallowed a job failure), and
+      // the completeness check below must keep failing it loudly
+      // rather than publish-and-cache a truncated layout forever.
+      val marks = s.sparkContext.hadoopConfiguration
+        .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+      if (!marks && fs.exists(tmp) && !complete(tmp))
+        fs.create(new Path(tmp, "_SUCCESS")).close()
       if (!fs.exists(loc) && fs.rename(tmp, loc)) {
         val nested = new Path(loc, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true)

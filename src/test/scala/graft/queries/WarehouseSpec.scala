@@ -151,7 +151,7 @@ class WarehouseSpec extends SparkSpec {
     // over a warehouse a previous process populated (the table is
     // registered EXTERNAL, so DROP keeps the files).
     Warehouse.q60BucketedJoin(spark, d).write.format("noop").mode("overwrite").save()
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = graft.sources.Layouts.tag(d)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -55,15 +55,32 @@ class LayoutsSpec extends SparkSpec {
     assert(!built && fs.exists(new Path(out, "victim")))
   }
 
-  test("the protocol owns its marker: a committer writing no _SUCCESS still publishes complete") {
+  test("the protocol owns its marker when the committer's is disabled") {
     // marksuccessfuljobs=false (object-store tuning) leaves build output
     // unmarked; publish self-marks before the rename, because build()
-    // throwing is the atomicity source, not the committer's marker
+    // throwing is the completeness signal in that configuration
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    conf.setBoolean(key, false)
+    try {
+      val root = freshRoot()
+      val loc = Layouts.publish(spark, root, "t") { tmp =>
+        writeLayout(tmp, "unmarked", complete = false)
+      }
+      assert(fs.exists(new Path(loc, "unmarked")) && fs.exists(new Path(loc, "_SUCCESS")))
+    } finally conf.setBoolean(key, true)
+  }
+
+  test("with markers enabled, a build that yields no _SUCCESS fails loudly") {
+    // the default configuration: a missing marker means no write job
+    // completed — publishing would cache a truncated layout forever
     val root = freshRoot()
-    val loc = Layouts.publish(spark, root, "t") { tmp =>
-      writeLayout(tmp, "unmarked", complete = false)
+    val e = intercept[IllegalArgumentException] {
+      Layouts.publish(spark, root, "t") { tmp =>
+        writeLayout(tmp, "incomplete", complete = false)
+      }
     }
-    assert(fs.exists(new Path(loc, "unmarked")) && fs.exists(new Path(loc, "_SUCCESS")))
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
   }
 
   test("a non-protocol writer squatting on the published path fails loudly") {

@@ -65,4 +65,33 @@ class IncrementalIndexSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(replayed == got, "replaying a batch must not change the pair set")
   }
+
+  test("a re-ingested doc supersedes its indexed version: one pair row, new content wins") {
+    val (bands, sigs, pairs) = dirs()
+    val h = IncrementalIndex.probeAndIndex(bands, sigs, pairs) _
+    // batch 0: doc 1 = textA; batch 1: doc 1 RE-INGESTED as textC (re-crawl)
+    h(toDocs(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")), 0L)
+    h(toDocs(Seq((1L, textC)).toDF("doc_id", "text")), 1L)
+    // batch 2: doc 9 = textC — must pair against doc 1's NEW content
+    // exactly once (keep-latest), never against the stale textA version
+    h(toDocs(Seq((9L, textC)).toDF("doc_id", "text")), 2L)
+    val b2 = spark.read.parquet(pairs).filter(col("batch_id") === 2)
+      .select("id_a", "id_b", "kind", "est_jaccard")
+      .as[(Long, Long, String, Double)].collect().toList
+    assert(b2 == List((1L, 9L, "new_old", 1.0)),
+      s"expected exactly one pair against the re-ingested content: $b2")
+  }
+
+  test("a fresh checkpoint against an existing index is refused, not corrupted") {
+    val (bands, sigs, pairs) = dirs()
+    val h = IncrementalIndex.probeAndIndex(bands, sigs, pairs) _
+    h(toDocs(Seq((1L, textA)).toDF("doc_id", "text")), 0L)
+    h(toDocs(Seq((2L, textB)).toDF("doc_id", "text")), 1L)
+    // a stream restarted on a new checkpoint would re-deliver batch 0;
+    // the index already holds batch_id=1 -> must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      h(toDocs(Seq((3L, textC)).toDF("doc_id", "text")), 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
 }
