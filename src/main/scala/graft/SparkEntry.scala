@@ -99,6 +99,7 @@ object SparkEntry {
     "q79_incremental_dedup"-> (LlmOps.q79IncrementalDedup _),
     "q80_weighted_sample"  -> (LlmOps.q80WeightedSample _),
     "q81_kmeans_step"      -> (LlmOps.q81KmeansStep _),
+    "q82_knn_join"         -> (LlmOps.q82KnnJoin _),
   )
 
   /** Optional per-branch stall diagnostics, keyed by query name: Bench
@@ -200,5 +201,6 @@ object SparkEntry {
     "q79_incremental_dedup"-> LlmOps.q79Oracle,
     "q80_weighted_sample"  -> LlmOps.q80Oracle,
     "q81_kmeans_step"      -> LlmOps.q81Oracle,
+    "q82_knn_join"         -> LlmOps.q82Oracle,
   )
 }

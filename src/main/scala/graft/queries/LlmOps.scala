@@ -775,6 +775,63 @@ object LlmOps {
       |  round(max(sim), 4) AS max_sim
       |FROM sims GROUP BY 1 ORDER BY label""".stripMargin
 
+  private val KnnK = 3
+
+  /** q82: BATCH k-NN JOIN — top-[[KnnK]] corpus neighbors for EVERY
+    * query in a query set at once (the production embedding workload:
+    * retrieval evaluation, cross-corpus linking, k-NN classification —
+    * q24/q25 answer ONE query, this answers them all in one plan). The
+    * candidate space is cell-restricted exactly like q25's IVF probe
+    * (label = the precomputed coarse cell): each query only scores
+    * corpus vectors in its own cell, so the join is |Q|·|cell|, never
+    * |Q|·|corpus|; per-query top-k comes from a rank window over the
+    * (query, sim) candidates — at scale that window partitions by query
+    * id, so no single task ever sees more than one query's candidate
+    * set, and the (sim DESC, corpus id) order makes the cut total.
+    * Queries: vec_id % 50 == 0 plays the query batch; the rest is
+    * corpus.
+    */
+  def q82KnnJoin(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("embedding").as("q_emb"))
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("n_id"), col("label"), col("embedding"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id"))
+    corpus.join(queries, Seq("label"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorExpressions.cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle: same cell-restricted join and the identical-order double
+    * cosine (q24 pattern), ranked per query with the same total order.
+    */
+  val q82Oracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, label, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS n_id, label, embedding
+       |      FROM embeddings WHERE vec_id % 50 <> 0),
+       |ex AS (SELECT q.q_id, c.n_id,
+       |         unnest(c.embedding) AS x, unnest(q.q_emb) AS y
+       |       FROM c JOIN q USING (label)),
+       |sims AS (SELECT q_id, n_id,
+       |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS sim
+       |  FROM ex GROUP BY 1, 2),
+       |r AS (SELECT q_id, n_id, sim,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY sim DESC, n_id) AS rank
+       |      FROM sims)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim
+       |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin
+
   // --- Semantic dedup (q77) ----------------------------------------------
 
   private val SemDedupK = 8
