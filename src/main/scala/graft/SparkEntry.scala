@@ -100,6 +100,7 @@ object SparkEntry {
     "q80_weighted_sample"  -> (LlmOps.q80WeightedSample _),
     "q81_kmeans_step"      -> (LlmOps.q81KmeansStep _),
     "q82_knn_join"         -> (LlmOps.q82KnnJoin _),
+    "q83_split_leakage"    -> (LlmOps.q83SplitLeakage _),
   )
 
   /** Optional per-branch stall diagnostics, keyed by query name: Bench
@@ -202,5 +203,6 @@ object SparkEntry {
     "q80_weighted_sample"  -> LlmOps.q80Oracle,
     "q81_kmeans_step"      -> LlmOps.q81Oracle,
     "q82_knn_join"         -> LlmOps.q82Oracle,
+    "q83_split_leakage"    -> LlmOps.q83Oracle,
   )
 }

@@ -58,4 +58,12 @@ object Splits {
     val b = PolyHash.coefB(PermIndex)
     s"(($idExpr % ${PolyHash.Mod}) * $a + $b) % ${PolyHash.Mod} % $Buckets"
   }
+
+  /** The [[assign]] CASE ladder as DuckDB SQL generated from the SAME
+    * cuts, so the q53/q83 oracles and the engine cannot drift. */
+  def assignSql(idExpr: String, cuts: Seq[(String, Long)]): String = {
+    val b = bucketSql(idExpr)
+    cuts.init.map { case (n, c) => s"WHEN $b < $c THEN '$n'" }
+      .mkString("CASE ", " ", s" ELSE '${cuts.last._1}' END")
+  }
 }

@@ -18,7 +18,7 @@ object Corpus {
   private def documents(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.documents(s, d)
 
-  private val SplitCuts = Seq("train" -> 800L, "val" -> 900L, "test" -> 1000L)
+  private[queries] val SplitCuts = Seq("train" -> 800L, "val" -> 900L, "test" -> 1000L)
 
   /** Deterministic 80/10/10 TRAIN/VAL/TEST split ([[graft.ops.Splits]]):
     * assignment is an affine hash of doc_id, so it is stable across runs,
@@ -37,16 +37,12 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("source", "split")
 
-  val q53Oracle: String = {
-    val b = Splits.bucketSql("doc_id")
+  val q53Oracle: String =
     s"""SELECT source,
-       |  CASE WHEN $b < 800 THEN 'train'
-       |       WHEN $b < 900 THEN 'val'
-       |       ELSE 'test' END AS split,
+       |  ${Splits.assignSql("doc_id", SplitCuts)} AS split,
        |  count(*) AS n_docs,
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM documents GROUP BY source, split ORDER BY source, split""".stripMargin
-  }
 
   /** TF-IDF-style DISTINCTIVE TERMS per source — term frequency within
     * each source scored against corpus-wide document frequency, top 5

@@ -650,6 +650,46 @@ object LlmOps {
        |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q83: SPLIT-LEAKAGE AUDIT — the check every train/val/test pipeline
+    * needs and most skip: a hash split (q53) assigns DOCUMENTS
+    * independently, so two near-duplicates (one cluster in q63's graph)
+    * can land in different splits — the model then "generalizes" to a
+    * test doc it effectively saw in training. This audit composes the
+    * two existing operators: cluster assignment over the dedup graph,
+    * split assignment from the SAME cuts q53 uses (shared
+    * `Splits.assign` / generated SQL — the rule cannot drift), then a
+    * per-cluster distinct-split count rolled up by span. Rows with
+    * n_splits > 1 are the contamination; the fix is cluster-aware
+    * splitting (split by cluster_id, not doc_id), and this audit is the
+    * evidence that motivates it.
+    *
+    * Scale shape: the dedup chain as q63 (banded LSH + bounded Jaccard,
+    * one shuffle per CC round); the audit itself adds two
+    * cluster-count-sized aggregations — nothing corpus-sized beyond the
+    * chain that already ran.
+    */
+  def q83SplitLeakage(s: SparkSession, d: String): DataFrame =
+    graft.ops.ConnectedComponents.assign(dedupEdges(s, d), "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"),
+        graft.ops.Splits.assign(col("node"), Corpus.SplitCuts).as("split"))
+      .groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"), count(lit(1)).as("n_docs"))
+      .groupBy("n_splits")
+      .agg(count(lit(1)).as("n_clusters"), sum("n_docs").as("n_docs"))
+      .orderBy("n_splits")
+
+  val q83Oracle: String =
+    s"""WITH RECURSIVE $dedupClusterChainSql,
+       |sp AS (SELECT doc_id, cluster_id,
+       |         ${graft.ops.Splits.assignSql("doc_id", Corpus.SplitCuts)} AS split
+       |       FROM lab),
+       |pc AS (SELECT cluster_id, count(DISTINCT split) AS n_splits,
+       |         count(*) AS n_docs
+       |       FROM sp GROUP BY 1)
+       |SELECT CAST(n_splits AS BIGINT) AS n_splits,
+       |  count(*) AS n_clusters, CAST(sum(n_docs) AS BIGINT) AS n_docs
+       |FROM pc GROUP BY 1 ORDER BY n_splits""".stripMargin
+
   /** q66: click→purchase attribution — the batch twin of
     * [[graft.streaming.EventStreams.attributionJoin]] (stream-stream
     * interval join; the streaming side is driven through MemoryStream in
