@@ -528,4 +528,205 @@ object Corpus {
        |SELECT token, CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank,
        |  doc_id, CAST(tf AS BIGINT) AS tf
        |FROM r WHERE rank <= $IndexPostings ORDER BY token, rank""".stripMargin
+
+  /** The fixed query workload for q84 — multi-term queries mixing common
+    * and rare terms (`dup` is the fixture's only low-df token, so its idf
+    * dominates query 2's ranking). Shared by the Spark query and the
+    * generated oracle SQL so the workload cannot drift. */
+  private[queries] val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join"),
+    2L -> Seq("dup", "stream"),
+    3L -> Seq("hash", "table", "window"))
+  private val Bm25TopK = 10
+  private val Bm25Scale = 1000000L
+  private val Bm25Buckets = 32
+
+  /** q84: BM25 RANKED RETRIEVAL — the scoring half of the q73 inverted
+    * index: Okapi BM25 (k1 = 1.2, b = 0.75) over a fixed multi-query
+    * workload, top-[[Bm25TopK]] documents per query. BM25 is "naturally
+    * float" twice over (log idf, fractional length normalization); both
+    * are replaced by EXACT RATIONAL ARITHMETIC so the gate can hash the
+    * scores (memory: exact-arithmetic tricks):
+    *
+    *   - idf: the probabilistic (log-free) form (N − df + ½)/(df + ½)
+    *     = (2N − 2df + 1)/(2df + 1) — integer numerator and denominator;
+    *   - tf normalization: tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with
+    *     k1 = 6/5, b = 3/4, avgdl = T/N becomes 22·tf·T / (10·T·tf +
+    *     3·T + 9·dl·N) after clearing denominators (T = corpus tokens,
+    *     N = corpus docs);
+    *   - per-term score = floor(10^6 · idf · tfnorm), computed as ONE
+    *     integer division `num div den` (`IntegralDivide`, exact
+    *     truncation, identical to DuckDB `//` on positive operands) over
+    *     decimal(38,0) products — HUGEINT on the oracle side. Headroom:
+    *     at N = 10^11 docs / T = 10^14 tokens the numerator is ~4·10^34,
+    *     inside 38 digits, so the formulation survives web scale.
+    *
+    * Scale shape: ONE corpus scan (doc lengths + explode), with the
+    * query-term filter applied BEFORE the (doc, term) aggregate — the
+    * shuffle carries only postings of queried terms, the inverted-index
+    * probe pattern. df and the global (N, T) aggregates are term-count /
+    * single-row sized and come back as broadcasts. Per-query top-k uses
+    * the q68/q73 bucket prefilter, so a stopword query (candidate set ≈
+    * corpus) never sorts in one partition. Both orderings total
+    * (score desc, doc_id asc).
+    */
+  def q84Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val termSet = Bm25Queries.flatMap(_._2).distinct
+    val lens = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+    val stats = lens.agg(count(lit(1)).as("n"), sum("dl").as("tt"))
+    val tf = lens
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isInCollection(termSet))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val ord = Seq(col("score").desc, col("doc_id").asc)
+    val wBucket = Window.partitionBy(col("query_id"), col("__bucket")).orderBy(ord: _*)
+    val wTop = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    tf
+      .join(broadcast(terms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("num",
+        big(lit(Bm25Scale)) * big(lit(2) * col("n") - lit(2) * col("df") + lit(1))
+          * big(lit(22)) * big(col("tf")) * big(col("tt")))
+      .withColumn("den",
+        big(lit(2) * col("df") + lit(1))
+          * (big(lit(10)) * big(col("tt")) * big(col("tf"))
+            + big(lit(3)) * big(col("tt"))
+            + big(lit(9)) * big(col("dl")) * big(col("n"))))
+      .withColumn("sc", expr("num div den"))
+      .groupBy("query_id", "doc_id").agg(sum("sc").as("score"))
+      .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(Bm25Buckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= Bm25TopK)
+      .drop("__bucket", "__brank")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q84Oracle: String = {
+    val termList = Bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val queryRows = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM lens),
+       |tok AS (SELECT doc_id, dl, unnest(t) AS term FROM lens),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q(query_id, term) AS (VALUES $queryRows),
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST((CAST($Bm25Scale AS HUGEINT) * (2*s.n - 2*x.df + 1) * 22 * tf.tf * s.tt)
+       |      // ((2*x.df + 1)
+       |          * (10 * CAST(s.tt AS HUGEINT) * tf.tf + 3*s.tt + 9*tf.dl*s.n))
+       |      AS BIGINT) AS sc
+       |  FROM tf JOIN q ON q.term = tf.term JOIN dfx x ON x.term = tf.term, stats s),
+       |agg AS (SELECT query_id, doc_id, sum(sc) AS score FROM sc GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY score DESC, doc_id) AS rank
+       |      FROM agg)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  doc_id, CAST(score AS BIGINT) AS score
+       |FROM r WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Misra-Gries capacity for q85: tokens whose corpus share exceeds
+    * 1/(HhK+1) ≈ 2.08% are guaranteed-reported. The fixture's 30 common
+    * tokens sit near 3.3% each (reported); the rare `dup` token is ~0.1%
+    * (filtered) — so the threshold discriminates at every SF. */
+  private val HhK = 47
+
+  /** q85: HEAVY HITTERS, exact via the TWO-PASS sketch — the scalable way
+    * to find dominant tokens (stopword discovery, tokenizer-vocab seeding,
+    * degenerate-content alarms) without ever shuffling the full
+    * vocabulary:
+    *
+    *   Pass 1 — per-partition MISRA-GRIES with [[HhK]] counters inside
+    *   `mapPartitions` (the documented last-resort seam: a decrement-all
+    *   frequency sketch is genuinely imperative per-partition state no
+    *   built-in aggregate expresses). MG guarantees every item with
+    *   partition share > 1/(k+1) survives its partition, and by
+    *   pigeonhole any GLOBALLY heavy token (freq·(k+1) > n) is heavy in
+    *   ≥1 partition — so the unioned candidate set provably covers the
+    *   answer REGARDLESS of row placement; partitioning cannot change
+    *   the final result, only the candidate count. Each partition also
+    *   emits its exact row total (null-token marker row), so the global
+    *   n rides the same pass.
+    *
+    *   Pass 2 — exact recount of the ≤ partitions·k candidates: semi-join
+    *   the token stream against the broadcast candidate set, ONE
+    *   vocabulary-free aggregation (the shuffle carries only candidate
+    *   tokens), then the exact integer threshold freq·(k+1) > n.
+    *
+    * The oracle needs none of the machinery: because the two-pass result
+    * is exactly "tokens with freq·(k+1) > n", plain SQL counting is the
+    * ground truth — the sketch is an execution strategy, not a semantic.
+    * At 100 TB the candidate set is ≤ tasks·k keys (thousands), the
+    * broadcast is bytes, and neither pass shuffles more than candidate
+    * counts; a naive groupBy-all-tokens baseline shuffles the whole
+    * vocabulary instead.
+    */
+  def q85HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tokens = documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    val sketch = tokens.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var total = 0L
+      while (it.hasNext) {
+        val t = it.next(); total += 1
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < HhK => counters.update(t, 1L)
+          case None =>
+            // decrement-all (the arriving item's implicit 1 decrements to
+            // 0, so it is not inserted); evict keys that reach zero
+            counters.keys.toArray.foreach { k =>
+              val v = counters(k)
+              if (v == 1L) counters.remove(k) else counters.update(k, v - 1)
+            }
+        }
+      }
+      Iterator.single((null.asInstanceOf[String], total)) ++
+        counters.keysIterator.map(k => (k, 0L))
+    }.toDF("token", "cnt")
+    val totals = sketch.filter(col("token").isNull)
+      .agg(sum("cnt").as("n"))
+    val candidates = sketch.filter(col("token").isNotNull)
+      .select("token").distinct()
+    tokens
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(totals))
+      .filter(col("freq") * lit(HhK + 1L) > col("n"))
+      .select(col("token"), col("freq"))
+      .orderBy(col("freq").desc, col("token"))
+  }
+
+  val q85Oracle: String =
+    s"""WITH t AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n FROM t),
+       |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token)
+       |SELECT token, freq FROM c, n
+       |WHERE freq * ${HhK + 1} > n.n
+       |ORDER BY freq DESC, token""".stripMargin
 }

@@ -801,4 +801,69 @@ object Warehouse {
        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
        |SELECT category, count(*) AS n_users
        |FROM j GROUP BY category ORDER BY category""".stripMargin
+
+  private val OutlierWin = 25
+  private val OutlierMinN = 10
+  private val OutlierZ = 3L
+
+  /** q86: ROLLING OUTLIER AUDIT — per-user rolling z-score anomaly
+    * detection over the event stream (metric-spike alarms, bot-burst
+    * triage), reported as a per-event_type audit. The z-test is float-free
+    * (memory: exact-arithmetic tricks): values quantize to integer cents
+    * (`round(value·100)` — one shared IEEE multiply then half-away
+    * rounding, identical in both engines), and
+    *
+    *   |x − mean| > z·stddev  ⟺  (n·x − s)² > z²·(n·q − s²)
+    *
+    * after multiplying through by n² (s = Σx, q = Σx² over the window) —
+    * an exact integer comparison with NO sqrt, NO division, evaluated in
+    * decimal(38,0) (HUGEINT on the oracle side), so value magnitudes up
+    * to ~10^14 cents stay inside headroom. An event is flagged only when
+    * its window holds ≥ [[OutlierMinN]] samples, keeping partition-head
+    * windows from alarming on noise.
+    *
+    * Scale shape: ONE window shuffle partitioned by user_id (high
+    * cardinality — never by the 5-value event_type), frame bounded at
+    * [[OutlierWin]] rows with the (ts, event_id) total order; the audit
+    * aggregation after it carries 5 groups. Everything is codegen'd
+    * column arithmetic — the window sums are long sums of cents.
+    */
+  def q86RollingOutliers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(OutlierWin - 1), Window.currentRow)
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val lhsRoot = big(col("n")) * big(col("x")) - big(col("s"))
+    val outlier = col("n") >= OutlierMinN &&
+      lhsRoot * lhsRoot >
+        big(lit(OutlierZ * OutlierZ)) *
+          (big(col("n")) * big(col("q")) - big(col("s")) * big(col("s")))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("x"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(col("x") * col("x")).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(outlier, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val q86Oracle: String =
+    s"""WITH r AS (
+       |  SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS x,
+       |    count(*) OVER w AS n,
+       |    sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+       |    sum(CAST(round(value * 100) AS BIGINT)
+       |        * CAST(round(value * 100) AS BIGINT)) OVER w AS q
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN ${OutlierWin - 1} PRECEDING AND CURRENT ROW))
+       |SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN n >= $OutlierMinN
+       |    AND (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+       |        > ${OutlierZ * OutlierZ} * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 }

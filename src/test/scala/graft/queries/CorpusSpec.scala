@@ -259,4 +259,54 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("q84 BM25: scores recompute exactly from corpus statistics") {
+    val out = Corpus.q84Bm25(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // independent recompute with BigInt rational arithmetic
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect()
+    val n = BigInt(docs.length)
+    val tt = BigInt(docs.map(_._2.length.toLong).sum)
+    val queries = Seq(
+      1L -> Seq("spark", "join"),
+      2L -> Seq("dup", "stream"),
+      3L -> Seq("hash", "table", "window"))
+    val allTerms = queries.flatMap(_._2).distinct
+    val dfm = allTerms.map(t => t -> BigInt(docs.count(_._2.contains(t)))).toMap
+    val expected = queries.flatMap { case (qid, terms) =>
+      docs.flatMap { case (id, toks) =>
+        val sc = terms.map { term =>
+          val tf = BigInt(toks.count(_ == term))
+          if (tf == 0) BigInt(0)
+          else {
+            val df = dfm(term); val dl = BigInt(toks.length)
+            (BigInt(1000000) * (2 * n - 2 * df + 1) * 22 * tf * tt) /
+              ((2 * df + 1) * (10 * tt * tf + 3 * tt + 9 * dl * n))
+          }
+        }.sum
+        if (sc > 0) Some((qid, id, sc.toLong)) else None
+      }.sortBy { case (_, id, sc) => (-sc, id) }.take(10)
+        .zipWithIndex.map { case ((q, id, sc), i) => (q, i + 1L, id, sc) }
+    }
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == expected,
+      "engine top-k must equal the BigInt reference ranking")
+  }
+
+  test("q85 heavy hitters: equals the exact count + threshold, ordered") {
+    val out = Corpus.q85HeavyHitters(spark, d).as[(String, Long)].collect()
+    val toks = Tables.documents(spark, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .as[String].collect()
+    val n = toks.length.toLong
+    val exact = toks.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+      .filter { case (_, f) => f * 48L > n }
+      .toSeq.sortBy { case (t, f) => (-f, t) }
+    assert(out.toSeq == exact,
+      "two-pass sketch must produce the exact heavy-hitter set")
+    assert(out.nonEmpty && !out.map(_._1).contains("dup"),
+      "the rare token must fall below the 1/48 share threshold")
+  }
 }

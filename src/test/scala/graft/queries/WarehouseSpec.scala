@@ -209,4 +209,30 @@ class WarehouseSpec extends SparkSpec {
       assert(got(eid) == expect, s"click $eid")
     }
   }
+
+  test("q86 rolling outliers: audit equals a brute-force window replay") {
+    val out = Warehouse.q86RollingOutliers(spark, d)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = Tables.events(spark, d)
+      .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"),
+        $"event_type", round($"value" * 100, 0).cast("long").as("x"))
+      .as[(Long, Long, Long, String, Long)].collect()
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      ordered.zipWithIndex.map { case ((_, _, _, et, x), i) =>
+        val win = ordered.slice(math.max(0, i - 24), i + 1).map(_._5)
+        val n = BigInt(win.length)
+        val s = win.map(BigInt(_)).sum
+        val q = win.map(v => BigInt(v) * BigInt(v)).sum
+        val lhs = n * x - s
+        et -> (win.length >= 10 && lhs * lhs > 9 * (n * q - s * s))
+      }
+    }
+    val truth = expected.groupBy(_._1).map { case (et, v) =>
+      et -> (v.size.toLong, v.count(_._2).toLong)
+    }
+    assert(out == truth, "per-type (n_events, n_outliers) must match replay")
+    assert(out.values.map(_._2).sum > 0, "fixture should contain some outliers")
+  }
 }
