@@ -729,4 +729,79 @@ object Corpus {
        |SELECT token, freq FROM c, n
        |WHERE freq * ${HhK + 1} > n.n
        |ORDER BY freq DESC, token""".stripMargin
+
+  private val TextRankIters = 3
+  private val TextRankTopK = 20
+  private val TextRankBase = 1000000L * 15L / 100L
+
+  /** q87: TEXTRANK KEYWORDS — weighted PageRank ([[graft.ops.PageRank]],
+    * fixed [[TextRankIters]] iterations) over the token ADJACENCY GRAPH:
+    * nodes are tokens, a directed edge (u, v) weights how often v follows
+    * u anywhere in the corpus. The stationary-importance scores this
+    * converges toward are the classic TextRank keyword signal — tokens
+    * that many distinct high-traffic tokens lead into outrank merely
+    * frequent ones. All propagation arithmetic is integer floor division
+    * (see the PageRank scaladoc), so three iterations produce identical
+    * longs on both engines; the oracle unrolls the same three rounds as
+    * chained CTEs with HUGEINT `//`.
+    *
+    * Scale shape: the corpus-sized work is the ONE bigram explode +
+    * (src, dst) count shuffle (the q75 codegen path — integer-sequence
+    * explode, element_at projection, no lambda); everything after lives
+    * on the vocabulary²-bounded edge list, checkpointed once and
+    * re-joined per iteration with rank-state-sized shuffles. Output is a
+    * bounded TakeOrdered top-[[TextRankTopK]] under the total
+    * (rank_score desc, token asc) order.
+    */
+  def q87TextRank(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val edges = documents(s, d)
+      .select(t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(element_at(col("t"), col("i")).as("src"),
+        element_at(col("t"), col("i") + 1).as("dst"))
+      // self-loops (immediate token repetition — think "dup dup dup" in
+      // boilerplate) would act as rank sinks recycling their own mass;
+      // standard TextRank drops them
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.ops.PageRank.ranks(edges, "src", "dst", "w", TextRankIters)
+      .orderBy(col("rank_score").desc, col("node"))
+      .limit(TextRankTopK)
+      .select(col("node").as("token"), col("rank_score"))
+  }
+
+  val q87Oracle: String = {
+    val iterCtes = (1 to TextRankIters).map { i =>
+      s"""it$i AS (
+         |  SELECT n.node,
+         |    $TextRankBase
+         |      + CAST((85 * coalesce(c.cs, CAST(0 AS HUGEINT))) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum((CAST(p.r AS HUGEINT) * e.w) // e.outw) AS cs
+         |    FROM ew e JOIN it${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |g AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |                               i -> t[i] || ' ' || t[i + 1])) AS gram
+       |  FROM toks WHERE len(t) >= 2),
+       |e AS (SELECT string_split(gram, ' ')[1] AS src,
+       |        string_split(gram, ' ')[2] AS dst, count(*) AS w
+       |      FROM g
+       |      WHERE string_split(gram, ' ')[1] <> string_split(gram, ' ')[2]
+       |      GROUP BY 1, 2),
+       |outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+       |ew AS (SELECT e.src, e.dst, e.w, o.outw FROM e JOIN outw o USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node AS token, CAST(r AS BIGINT) AS rank_score
+       |FROM it$TextRankIters
+       |ORDER BY rank_score DESC, token LIMIT $TextRankTopK""".stripMargin
+  }
 }

@@ -1716,4 +1716,104 @@ object LlmOps {
       |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val SpanK = 5
+  private val SpanMin = 12
+  private val SpanDfCap = 64
+
+  /** q88: SHARED-SPAN DETECTION (exact-substring dedup) — the technique
+    * from suffix-array training-data dedup, re-expressed relationally:
+    * find document pairs sharing a VERBATIM token span of at least
+    * [[SpanMin]] tokens. MinHash/Jaccard (q37/q28) measure whole-document
+    * similarity; this catches the orthogonal failure mode — two otherwise
+    * different documents embedding the same boilerplate paragraph or
+    * copied passage — which set-similarity dilutes below threshold.
+    *
+    * Relational formulation (no suffix array needed):
+    *   1. every [[SpanK]]-token gram with its POSITION: (doc, pos, gram);
+    *   2. gram equi-self-join (id_a < id_b) → aligned occurrences;
+    *   3. a shared span is a RUN of consecutive positions at constant
+    *      offset diff = pos_a − pos_b: the gaps-and-islands trick
+    *      (island = pos_a − row_number over (pair, diff) ordered pos_a)
+    *      groups each maximal run; a run of m grams is a span of
+    *      m + k − 1 tokens. Within one (pair, diff) group positions are
+    *      unique (pos_b = pos_a − diff is determined), so row_number is
+    *      total and the island keys are engine-identical.
+    *
+    * Audit output per flagged pair: longest span + number of qualifying
+    * spans, both exact integers.
+    *
+    * Scale shape: the frequency guard (grams occurring > [[SpanDfCap]]
+    * times are dropped — the [[graft.functions.MinHash.oversizedBuckets]]
+    * discipline) bounds the self-join to cap² rows per gram, at the
+    * documented cost of missing spans built ENTIRELY from ultra-common
+    * grams. The join shuffles (doc, pos) pairs keyed by gram; islands
+    * need one window shuffle keyed by (pair, diff). Production would key
+    * the join on a 64-bit gram hash ([[graft.functions.PolyHash]] /
+    * xxhash64) instead of the gram string to narrow the shuffle — the
+    * string key is kept here so the oracle replays byte-identically.
+    */
+  def q88SharedSpans(s: SparkSession, d: String): DataFrame =
+    sharedSpansAudit(documents(s, d))
+
+  /** The q88 chain over any (doc_id, text) frame — separated so specs can
+    * drive it with crafted corpora. */
+  def sharedSpansAudit(docs: DataFrame): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    def el(k: Int): Column = element_at(col("t"), col("pos") + k)
+    val grams = docs
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= SpanK)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (SpanK - 1))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until SpanK).map(el): _*).as("gram"))
+    val keep = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= SpanDfCap)
+    val gg = grams.join(keep.select("gram"), Seq("gram"))
+    val wI = Window.partitionBy("id_a", "id_b", "diff").orderBy("pos_a")
+    gg.select(col("gram"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
+      .join(gg.select(col("gram"), col("doc_id").as("id_b"),
+        col("pos").as("pos_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diff"))
+      .withColumn("island", col("pos_a") - row_number().over(wI))
+      .groupBy("id_a", "id_b", "diff", "island")
+      .agg((count(lit(1)) + (SpanK - 1)).as("span"))
+      .groupBy("id_a", "id_b")
+      .agg(max("span").as("max_span"),
+        sum(when(col("span") >= SpanMin, 1L).otherwise(0L)).as("n_spans"))
+      .filter(col("max_span") >= SpanMin)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q88Oracle: String = {
+    val gramExpr = (0 until SpanK).map(k => s"t[pos + $k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |gi AS (SELECT doc_id, t,
+       |         unnest(generate_series(1, len(t) - ${SpanK - 1})) AS pos
+       |       FROM toks WHERE len(t) >= $SpanK),
+       |g AS (SELECT doc_id, pos, $gramExpr AS gram FROM gi),
+       |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+       |gg AS (SELECT g.doc_id, g.pos, g.gram
+       |       FROM g JOIN cnt USING (gram) WHERE c <= $SpanDfCap),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+       |        a.pos - b.pos AS diff
+       |      FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |isl AS (SELECT id_a, id_b, diff, pos_a,
+       |          pos_a - row_number() OVER (PARTITION BY id_a, id_b, diff
+       |                                     ORDER BY pos_a) AS island
+       |        FROM p),
+       |sp AS (SELECT id_a, id_b, count(*) + ${SpanK - 1} AS span
+       |       FROM isl GROUP BY id_a, id_b, diff, island)
+       |SELECT id_a, id_b, CAST(max(span) AS BIGINT) AS max_span,
+       |  CAST(sum(CASE WHEN span >= $SpanMin THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_spans
+       |FROM sp GROUP BY id_a, id_b HAVING max(span) >= $SpanMin
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }
