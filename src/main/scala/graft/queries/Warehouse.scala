@@ -866,4 +866,107 @@ object Warehouse {
        |        > ${OutlierZ * OutlierZ} * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q89: ORDERED FUNNEL — signup → view → purchase conversion, where
+    * each step must happen STRICTLY AFTER the user's first completion of
+    * the previous step (the ordering constraint that separates a funnel
+    * from three independent existence checks: a purchase before signup
+    * does not convert). Step anchors are first-occurrence timestamps:
+    * s = min signup ts, v = min view ts with ts > s, p = min purchase ts
+    * with ts > v — a deterministic chain with no tie ambiguity (strict >
+    * on identical microsecond values in both engines).
+    *
+    * Scale shape: ONE shuffle — all three anchors are whole-partition
+    * window minima over the SAME user_id partitioning, so Catalyst plans
+    * one Exchange + one Window operator evaluating three frames; the
+    * funnel rollup after it aggregates one flag row per event and emits a
+    * single row. The oracle derives the same anchors with per-step
+    * aggregate-join CTEs — different shape, same semantics, which is
+    * exactly what makes the parity check meaningful.
+    */
+  def q89Funnel(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("s_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(wU))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view" && col("ts") > col("s_ts"),
+          col("ts"))).over(wU))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("v_ts"),
+          col("ts"))).over(wU))
+      .groupBy("user_id")
+      .agg(max(col("s_ts").isNotNull).as("f1"),
+        max(col("v_ts").isNotNull).as("f2"),
+        max(col("p_ts").isNotNull).as("f3"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("n_signup_view"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("n_signup_view_purchase"))
+  }
+
+  val q89Oracle: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT e.user_id, min(e.ts) AS v_ts
+      |  FROM events e JOIN s ON s.user_id = e.user_id
+      |  WHERE e.event_type = 'view' AND e.ts > s.s_ts
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+      |  GROUP BY e.user_id)
+      |SELECT count(*) AS n_users,
+      |  count(s.s_ts) AS n_signup,
+      |  count(v.v_ts) AS n_signup_view,
+      |  count(p.p_ts) AS n_signup_view_purchase
+      |FROM s
+      |LEFT JOIN v ON v.user_id = s.user_id
+      |LEFT JOIN p ON p.user_id = s.user_id""".stripMargin
+
+  /** q90: RETENTION COHORTS — the weekly cohort-retention triangle:
+    * users grouped by their first-activity ISO week, counted again in
+    * every later week they return. Cohort and activity weeks both come
+    * from `date_trunc('week', ts)` (Monday-start in both engines); the
+    * offset is `datediff(days)/7` — integer division of an exact
+    * multiple, engine-identical. Counting is count(*) over the
+    * pre-deduplicated (user, week) activity set, never COUNT(DISTINCT)
+    * over raw events.
+    *
+    * Scale shape: the (user, week) dedup and the per-user cohort minimum
+    * are aggregations over the SAME user-keyed shuffle; the cohort join
+    * is user-keyed against the (tiny, weeks-per-user) activity set; the
+    * final (cohort, offset) rollup is weeks²-bounded — all exchanges
+    * carry ids + dates only.
+    */
+  def q90Retention(s: SparkSession, d: String): DataFrame = {
+    val activity = events(s, d)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    activity.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q90Oracle: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM activity GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, a.wk) // 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_active
+      |FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -235,4 +235,43 @@ class WarehouseSpec extends SparkSpec {
     assert(out == truth, "per-type (n_events, n_outliers) must match replay")
     assert(out.values.map(_._2).sum > 0, "fixture should contain some outliers")
   }
+
+  test("q89 funnel: counts equal a per-user ordered replay and never grow") {
+    val Array((nUsers, n1, n2, n3)) = Warehouse.q89Funnel(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    val rows = Tables.events(spark, d)
+      .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_type")
+      .as[(Long, Long, String)].collect()
+    val perUser = rows.groupBy(_._1).values.map { evs =>
+      val s = evs.filter(_._3 == "signup").map(_._2).minOption
+      val v = s.flatMap(st => evs.filter(e => e._3 == "view" && e._2 > st)
+        .map(_._2).minOption)
+      val p = v.flatMap(vt => evs.filter(e => e._3 == "purchase" && e._2 > vt)
+        .map(_._2).minOption)
+      (s.isDefined, v.isDefined, p.isDefined)
+    }.toSeq
+    assert(nUsers == perUser.size)
+    assert(n1 == perUser.count(_._1))
+    assert(n2 == perUser.count(_._2))
+    assert(n3 == perUser.count(_._3))
+    assert(n1 >= n2 && n2 >= n3, "funnel steps must be monotone")
+  }
+
+  test("q90 retention: offsets are complete-per-user and cohort sizes add up") {
+    val out = Warehouse.q90Retention(spark, d)
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // offset 0 rows exist for every cohort and hold its full size
+    val byCohort = out.groupBy(_._1)
+    byCohort.foreach { case (wk, rows) =>
+      assert(rows.exists(_._2 == 0L), s"cohort $wk missing offset 0")
+      val size0 = rows.find(_._2 == 0L).get._3
+      rows.foreach { case (_, off, n) =>
+        assert(n <= size0, s"cohort $wk offset $off retained more than joined")
+      }
+    }
+    // total distinct users across cohorts equals offset-0 sum
+    val users = Tables.events(spark, d).select($"user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
 }
