@@ -804,4 +804,62 @@ object Corpus {
        |FROM it$TextRankIters
        |ORDER BY rank_score DESC, token LIMIT $TextRankTopK""".stripMargin
   }
+
+  /** q92: CROSS-SPLIT N-GRAM NOVELTY — the memorization-risk audit for a
+    * train/val/test split: what fraction of each split's DISTINCT
+    * trigrams already occurs in train? A validation set whose n-grams are
+    * all train-covered measures recall of memorized text, not
+    * generalization — this is the n-gram-level sharpening of the q83
+    * document-level leakage audit, and it reuses the SAME split rule
+    * (shared [[graft.ops.Splits]] cuts as q53), so the two audits can
+    * never drift apart.
+    *
+    * Scale shape: ONE corpus explode into (split, trigram) with map-side
+    * distinct aggregation (gram-vocabulary-sized shuffle, not
+    * corpus-sized); the train-membership probe is a gram-keyed left join
+    * between two vocabulary-sized sets; the rollup carries three rows.
+    * The trigram build rides the q75 codegen path (integer-sequence
+    * explode + element_at, no lambda).
+    */
+  def q92SplitNovelty(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    def el(k: Int): Column = element_at(col("t"), col("i") + k)
+    val grams = documents(s, d)
+      .select(Splits.assign(col("doc_id"), SplitCuts).as("split"), t.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("split"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"), col("t"))
+      .select(col("split"),
+        concat_ws(" ", el(0), el(1), el(2)).as("gram"))
+      .distinct()
+    val train = grams.filter(col("split") === "train")
+      .select(col("gram").as("train_gram"))
+    grams
+      .join(train, grams("gram") === train("train_gram"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("train_gram").isNotNull, 1L).otherwise(0L))
+          .as("n_in_train"),
+        sum(when(col("train_gram").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .orderBy("split")
+  }
+
+  val q92Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT ${Splits.assignSql("doc_id", SplitCuts)} AS split,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT split,
+       |    unnest(list_transform(generate_series(1, len(t) - 2),
+       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+       |  FROM toks WHERE len(t) >= 3),
+       |tr AS (SELECT gram AS train_gram FROM g WHERE split = 'train')
+       |SELECT split, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN tr.train_gram IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_in_train,
+       |  CAST(sum(CASE WHEN tr.train_gram IS NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_novel
+       |FROM g LEFT JOIN tr ON tr.train_gram = g.gram
+       |GROUP BY split ORDER BY split""".stripMargin
 }

@@ -969,4 +969,46 @@ object Warehouse {
       |  count(*) AS n_active
       |FROM activity a JOIN cohorts c ON c.user_id = a.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q91: MARKOV TRANSITION MATRIX — per-user event-sequence transition
+    * counts (from_type → immediately-next type under the (ts, event_id)
+    * total order) with transition probabilities as EXACT parts-per-million
+    * (`n·10^6 div row_total` — integer division, so the probability column
+    * hashes; a double ratio would be gate-hostile for nothing). The
+    * session-path model this yields feeds bot detection (improbable
+    * chains) and synthetic-session generation.
+    *
+    * Scale shape: one user-keyed window shuffle for the lead() pairing,
+    * then a 25-cell (|types|²) aggregate; the per-row-total normalization
+    * is a window over the CELL frame, not the event stream. Nothing after
+    * the first shuffle is event-sized.
+    */
+  def q91Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p_ppm", expr("(n * 1000000) div from_total"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q91Oracle: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type,
+      |        count(*) AS n
+      |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+      |       AS BIGINT) AS p_ppm
+      |FROM c ORDER BY from_type, to_type""".stripMargin
 }

@@ -309,4 +309,26 @@ class CorpusSpec extends SparkSpec {
     assert(out.nonEmpty && !out.map(_._1).contains("dup"),
       "the rare token must fall below the 1/48 share threshold")
   }
+
+  test("q92 split novelty: matches a per-split trigram-set replay") {
+    val out = Corpus.q92SplitNovelty(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val docs = Tables.documents(spark, d)
+      .select(graft.ops.Splits.assign(col("doc_id"), Corpus.SplitCuts).as("split"),
+        split(trim(col("text")), "\\s+").as("t"))
+      .as[(String, Seq[String])].collect()
+    val gramsBySplit = docs.groupBy(_._1).map { case (sp, ds) =>
+      sp -> ds.flatMap(_._2.sliding(3).filter(_.length == 3).map(_.mkString(" ")))
+        .toSet
+    }
+    val train = gramsBySplit.getOrElse("train", Set.empty)
+    val expected = gramsBySplit.map { case (sp, g) =>
+      sp -> (g.size.toLong, g.count(train.contains).toLong,
+        g.count(!train.contains(_)).toLong)
+    }
+    assert(out == expected)
+    val (tg, tin, tnov) = out("train")
+    assert(tin == tg && tnov == 0L, "train grams are train-covered by definition")
+  }
 }

@@ -274,4 +274,27 @@ class WarehouseSpec extends SparkSpec {
     val users = Tables.events(spark, d).select($"user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
   }
+
+  test("q91 transitions: counts replay and row probabilities floor-sum to 1e6") {
+    val out = Warehouse.q91Transitions(spark, d)
+      .as[(String, String, Long, Long)].collect()
+    val rows = Tables.events(spark, d)
+      .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expected = rows.groupBy(_._1).values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap == expected)
+    out.groupBy(_._1).foreach { case (from, cells) =>
+      val total = cells.map(_._3).sum
+      cells.foreach { case (_, _, n, p) =>
+        assert(p == n * 1000000L / total, s"$from p_ppm must be exact floor")
+      }
+      val pSum = cells.map(_._4).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - cells.length,
+        s"$from row floor-leak bound")
+    }
+  }
 }
