@@ -949,6 +949,9 @@ object Warehouse {
       .select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("wk"))
       .distinct()
+      // (user, week) pairs — weeks-per-user rows; materializing keeps the
+      // cohort branch from re-scanning the event log (ReuseCheck: 1)
+      .localCheckpoint(eager = true)
     val cohorts = activity.groupBy("user_id").agg(min("wk").as("cohort_week"))
     activity.join(cohorts, "user_id")
       .select(col("cohort_week"),

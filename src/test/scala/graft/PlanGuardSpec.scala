@@ -18,7 +18,6 @@ class PlanGuardSpec extends SparkSpec {
     "q28_ngram_jaccard" -> "all-pairs over an explicitly bounded candidate set (src0+en)",
     "q77_semantic_dedup" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",
     "q81_kmeans_step" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",
-    "q84_bm25" -> "broadcast of the single-row (N, T) corpus-stats aggregate",
     "q85_heavy_hitters" -> "broadcast of the single-row corpus token total")
   // q63 does not appear although it embeds a q28-shaped jaccard arm: its
   // query function RUNS the iterative component loop, so the returned
