@@ -877,4 +877,61 @@ object Corpus {
        |       AS BIGINT) AS n_novel
        |FROM g LEFT JOIN tr ON tr.train_gram = g.gram
        |GROUP BY split ORDER BY split""".stripMargin
+
+  private val QuotaK = 50
+  private val QuotaBuckets = 32
+
+  /** q93: PER-SOURCE QUOTA CAPPING — the domain-balancing curation step:
+    * no source may contribute more than [[QuotaK]] documents, survivors
+    * chosen by a deterministic priority (longest first, doc_id
+    * tiebreak — a total order, so the kept set is engine- and
+    * layout-independent). This is what keeps one mega-crawl domain from
+    * dominating a training mixture; the audit reports, per source, how
+    * many documents competed, how many survived the cap, and the
+    * character volume kept vs dropped.
+    *
+    * Scale shape: per-group top-K without ever sorting a full group in
+    * one task — the q68/q73 bucket prefilter (rank within
+    * (source, hash-bucket), keep ≤ K per bucket, then rank the
+    * ≤ buckets·K survivors per source). The audit joins the kept set's
+    * per-source aggregate against the full per-source aggregate — both
+    * source-count-sized after partial aggregation.
+    */
+  def q93QuotaCap(s: SparkSession, d: String): DataFrame = {
+    val ord = Seq(col("n_chars").desc, col("doc_id").asc)
+    val wBucket = Window.partitionBy(col("source"), col("__bucket")).orderBy(ord: _*)
+    val wTop = Window.partitionBy(col("source")).orderBy(ord: _*)
+    val docs = documents(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+    val kept = docs
+      .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(QuotaBuckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= QuotaK)
+      .drop("__bucket", "__brank")
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= QuotaK)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .join(kept, "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("kept_chars"), (col("total_chars") - col("kept_chars")).as("dropped_chars"))
+      .orderBy("source")
+  }
+
+  val q93Oracle: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY n_chars DESC, doc_id) AS rank
+       |  FROM documents),
+       |kept AS (SELECT source, count(*) AS n_kept,
+       |           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |         FROM r WHERE rank <= $QuotaK GROUP BY source),
+       |tot AS (SELECT source, count(*) AS n_docs,
+       |          CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |        FROM documents GROUP BY source)
+       |SELECT source, n_docs, n_kept, kept_chars,
+       |  total_chars - kept_chars AS dropped_chars
+       |FROM tot JOIN kept USING (source) ORDER BY source""".stripMargin
 }

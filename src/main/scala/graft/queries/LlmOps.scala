@@ -1816,4 +1816,76 @@ object LlmOps {
        |FROM sp GROUP BY id_a, id_b HAVING max(span) >= $SpanMin
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  private val ProjDims = 16
+  private val ProjIds = 20L
+  private val ProjSignA = graft.functions.PolyHash.coefA(50)
+  private val ProjSignB = graft.functions.PolyHash.coefB(50)
+  private val ProjSignC = 12345L
+
+  /** q94: RANDOM-PROJECTION SKETCH — dimensionality reduction of the
+    * 64-dim embeddings to [[ProjDims]] components with a ±1 sign matrix
+    * (the database-style Johnson-Lindenstrauss sketch: Achlioptas signs,
+    * no Gaussians) — the IO lever that turns a 256-byte vector into a
+    * 16-component sketch for coarse candidate filtering in front of
+    * exact reranking (q24/q43). Everything is exact integer arithmetic:
+    * inputs are the q43 int8 QUANTIZATION CODES (integers by
+    * construction, replayed identically by the oracle's round
+    * formulation), and the sign s(i, j) = 1 − 2·((A·i + B·j + C) mod p
+    * mod 2) comes from the portable [[graft.functions.PolyHash]] affine
+    * family — the mod-p wrap scrambles the parity, and both engines
+    * compute the same 64-bit products. Output: the full sketch matrix
+    * for a pinned id set, exact longs.
+    *
+    * Scale shape: the registered query pins vec_id ≤ [[ProjIds]] and the
+    * filter pushes to the scan; the projection itself is
+    * explode(codes) × explode(dims) + one (vec, dim)-keyed aggregation —
+    * per-vector cost dims·k, corpus-independent. At production scale the
+    * kernel would fuse into a native per-row expression (one array in,
+    * 16 longs out, no explode); the relational formulation is kept
+    * because the oracle replays it clause-for-clause.
+    */
+  def q94RandomProjection(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Quantize
+    embeddings(s, d)
+      .filter(col("vec_id") <= ProjIds)
+      .select(col("vec_id"),
+        posexplode(Quantize.quantize(col("embedding")).getField("codes"))
+          .as(Seq("i", "code")))
+      .select(col("vec_id"), col("i"), col("code"),
+        explode(sequence(lit(0), lit(ProjDims - 1))).as("dim"))
+      .withColumn("sign",
+        lit(1) - lit(2) * (pmod(lit(ProjSignA) * col("i")
+          + lit(ProjSignB) * col("dim") + lit(ProjSignC),
+          lit(graft.functions.PolyHash.Mod)) % 2))
+      .groupBy("vec_id", "dim")
+      .agg(sum(col("code").cast("long") * col("sign")).as("y"))
+      .orderBy("vec_id", "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+  }
+
+  val q94Oracle: String = {
+    val p = graft.functions.PolyHash.Mod
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+       |    CAST(list_max(embedding) AS DOUBLE) AS mx
+       |  FROM embeddings WHERE vec_id <= $ProjIds),
+       |gi AS (SELECT vec_id, embedding, mn, mx,
+       |         unnest(generate_series(1, len(embedding))) AS i1
+       |       FROM q),
+       |codes AS (
+       |  SELECT vec_id, i1 - 1 AS i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(round((CAST(embedding[i1] AS DOUBLE) - mn)
+       |                         / ((mx - mn) / 255.0)) AS BIGINT) END AS code
+       |  FROM gi),
+       |proj AS (
+       |  SELECT vec_id, i, code, unnest(generate_series(0, ${ProjDims - 1})) AS dim
+       |  FROM codes)
+       |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |  CAST(sum(code * (1 - 2 * (($ProjSignA * i + $ProjSignB * dim + $ProjSignC)
+       |                            % $p % 2))) AS BIGINT) AS y
+       |FROM proj GROUP BY vec_id, dim ORDER BY vec_id, dim""".stripMargin
+  }
 }

@@ -331,4 +331,22 @@ class CorpusSpec extends SparkSpec {
     val (tg, tin, tnov) = out("train")
     assert(tin == tg && tnov == 0L, "train grams are train-covered by definition")
   }
+
+  test("q93 quota cap: equals a per-source sorted-take replay") {
+    val out = Corpus.q93QuotaCap(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val kept = ds.sortBy(dc => (-dc._3, dc._2)).take(50)
+      val total = ds.map(_._3).sum
+      (src, ds.length.toLong, kept.length.toLong,
+        kept.map(_._3).sum, total - kept.map(_._3).sum)
+    }
+    assert(out.toSeq == expected)
+    out.foreach { case (src, nDocs, nKept, _, _) =>
+      assert(nKept == math.min(50L, nDocs), s"$src cap arithmetic")
+    }
+  }
 }
