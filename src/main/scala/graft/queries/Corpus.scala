@@ -934,4 +934,86 @@ object Corpus {
        |SELECT source, n_docs, n_kept, kept_chars,
        |  total_chars - kept_chars AS dropped_chars
        |FROM tot JOIN kept USING (source) ORDER BY source""".stripMargin
+
+  private val PmiMinCount = 3
+  private val PmiTopK     = 100
+
+  /** q95: COLLOCATION MINING — top bigrams by PMI lift, the phrase-
+    * discovery step a tokenizer-training or stopword-curation pipeline
+    * runs over a corpus. For a fixed corpus, PMI ranks identically to
+    * the log-free lift c(w1 w2) / (c(w1)·c(w2)) — the corpus constants
+    * N²/B inside `log` shift every score equally — so the score here is
+    * the exact integer `c_pair · 10⁹ div (c_w1 · c_w2)` (decimal(38,0)
+    * product, `IntegralDivide`, ≤ 10⁹ so the result is a BIGINT), and
+    * the ranking is bit-identical across engines: no `log`, no ulp.
+    *
+    * Scale shape: ONE corpus scan. Unigram and bigram instances ride a
+    * single explode of tagged (tag, gram) structs — the text column, which
+    * is ~all the bytes at 100 TB, is decoded once, not once per n-gram
+    * order. The (tag, gram) counts frame is vocabulary-sized (V + V²
+    * types at worst, min-count-pruned on the bigram side) and is
+    * materialized once (eager localCheckpoint) because it feeds three
+    * consumers (unigram side ×2, bigram side). The two count joins hash
+    * on the token, so a hot word's postings spread across partitions;
+    * AQE may broadcast the unigram side when the vocabulary is small.
+    * Top-K is a bounded TakeOrderedAndProject over a total order
+    * (lift desc, w1, w2 — bigram key is unique).
+    */
+  def q95Collocations(s: SparkSession, d: String): DataFrame =
+    collocationsAudit(documents(s, d))
+
+  /** Core of q95 over any frame with a `text` column — see the q95
+    * scaladoc for the scale shape. */
+  private[queries] def collocationsAudit(docs: DataFrame): DataFrame = {
+    val t = split(trim(lower(col("text"))), "\\s+")
+    val unis = transform(col("t"), w => struct(lit("u").as("tag"), w.as("gram")))
+    val bis = zip_with(
+      slice(col("t"), lit(1), size(col("t")) - 1),
+      slice(col("t"), lit(2), size(col("t")) - 1),
+      (a, b) => struct(lit("b").as("tag"), concat(a, lit(" "), b).as("gram")))
+    val counts = docs
+      .select(t.as("t"))
+      .select(explode(concat(unis, bis)).as("g"))
+      .select(col("g.tag").as("tag"), col("g.gram").as("gram"))
+      .groupBy("tag", "gram").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val uni = counts.filter(col("tag") === "u")
+      .select(col("gram").as("w"), col("c").as("cw"))
+    val pairs = counts.filter(col("tag") === "b" && col("c") >= PmiMinCount)
+      .select(
+        element_at(split(col("gram"), " "), 1).as("w1"),
+        element_at(split(col("gram"), " "), 2).as("w2"),
+        col("c").as("c_pair"))
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    pairs
+      .join(uni.select(col("w").as("w1"), col("cw").as("c_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c_w2")), Seq("w2"))
+      .withColumn("num", big(col("c_pair")) * big(lit(1000000000L)))
+      .withColumn("den", big(col("c_w1")) * big(col("c_w2")))
+      .withColumn("lift_ppb", expr("num div den").cast("long"))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"), col("c_w2"),
+        col("lift_ppb"))
+      .orderBy(col("lift_ppb").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val q95Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |uc AS (SELECT w, count(*) AS cw
+       |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |bc AS (
+       |  SELECT gram, count(*) AS c_pair FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i + 1])) AS gram
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY gram HAVING count(*) >= $PmiMinCount),
+       |j AS (SELECT split_part(gram, ' ', 1) AS w1,
+       |        split_part(gram, ' ', 2) AS w2, c_pair FROM bc)
+       |SELECT j.w1, j.w2, c_pair, u1.cw AS c_w1, u2.cw AS c_w2,
+       |  CAST(CAST(c_pair AS HUGEINT) * 1000000000
+       |       // (CAST(u1.cw AS HUGEINT) * u2.cw) AS BIGINT) AS lift_ppb
+       |FROM j JOIN uc u1 ON u1.w = j.w1 JOIN uc u2 ON u2.w = j.w2
+       |ORDER BY lift_ppb DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
 }
