@@ -1016,4 +1016,99 @@ object Corpus {
        |       // (CAST(u1.cw AS HUGEINT) * u2.cw) AS BIGINT) AS lift_ppb
        |FROM j JOIN uc u1 ON u1.w = j.w1 JOIN uc u2 ON u2.w = j.w2
        |ORDER BY lift_ppb DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
+  private val DriftTopK    = 15
+  private val DriftBuckets = 32
+
+  /** q96: SPLIT-DISTRIBUTION DRIFT — per non-train split, the tokens
+    * whose corpus share diverges most from train, i.e. the largest
+    * per-token contributions to the total-variation distance between the
+    * unigram distributions. This is the audit that catches a skewed
+    * holdout (a topic or boilerplate string concentrated on one side of
+    * the hash split) before it silently biases eval loss. The score is
+    * the exact integer `|c_train·N_s − c_s·N_train| · 10⁹ div
+    * (N_train·N_s)` = ⌊10⁹·|p_train − p_s|⌋ — cross-multiplication in
+    * decimal(38,0), so no float division and the ranking is
+    * bit-identical across engines (headroom: counts ≤ 10¹⁴ tokens keep
+    * the numerator ≤ 10³⁷, inside 38 digits).
+    *
+    * Scale shape: ONE corpus scan into (split, token) counts,
+    * materialized once (eager localCheckpoint, vocabulary-sized). The
+    * three split totals are re-aggregated from that frame and enter the
+    * plan as collected literals — three exact integers, the q84
+    * observe-style pattern, so there is no single-row join. The
+    * (split, token) universe is the vocabulary exploded over a literal
+    * split array (no cross join), and both count lookups are hash joins
+    * on the token. Per-split top-K uses the q68/q73 bucket prefilter;
+    * ordering is total (drift desc, token asc).
+    */
+  def q96SplitDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(Splits.assign(col("doc_id"), SplitCuts).as("split"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("split", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val totals = counts.groupBy("split").agg(sum("c").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTrain = totals.getOrElse("train", 0L)
+    val others = SplitCuts.map(_._1).filter(sp => sp != "train" && totals.getOrElse(sp, 0L) > 0L)
+    require(nTrain > 0L && others.nonEmpty, "drift audit needs train and one other split")
+    val nOther = others.foldLeft(lit(0L)) { (acc, sp) =>
+      when(col("split") === sp, lit(totals(sp))).otherwise(acc)
+    }
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val ord = Seq(col("drift_ppb").desc, col("w").asc)
+    val wBucket = Window.partitionBy(col("split"), col("__bucket")).orderBy(ord: _*)
+    val wTop = Window.partitionBy(col("split")).orderBy(ord: _*)
+    counts.select(col("w")).distinct()
+      .withColumn("split", explode(array(others.map(lit(_)): _*)))
+      .join(counts.filter(col("split") === "train")
+        .select(col("w"), col("c").as("c_train")), Seq("w"), "left")
+      .join(counts.filter(col("split") =!= "train")
+        .select(col("split"), col("w"), col("c").as("c_split")), Seq("split", "w"), "left")
+      .na.fill(0L, Seq("c_train", "c_split"))
+      .withColumn("n_split", nOther)
+      .withColumn("num",
+        abs(big(col("c_train")) * big(col("n_split"))
+          - big(col("c_split")) * big(lit(nTrain))) * big(lit(1000000000L)))
+      .withColumn("den", big(lit(nTrain)) * big(col("n_split")))
+      .withColumn("drift_ppb", expr("num div den").cast("long"))
+      .withColumn("__bucket", pmod(xxhash64(col("w")), lit(DriftBuckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= DriftTopK)
+      .drop("__bucket", "__brank")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= DriftTopK)
+      .select(col("split"), col("rank"), col("w"), col("c_train"),
+        col("c_split"), col("drift_ppb"))
+      .orderBy("split", "rank")
+  }
+
+  val q96Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT ${Splits.assignSql("doc_id", SplitCuts)} AS split,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |c AS (SELECT split, w, count(*) AS c FROM toks GROUP BY 1, 2),
+       |n AS (SELECT split, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       |u AS (SELECT n.split, n.n AS n_split, v.w
+       |      FROM n, (SELECT DISTINCT w FROM c) v WHERE n.split <> 'train'),
+       |j AS (
+       |  SELECT u.split, u.w,
+       |    COALESCE(tr.c, 0) AS c_train, COALESCE(o.c, 0) AS c_split,
+       |    CAST(abs(CAST(COALESCE(tr.c, 0) AS HUGEINT) * u.n_split
+       |              - CAST(COALESCE(o.c, 0) AS HUGEINT) * ntr.n)
+       |         * 1000000000
+       |         // (CAST(ntr.n AS HUGEINT) * u.n_split) AS BIGINT) AS drift_ppb
+       |  FROM u
+       |  CROSS JOIN (SELECT n FROM n WHERE split = 'train') ntr
+       |  LEFT JOIN (SELECT w, c FROM c WHERE split = 'train') tr ON tr.w = u.w
+       |  LEFT JOIN (SELECT split, w, c FROM c WHERE split <> 'train') o
+       |    ON o.split = u.split AND o.w = u.w),
+       |r AS (SELECT split, w, c_train, c_split, drift_ppb,
+       |        row_number() OVER (PARTITION BY split
+       |                           ORDER BY drift_ppb DESC, w) AS rank
+       |      FROM j)
+       |SELECT split, CAST(rank AS BIGINT) AS rank, w, c_train, c_split, drift_ppb
+       |FROM r WHERE rank <= $DriftTopK ORDER BY split, rank""".stripMargin
 }
