@@ -1888,4 +1888,95 @@ object LlmOps {
        |                            % $p % 2))) AS BIGINT) AS y
        |FROM proj GROUP BY vec_id, dim ORDER BY vec_id, dim""".stripMargin
   }
+
+  // --- Asymmetric containment (q97) ---------------------------------------
+
+  private val ContShingleN  = 4
+  private val ContMaxDf     = 50
+  private val ContMinPpm    = 500000L // report pairs ≥ 50% contained
+  private val ContMaxRows   = 500
+
+  /** q97: ASYMMETRIC CONTAINMENT — the quote/subset detector Jaccard
+    * misses: a short document wholly embedded in a long one scores low
+    * symmetric Jaccard (union is large) but containment
+    * |A∩B| / min(|A|,|B|) ≈ 1. Profiles are distinct
+    * [[ContShingleN]]-token shingles with corpus document frequency
+    * ≤ [[ContMaxDf]] — long shingles so sharing implies real overlap,
+    * and the df cap drops boilerplate: a shingle in thousands of
+    * documents identifies none of them, while the cap bounds the pair
+    * fan-out per shingle type at df² ≤ 2 500, keeping candidate
+    * generation linear in shingle types (never all-pairs). Containment
+    * is exact integer `inter · 10⁶ div min(|A|,|B|)` over the capped
+    * profiles — no floats anywhere.
+    *
+    * Scale shape: the df guard is a windowed count over the SAME
+    * (shingle) partitioning the candidate self-join hashes on — the q44
+    * bucket-guard pattern — so guard + join ride one exchange, and the
+    * a/b/profile-size branches canonicalize to the same subtree for
+    * exchange reuse (pinned in ContainmentSpec via ReuseCheck-style scan
+    * count). Output is threshold-filtered AND capped at [[ContMaxRows]]
+    * under a total order (cont desc, doc_a, doc_b) — bounded even on an
+    * all-duplicate corpus.
+    */
+  def q97Containment(s: SparkSession, d: String): DataFrame =
+    containmentAudit(documents(s, d))
+
+  /** Core of q97 over any frame with (doc_id, text) — see q97 scaladoc. */
+  private[queries] def containmentAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = toks(lower(col("text")))
+    val grams = array_distinct(
+      transform(sequence(lit(0), size(t) - ContShingleN),
+        i => concat_ws(" ", (0 until ContShingleN)
+          .map(o => element_at(t, i + o + 1)): _*)))
+    val f = docs
+      .filter(size(t) >= ContShingleN)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= ContMaxDf)
+    val sizes = f.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = f.select(col("g"), col("doc_id").as("doc_a"))
+      .join(f.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
+      .withColumn("cont_ppm",
+        expr("inter * 1000000L div least(size_a, size_b)"))
+      .filter(col("cont_ppm") >= ContMinPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a"), col("size_b"), col("cont_ppm"))
+      .orderBy(col("cont_ppm").desc, col("doc_a"), col("doc_b"))
+      .limit(ContMaxRows)
+  }
+
+  val q97Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, len(t) - ${ContShingleN - 1}),
+       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])))
+       |      AS g
+       |  FROM t WHERE len(t) >= $ContShingleN),
+       |dfx AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+       |f AS (SELECT sh.doc_id, sh.g FROM sh JOIN dfx USING (g)
+       |      WHERE dfx.df <= $ContMaxDf),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM f GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       |    CAST(inter * 1000000 // least(sa.sz, sb.sz) AS BIGINT) AS cont_ppm
+       |  FROM pairs
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter, size_a, size_b, cont_ppm
+       |FROM c WHERE cont_ppm >= $ContMinPpm
+       |ORDER BY cont_ppm DESC, doc_a, doc_b LIMIT $ContMaxRows""".stripMargin
 }
