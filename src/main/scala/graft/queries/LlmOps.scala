@@ -1979,4 +1979,65 @@ object LlmOps {
        |SELECT doc_a, doc_b, inter, size_a, size_b, cont_ppm
        |FROM c WHERE cont_ppm >= $ContMinPpm
        |ORDER BY cont_ppm DESC, doc_a, doc_b LIMIT $ContMaxRows""".stripMargin
+
+  // --- BPE merge step (q98) -----------------------------------------------
+
+  private val BpeTopK = 20
+
+  /** q98: BPE PAIR-MERGE STEP — the inner loop of byte-pair-encoding
+    * tokenizer training, run the way production BPE trainers run it: on
+    * WORD TYPES weighted by corpus frequency, never on raw text. Each
+    * word type is a symbol sequence (its characters, closed by an
+    * end-of-word marker `</w>`); every adjacent symbol pair contributes
+    * the word's corpus frequency, and the top pair is the next merge
+    * rule. One step is the whole algorithm's data-plane: training k
+    * merges re-runs this query k times over a shrinking symbol table.
+    *
+    * Scale shape: the corpus is scanned ONCE, collapsing immediately to
+    * the word-type frequency table (vocabulary-sized — the 100 TB corpus
+    * becomes millions of rows after the first aggregate), so the
+    * char-level explode — 1 row per character occurrence — runs over
+    * types, not tokens: a 10¹⁴-token corpus with a 10⁸-type vocabulary
+    * explodes 10⁹ rows, not 10¹⁵. Two shuffles (word, pair), both with
+    * map-side partial aggregation; exact integer weights; bounded
+    * TakeOrderedAndProject over a total order (weight desc, pair asc).
+    * Character indexing is codepoint-based on both engines — identical
+    * on this corpus (ASCII; for arbitrary Unicode the symbol alphabet
+    * would be bytes, as in byte-level BPE).
+    */
+  def q98BpeMergeStep(s: SparkSession, d: String): DataFrame =
+    bpeMergeStep(documents(s, d))
+
+  /** Core of q98 over any frame with a `text` column — see q98 scaladoc. */
+  private[queries] def bpeMergeStep(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(explode(toks(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    freq
+      .select(col("f"), explode(expr(
+        """transform(sequence(1, length(w)),
+          |  i -> concat(substring(w, i, 1), ' ',
+          |              CASE WHEN i = length(w) THEN '</w>'
+          |                   ELSE substring(w, i + 1, 1) END))""".stripMargin))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_contexts"), sum("f").as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
+  val q98Oracle: String =
+    s"""WITH w AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) >= 1 GROUP BY w),
+       |p AS (
+       |  SELECT f, unnest(list_transform(generate_series(1, len(w)),
+       |    i -> w[i] || ' ' ||
+       |         CASE WHEN i = len(w) THEN '</w>' ELSE w[i + 1] END)) AS pair
+       |  FROM w)
+       |SELECT pair, count(*) AS n_contexts, CAST(sum(f) AS BIGINT) AS weight
+       |FROM p GROUP BY pair ORDER BY weight DESC, pair LIMIT $BpeTopK""".stripMargin
 }
