@@ -1014,4 +1014,63 @@ object Warehouse {
       |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
       |       AS BIGINT) AS p_ppm
       |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** q99: CO-OCCURRENCE SIMILARITY — item-item Jaccard over behavioral
+    * baskets: two event types are similar when the same (user, day)
+    * baskets contain both. This is the classic "users who did X also
+    * did Y" signal (association mining / co-click similarity), and on a
+    * training-data pipeline the same shape scores tag or topic
+    * co-occurrence. Jaccard is exact parts-per-million —
+    * `inter · 10⁶ div (n_a + n_b − inter)` — so the matrix hashes
+    * bit-identically across engines.
+    *
+    * Scale shape: the event log collapses to DISTINCT (user, day, type)
+    * baskets in one scan (map-side partial dedup before the shuffle) and
+    * is materialized once (eager localCheckpoint — basket rows, bounded
+    * by active-user-days × types, orders below raw events; both join
+    * sides and the per-type sizes read the checkpoint, ReuseCheck-style).
+    * The pair join is keyed on (user, day), so fan-out per basket is
+    * ≤ |types|² — bounded by the type alphabet, never by event volume —
+    * and the per-type totals are a types-sized broadcast. Output is the
+    * |types|² similarity matrix upper triangle under a total order.
+    */
+  def q99Cooccurrence(s: SparkSession, d: String): DataFrame = {
+    val baskets = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val sizes = baskets.groupBy("event_type").agg(count(lit(1)).as("n"))
+    baskets.select(col("user_id"), col("day"), col("event_type").as("type_a"))
+      .join(baskets.select(col("user_id"), col("day"), col("event_type").as("type_b")),
+        Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .withColumn("jaccard_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
+      .select(col("type_a"), col("type_b"), col("inter"), col("n_a"), col("n_b"),
+        col("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val q99Oracle: String =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      |  FROM events),
+      |s AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b2.event_type AS type_b,
+      |    count(*) AS inter
+      |  FROM b a JOIN b b2
+      |    ON a.user_id = b2.user_id AND a.day = b2.day
+      |   AND a.event_type < b2.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, inter, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT) AS jaccard_ppm
+      |FROM p
+      |JOIN s sa ON sa.event_type = type_a
+      |JOIN s sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
 }
