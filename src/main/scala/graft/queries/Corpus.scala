@@ -1111,4 +1111,57 @@ object Corpus {
        |      FROM j)
        |SELECT split, CAST(rank AS BIGINT) AS rank, w, c_train, c_split, drift_ppb
        |FROM r WHERE rank <= $DriftTopK ORDER BY split, rank""".stripMargin
+
+  /** q100: ZIPF FREQUENCY-SPECTRUM AUDIT — the vocabulary's token counts
+    * folded into power-of-two frequency bands (band = bit length of the
+    * count, an EXACT integer via `length(bin(c))` — `floor(log2)+1`
+    * without touching a float, where a libm `log2` could misband
+    * counts adjacent to 2^k). A healthy natural-language corpus shows
+    * the Zipf signature — type counts decaying geometrically across
+    * bands while each band's occupancy share stays flat-ish; a scrape
+    * gone wrong (boilerplate floods, truncation, synthetic spam) bends
+    * this spectrum, which makes the ~64-row table a cheap corpus
+    * fingerprint to diff between snapshots.
+    *
+    * Scale shape: the classic rank-frequency plot needs a GLOBAL sort of
+    * the vocabulary — a single-partition rank at 10⁸ types. Banding by
+    * count magnitude gives the same diagnostic from one vocabulary
+    * aggregate plus a ≤ 64-row rollup: scan → (token) counts (map-side
+    * partial) → map-side band → tiny agg; nothing after the first
+    * shuffle exceeds the vocabulary, nothing sorts it. The share
+    * denominator is a window over the ≤ 64-row band frame.
+    * decimal(38,0) keeps `occurrences · 10⁶` exact at 10¹⁴ tokens.
+    */
+  def q100ZipfSpectrum(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    documents(s, d)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .groupBy(length(bin(col("c"))).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_types"), sum("c").as("occurrences"),
+        min("c").as("min_c"), max("c").as("max_c"))
+      .withColumn("num", big(col("occurrences")) * big(lit(1000000L)))
+      .withColumn("den", big(sum(col("occurrences"))
+        .over(Window.partitionBy())))
+      .withColumn("share_ppm", expr("num div den").cast("long"))
+      .select(col("band"), col("n_types"), col("occurrences"),
+        col("min_c"), col("max_c"), col("share_ppm"))
+      .orderBy(col("band").desc)
+  }
+
+  val q100Oracle: String =
+    """WITH c AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |b AS (
+      |  SELECT CAST(length(bin(c)) AS BIGINT) AS band, count(*) AS n_types,
+      |    CAST(sum(c) AS BIGINT) AS occurrences,
+      |    min(c) AS min_c, max(c) AS max_c
+      |  FROM c GROUP BY 1)
+      |SELECT band, n_types, occurrences, min_c, max_c,
+      |  CAST(CAST(occurrences AS HUGEINT) * 1000000
+      |       // sum(occurrences) OVER () AS BIGINT) AS share_ppm
+      |FROM b ORDER BY band DESC""".stripMargin
 }
