@@ -16,8 +16,8 @@ class SparkEntrySpec extends SparkSpec {
 
   test("query names follow the qNN_slug convention with unique numbers") {
     val names = SparkEntry.queries.keySet
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "bad name shape")
-    val nums = names.map(_.take(3))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), "bad name shape")
+    val nums = names.map(_.takeWhile(_ != '_'))
     assert(nums.size == names.size, "duplicate query numbers")
   }
 
