@@ -2040,4 +2040,54 @@ object LlmOps {
        |  FROM w)
        |SELECT pair, count(*) AS n_contexts, CAST(sum(f) AS BIGINT) AS weight
        |FROM p GROUP BY pair ORDER BY weight DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  // --- Near-dup flow matrix (q101) ----------------------------------------
+
+  /** q101: NEAR-DUP FLOW MATRIX — the q44 LSH near-dup pairs rolled up to
+    * the source level: which source pairs exchange near-duplicate
+    * content. The diagonal (same source on both sides) measures internal
+    * duplication — a crawler re-fetching itself; off-diagonal entries are
+    * syndication/mirror flow between domains, the signal that drives
+    * "keep one canonical domain per mirror family" curation rules.
+    * Composition, not re-derivation: the pair generator IS
+    * [[graft.functions.MinHash.candidatePairs]] with q44's exact
+    * parameters, so flow-matrix counts reconcile with q44's pair list by
+    * construction.
+    *
+    * Scale shape: q44's banded candidate generation (never all-pairs),
+    * then two hash joins of the pair list against the (doc_id, source)
+    * projection — pair-list-sized, orders below the corpus — and a
+    * sources²-bounded rollup. The matrix is symmetric, so pairs are
+    * canonicalized (least, greatest) before counting.
+    */
+  def q101NearDupFlow(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHash
+    val docs = documents(s, d).filter(col("lang") === "en")
+    val pairs = MinHash.candidatePairs(
+      docs.select(col("doc_id"), toks(col("text")).as("tokens")),
+      "doc_id", "tokens",
+      shingleN = 2, k = 64, nBands = 8,
+      minJaccard = 0.5, maxBucket = 100, portable = true)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q101Oracle: String =
+    s"""WITH $lshPairChainSql,
+       |np AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+       |f AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b
+       |  FROM np
+       |  JOIN documents da ON da.doc_id = np.id_a
+       |  JOIN documents db ON db.doc_id = np.id_b)
+       |SELECT source_a, source_b, count(*) AS n_pairs
+       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
