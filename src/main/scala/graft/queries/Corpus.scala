@@ -1164,4 +1164,117 @@ object Corpus {
       |  CAST(CAST(occurrences AS HUGEINT) * 1000000
       |       // sum(occurrences) OVER () AS BIGINT) AS share_ppm
       |FROM b ORDER BY band DESC""".stripMargin
+
+  // --- Per-source lexical statistics (q102) -------------------------------
+
+  /** q102: LEXICAL-STATISTICS AUDIT — the per-source vocabulary profile
+    * behind Heaps'-law monitoring: token volume, type count (vocabulary),
+    * hapax and dis legomena (types seen exactly once / twice), and two
+    * exact ppm ratios — hapax share of the vocabulary and the type-token
+    * ratio. A source whose hapax share collapses is boilerplate-flooded
+    * (few novel types per new token); one whose TTR spikes is likely
+    * encoding-corrupted or template-generated gibberish (every "word"
+    * novel). The reference's per-market row-count audit
+    * (`scripts/integrate_weather_sales.py:47-61`) is the same
+    * per-partition health-profile idea applied to a ticketing fact; a
+    * text corpus profiles its lexicon instead.
+    *
+    * Scale shape: one corpus scan → explode → (source, token) counts
+    * with map-side partial aggregation — the ONLY vocabulary-sized
+    * shuffle — then a sources-sized conditional rollup (A5's COUNTIF
+    * shape). No window, no join, no sort above |sources| rows. Ratios
+    * are integer `·10⁶ div` (q99 pattern), so the table hashes
+    * bit-identically across engines; longs hold the arithmetic through
+    * 10¹³ tokens × 10⁹ types.
+    */
+  def q102VocabGrowth(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        count_if(col("c") === 1).as("hapax"),
+        count_if(col("c") === 2).as("dis_legomena"))
+      .withColumn("hapax_ppm", expr("hapax * 1000000L div vocab"))
+      .withColumn("ttr_ppm", expr("vocab * 1000000L div n_tokens"))
+      .orderBy("source")
+
+  val q102Oracle: String =
+    """WITH c AS (
+      |  SELECT source, w, count(*) AS c FROM (
+      |    SELECT source,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS vocab,
+      |    count(*) FILTER (WHERE c = 1) AS hapax,
+      |    count(*) FILTER (WHERE c = 2) AS dis_legomena
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_tokens, vocab, hapax, dis_legomena,
+      |  hapax * 1000000 // vocab AS hapax_ppm,
+      |  vocab * 1000000 // n_tokens AS ttr_ppm
+      |FROM r ORDER BY source""".stripMargin
+
+  // --- Source vocabulary overlap (q103) -----------------------------------
+
+  /** q103: SOURCE VOCABULARY-OVERLAP MATRIX — exact Jaccard similarity
+    * between the vocabularies of every source pair: which domains speak
+    * the same language (near-mirrors, syndication families, shared
+    * templates) and which contribute genuinely distinct text. Where
+    * q101 measures DOCUMENT-level flow (near-dup pairs rolled up to
+    * sources), this measures LEXICON-level affinity — two sources can
+    * share a vocabulary while sharing no document, and that distinction
+    * (same register vs copied content) is exactly what a mixture
+    * designer needs when weighting domains. The q99 basket machinery
+    * applied to (token → sources) instead of (user-day → event types).
+    *
+    * Scale shape: one corpus scan collapses to DISTINCT (source, token)
+    * — vocabulary-sized, orders below token volume — materialized once
+    * (eager localCheckpoint; both self-join sides and the per-source
+    * sizes read it, never the corpus again). The pair join is keyed on
+    * token, so fan-out per token is ≤ |sources|² regardless of corpus
+    * size, and per-source sizes are a |sources|-row broadcast. Output
+    * is the |sources|²/2 upper triangle under a total order; Jaccard is
+    * exact ppm (q99 pattern).
+    */
+  def q103SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    vocab.select(col("source").as("source_a"), col("w"))
+      .join(vocab.select(col("source").as("source_b"), col("w")), Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("vocab_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("vocab_b"))),
+        Seq("source_b"))
+      .withColumn("jaccard_ppm",
+        expr("inter * 1000000L div (vocab_a + vocab_b - inter)"))
+      .select(col("source_a"), col("source_b"), col("inter"),
+        col("vocab_a"), col("vocab_b"), col("jaccard_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q103Oracle: String =
+    """WITH v AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |    FROM documents)),
+      |s AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, inter, sa.n AS vocab_a, sb.n AS vocab_b,
+      |  CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT) AS jaccard_ppm
+      |FROM p
+      |JOIN s sa ON sa.source = source_a
+      |JOIN s sb ON sb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
 }

@@ -2090,4 +2090,98 @@ object LlmOps {
        |  JOIN documents db ON db.doc_id = np.id_b)
        |SELECT source_a, source_b, count(*) AS n_pairs
        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- LSH calibration audit (q104) ---------------------------------------
+
+  /** q104: LSH CALIBRATION AUDIT — does the MinHash estimate actually
+    * track the true Jaccard at the operating point? For every q44
+    * candidate pair the query computes BOTH similarities — the
+    * signature-agreement estimate (already carried by the pair list as
+    * `matches`/64) and the EXACT distinct-shingle Jaccard — and rolls
+    * them up per signature-agreement level: how many pairs the band
+    * produced at each level, how many the estimator over- vs
+    * under-states, and the exact-Jaccard envelope (min/max ppm). This is
+    * the monitoring table that catches a mis-sized signature (k too
+    * small → wide envelopes), a broken hash family (over/under counts
+    * skew one-sided), or threshold drift before a dedup purge acts on
+    * bad estimates. Composition, not re-derivation: the pair generator
+    * IS [[graft.functions.MinHash.candidatePairs]] with q44's exact
+    * parameters, so every audited pair is a pair q44 emits.
+    *
+    * Over/under verdicts are integer CROSS-MULTIPLICATION —
+    * `matches · union  vs  64 · inter` — never a float compare, and the
+    * estimate's `matches` recovers exactly from `est · 64` (dyadic
+    * rational, exact in a double). Scale shape: the exact side joins the
+    * banded, guarded pair list (orders below the corpus) to per-doc
+    * distinct-shingle postings — expansion is |pairs| × shingles/doc,
+    * pair-bounded — then aggregates to ≤ k+1 rows. The corpus is
+    * scanned twice (pair chain + shingle postings), both scans pruned
+    * to (doc_id, text, lang); at 100 TB that beats materializing a
+    * corpus-sized shingle table between the two uses. Zero-overlap
+    * collision pairs are kept (left join + coalesce): they are the
+    * estimator's worst failure mode, exactly what the audit must count.
+    */
+  def q104LshCalibration(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHash
+    val docs = documents(s, d).filter(col("lang") === "en")
+    val pairs = MinHash.candidatePairs(
+      docs.select(col("doc_id"), toks(col("text")).as("tokens")),
+      "doc_id", "tokens",
+      shingleN = 2, k = 64, nBands = 8,
+      minJaccard = 0.5, maxBucket = 100, portable = true)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard") * 64).cast("long").as("matches"))
+    val sh = docs.select(col("doc_id"),
+      explode(MinHash.shingles(toks(col("text")), 2)).as("g"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("unn", col("sz_a") + col("sz_b") - col("inter"))
+      .groupBy(col("matches").as("sig_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_if(col("matches") * col("unn") > lit(64L) * col("inter")).as("n_over"),
+        count_if(col("matches") * col("unn") < lit(64L) * col("inter")).as("n_under"),
+        count_if(col("matches") * col("unn") === lit(64L) * col("inter")).as("n_exact"),
+        min(expr("inter * 1000000L div unn")).as("min_exact_ppm"),
+        max(expr("inter * 1000000L div unn")).as("max_exact_ppm"))
+      .orderBy(col("sig_matches").desc)
+  }
+
+  val q104Oracle: String =
+    s"""WITH $lshPairChainSql,
+       |np AS (SELECT id_a, id_b,
+       |         CAST(round(est_jaccard * 64) AS BIGINT) AS matches
+       |       FROM est WHERE est_jaccard >= 0.5),
+       |sh2 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1]))) AS g
+       |  FROM t WHERE len(t) >= 2),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+       |ix AS (
+       |  SELECT np.id_a, np.id_b, count(*) AS inter
+       |  FROM np
+       |  JOIN sh2 a ON a.doc_id = np.id_a
+       |  JOIN sh2 b ON b.doc_id = np.id_b AND b.g = a.g
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT np.matches, coalesce(ix.inter, 0) AS inter,
+       |    sa.sz + sb.sz - coalesce(ix.inter, 0) AS unn
+       |  FROM np
+       |  LEFT JOIN ix ON ix.id_a = np.id_a AND ix.id_b = np.id_b
+       |  JOIN sz sa ON sa.doc_id = np.id_a
+       |  JOIN sz sb ON sb.doc_id = np.id_b)
+       |SELECT matches AS sig_matches, count(*) AS n_pairs,
+       |  count(*) FILTER (WHERE matches * unn > 64 * inter) AS n_over,
+       |  count(*) FILTER (WHERE matches * unn < 64 * inter) AS n_under,
+       |  count(*) FILTER (WHERE matches * unn = 64 * inter) AS n_exact,
+       |  min(inter * 1000000 // unn) AS min_exact_ppm,
+       |  max(inter * 1000000 // unn) AS max_exact_ppm
+       |FROM c GROUP BY 1 ORDER BY 1 DESC""".stripMargin
 }
