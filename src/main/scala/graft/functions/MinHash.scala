@@ -24,19 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** Distinct word n-gram shingles from a token array. Arrays shorter
-    * than n yield an empty shingle set — without the guard, sequence(0,
-    * size-n) runs BACKWARD for short arrays (Spark auto-negates the step)
-    * and element_at faults under ANSI.
+  /** Distinct word n-gram shingles from a token array; arrays shorter
+    * than n yield an empty shingle set. Backed by the native
+    * [[VectorExpressions.DistinctShingles]] kernel for n >= 2 — the
+    * higher-order-function formulation it replaces evaluated its lambda
+    * through interpreted per-element projections, dominating every
+    * shingle-profile scan (q97 measured ~3x end-to-end).
     */
   def shingles(tokens: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
     if (n == 1) array_distinct(tokens)
-    else
-      when(size(tokens) < n, array().cast("array<string>"))
-        .otherwise(array_distinct(
-          transform(sequence(lit(0), size(tokens) - n),
-            i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o + 1)): _*))))
+    else VectorExpressions.distinctShingles(tokens, n)
   }
 
   /** k-wide MinHash signature (array<long>) from a token array (n-grams

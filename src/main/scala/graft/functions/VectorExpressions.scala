@@ -469,6 +469,65 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Distinct word n-gram shingles from a TOKEN array, built in one
+    * compiled pass (insertion-ordered hash set over UTF8String, so the
+    * output order is first-appearance — deterministic). Exists because
+    * the higher-order-function formulation this replaces —
+    * `array_distinct(transform(sequence(...), i => concat_ws(...)))` —
+    * evaluates its lambda through interpreted per-element projections,
+    * which dominated the q97 containment scan (the q75/q70 lesson, but
+    * for a shape that NEEDS the per-document distinct, so the codegen'd
+    * integer-explode rewrite doesn't apply without adding a shuffle).
+    * Eval-mode (CodegenFallback) like the other whole-array kernels
+    * here: the compiled loop is the work, the per-row virtual call is
+    * noise. Null tokens inside a gram are skipped by the separator join
+    * (concat_ws semantics — bit-identical to the HOF it replaces);
+    * arrays shorter than n yield an EMPTY array (the `MinHash.shingles`
+    * guard, NOT the null of the signature kernels).
+    */
+  case class DistinctShingles(child: Expression, shingleN: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    require(shingleN >= 2,
+      "1-gram shingles are array_distinct(tokens) — already codegen'd")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "distinct_shingles"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<string>, got ${dt.sql}")
+      }
+
+    @transient private lazy val sep = UTF8String.fromString(" ")
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new java.util.LinkedHashSet[UTF8String]
+      val parts = new Array[UTF8String](shingleN)
+      var t = 0
+      while (t <= n - shingleN) {
+        var j = 0
+        while (j < shingleN) {
+          parts(j) = if (arr.isNullAt(t + j)) null else arr.getUTF8String(t + j)
+          j += 1
+        }
+        out.add(UTF8String.concatWs(sep, parts: _*))
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        out.toArray.asInstanceOf[Array[AnyRef]])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column-level API --------------------------------------------------
 
   /** poly_horner(text) — engine-portable scalar content hash. */
@@ -491,6 +550,11 @@ object VectorExpressions {
       portable: Boolean = false): Column =
     GraftColumnBridge.column(
       MinHashBandBuckets(GraftColumnBridge.expression(tokens), shingleN, k, nBands, portable))
+
+  /** distinct_shingles(tokens, n) over an array<string> column (n >= 2). */
+  def distinctShingles(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      DistinctShingles(GraftColumnBridge.expression(tokens), n))
 
   /** poly_simhash(tokens) — engine-portable 30-bit simhash. */
   def polySimhash(tokens: Column): Column =

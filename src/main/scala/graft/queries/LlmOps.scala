@@ -203,9 +203,7 @@ object LlmOps {
     */
   def q28NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
-    val grams = array_distinct(
-      transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val grams = graft.functions.MinHash.shingles(t, 2)
     val base = documents(s, d)
       .filter(col("lang") === "en" && col("source") === "src0" && size(t) >= 2)
       .select(col("doc_id"), grams.as("grams"))
@@ -550,9 +548,7 @@ object LlmOps {
         minJaccard = 0.5, maxBucket = 100, portable = true)
       .select(col("id_a"), col("id_b"))
     val t = toks(col("text"))
-    val grams = array_distinct(
-      transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val grams = graft.functions.MinHash.shingles(t, 2)
     val base = documents(s, d)
       .filter(col("lang") === "en" && col("source") === "src0" && size(t) >= 2)
       .select(col("doc_id"), grams.as("grams"))
@@ -1925,10 +1921,7 @@ object LlmOps {
   private[queries] def containmentAudit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = toks(lower(col("text")))
-    val grams = array_distinct(
-      transform(sequence(lit(0), size(t) - ContShingleN),
-        i => concat_ws(" ", (0 until ContShingleN)
-          .map(o => element_at(t, i + o + 1)): _*)))
+    val grams = graft.functions.MinHash.shingles(t, ContShingleN)
     val f = docs
       .filter(size(t) >= ContShingleN)
       .select(col("doc_id"), explode(grams).as("g"))
