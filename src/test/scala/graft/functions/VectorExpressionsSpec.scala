@@ -204,4 +204,38 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head
     assert(nullArr.isNullAt(0))
   }
+
+  test("distinct_shingles: equivalent to the HOF formulation it replaced") {
+    import spark.implicits._
+    // the exact expression DistinctShingles replaced (q97/q28 shape)
+    def hof(t: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*))))
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(12))(s"w${rnd.nextInt(6)}")) // short arrays + repeats
+    val df = docs.toDF("t")
+    for (n <- Seq(2, 3, 4)) {
+      val got = df.select(VectorExpressions.distinctShingles(col("t"), n)).as[Seq[String]].collect()
+      val want = df.select(hof(col("t"), n)).as[Seq[String]].collect()
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+  }
+
+  test("distinct_shingles: null array -> null; null tokens follow concat_ws") {
+    import spark.implicits._
+    val nullArr = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS t")
+      .select(VectorExpressions.distinctShingles(col("t"), 2))
+      .collect().head
+    assert(nullArr.isNullAt(0))
+    // concat_ws skips nulls: ["a", null, "b"] bigrams -> ["a", "b", "a b"]... the
+    // null element joins to the surviving token, exactly as the HOF did
+    val withNull = Seq(1).toDF("i")
+      .select(VectorExpressions.distinctShingles(
+        array(lit("a"), lit(null).cast("string"), lit("b")), 2).as("g"))
+      .select(col("g")).as[Seq[String]].head()
+    assert(withNull == Seq("a", "b"))
+  }
 }
