@@ -2108,9 +2108,11 @@ object LlmOps {
     * banded, guarded pair list (orders below the corpus) to per-doc
     * distinct-shingle postings — expansion is |pairs| × shingles/doc,
     * pair-bounded — then aggregates to ≤ k+1 rows. The corpus is
-    * scanned twice (pair chain + shingle postings), both scans pruned
-    * to (doc_id, text, lang); at 100 TB that beats materializing a
-    * corpus-sized shingle table between the two uses. Zero-overlap
+    * RE-SCANNED per branch (pair chain + the three shingle-posting
+    * uses: sizes and the two pair joins — ReuseCheck reports 4 scans),
+    * each scan pruned to (doc_id, text, lang); at 100 TB recomputing a
+    * compiled kernel over a pruned columnar scan beats materializing a
+    * shingle table an order larger than the corpus between uses. Zero-overlap
     * collision pairs are kept (left join + coalesce): they are the
     * estimator's worst failure mode, exactly what the audit must count.
     */
@@ -2177,4 +2179,159 @@ object LlmOps {
        |  min(inter * 1000000 // unn) AS min_exact_ppm,
        |  max(inter * 1000000 // unn) AS max_exact_ppm
        |FROM c GROUP BY 1 ORDER BY 1 DESC""".stripMargin
+
+  // --- Cluster-label purity per source (q105) -----------------------------
+
+  /** q105: CLUSTER-LABEL PURITY PER SOURCE — the first cross-modal query:
+    * documents joined 1:1 to their embedding-space cluster labels
+    * (vec_id ≡ doc_id), rolled up to "which cluster dominates each
+    * source and how decisively". High purity means the domain is
+    * topically monolithic (a recipes site in one cluster); low purity
+    * means mixed content — exactly the signal that decides whether a
+    * mixture weight should apply at source granularity or needs
+    * cluster-level splitting. The reference's market→dim enrichment
+    * join (`scripts/integrate_weather_sales.py:96` joining per-market
+    * facts to market metadata) is the same 1:1-key enrichment shape.
+    *
+    * Scale shape: an equi-join of two corpus-sized tables on their
+    * shared id — hash-shuffle both sides once (or zero shuffles off
+    * id-bucketed warehouse layouts, the q60 posture; the fixture tables
+    * are unbucketed so the plan shows the two exchanges) — then a
+    * (source × label) aggregate, orders below the corpus, and a
+    * |sources|-sized argmax via the q57 row_number pattern. Purity is
+    * exact ppm; ties on the top label break to the LOWEST label id so
+    * the argmax is total.
+    */
+  def q105LabelPurity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = documents(s, d).select(col("doc_id"), col("source"))
+      .join(graft.Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+      .groupBy("source", "label").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_docs", sum("n").over(Window.partitionBy("source")))
+      .withColumn("n_labels", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_docs"),
+        col("n_labels"),
+        col("label").cast("long").as("top_label"), col("n").as("top_n"),
+        expr("n * 1000000L div n_docs").as("purity_ppm"))
+      .orderBy("source")
+  }
+
+  val q105Oracle: String =
+    """WITH c AS (
+      |  SELECT d.source, e.label, count(*) AS n
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, label, n,
+      |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+      |    count(*) OVER (PARTITION BY source) AS n_labels,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n DESC, label) AS rn
+      |  FROM c)
+      |SELECT source, n_docs, n_labels, CAST(label AS BIGINT) AS top_label,
+      |  n AS top_n, n * 1000000 // n_docs AS purity_ppm
+      |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
+
+  // --- IVF recall audit (q106) --------------------------------------------
+
+  /** Audit sampling rate: every N-th vector is a recall query point. */
+  private val RecallQueryMod = 50L
+  /** Absolute cap on query points — bounds the broadcast and the
+    * fan-out at ANY corpus size (ids are range-capped, not counted, so
+    * the cap needs no extra pass). */
+  private val RecallMaxQueries = 1000L
+  /** Neighborhood size the recall is measured at (recall@K). */
+  private val RecallK = 10
+  /** Bucket count for the group-top-K prefilter (q68 pattern). */
+  private val RecallBuckets = 16
+
+  /** q106: IVF RECALL AUDIT — the q104 idea applied to the OTHER
+    * approximate index: for a deterministic query sample (every
+    * [[RecallQueryMod]]-th vector), how many of the exact cosine top-
+    * [[RecallK]] neighbors does the q25 IVF probe (same-cell candidates
+    * only) actually return? The output recall histogram (overlap level →
+    * query count) is the dial a 100 TB ANN deployment watches when
+    * tuning cell count / probe width; AnnRecallSpec pins a floor on this
+    * same quantity in-test, this query makes it a monitorable table.
+    *
+    * ONE corpus pass, no self-join: every (query, candidate) cosine is
+    * scored once, then TWO conditional ranks — rank among all candidates
+    * and rank within the query's cell — come from windows over the same
+    * frame, and a candidate is a recall hit iff both ranks clear
+    * [[RecallK]]. Rankings order by the RAW double similarity (identical
+    * across engines — same sequential accumulation, see q24) with vec_id
+    * tiebreak, so the cutoff is total. The per-query partitions are
+    * corpus-sized at scale, so both windows sit behind the q68
+    * bucket-top-K prefilter ((q_id, bucket, in_cell) groups — keeping
+    * per-bucket top-K provably preserves every global top-K row and
+    * their relative ranks); nothing ever sorts a full partition on one
+    * task. Query fan-out is |sample| × corpus, and the sample is
+    * DOUBLY bounded — rate ([[RecallQueryMod]]) times an absolute id
+    * cap ([[RecallMaxQueries]]) — so the broadcast stays small at any
+    * corpus size.
+    */
+  def q106IvfRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val q = e.filter(pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+        col("vec_id") < lit(RecallQueryMod * RecallMaxQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val ord = Seq(col("sim").desc, col("vec_id").asc)
+    val wBucket = Window.partitionBy(col("q_id"), col("__b"), col("in_cell"))
+      .orderBy(ord: _*)
+    val wAll = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+    val wCell = Window.partitionBy(col("q_id"), col("in_cell")).orderBy(ord: _*)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("label") === col("q_label")).as("in_cell"),
+        VectorExpressions.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(RecallBuckets)))
+      .withColumn("__br", row_number().over(wBucket))
+      .filter(col("__br") <= RecallK)
+      .drop("__b", "__br")
+      .withColumn("rn_all", row_number().over(wAll))
+      .withColumn("rn_cell", row_number().over(wCell))
+      .groupBy("q_id")
+      .agg(count_if(col("rn_all") <= RecallK && col("in_cell") &&
+        col("rn_cell") <= RecallK).as("n_overlap"))
+      .groupBy("n_overlap").agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("n_overlap").desc)
+  }
+
+  val q106Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id % $RecallQueryMod = 0
+       |    AND vec_id < ${RecallQueryMod * RecallMaxQueries}),
+       |ex AS (
+       |  SELECT q.q_id, e.vec_id, e.label = q.q_label AS in_cell,
+       |    unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |sims AS (
+       |  SELECT q_id, vec_id, any_value(in_cell) AS in_cell,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+       |  FROM ex GROUP BY q_id, vec_id),
+       |r AS (
+       |  SELECT q_id, in_cell,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY sim DESC, vec_id) AS rn_all,
+       |    row_number() OVER (PARTITION BY q_id, in_cell
+       |                       ORDER BY sim DESC, vec_id) AS rn_cell
+       |  FROM sims),
+       |o AS (
+       |  SELECT q_id, count(*) FILTER (
+       |    WHERE rn_all <= $RecallK AND in_cell AND rn_cell <= $RecallK)
+       |    AS n_overlap
+       |  FROM r GROUP BY 1)
+       |SELECT n_overlap, count(*) AS n_queries
+       |FROM o GROUP BY 1 ORDER BY 1 DESC""".stripMargin
 }
