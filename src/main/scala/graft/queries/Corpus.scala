@@ -1277,4 +1277,65 @@ object Corpus {
       |JOIN s sa ON sa.source = source_a
       |JOIN s sb ON sb.source = source_b
       |ORDER BY source_a, source_b""".stripMargin
+
+  // --- Context-length planning audit (q107) -------------------------------
+
+  /** Candidate training context lengths the audit evaluates. */
+  private[queries] val ContextLengths = Seq(128L, 256L, 512L, 1024L)
+
+  /** q107: CONTEXT-LENGTH PLANNING AUDIT — for each candidate training
+    * context length, what the naive one-document-per-sequence batching
+    * would cost: documents longer than C lose their tail to truncation,
+    * shorter ones pay padding to fill the sequence. The exact ppm of
+    * corpus tokens lost and of sequence slots wasted, per C, is the
+    * table that picks the context length (and decides whether q65-style
+    * packing is worth its shuffle) BEFORE a training run burns the
+    * compute — the complement of q65, which audits the packing a chosen
+    * budget produces. The reference's threshold flags over ticket counts
+    * (`scripts/clean_ticket_sales.py:96` binning facts against fixed
+    * cutpoints) are the same fixed-cutpoint scan shape.
+    *
+    * Scale shape: ONE corpus scan projecting each document to its token
+    * count (the only full-width read), a tiny explode over the
+    * |lengths| candidate list, and a |lengths|-row rollup with map-side
+    * combine — no join, no window, no shuffle wider than 4 rows of
+    * longs. All ratios are exact integer ppm; longs hold
+    * sum(min(tok, C)) · 10⁶ through 10¹³ tokens.
+    */
+  def q107ContextAudit(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    documents(s, d)
+      .select(size(t).cast("long").as("tok"))
+      .select(col("tok"), explode(
+        array(ContextLengths.map(lit): _*)).as("ctx"))
+      .groupBy("ctx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        count_if(col("tok") > col("ctx")).as("n_truncated"),
+        sum(greatest(col("tok") - col("ctx"), lit(0L))).as("tokens_lost"),
+        sum(greatest(col("ctx") - col("tok"), lit(0L))).as("pad_tokens"))
+      .withColumn("trunc_ppm", expr("tokens_lost * 1000000L div n_tokens"))
+      .withColumn("pad_ppm", expr("pad_tokens * 1000000L div (n_docs * ctx)"))
+      .orderBy("ctx")
+  }
+
+  val q107Oracle: String = {
+    val lens = ContextLengths.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |x AS (SELECT tok, unnest([$lens]) AS ctx FROM d),
+       |r AS (
+       |  SELECT ctx, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |    count(*) FILTER (WHERE tok > ctx) AS n_truncated,
+       |    CAST(sum(greatest(tok - ctx, 0)) AS BIGINT) AS tokens_lost,
+       |    CAST(sum(greatest(ctx - tok, 0)) AS BIGINT) AS pad_tokens
+       |  FROM x GROUP BY 1)
+       |SELECT CAST(ctx AS BIGINT) AS ctx, n_docs, n_tokens, n_truncated,
+       |  tokens_lost, pad_tokens,
+       |  tokens_lost * 1000000 // n_tokens AS trunc_ppm,
+       |  pad_tokens * 1000000 // (n_docs * ctx) AS pad_ppm
+       |FROM r ORDER BY ctx""".stripMargin
+  }
 }

@@ -1073,4 +1073,52 @@ object Warehouse {
       |JOIN s sa ON sa.event_type = type_a
       |JOIN s sb ON sb.event_type = type_b
       |ORDER BY type_a, type_b""".stripMargin
+
+  // --- User-activity spectrum (q108) --------------------------------------
+
+  /** q108: USER-ACTIVITY SPECTRUM — the q100 power-of-two banding
+    * applied to per-user event volume: how many users sit at each
+    * activity magnitude and what share of total traffic each band
+    * carries. Organic populations decay geometrically across bands; a
+    * heavy top band (a handful of users carrying a traffic share orders
+    * above their population share) is the bot/scraper signature, and on
+    * a training pipeline the same table flags machine-generated event
+    * streams before they pollute behavioral signals. Bands are EXACT
+    * integers via bit length (`length(bin(c))`), never a libm log2.
+    *
+    * Scale shape: one event-log scan → per-user counts (map-side
+    * partial) — the only user-sized shuffle — then a ≤ 64-row band
+    * rollup; the share denominators are windows over the band frame,
+    * not the data. Identical plan skeleton to q100, different corpus
+    * axis (users vs vocabulary): the spectrum operator generalizes.
+    */
+  def q108ActivitySpectrum(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy(length(bin(col("c"))).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_users"), sum("c").as("events"),
+        min("c").as("min_c"), max("c").as("max_c"))
+      .withColumn("user_share_ppm",
+        expr("CAST(n_users AS DECIMAL(38,0)) * 1000000 div " +
+          "sum(n_users) OVER ()").cast("long"))
+      .withColumn("event_share_ppm",
+        expr("CAST(events AS DECIMAL(38,0)) * 1000000 div " +
+          "sum(events) OVER ()").cast("long"))
+      .select(col("band"), col("n_users"), col("events"), col("min_c"),
+        col("max_c"), col("user_share_ppm"), col("event_share_ppm"))
+      .orderBy(col("band").desc)
+
+  val q108Oracle: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(length(bin(c)) AS BIGINT) AS band, count(*) AS n_users,
+      |    CAST(sum(c) AS BIGINT) AS events, min(c) AS min_c, max(c) AS max_c
+      |  FROM c GROUP BY 1)
+      |SELECT band, n_users, events, min_c, max_c,
+      |  CAST(CAST(n_users AS HUGEINT) * 1000000
+      |       // sum(n_users) OVER () AS BIGINT) AS user_share_ppm,
+      |  CAST(CAST(events AS HUGEINT) * 1000000
+      |       // sum(events) OVER () AS BIGINT) AS event_share_ppm
+      |FROM b ORDER BY band DESC""".stripMargin
 }
