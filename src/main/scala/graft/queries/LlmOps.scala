@@ -2334,4 +2334,145 @@ object LlmOps {
        |  FROM r GROUP BY 1)
        |SELECT n_overlap, count(*) AS n_queries
        |FROM o GROUP BY 1 ORDER BY 1 DESC""".stripMargin
+
+  // --- Multi-round BPE trainer (q109) -------------------------------------
+
+  /** Merge rounds the trainer unrolls (the learned merge table size). */
+  private[queries] val BpeTrainRounds = 3
+
+  /** q109: BPE TRAINER — q98 closed into the actual training loop: per
+    * round, count adjacent-symbol pair weights over the word-type table,
+    * pick the best pair (weight DESC, then lexicographic — a total
+    * order), APPLY the merge greedy-leftmost-non-overlapping (the
+    * classic algorithm's semantics: in `aaaa`, `a·a` merges at
+    * positions 1 and 3, never 2), and repeat on the rewritten symbol
+    * table. The output is the merge-rule table itself — the artifact a
+    * BPE tokenizer ships.
+    *
+    * The sequential-looking greedy application is fully relational:
+    * eligible positions (sym = a, next = b) can only be ADJACENT in the
+    * symbol sequence when a = b, so maximal runs of eligible positions
+    * (gaps-and-islands on the dense row index, the q88 machinery) merge
+    * at their odd within-run offsets — exactly leftmost
+    * non-overlapping. A row following a merged row is consumed
+    * (`lag(take)`); merged rows take symbol `a || b`.
+    *
+    * Scale shape: the corpus collapses to the word-type frequency table
+    * in the FIRST aggregate (q98's observation — types, not tokens), so
+    * every round shuffles only (type × symbol) rows — vocabulary-sized,
+    * shrinking monotonically as merges land. Each round is one
+    * w-partitioned window pass + one pair aggregate; state is
+    * lineage-cut per round (eager localCheckpoint, the
+    * ConnectedComponents discipline) and the 1-row best pair comes to
+    * the driver exactly like a production trainer holds its merge table
+    * (the oracle selects the same row via scalar CTEs — identical
+    * because the selection order is total). Rounds are a fixed constant,
+    * so the bounded driver loop is the plan, not a scaling hazard.
+    */
+  def q109BpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(documents(s, d))
+
+  /** Core of q109 over any frame with a `text` column — see q109 scaladoc. */
+  private[queries] def bpeTrain(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val wSeq = Window.partitionBy("w").orderBy("pos")
+    val wRn = Window.partitionBy("w").orderBy("rn")
+
+    var state = docs
+      .select(explode(toks(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) + 1)).as("pos"))
+      .withColumn("sym", expr(
+        "CASE WHEN pos <= length(w) THEN substring(w, pos, 1) ELSE '</w>' END"))
+      .localCheckpoint(eager = true)
+
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeTrainRounds && !exhausted) {
+      val p = state
+        .withColumn("nxt", lead(col("sym"), 1).over(wSeq))
+        .withColumn("rn", row_number().over(wSeq))
+      val best = p.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum("f").as("weight"), count(lit(1)).as("n_contexts"))
+        .orderBy(col("weight").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // degenerate corpus: nothing left to merge
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((r.toLong, a, b, best(0).getLong(2), best(0).getLong(3)))
+        state = p
+          .withColumn("elig", col("sym") === lit(a) && col("nxt") === lit(b))
+          .withColumn("isl", when(col("elig"), col("rn") -
+            row_number().over(Window.partitionBy("w", "elig").orderBy("rn"))))
+          .withColumn("take", col("elig") &&
+            row_number().over(Window.partitionBy("w", "isl").orderBy("rn")) % 2 === 1)
+          .withColumn("prev_take", lag(col("take"), 1).over(wRn))
+          .filter(!coalesce(col("prev_take"), lit(false)))
+          .select(col("w"), col("f"), col("pos"),
+            when(col("take"), lit(a + b)).otherwise(col("sym")).as("sym"))
+          .localCheckpoint(eager = true)
+        r += 1
+      }
+    }
+    import s.implicits._
+    merges.result()
+      .toDF("round", "merge_a", "merge_b", "weight", "n_contexts")
+      .orderBy("round")
+  }
+
+  val q109Oracle: String = {
+    val init =
+      """s1 AS (
+        |  SELECT w, f, pos,
+        |    CASE WHEN pos <= len(w) THEN w[pos] ELSE '</w>' END AS sym
+        |  FROM (
+        |    SELECT w, f, unnest(generate_series(1, len(w) + 1)) AS pos
+        |    FROM (
+        |      SELECT w, count(*) AS f FROM (
+        |        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |      WHERE len(w) >= 1 GROUP BY w)))""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT w, f, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+         |    row_number() OVER (PARTITION BY w ORDER BY pos) AS rn
+         |  FROM s$i),
+         |b$i AS (
+         |  SELECT sym AS a, nxt AS b, CAST(sum(f) AS BIGINT) AS weight,
+         |    count(*) AS n_contexts
+         |  FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY weight DESC, a, b LIMIT 1),
+         |m$i AS (
+         |  SELECT p.*, b.a, b.b, (p.sym = b.a AND p.nxt = b.b) AS elig
+         |  FROM p$i p CROSS JOIN b$i b),
+         |k$i AS (
+         |  SELECT *, CASE WHEN elig THEN rn -
+         |      row_number() OVER (PARTITION BY w, elig ORDER BY rn) END AS isl
+         |  FROM m$i),
+         |t$i AS (
+         |  SELECT *, elig AND (row_number()
+         |      OVER (PARTITION BY w, isl ORDER BY rn) % 2 = 1) AS take
+         |  FROM k$i),
+         |s${i + 1} AS (
+         |  SELECT w, f, pos,
+         |    CASE WHEN take THEN a || b ELSE sym END AS sym
+         |  FROM (SELECT *, lag(take) OVER (PARTITION BY w ORDER BY rn)
+         |          AS prev_take FROM t$i)
+         |  WHERE NOT coalesce(prev_take, FALSE))""".stripMargin
+    }
+    val out = (1 to BpeTrainRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, a AS merge_a, " +
+        s"b AS merge_b, weight, n_contexts FROM b$i")
+      .mkString("\n      UNION ALL ")
+    s"""WITH $init,
+       |${rounds.mkString(",\n")}
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 }
