@@ -469,6 +469,54 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Integer-quantized squared L2 norm of a float/double array: each
+    * component is scaled by 2^20 (exact on a float value held in a
+    * double), rounded half-away-from-zero (engine-identical — the q81
+    * convention), squared and summed as LONGS, so the result is an
+    * exact integer both engines compute bit-identically — a float
+    * norm summed in shuffle order would be last-ulp nondeterministic.
+    * Null elements make the norm undefined (null), matching
+    * [[CosineSimilarity]]. Eval-mode like the other whole-array
+    * kernels. Headroom: |x| ≤ 2^11 at dim ≤ 2^12 stays under 2^63.
+    */
+  case class QuantNormSq(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "quant_norm_sq"
+
+    @inline private def elemIsFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<float> or array<double>, got ${dt.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val isFloat = elemIsFloat
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val q = Math.round(Math.abs(x) * 1048576.0) * (if (x < 0) -1L else 1L)
+        acc += q * q
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Distinct word n-gram shingles from a TOKEN array, built in one
     * compiled pass (insertion-ordered hash set over UTF8String, so the
     * output order is first-appearance — deterministic). Exists because
@@ -550,6 +598,10 @@ object VectorExpressions {
       portable: Boolean = false): Column =
     GraftColumnBridge.column(
       MinHashBandBuckets(GraftColumnBridge.expression(tokens), shingleN, k, nBands, portable))
+
+  /** quant_norm_sq(vec) — exact integer-quantized squared L2 norm. */
+  def quantNormSq(vec: Column): Column =
+    GraftColumnBridge.column(QuantNormSq(GraftColumnBridge.expression(vec)))
 
   /** distinct_shingles(tokens, n) over an array<string> column (n >= 2). */
   def distinctShingles(tokens: Column, n: Int): Column =

@@ -2335,6 +2335,62 @@ object LlmOps {
        |SELECT n_overlap, count(*) AS n_queries
        |FROM o GROUP BY 1 ORDER BY 1 DESC""".stripMargin
 
+  // --- Embedding norm spectrum (q110) -------------------------------------
+
+  /** q110: EMBEDDING NORM SPECTRUM — numeric-health audit of the vector
+    * column: the q100 power-of-two banding applied to each embedding's
+    * squared L2 norm. Collapsed or exploding norms are the classic
+    * signatures of a broken encoder export, a bad normalization pass, or
+    * zero-filled rows from a failed decode — any of which silently
+    * poisons cosine-based dedup (q42/q77) and ANN (q24/q25) long before
+    * accuracy metrics notice. Bands of the EXACT integer-quantized norm
+    * ([[graft.functions.VectorExpressions.QuantNormSq]] — components
+    * scaled 2^20, rounded half-away-from-zero, squared and summed as
+    * longs) make the table bit-identical across engines: no float sum,
+    * no libm log.
+    *
+    * Scale shape: one embeddings scan through a compiled kernel, one
+    * vector-sized aggregate to ≤ 64 bands (the distinct-label count
+    * rides the same aggregate), share denominators window over the band
+    * frame. Identical skeleton to q100/q108 — the spectrum operator
+    * generalizing across a third axis (vocabulary, users, vectors).
+    */
+  def q110NormSpectrum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    embeddings(s, d)
+      .select(col("label"),
+        VectorExpressions.quantNormSq(col("embedding")).as("norm2"))
+      .groupBy(length(bin(col("norm2"))).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("label")).as("n_labels"),
+        min("norm2").as("min_q2"), max("norm2").as("max_q2"))
+      .withColumn("share_ppm",
+        expr("CAST(n_vecs AS DECIMAL(38,0)) * 1000000 div " +
+          "sum(n_vecs) OVER ()").cast("long"))
+      .select(col("band"), col("n_vecs"), col("n_labels"),
+        col("min_q2"), col("max_q2"), col("share_ppm"))
+      .orderBy(col("band").desc)
+  }
+
+  val q110Oracle: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qc
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, any_value(label) AS label,
+      |    CAST(sum(qc * qc) AS BIGINT) AS norm2
+      |  FROM ex GROUP BY vec_id),
+      |b AS (
+      |  SELECT CAST(length(bin(norm2)) AS BIGINT) AS band, count(*) AS n_vecs,
+      |    count(DISTINCT label) AS n_labels,
+      |    min(norm2) AS min_q2, max(norm2) AS max_q2
+      |  FROM n GROUP BY 1)
+      |SELECT band, n_vecs, n_labels, min_q2, max_q2,
+      |  CAST(CAST(n_vecs AS HUGEINT) * 1000000
+      |       // sum(n_vecs) OVER () AS BIGINT) AS share_ppm
+      |FROM b ORDER BY band DESC""".stripMargin
+
   // --- Multi-round BPE trainer (q109) -------------------------------------
 
   /** Merge rounds the trainer unrolls (the learned merge table size). */

@@ -205,6 +205,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nullArr.isNullAt(0))
   }
 
+  test("quant_norm_sq: exact integer quantized norm, reference replay") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1.0f, -0.5f, 0.25f),
+      Seq(0.0f, 0.0f, 0.0f),          // degenerate zero vector -> 0
+      Seq(1.5f, 2.5f, -2.5f))         // .5 magnitudes: half-away-from-zero
+    def ref(v: Seq[Float]): Long =
+      v.map { x =>
+        val q = math.round(math.abs(x.toDouble) * 1048576.0) * (if (x < 0) -1L else 1L)
+        q * q
+      }.sum
+    val got = vecs.toDF("v")
+      .select(VectorExpressions.quantNormSq(col("v"))).as[Long].collect().toSeq
+    assert(got == vecs.map(ref))
+    val nullVec = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS v")
+      .select(VectorExpressions.quantNormSq(col("v"))).collect().head
+    assert(nullVec.isNullAt(0))
+    val nullElem = spark.sql("SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v")
+      .select(VectorExpressions.quantNormSq(col("v"))).collect().head
+    assert(nullElem.isNullAt(0), "null element -> undefined norm")
+  }
+
   test("distinct_shingles: equivalent to the HOF formulation it replaced") {
     import spark.implicits._
     // the exact expression DistinctShingles replaced (q97/q28 shape)
