@@ -517,6 +517,66 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Integer-quantized dot product of two float/double arrays: each
+    * component quantized exactly like [[QuantNormSq]] (·2^20, rounded
+    * half-away-from-zero), then multiplied and summed as LONGS — the
+    * exact-integer similarity score for late-interaction retrieval
+    * (q112) and hard-negative mining, where a float dot summed in
+    * shuffle order would be last-ulp nondeterministic across engines.
+    * Length mismatch or any null element makes the product undefined
+    * (null), matching [[CosineSimilarity]]. Eval-mode like the other
+    * whole-array kernels. Headroom: |x|,|y| ≤ 2 quantize to ≤ 2^21, so
+    * each term is ≤ 2^42 and 2^12 dims stay under 2^54 — no overflow.
+    */
+  case class QuantDot(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "quant_dot"
+
+    @inline private def elemIsFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double> inputs, " +
+            s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) return null
+      val af = elemIsFloat(left); val bf = elemIsFloat(right)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+        val qx = Math.round(Math.abs(x) * 1048576.0) * (if (x < 0) -1L else 1L)
+        val qy = Math.round(Math.abs(y) * 1048576.0) * (if (y < 0) -1L else 1L)
+        acc += qx * qy
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Distinct word n-gram shingles from a TOKEN array, built in one
     * compiled pass (insertion-ordered hash set over UTF8String, so the
     * output order is first-appearance — deterministic). Exists because
@@ -602,6 +662,11 @@ object VectorExpressions {
   /** quant_norm_sq(vec) — exact integer-quantized squared L2 norm. */
   def quantNormSq(vec: Column): Column =
     GraftColumnBridge.column(QuantNormSq(GraftColumnBridge.expression(vec)))
+
+  /** quant_dot(a, b) — exact integer-quantized dot product. */
+  def quantDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      QuantDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** distinct_shingles(tokens, n) over an array<string> column (n >= 2). */
   def distinctShingles(tokens: Column, n: Int): Column =

@@ -2531,4 +2531,260 @@ object LlmOps {
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  // --- Boilerplate n-gram audit (q111) ------------------------------------
+
+  private val BoilerShingleN = 5
+  private val BoilerMinDf    = 2L
+
+  /** q111: BOILERPLATE N-GRAM AUDIT — the C4/RefinedWeb boilerplate
+    * detector run as a per-source profile: a [[BoilerShingleN]]-token
+    * shingle that recurs across ≥ [[BoilerMinDf]] DISTINCT documents of
+    * the same source is navigation chrome, a cookie banner, a footer —
+    * template text, not content. The audit reports, per source, how much
+    * of the corpus that template mass is: distinct boilerplate shingle
+    * types, documents touched (and their exact ppm share), total
+    * (doc, shingle) incidences, and the worst shingle's document
+    * frequency. Downstream, the flagged shingles are exactly the removal
+    * list a C4-style line-dedup pass consumes.
+    *
+    * Single-scan trick: the per-source document total rides the SAME
+    * exploded frame as the shingles — each document emits one NULL
+    * sentinel row (`concat(array(null), shingles)`), so the (source,
+    * shingle) count window sees the null-shingle partition as "documents
+    * in this source" and no second corpus scan or skewed source-level
+    * window over full documents is needed. One exchange on (source,
+    * shingle) — the same hash the df guard and the rollup's partial
+    * aggregation ride — then a sources-sized final aggregate.
+    *
+    * 100 TB: "source" is a registered domain (cardinality 10⁷⁺), so the
+    * (source, shingle) partitioning is fine-grained and skew-free; the
+    * rollup input after the df guard is boilerplate incidences only —
+    * orders of magnitude below shingle volume. Fixture sources are 10–20
+    * values, fine at test scale. Ppm arithmetic is decimal(38,0) integer
+    * division — hash-exact.
+    */
+  def q111Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val t = toks(lower(col("text")))
+    val grams = graft.functions.MinHash.shingles(t, BoilerShingleN)
+    val w = Window.partitionBy("source", "g")
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        explode(concat(array(lit(null).cast("string")), grams)).as("g"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("g").isNull || col("df") >= BoilerMinDf)
+      .groupBy("source")
+      .agg(
+        max(when(col("g").isNull, col("df"))).as("n_docs"),
+        countDistinct(when(col("g").isNotNull, col("g"))).as("n_boiler_grams"),
+        countDistinct(when(col("g").isNotNull, col("doc_id"))).as("n_docs_affected"),
+        sum(when(col("g").isNotNull, lit(1L)).otherwise(lit(0L))).as("incidences"),
+        coalesce(max(when(col("g").isNotNull, col("df"))), lit(0L)).as("max_df"))
+      .withColumn("affected_ppm",
+        expr("CAST(n_docs_affected AS DECIMAL(38,0)) * 1000000 div n_docs")
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("n_boiler_grams"),
+        col("n_docs_affected"), col("incidences"), col("max_df"),
+        col("affected_ppm"))
+      .orderBy("source")
+  }
+
+  val q111Oracle: String = {
+    val n = BoilerShingleN
+    val joins = (1 until n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT source, doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, len(t) - ${n - 1}),
+       |      i -> t[i] || ' ' || $joins))) AS g
+       |  FROM t WHERE len(t) >= $n),
+       |dfx AS (SELECT source, g, count(*) AS df FROM sh GROUP BY 1, 2),
+       |boiler AS (SELECT source, g, df FROM dfx WHERE df >= $BoilerMinDf),
+       |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |aff AS (
+       |  SELECT sh.source,
+       |    count(DISTINCT sh.g) AS n_boiler_grams,
+       |    count(DISTINCT sh.doc_id) AS n_docs_affected,
+       |    count(*) AS incidences,
+       |    max(b.df) AS max_df
+       |  FROM sh JOIN boiler b ON b.source = sh.source AND b.g = sh.g
+       |  GROUP BY 1)
+       |SELECT t.source, t.n_docs,
+       |  coalesce(a.n_boiler_grams, 0) AS n_boiler_grams,
+       |  coalesce(a.n_docs_affected, 0) AS n_docs_affected,
+       |  coalesce(a.incidences, 0) AS incidences,
+       |  coalesce(a.max_df, 0) AS max_df,
+       |  CAST(CAST(coalesce(a.n_docs_affected, 0) AS HUGEINT) * 1000000
+       |       // t.n_docs AS BIGINT) AS affected_ppm
+       |FROM tot t LEFT JOIN aff a USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  // --- Late-interaction retrieval (q112) ----------------------------------
+
+  /** Query "documents" for q112: the first [[MaxSimQVecs]] vectors (by
+    * vec_id) of each of these labels act as multi-vector queries.
+    */
+  private val MaxSimQLabels = Seq(0, 1, 2)
+  private val MaxSimQVecs   = 8
+
+  /** q112: LATE-INTERACTION RETRIEVAL (ColBERT-style MaxSim) — the
+    * multi-vector retrieval operator single-vector ANN (q24/q25/q43)
+    * cannot express: a query is a SET of token vectors, a candidate is a
+    * SET of token vectors (here: a label's vectors), and the score is
+    * Σ_{q ∈ query} max_{d ∈ candidate} ⟨q, d⟩ — each query token aligns
+    * with its best-matching candidate token independently. Scores are
+    * the exact integer-quantized dot
+    * ([[graft.functions.VectorExpressions.QuantDot]] — both operands
+    * quantized ·2^20, products summed as longs), so the score matrix is
+    * bit-identical across engines: no float dot, no tie ambiguity.
+    *
+    * Scale shape: the query set is tiny and bounded
+    * (|labels|·[[MaxSimQVecs]] rows) → broadcast; ONE corpus scan
+    * computes every (query-vec, candidate-vec) dot in the map stage, and
+    * the two-level reduction (max per query-vec × candidate-group, then
+    * sum per query-group × candidate-group) collapses to |queries| ×
+    * |candidates| rows with map-side partial aggregation — no shuffle
+    * ever carries vector payloads, only (ids, long score). The corpus
+    * side is never re-partitioned: at 10⁹ candidate groups the result is
+    * group-count-sized, and a per-query top-k (not taken here — the
+    * score matrix IS the output) would bolt on the q68 bucket prefilter.
+    */
+  def q112MaxSim(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val wq = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val q = e
+      .filter(col("label").isInCollection(MaxSimQLabels))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= MaxSimQVecs)
+      .select(col("label").cast("long").as("q_label"),
+        col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .select(col("q_label"), col("q_vec"),
+        col("label").cast("long").as("d_label"),
+        VectorExpressions.quantDot(col("q_emb"), col("embedding")).as("dot"))
+      .groupBy(col("q_label"), col("q_vec"), col("d_label"))
+      .agg(max(col("dot")).as("best"))
+      .groupBy(col("q_label"), col("d_label"))
+      .agg(sum(col("best")).as("maxsim"), count(lit(1)).as("n_qvecs"))
+      .orderBy(col("q_label"), col("maxsim").desc, col("d_label"))
+  }
+
+  val q112Oracle: String = {
+    val labels = MaxSimQLabels.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT CAST(label AS BIGINT) AS q_label, vec_id AS q_vec,
+       |    embedding AS q_emb
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY label
+       |          ORDER BY vec_id) AS qrank
+       |        FROM embeddings WHERE label IN ($labels))
+       |  WHERE qrank <= $MaxSimQVecs),
+       |dots AS (
+       |  SELECT q.q_label, q.q_vec, CAST(e.label AS BIGINT) AS d_label,
+       |    e.vec_id AS d_vec,
+       |    (SELECT CAST(sum(
+       |       CAST(round(CAST(a AS DOUBLE) * 1048576) AS BIGINT)
+       |       * CAST(round(CAST(b AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT)
+       |     FROM (SELECT unnest(q.q_emb) AS a, unnest(e.embedding) AS b)) AS dot
+       |  FROM embeddings e CROSS JOIN q),
+       |best AS (
+       |  SELECT q_label, q_vec, d_label, max(dot) AS best
+       |  FROM dots GROUP BY 1, 2, 3)
+       |SELECT q_label, d_label, CAST(sum(best) AS BIGINT) AS maxsim,
+       |  count(*) AS n_qvecs
+       |FROM best GROUP BY 1, 2
+       |ORDER BY q_label, maxsim DESC, d_label""".stripMargin
+  }
+
+  // --- Edit-distance candidate verification (q113) ------------------------
+
+  /** Looser estimator cut than q44's 0.5: q113 deliberately admits
+    * borderline candidates so the exact verifier has false positives to
+    * reject — the two-stage recall/precision split every production
+    * near-dup pipeline runs (LSH for recall, exact distance for
+    * precision). 0.25 is a multiple of 1/64, so the cut is dyadic-exact
+    * on both engines.
+    */
+  private val EditVerifyMinEst = 0.25
+  private val EditVerifySimPpm = 800000L
+
+  /** q113: EDIT-DISTANCE VERIFICATION — the exact-precision stage after
+    * LSH recall: every candidate pair the q44 banding machinery emits
+    * (at the looser [[EditVerifyMinEst]] cut) is re-scored with true
+    * character-level Levenshtein distance, and `verified` marks pairs
+    * whose exact similarity `(max_len − dist) / max_len` clears
+    * [[EditVerifySimPpm]]. MinHash estimates Jaccard over bigram SETS —
+    * it cannot see ordering or repetition; edit distance can, so this is
+    * the stage that kills the estimator's false positives before a purge
+    * (q72) acts on them. Both engines run classic unit-cost Levenshtein
+    * (`levenshtein()` builtins), and similarity is integer-ppm — exact.
+    *
+    * Scale shape: candidate pairs ≪ corpus (banding + bucket guard
+    * bound them), so texts are fetched by ONE corpus scan map-side
+    * semi-joined against the broadcast pair list exploded to (pair,
+    * role, id) — never a corpus shuffle, never a second scan — then a
+    * pair-keyed aggregate reassembles (text_a, text_b) and the O(len²)
+    * verifier runs data-parallel over pairs. At 100 TB the verifier's
+    * cost is |candidates| · len² — independent of corpus size, the
+    * whole point of verifying AFTER banding.
+    */
+  def q113EditVerify(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHash
+    val docs = documents(s, d)
+      .filter(col("lang") === "en")
+    val pairs = MinHash.candidatePairs(
+        docs.select(col("doc_id"), toks(col("text")).as("tokens")),
+        "doc_id", "tokens", shingleN = 2, k = 64, nBands = 8,
+        minJaccard = EditVerifyMinEst, maxBucket = 100, portable = true)
+      .select(col("id_a"), col("id_b"))
+    val roles = pairs.select(
+      explode(array(
+        struct(col("id_a").as("doc_id"), lit("a").as("role"),
+          col("id_a").as("id_a"), col("id_b").as("id_b")),
+        struct(col("id_b").as("doc_id"), lit("b").as("role"),
+          col("id_a").as("id_a"), col("id_b").as("id_b")))).as("r"))
+      .select(col("r.doc_id"), col("r.role"), col("r.id_a"), col("r.id_b"))
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(roles), Seq("doc_id"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        max(when(col("role") === "a", col("text"))).as("text_a"),
+        max(when(col("role") === "b", col("text"))).as("text_b"))
+      .select(col("id_a"), col("id_b"),
+        length(col("text_a")).cast("long").as("len_a"),
+        length(col("text_b")).cast("long").as("len_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+      .withColumn("sim_ppm",
+        expr("CAST(greatest(len_a, len_b) - edit_dist AS DECIMAL(38,0)) " +
+          "* 1000000 div greatest(len_a, len_b)").cast("long"))
+      .withColumn("verified", col("sim_ppm") >= EditVerifySimPpm)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q113Oracle: String =
+    s"""WITH $lshPairChainSql,
+       |cand2 AS (SELECT id_a, id_b FROM est
+       |          WHERE est_jaccard >= $EditVerifyMinEst),
+       |tx AS (
+       |  SELECT c.id_a, c.id_b, da.text AS text_a, db.text AS text_b
+       |  FROM cand2 c
+       |  JOIN documents da ON da.doc_id = c.id_a
+       |  JOIN documents db ON db.doc_id = c.id_b),
+       |v AS (
+       |  SELECT id_a, id_b,
+       |    CAST(length(text_a) AS BIGINT) AS len_a,
+       |    CAST(length(text_b) AS BIGINT) AS len_b,
+       |    CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_dist
+       |  FROM tx)
+       |SELECT id_a, id_b, len_a, len_b, edit_dist,
+       |  CAST(CAST(greatest(len_a, len_b) - edit_dist AS HUGEINT) * 1000000
+       |       // greatest(len_a, len_b) AS BIGINT) AS sim_ppm,
+       |  (CAST(CAST(greatest(len_a, len_b) - edit_dist AS HUGEINT) * 1000000
+       |       // greatest(len_a, len_b) AS BIGINT) >= $EditVerifySimPpm)
+       |    AS verified
+       |FROM v ORDER BY id_a, id_b""".stripMargin
 }

@@ -227,6 +227,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nullElem.isNullAt(0), "null element -> undefined norm")
   }
 
+  test("quant_dot: exact integer quantized dot, reference replay") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(1.0f, -0.5f, 0.25f), Seq(0.5f, 2.0f, -1.0f)),
+      (Seq(1.5f, -2.5f, 0.5f), Seq(-0.5f, 1.5f, 2.5f)), // .5 magnitudes both sides
+      (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)))   // zero vector -> 0
+    def q(x: Float): Long =
+      math.round(math.abs(x.toDouble) * 1048576.0) * (if (x < 0) -1L else 1L)
+    def ref(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => q(x) * q(y) }.sum
+    val got = pairs.toDF("a", "b")
+      .select(VectorExpressions.quantDot(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(got == pairs.map { case (a, b) => ref(a, b) })
+    // dim mismatch and null element -> undefined (null)
+    val mism = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT)) AS a, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b")
+      .select(VectorExpressions.quantDot(col("a"), col("b"))).collect().head
+    assert(mism.isNullAt(0), "length mismatch -> null")
+    val nullElem = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a, array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)) AS b")
+      .select(VectorExpressions.quantDot(col("a"), col("b"))).collect().head
+    assert(nullElem.isNullAt(0), "null element -> null")
+  }
+
   test("distinct_shingles: equivalent to the HOF formulation it replaced") {
     import spark.implicits._
     // the exact expression DistinctShingles replaced (q97/q28 shape)
