@@ -882,17 +882,19 @@ object LlmOps {
     * (csim, cell_id) ordering struct is unique per vector (cell ids are
     * distinct), so the argmax is deterministic on both engines.
     */
-  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"))
+  private def assignCells(e: DataFrame, centroids: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    e.select(col("vec_id") +: col("embedding") +: keep.map(col): _*)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"),
-        struct(col("cell_id"), col("embedding")).as("v"),
+        struct(col("cell_id") +: col("embedding") +: keep.map(col): _*).as("v"),
         struct(
           VectorExpressions.cosine(col("embedding"), col("c_emb")).as("csim"),
           col("cell_id").as("cell_id")).as("o"))
       .groupBy("vec_id").agg(max_by(col("v"), col("o")).as("v"))
-      .select(col("vec_id"), col("v.cell_id").as("cell_id"),
-        col("v.embedding").as("embedding"))
+      .select(col("vec_id") +: col("v.cell_id").as("cell_id") +:
+        col("v.embedding").as("embedding") +:
+        keep.map(k => col(s"v.$k").as(k)): _*)
 
   /** SEMANTIC DEDUP (the SemDeDup recipe): cluster the corpus in
     * embedding space, then within each cluster drop every member that is
@@ -2787,4 +2789,145 @@ object LlmOps {
        |       // greatest(len_a, len_b) AS BIGINT) >= $EditVerifySimPpm)
        |    AS verified
        |FROM v ORDER BY id_a, id_b""".stripMargin
+
+  // --- Per-source adaptive quality cutoff (q114) --------------------------
+
+  /** q114: ADAPTIVE QUALITY CUTOFF — per-source dynamic thresholds, the
+    * production refinement of global quality filtering (q78's fixed
+    * `logit ≥ 0`): each source keeps its own top 75% by classifier
+    * score, so a uniformly-weaker source is trimmed against ITSELF
+    * rather than annihilated by a global bar (and a strong source still
+    * sheds its worst quartile). The threshold is the exact lower
+    * quartile — the logit at ascending rank ⌈n/4⌉ — and the report per
+    * source is (docs, threshold, docs strictly below it, exact ppm drop
+    * rate). Ties at the threshold stay IN (strictly-below semantics), so
+    * drop_ppm < 250 000 exactly when the threshold value is tied — the
+    * kind of boundary the integer formulation makes bit-reproducible.
+    *
+    * Scale shape: the q78 scoring pass (explode → codegen'd weights →
+    * per-doc integer sum) collapses immediately to a per-(source, logit)
+    * HISTOGRAM — the q50/q59 exact-quantile discipline: quantile
+    * selection and below-threshold mass both come from a running sum
+    * over the histogram (rows = source × distinct logits, thousands of
+    * rows where a per-doc sort would be billions), so no doc-level sort,
+    * no percentile buffer, no second scoring pass. The only doc-level
+    * shuffle is the scoring aggregate itself.
+    */
+  def q114AdaptiveCutoff(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.partitionBy("source").orderBy("logit")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy("source")
+    qualityLogits(documents(s, d))
+      .groupBy("source", "logit").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n_docs", sum("cnt").over(wSrc))
+      .withColumn("target", expr("(n_docs + 3) div 4"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
+      .select(col("source"), col("n_docs"),
+        col("logit").as("thr_logit"),
+        (col("cum") - col("cnt")).as("n_dropped"),
+        expr("CAST((cum - cnt) AS DECIMAL(38,0)) * 1000000 div n_docs")
+          .cast("long").as("drop_ppm"))
+      .orderBy("source")
+  }
+
+  val q114Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |f AS (SELECT doc_id, source,
+       |    ((${PolyHash.hornerSql("token")} % $QcBuckets) * 37 + 11) % $QcWMod - 10 AS w
+       |  FROM t),
+       |dl AS (SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS logit
+       |       FROM f GROUP BY doc_id, source),
+       |h AS (SELECT source, logit, count(*) AS cnt FROM dl GROUP BY 1, 2),
+       |c AS (SELECT source, logit, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY logit
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS n_docs
+       |  FROM h),
+       |x AS (SELECT *, (n_docs + 3) // 4 AS target FROM c)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, logit AS thr_logit,
+       |  CAST(cum - cnt AS BIGINT) AS n_dropped,
+       |  CAST(CAST(cum - cnt AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+       |    AS drop_ppm
+       |FROM x WHERE cum >= target AND cum - cnt < target
+       |ORDER BY source""".stripMargin
+  }
+
+  // --- Hard-negative mining (q115) ----------------------------------------
+
+  private val HnPerCell = 10L
+
+  /** q115: HARD-NEGATIVE MINING — the contrastive-training data op: the
+    * pairs an embedding model most needs to see are SAME-CELL (the
+    * space already confuses them) but DIFFERENT-LABEL (it shouldn't).
+    * Within each q77/q81 cell, every cross-label pair is scored with the
+    * exact integer-quantized dot ([[graft.functions.VectorExpressions.QuantDot]])
+    * and the [[HnPerCell]] hardest (highest-dot) pairs per cell are
+    * reported — bounded output even on a pathological corpus.
+    *
+    * Scale shape: assignment is the q77/q81 broadcast-argmax pass (same
+    * centroid set — the mined negatives correspond to the cells the
+    * dedup/training loop actually maintains); the pairwise stage is
+    * quadratic only within a cell with the same cell-size guard as q77,
+    * and the per-cell top-k rides the (cell) partitioning the self-join
+    * already hashed on — one exchange chain, never a global sort. Label
+    * rides the assignment's existing max_by struct (no corpus re-join).
+    */
+  def q115HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id").between(1, SemDedupK))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val assigned = assignCells(e, cents, keep = Seq("label"))
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell_id")))
+      .filter(col("csz") > 1 && col("csz") <= SemDedupMaxCell)
+    val a = assigned.select(col("cell_id"), col("vec_id").as("vec_a"),
+      col("label").as("label_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("vec_b"),
+      col("label").as("label_b"), col("embedding").as("emb_b"))
+    val wCell = Window.partitionBy("cell_id")
+      .orderBy(col("dot").desc, col("vec_a"), col("vec_b"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("vec_a") < col("vec_b") && col("label_a") =!= col("label_b"))
+      .select(col("cell_id"), col("vec_a"), col("vec_b"),
+        col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        VectorExpressions.quantDot(col("emb_a"), col("emb_b")).as("dot"))
+      .withColumn("rank", row_number().over(wCell).cast("long"))
+      .filter(col("rank") <= HnPerCell)
+      .select(col("cell_id"), col("rank"), col("vec_a"), col("vec_b"),
+        col("label_a"), col("label_b"), col("dot"))
+      .orderBy("cell_id", "rank")
+  }
+
+  val q115Oracle: String =
+    s"""WITH $cellAssignCtes,
+       |lab AS (SELECT a.vec_id, a.cell_id, e.label, e.embedding
+       |        FROM assigned a JOIN embeddings e USING (vec_id)),
+       |live AS (SELECT cell_id FROM lab GROUP BY 1
+       |         HAVING count(*) > 1 AND count(*) <= $SemDedupMaxCell),
+       |m AS (SELECT lab.* FROM lab JOIN live USING (cell_id)),
+       |p AS (SELECT a.cell_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |        CAST(a.label AS BIGINT) AS label_a,
+       |        CAST(b.label AS BIGINT) AS label_b,
+       |        a.embedding AS ea, b.embedding AS eb
+       |      FROM m a JOIN m b ON a.cell_id = b.cell_id
+       |        AND a.vec_id < b.vec_id AND a.label <> b.label),
+       |px AS (SELECT cell_id, vec_a, vec_b, label_a, label_b,
+       |         unnest(ea) AS x, unnest(eb) AS y FROM p),
+       |dots AS (SELECT cell_id, vec_a, vec_b, label_a, label_b,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+       |             * CAST(round(CAST(y AS DOUBLE) * 1048576) AS BIGINT))
+       |         AS BIGINT) AS dot
+       |  FROM px GROUP BY 1, 2, 3, 4, 5),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cell_id
+       |        ORDER BY dot DESC, vec_a, vec_b) AS rank
+       |      FROM dots)
+       |SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_a, vec_b, label_a, label_b, dot
+       |FROM r WHERE rank <= $HnPerCell ORDER BY cell_id, rank""".stripMargin
 }

@@ -1121,4 +1121,187 @@ object Warehouse {
       |  CAST(CAST(events AS HUGEINT) * 1000000
       |       // sum(events) OVER () AS BIGINT) AS event_share_ppm
       |FROM b ORDER BY band DESC""".stripMargin
+
+  // --- Referential-integrity audit (q116) ---------------------------------
+
+  /** One relationship's audit row: child rows grouped by FK value, then
+    * LEFT-joined against the parent's distinct key set (a marker column,
+    * not an anti join, so totals and orphan mass come out of ONE
+    * aggregate over one pass — no single-row cross join for the plan
+    * guard to frown at). `distinct` on the parent guards against a
+    * duplicate-PK parent silently multiplying child rows through the
+    * join. NULL FKs never match and are therefore reported as orphans —
+    * an audit wants them visible, not exempted.
+    */
+  private def fkAudit(rel: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("cnt"))
+      .join(parent.select(col(pk).as("k")).distinct()
+        .withColumn("__p", lit(1)), Seq("k"), "left")
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("__p").isNull, col("cnt"))), lit(0L))
+          .as("orphan_rows"),
+        count_if(col("__p").isNull).as("orphan_keys"))
+      .select(lit(rel).as("relationship"), col("n_rows"), col("n_keys"),
+        col("orphan_rows"), col("orphan_keys"),
+        expr("CAST(orphan_rows AS DECIMAL(38,0)) * 1000000 div n_rows")
+          .cast("long").as("orphan_ppm"))
+
+  /** q116: REFERENTIAL-INTEGRITY AUDIT — the warehouse health check every
+    * ingest pipeline runs before publishing a snapshot: for each declared
+    * FK edge of the star/snowflake ring, the exact count of child rows
+    * (and distinct FK values) that reference a missing parent. The
+    * reference pipeline's duplicate-key guard (`ops/Validate`, A10)
+    * checks the m:1 side of joins; this is the complementary
+    * orphaned-child side, run fleet-wide over all six TPC-H edges in one
+    * result.
+    *
+    * Scale shape per edge: ONE aggregate over the child keyed on the FK
+    * (map-side partials collapse duplicate keys), then a key-level join
+    * against the parent's distinct PK set — key-cardinality-sized, never
+    * row-sized. No hint: AQE broadcasts the dim-sized parents
+    * (nation/part/supplier/customer) and co-shuffles the orders edge;
+    * both are the right call at their cardinalities. Orphan mass rides
+    * the same single aggregate as the totals via the marker column —
+    * one pass per edge, six tiny rows out.
+    */
+  def q116FkIntegrity(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d); val o = orders(s, d)
+    val audits = Seq(
+      fkAudit("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+        nation(s, d), "n_nationkey"),
+      fkAudit("lineitem.l_orderkey->orders", li, "l_orderkey",
+        o, "o_orderkey"),
+      fkAudit("lineitem.l_partkey->part", li, "l_partkey",
+        part(s, d), "p_partkey"),
+      fkAudit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        supplier(s, d), "s_suppkey"),
+      fkAudit("orders.o_custkey->customer", o, "o_custkey",
+        customer(s, d), "c_custkey"),
+      fkAudit("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
+        nation(s, d), "n_nationkey"))
+    audits.reduce(_ unionByName _).orderBy("relationship")
+  }
+
+  val q116Oracle: String = {
+    def edge(rel: String, child: String, fk: String,
+        parent: String, pk: String): String =
+      s"""SELECT relationship, n_rows, n_keys, orphan_rows, orphan_keys,
+         |  CAST(CAST(orphan_rows AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+         |    AS orphan_ppm
+         |FROM (
+         |  SELECT '$rel' AS relationship,
+         |    CAST(sum(c.cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |    CAST(coalesce(sum(c.cnt) FILTER (WHERE p.k IS NULL), 0)
+         |         AS BIGINT) AS orphan_rows,
+         |    count(*) FILTER (WHERE p.k IS NULL) AS orphan_keys
+         |  FROM (SELECT $fk AS k, count(*) AS cnt FROM $child GROUP BY 1) c
+         |  LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON c.k = p.k)""".stripMargin
+    Seq(
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
+  // --- Join-key skew audit (q117) -----------------------------------------
+
+  private val SkewTopK = 10L
+  private val SkewBuckets = 32L
+
+  /** One key's concentration profile: rows, distinct keys, and the mass
+    * held by the single hottest and [[SkewTopK]] hottest values. Top-k
+    * selection is the q68/q73/q84 bucket-prefilter discipline — per-
+    * bucket row_number (riding a [[SkewBuckets]]-way hash partitioning)
+    * bounds the global rank's input at buckets·k rows, so the hottest
+    * key of a 10-billion-key table is found without a single-partition
+    * sort. The winner ids then LEFT-join back (broadcast, ≤ k rows) onto
+    * the counts frame so totals and top-k mass come from ONE aggregate —
+    * and both consumers of the counts subtree canonicalize to the same
+    * exchange (scan + shuffle once).
+    */
+  private def skewAudit(tag: String, df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    val ord = Seq(col("cnt").desc, col("k").asc)
+    val wB = Window.partitionBy("__b").orderBy(ord: _*)
+    val wG = Window.partitionBy(lit(1)).orderBy(ord: _*)
+    val top = counts
+      .withColumn("__b", pmod(xxhash64(col("k")), lit(SkewBuckets)))
+      .withColumn("__r", row_number().over(wB)).filter(col("__r") <= SkewTopK)
+      .withColumn("__g", row_number().over(wG).cast("long"))
+      .filter(col("__g") <= SkewTopK)
+      .select(col("k"), col("__g"))
+    counts.join(broadcast(top), Seq("k"), "left")
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(max(when(col("__g") === 1L, col("cnt"))), lit(0L))
+          .as("top1_rows"),
+        coalesce(sum(when(col("__g").isNotNull, col("cnt"))), lit(0L))
+          .as("top10_rows"))
+      .select(lit(tag).as("key_name"), col("n_rows"), col("n_keys"),
+        col("top1_rows"), col("top10_rows"),
+        expr("CAST(top1_rows AS DECIMAL(38,0)) * 1000000 div n_rows")
+          .cast("long").as("top1_ppm"),
+        expr("CAST(top10_rows AS DECIMAL(38,0)) * 1000000 div n_rows")
+          .cast("long").as("top10_ppm"))
+  }
+
+  /** q117: JOIN-KEY SKEW AUDIT — the shuffle-planning observability
+    * query behind every salting/AQE-skew decision in this library
+    * (`ops/Skew`, q72's guarded purge): for each join key the fleet
+    * actually shuffles on, the exact concentration of rows in the
+    * hottest and hottest-10 key values. A key whose top1_ppm is a few
+    * percent is a straggler factory at 1000 executors; this table is
+    * what tells you BEFORE the job does. All-exact integer ppm, total
+    * ordering, bounded output (one row per audited key).
+    */
+  def q117SkewAudit(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    Seq(
+      skewAudit("events.user_id", events(s, d), "user_id"),
+      skewAudit("lineitem.l_orderkey", li, "l_orderkey"),
+      skewAudit("lineitem.l_partkey", li, "l_partkey"),
+      skewAudit("lineitem.l_suppkey", li, "l_suppkey"),
+      skewAudit("orders.o_custkey", orders(s, d), "o_custkey"))
+      .reduce(_ unionByName _).orderBy("key_name")
+  }
+
+  val q117Oracle: String = {
+    def key(tag: String, table: String, k: String): String =
+      s"""SELECT key_name, n_rows, n_keys, top1_rows, top10_rows,
+         |  CAST(CAST(top1_rows AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+         |    AS top1_ppm,
+         |  CAST(CAST(top10_rows AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+         |    AS top10_ppm
+         |FROM (
+         |  SELECT '$tag' AS key_name,
+         |    CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |    CAST(coalesce(max(cnt) FILTER (WHERE r = 1), 0) AS BIGINT)
+         |      AS top1_rows,
+         |    CAST(coalesce(sum(cnt) FILTER (WHERE r <= $SkewTopK), 0)
+         |         AS BIGINT) AS top10_rows
+         |  FROM (SELECT k, cnt,
+         |          row_number() OVER (ORDER BY cnt DESC, k) AS r
+         |        FROM (SELECT $k AS k, count(*) AS cnt FROM $table
+         |              GROUP BY 1)))""".stripMargin
+    Seq(
+      key("events.user_id", "events", "user_id"),
+      key("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      key("lineitem.l_partkey", "lineitem", "l_partkey"),
+      key("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      key("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+  }
 }
