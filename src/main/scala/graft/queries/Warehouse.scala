@@ -1124,20 +1124,17 @@ object Warehouse {
 
   // --- Referential-integrity audit (q116) ---------------------------------
 
-  /** One relationship's audit row: child rows grouped by FK value, then
-    * LEFT-joined against the parent's distinct key set (a marker column,
-    * not an anti join, so totals and orphan mass come out of ONE
-    * aggregate over one pass — no single-row cross join for the plan
-    * guard to frown at). `distinct` on the parent guards against a
-    * duplicate-PK parent silently multiplying child rows through the
-    * join. NULL FKs never match and are therefore reported as orphans —
+  /** One relationship's audit row from a PRE-AGGREGATED (k, cnt) child
+    * frame: LEFT-join against the parent's key set via a marker column
+    * (not an anti join), so totals and orphan mass come out of ONE
+    * aggregate — no single-row cross join for the plan guard to frown
+    * at. NULL FKs never match and are therefore reported as orphans —
     * an audit wants them visible, not exempted.
     */
-  private def fkAudit(rel: String, child: DataFrame, fk: String,
-      parent: DataFrame, pk: String): DataFrame =
-    child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("cnt"))
-      .join(parent.select(col(pk).as("k")).distinct()
-        .withColumn("__p", lit(1)), Seq("k"), "left")
+  private def fkAudit(rel: String, counts: DataFrame,
+      parentKeys: DataFrame): DataFrame =
+    counts
+      .join(parentKeys.withColumn("__p", lit(1)), Seq("k"), "left")
       .agg(
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
@@ -1149,6 +1146,35 @@ object Warehouse {
         expr("CAST(orphan_rows AS DECIMAL(38,0)) * 1000000 div n_rows")
           .cast("long").as("orphan_ppm"))
 
+  /** Per-key (k, cnt) frames for several keys of one table out of a
+    * SINGLE scan: GROUPING SETS with one singleton set per key. The
+    * expand triples (or doubles) rows entering the partial aggregate,
+    * but map-side combine still collapses per key before the shuffle —
+    * so shuffle volume equals the separate-aggregate plan while the
+    * table is read ONCE. `grouping_id` slices the union back apart: for
+    * singleton set i of n keys, gid = 2ⁿ−1 − 2^(n−1−i). A genuinely
+    * NULL key value stays inside its slice (gid, not null-ness,
+    * identifies the set).
+    *
+    * The aggregate is materialized EAGERLY (localCheckpoint, the q84
+    * postings pattern) because Catalyst pushes a grouping-column filter
+    * BELOW the aggregate into the Expand — each gid slice would
+    * otherwise replan (and rescan) its own filtered copy of the whole
+    * subtree, silently reverting to the per-edge plan this exists to
+    * avoid. The checkpointed frame is key-cardinality-sized, not
+    * row-sized.
+    */
+  private def keyCounts(df: DataFrame, keys: Seq[String]): Map[String, DataFrame] = {
+    val g = df
+      .groupingSets(keys.map(k => Seq(col(k))), keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .localCheckpoint(eager = true)
+    keys.zipWithIndex.map { case (k, i) =>
+      val gid = (1L << keys.size) - 1 - (1L << (keys.size - 1 - i))
+      k -> g.filter(col("gid") === gid).select(col(k).as("k"), col("cnt"))
+    }.toMap
+  }
+
   /** q116: REFERENTIAL-INTEGRITY AUDIT — the warehouse health check every
     * ingest pipeline runs before publishing a snapshot: for each declared
     * FK edge of the star/snowflake ring, the exact count of child rows
@@ -1158,30 +1184,34 @@ object Warehouse {
     * orphaned-child side, run fleet-wide over all six TPC-H edges in one
     * result.
     *
-    * Scale shape per edge: ONE aggregate over the child keyed on the FK
-    * (map-side partials collapse duplicate keys), then a key-level join
-    * against the parent's distinct PK set — key-cardinality-sized, never
-    * row-sized. No hint: AQE broadcasts the dim-sized parents
-    * (nation/part/supplier/customer) and co-shuffles the orders edge;
-    * both are the right call at their cardinalities. Orphan mass rides
-    * the same single aggregate as the totals via the marker column —
-    * one pass per edge, six tiny rows out.
+    * Scale shape: EVERY table is scanned ONCE — all of a table's roles
+    * across the six edges (lineitem's three FKs; orders/customer/
+    * supplier each a PK side and an FK side) come out of one
+    * [[keyCounts]] grouping-sets aggregate, materialized once per table
+    * (one checkpoint job per table + a 2-scan final plan for nation/
+    * part, vs 11 scans for the naive per-edge plan — at 100 TB the two
+    * elided fact scans ARE the query). A PK-side slice doubles as the
+    * distinct parent key set
+    * (counts ignored). Each edge is then a key-cardinality-sized left
+    * join — AQE broadcasts the dim-sized parents and co-shuffles the
+    * orders edge — with totals and orphan mass in one aggregate via the
+    * marker column. Six tiny rows out.
     */
   def q116FkIntegrity(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d); val o = orders(s, d)
+    val liC = keyCounts(lineitem(s, d), Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val oC = keyCounts(orders(s, d), Seq("o_orderkey", "o_custkey"))
+    val cC = keyCounts(customer(s, d), Seq("c_nationkey", "c_custkey"))
+    val sC = keyCounts(supplier(s, d), Seq("s_suppkey", "s_nationkey"))
+    val natKeys = nation(s, d).select(col("n_nationkey").as("k")).distinct()
+    val partKeys = part(s, d).select(col("p_partkey").as("k")).distinct()
+    def keysOf(c: DataFrame): DataFrame = c.select("k")
     val audits = Seq(
-      fkAudit("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
-        nation(s, d), "n_nationkey"),
-      fkAudit("lineitem.l_orderkey->orders", li, "l_orderkey",
-        o, "o_orderkey"),
-      fkAudit("lineitem.l_partkey->part", li, "l_partkey",
-        part(s, d), "p_partkey"),
-      fkAudit("lineitem.l_suppkey->supplier", li, "l_suppkey",
-        supplier(s, d), "s_suppkey"),
-      fkAudit("orders.o_custkey->customer", o, "o_custkey",
-        customer(s, d), "c_custkey"),
-      fkAudit("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
-        nation(s, d), "n_nationkey"))
+      fkAudit("customer.c_nationkey->nation", cC("c_nationkey"), natKeys),
+      fkAudit("lineitem.l_orderkey->orders", liC("l_orderkey"), keysOf(oC("o_orderkey"))),
+      fkAudit("lineitem.l_partkey->part", liC("l_partkey"), partKeys),
+      fkAudit("lineitem.l_suppkey->supplier", liC("l_suppkey"), keysOf(sC("s_suppkey"))),
+      fkAudit("orders.o_custkey->customer", oC("o_custkey"), keysOf(cC("c_custkey"))),
+      fkAudit("supplier.s_nationkey->nation", sC("s_nationkey"), natKeys))
     audits.reduce(_ unionByName _).orderBy("relationship")
   }
 
