@@ -2428,10 +2428,18 @@ object LlmOps {
     * so the bounded driver loop is the plan, not a scaling hazard.
     */
   def q109BpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeTrain(documents(s, d))
+    bpeTrain(docs = documents(s, d))
 
   /** Core of q109 over any frame with a `text` column — see q109 scaladoc. */
-  private[queries] def bpeTrain(docs: DataFrame): DataFrame = {
+  private[queries] def bpeTrain(docs: DataFrame): DataFrame =
+    bpeTrainCore(docs)._1
+
+  /** The trainer loop, returning BOTH artifacts: the merge-rule table
+    * (q109's output) and the final rewritten symbol table — which IS the
+    * encoded corpus at word-type granularity (q118 aggregates it). One
+    * loop, two consumers; the state frames are lineage-cut per round.
+    */
+  private def bpeTrainCore(docs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val s = docs.sparkSession
     val wSeq = Window.partitionBy("w").orderBy("pos")
@@ -2478,12 +2486,18 @@ object LlmOps {
       }
     }
     import s.implicits._
-    merges.result()
+    (merges.result()
       .toDF("round", "merge_a", "merge_b", "weight", "n_contexts")
-      .orderBy("round")
+      .orderBy("round"),
+      state)
   }
 
-  val q109Oracle: String = {
+  /** The q109 CTE chain: s1 (character symbol table) through
+    * s[[BpeTrainRounds]]+1 (final symbols after every merge round), with
+    * per-round best-pair CTEs b1..bR. Shared by the q109 (merge table)
+    * and q118 (encoded-corpus stats) oracles.
+    */
+  private def bpeChainSql: String = {
     val init =
       """s1 AS (
         |  SELECT w, f, pos,
@@ -2524,15 +2538,68 @@ object LlmOps {
          |          AS prev_take FROM t$i)
          |  WHERE NOT coalesce(prev_take, FALSE))""".stripMargin
     }
+    s"""$init,
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  val q109Oracle: String = {
     val out = (1 to BpeTrainRounds)
       .map(i => s"SELECT CAST($i AS BIGINT) AS round, a AS merge_a, " +
         s"b AS merge_b, weight, n_contexts FROM b$i")
       .mkString("\n      UNION ALL ")
-    s"""WITH $init,
-       |${rounds.mkString(",\n")}
+    s"""WITH $bpeChainSql
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  // --- BPE encoding stats (q118) ------------------------------------------
+
+  private val BpeEncodeTopK = 20L
+
+  /** q118: BPE ENCODING — the apply side of the q109 trainer, closing
+    * the tokenizer loop: after the learned merge table is applied to the
+    * word-type table (greedy leftmost-non-overlapping per round — the
+    * exact semantics a shipped BPE encoder runs), the final symbol
+    * table IS the encoded corpus at word-type granularity. The output is
+    * the encoder's working vocabulary profile: the [[BpeEncodeTopK]]
+    * highest-mass symbols with exact corpus token frequency (type
+    * frequency × occurrences within type) and the count of word types
+    * containing them — merged symbols ranking above their constituent
+    * characters is the visible proof the merges took effect.
+    *
+    * Scale shape: everything after the first aggregate is
+    * vocabulary-sized (the q98/q109 observation — types, not tokens);
+    * the final rollup collapses (type × symbol) rows to the symbol
+    * vocabulary with map-side partials, and top-k is a bounded
+    * TakeOrderedAndProject. Total order (corpus_freq DESC, sym).
+    */
+  def q118BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, state) = bpeTrainCore(documents(s, d))
+    state.groupBy("sym")
+      .agg(sum("f").as("corpus_freq"), countDistinct("w").as("n_types"))
+      .orderBy(col("corpus_freq").desc, col("sym"))
+      .limit(BpeEncodeTopK.toInt)
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(lit(1))
+          .orderBy(col("corpus_freq").desc, col("sym"))).cast("long"))
+      .select(col("rank"), col("sym"),
+        length(col("sym")).cast("long").as("sym_len"),
+        col("corpus_freq"), col("n_types"))
+      .orderBy("rank")
+  }
+
+  val q118Oracle: String =
+    s"""WITH $bpeChainSql,
+       |enc AS (
+       |  SELECT sym, CAST(sum(f) AS BIGINT) AS corpus_freq,
+       |    count(DISTINCT w) AS n_types
+       |  FROM s${BpeTrainRounds + 1} GROUP BY 1),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY corpus_freq DESC, sym) AS rank
+       |  FROM enc)
+       |SELECT CAST(rank AS BIGINT) AS rank, sym,
+       |  CAST(length(sym) AS BIGINT) AS sym_len, corpus_freq, n_types
+       |FROM r WHERE rank <= $BpeEncodeTopK ORDER BY rank""".stripMargin
 
   // --- Boilerplate n-gram audit (q111) ------------------------------------
 
