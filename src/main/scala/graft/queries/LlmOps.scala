@@ -2601,6 +2601,101 @@ object LlmOps {
        |  CAST(length(sym) AS BIGINT) AS sym_len, corpus_freq, n_types
        |FROM r WHERE rank <= $BpeEncodeTopK ORDER BY rank""".stripMargin
 
+  // --- Corpus datasheet (q120) --------------------------------------------
+
+  /** q120: CORPUS DATASHEET — the per-source "model card for data" a
+    * release pipeline publishes with every snapshot (Datasheets for
+    * Datasets, run as a query): volume (docs, tokens), exact-duplicate
+    * mass (64-bit content hashes — the q26 discipline, oracle-certified
+    * collision-free against raw text), language spread (distinct
+    * languages, argmax language and its exact ppm share), and the
+    * quality-classifier pass rate (the q78 model — shared definition,
+    * so the datasheet can never drift from the filter it describes).
+    *
+    * Scale shape: ONE corpus scan computes a per-document stats frame
+    * (token count and logit from the exploded pass; content hash,
+    * source, lang carried through the doc-level aggregate), materialized
+    * once (eager localCheckpoint — doc-cardinality rows of fixed-width
+    * scalars, the corpus-stats table every warehouse keeps anyway).
+    * Everything else — totals + distinct-hash dedup + language distinct
+    * riding ONE source-level aggregate, argmax language from a
+    * (source, lang)-sized re-agg — reads that frame, never the corpus.
+    */
+  def q120Datasheet(s: SparkSession, d: String): DataFrame = {
+    val docStats = documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        xxhash64(col("text")).as("h"), explode(toks(col("text"))).as("token"))
+      .select(col("doc_id"), col("source"), col("lang"), col("h"),
+        tokenWeight.as("w"))
+      .groupBy("doc_id")
+      .agg(any_value(col("source")).as("source"),
+        any_value(col("lang")).as("lang"),
+        any_value(col("h")).as("h"),
+        count(lit(1)).as("n_toks"),
+        sum(col("w")).as("logit"))
+      .localCheckpoint(eager = true)
+    val tot = docStats.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        countDistinct(col("h")).as("n_distinct_hash"),
+        countDistinct(col("lang")).as("n_langs"),
+        count_if(col("logit") >= 0).as("n_keep"))
+    val wLang = Window.partitionBy("source")
+      .orderBy(col("lcnt").desc, col("lang"))
+    val topLang = docStats.groupBy("source", "lang")
+      .agg(count(lit(1)).as("lcnt"))
+      .withColumn("r", row_number().over(wLang))
+      .filter(col("r") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lcnt"))
+    tot.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") - col("n_distinct_hash")).as("dup_docs"),
+        expr("CAST(n_docs - n_distinct_hash AS DECIMAL(38,0)) * 1000000 div n_docs")
+          .cast("long").as("dup_ppm"),
+        col("n_langs"), col("top_lang"),
+        expr("CAST(lcnt AS DECIMAL(38,0)) * 1000000 div n_docs")
+          .cast("long").as("top_lang_ppm"),
+        expr("CAST(n_keep AS DECIMAL(38,0)) * 1000000 div n_docs")
+          .cast("long").as("keep_ppm"))
+      .orderBy("source")
+  }
+
+  val q120Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH t AS (
+       |  SELECT doc_id, source, lang, text,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |f AS (SELECT doc_id, source, lang, text,
+       |    ((${PolyHash.hornerSql("token")} % $QcBuckets) * 37 + 11) % $QcWMod - 10 AS w
+       |  FROM t),
+       |dl AS (SELECT doc_id, any_value(source) AS source,
+       |    any_value(lang) AS lang, any_value(text) AS text,
+       |    count(*) AS n_toks, CAST(sum(w) AS BIGINT) AS logit
+       |  FROM f GROUP BY doc_id),
+       |tot AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    count(DISTINCT text) AS n_distinct_hash,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(count_if(logit >= 0) AS BIGINT) AS n_keep
+       |  FROM dl GROUP BY source),
+       |lc AS (SELECT source, lang, count(*) AS lcnt FROM dl GROUP BY 1, 2),
+       |tl AS (SELECT source, lang AS top_lang, lcnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |        ORDER BY lcnt DESC, lang) AS r FROM lc) WHERE r = 1)
+       |SELECT t.source, t.n_docs, t.n_tokens,
+       |  t.n_docs - t.n_distinct_hash AS dup_docs,
+       |  CAST(CAST(t.n_docs - t.n_distinct_hash AS HUGEINT) * 1000000
+       |       // t.n_docs AS BIGINT) AS dup_ppm,
+       |  t.n_langs, l.top_lang,
+       |  CAST(CAST(l.lcnt AS HUGEINT) * 1000000 // t.n_docs AS BIGINT)
+       |    AS top_lang_ppm,
+       |  CAST(CAST(t.n_keep AS HUGEINT) * 1000000 // t.n_docs AS BIGINT)
+       |    AS keep_ppm
+       |FROM tot t JOIN tl l USING (source)
+       |ORDER BY t.source""".stripMargin
+  }
+
   // --- Boilerplate n-gram audit (q111) ------------------------------------
 
   private val BoilerShingleN = 5

@@ -1334,4 +1334,76 @@ object Warehouse {
       key("orders.o_custkey", "orders", "o_custkey"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
   }
+
+  // --- Numeric column profiler (q119) -------------------------------------
+
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q119: NUMERIC COLUMN PROFILER — the dbt/Great-Expectations-style
+    * table profile a warehouse publishes next to every snapshot: for
+    * each measure column, row count, distinct values, min/max, and the
+    * EXACT quartiles. Quantiles are SELECTED, never interpolated — the
+    * value at ascending rank ⌈q·n⌉ — so no float arithmetic ever runs:
+    * the profile only routes values that already exist in the data,
+    * which is what makes it hash-exact across engines (the q114
+    * histogram-quantile discipline, widened to many columns and three
+    * cut points in one pass).
+    *
+    * Scale shape: ONE fact scan explodes each row into (column, value)
+    * pairs, collapsing immediately to per-(column, value) HISTOGRAMS —
+    * bounded by each column's VALUE DOMAIN (quantity: 50, discount/tax:
+    * ~10; extendedprice: price-grid-sized), not by row count. The
+    * running-sum window rides a (column)-partitioned sort of histogram
+    * rows, and all three quartile flags plus totals come out of one
+    * final aggregate. Four audit rows out of a single pass over the
+    * fact table.
+    */
+  def q119Profile(s: SparkSession, d: String): DataFrame = {
+    val pairs = explode(array(ProfileCols.map(c =>
+      struct(lit(c).as("cname"), col(c).as("v"))): _*)).as("p")
+    val wCum = Window.partitionBy("cname").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCol = Window.partitionBy("cname")
+    def pick(t: Column): Column =
+      max(when(col("cum") >= t && col("cum") - col("cnt") < t, col("v")))
+    lineitem(s, d)
+      .select(pairs).select(col("p.cname").as("cname"), col("p.v").as("v"))
+      .groupBy("cname", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wCol))
+      .groupBy("cname")
+      .agg(
+        max(col("n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        pick(expr("(n + 3) div 4")).as("p25"),
+        pick(expr("(n + 1) div 2")).as("p50"),
+        pick(expr("(3 * n + 3) div 4")).as("p75"),
+        max(col("v")).as("max_v"))
+      .orderBy("cname")
+  }
+
+  val q119Oracle: String = {
+    val unions = ProfileCols
+      .map(c => s"SELECT '$c' AS cname, $c AS v FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH p AS (
+       |  $unions),
+       |h AS (SELECT cname, v, count(*) AS cnt FROM p GROUP BY 1, 2),
+       |c AS (SELECT cname, v, cnt,
+       |    sum(cnt) OVER (PARTITION BY cname ORDER BY v
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY cname) AS n
+       |  FROM h)
+       |SELECT cname, CAST(max(n) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+       |  min(v) AS min_v,
+       |  max(v) FILTER (WHERE cum >= (n + 3) // 4
+       |                   AND cum - cnt < (n + 3) // 4) AS p25,
+       |  max(v) FILTER (WHERE cum >= (n + 1) // 2
+       |                   AND cum - cnt < (n + 1) // 2) AS p50,
+       |  max(v) FILTER (WHERE cum >= (3 * n + 3) // 4
+       |                   AND cum - cnt < (3 * n + 3) // 4) AS p75,
+       |  max(v) AS max_v
+       |FROM c GROUP BY cname ORDER BY cname""".stripMargin
+  }
 }
