@@ -2728,11 +2728,16 @@ object LlmOps {
     * values, fine at test scale. Ppm arithmetic is decimal(38,0) integer
     * division — hash-exact.
     */
-  def q111Boilerplate(s: SparkSession, d: String): DataFrame = {
+  def q111Boilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateAudit(documents(s, d))
+
+  /** Core of q111 over any frame with (doc_id, source, text) — see the
+    * q111 scaladoc. */
+  private[queries] def boilerplateAudit(docs: DataFrame): DataFrame = {
     val t = toks(lower(col("text")))
     val grams = graft.functions.MinHash.shingles(t, BoilerShingleN)
     val w = Window.partitionBy("source", "g")
-    documents(s, d)
+    docs
       .select(col("source"), col("doc_id"),
         explode(concat(array(lit(null).cast("string")), grams)).as("g"))
       .withColumn("df", count(lit(1)).over(w))

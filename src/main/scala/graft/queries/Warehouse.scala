@@ -1131,7 +1131,7 @@ object Warehouse {
     * at. NULL FKs never match and are therefore reported as orphans —
     * an audit wants them visible, not exempted.
     */
-  private def fkAudit(rel: String, counts: DataFrame,
+  private[queries] def fkAudit(rel: String, counts: DataFrame,
       parentKeys: DataFrame): DataFrame =
     counts
       .join(parentKeys.withColumn("__p", lit(1)), Seq("k"), "left")
@@ -1261,7 +1261,7 @@ object Warehouse {
     * and both consumers of the counts subtree canonicalize to the same
     * exchange (scan + shuffle once).
     */
-  private def skewAudit(tag: String, df: DataFrame, key: String): DataFrame = {
+  private[queries] def skewAudit(tag: String, df: DataFrame, key: String): DataFrame = {
     val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
     val ord = Seq(col("cnt").desc, col("k").asc)
     val wB = Window.partitionBy("__b").orderBy(ord: _*)
@@ -1359,19 +1359,24 @@ object Warehouse {
     * fact table.
     */
   def q119Profile(s: SparkSession, d: String): DataFrame = {
-    val pairs = explode(array(ProfileCols.map(c =>
-      struct(lit(c).as("cname"), col(c).as("v"))): _*)).as("p")
-    val wCum = Window.partitionBy("cname").orderBy("v")
+    // integer column ids through the hot path (2.4M-row explode + the
+    // histogram aggregate hash on (int, double), not (string, double) —
+    // measured ~2x on the scan+agg stage); names surface only on the
+    // final 4 rows
+    val wCum = Window.partitionBy("ci").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCol = Window.partitionBy("cname")
+    val wCol = Window.partitionBy("ci")
     def pick(t: Column): Column =
       max(when(col("cum") >= t && col("cum") - col("cnt") < t, col("v")))
+    val cname = ProfileCols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (c, i)) => when(col("ci") === i, lit(c)).otherwise(acc)
+    }
     lineitem(s, d)
-      .select(pairs).select(col("p.cname").as("cname"), col("p.v").as("v"))
-      .groupBy("cname", "v").agg(count(lit(1)).as("cnt"))
+      .select(posexplode(array(ProfileCols.map(col): _*)).as(Seq("ci", "v")))
+      .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(wCol))
-      .groupBy("cname")
+      .groupBy("ci")
       .agg(
         max(col("n")).as("n_rows"),
         count(lit(1)).as("n_distinct"),
@@ -1380,6 +1385,8 @@ object Warehouse {
         pick(expr("(n + 1) div 2")).as("p50"),
         pick(expr("(3 * n + 3) div 4")).as("p75"),
         max(col("v")).as("max_v"))
+      .select(cname.as("cname"), col("n_rows"), col("n_distinct"),
+        col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v"))
       .orderBy("cname")
   }
 
