@@ -3097,4 +3097,193 @@ object LlmOps {
        |SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(rank AS BIGINT) AS rank,
        |  vec_a, vec_b, label_a, label_b, dot
        |FROM r WHERE rank <= $HnPerCell ORDER BY cell_id, rank""".stripMargin
+
+  // --- Unigram surprisal banding (q121) -----------------------------------
+
+  /** q121: UNIGRAM SURPRISAL BANDING — the CCNet/KenLM perplexity-bucket
+    * filter (Wenzek et al. 2020 split web text into head/middle/tail by
+    * LM perplexity before training) run with an exact integer score. A
+    * token's unigram surprisal is −log2 p(w) = log2 N − log2 c(w); since
+    * log2 N is corpus-constant, banding documents by their MEAN token
+    * frequency band bitlen(c) = floor(log2 c)+1 (exact via
+    * `length(bin(c))` — the q100 discipline, never a libm log that could
+    * misband counts adjacent to 2^k) produces the identical ordering and
+    * the identical head/middle/tail split. A doc scores the exact
+    * milli-mean of its tokens' bands (`sum·1000 div n`); the corpus
+    * rolls up per whole band: docs, token volume, the min/max milli-mean
+    * inside the band, and the band's doc share in ppm. Low bands = docs
+    * made of rare types (OCR noise, gibberish, encoding damage); top
+    * bands = docs of only the commonest types (boilerplate, template
+    * chrome) — both tails are exactly what the CCNet bucket filter cuts.
+    *
+    * Scale shape: the token stream is scanned twice rather than
+    * materialized — pass 1 builds the vocabulary (token counts with
+    * map-side partials; the ONLY vocabulary-sized shuffle), pass 2
+    * re-explodes and joins the stream to the vocabulary on the token key
+    * (both sides hash-partitioned by token; no window over a token's
+    * document list, which for a head token like "the" would single-
+    * partition a billion rows). Caching the exploded stream to save the
+    * re-scan would materialize a corpus-sized intermediate — strictly
+    * worse at 100 TB than a second columnar scan of one string column.
+    * The per-doc rollup is the second (doc-keyed) shuffle; the band
+    * rollup is ≤ 64 rows with the ppm denominator a window over that
+    * tiny frame.
+    */
+  def q121Surprisal(s: SparkSession, d: String): DataFrame = {
+    def tokStream = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val vocab = tokStream.groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), length(bin(col("c"))).cast("long").as("fb"))
+    tokStream.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("fb").as("sum_fb"))
+      .select(col("n_toks"),
+        expr("sum_fb * 1000L div n_toks").as("milli_band"))
+      .groupBy(expr("milli_band div 1000").as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        min("milli_band").as("min_milli"), max("milli_band").as("max_milli"))
+      .withColumn("doc_share_ppm",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * 1000000 div " +
+          "sum(n_docs) OVER ()").cast("long"))
+      .orderBy("band")
+  }
+
+  val q121Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, CAST(length(bin(count(*))) AS BIGINT) AS fb
+      |      FROM t GROUP BY w),
+      |dl AS (SELECT doc_id, count(*) AS n_toks,
+      |    CAST(sum(fb) * 1000 // count(*) AS BIGINT) AS milli_band
+      |  FROM t JOIN v USING (w) GROUP BY doc_id),
+      |b AS (SELECT milli_band // 1000 AS band, count(*) AS n_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |    min(milli_band) AS min_milli, max(milli_band) AS max_milli
+      |  FROM dl GROUP BY 1)
+      |SELECT band, n_docs, n_tokens, min_milli, max_milli,
+      |  CAST(CAST(n_docs AS HUGEINT) * 1000000
+      |       // sum(n_docs) OVER () AS BIGINT) AS doc_share_ppm
+      |FROM b ORDER BY band""".stripMargin
+
+  // --- Quality-signal agreement (q122) ------------------------------------
+
+  /** q122: QUALITY-SIGNAL AGREEMENT — the calibration audit a pipeline
+    * runs before swapping its rule filter for a learned one: how often do
+    * the Gopher rules (q46's R1∧R2∧R3 keep decision — shared thresholds,
+    * so this audit can never drift from the filter it grades) and the
+    * hashing-trick classifier (q78's logit ≥ 0 — shared weights) agree,
+    * and how much of that agreement is luck? Per language: the full
+    * confusion matrix, raw agreement in ppm, and Cohen's kappa in exact
+    * ppm — kappa = (N·(a+d) − PE) / (N² − PE) with
+    * PE = (a+b)(a+c) + (c+d)(b+d), evaluated in decimal(38,0) integers
+    * (N² at a 10¹¹-doc corpus overflows a long) with the division done
+    * on magnitudes and the sign reapplied, so floor-vs-trunc integer
+    * division can never diverge between engines on a negative kappa.
+    * NULL kappa when N² = PE (a degenerate single-cell marginal — kappa
+    * is undefined, and the audit says so rather than inventing a 0).
+    *
+    * Scale shape: ONE corpus scan computes both signals — the classifier
+    * logit rides the exploded token pass (sum of hashed weights), the
+    * rules ride the same aggregate (token count from the explode,
+    * stopword hits via count_if on the exploded token, mean word length
+    * from the carried text) — then a languages-sized conditional rollup
+    * and pure post-agg integer arithmetic. No second scan, no join, no
+    * window; nothing after the doc-level aggregate exceeds |languages|
+    * rows.
+    */
+  def q122SignalKappa(s: SparkSession, d: String): DataFrame = {
+    val docSig = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(toks(col("text"))).as("token"))
+      .select(col("doc_id"), col("lang"), col("text"), col("token"),
+        tokenWeight.as("w"))
+      .groupBy("doc_id")
+      .agg(any_value(col("lang")).as("lang"),
+        any_value(col("text")).as("text"),
+        count(lit(1)).as("n_toks"),
+        sum("w").as("logit"),
+        count_if(col("token").isInCollection(stopEn)).as("n_stop"))
+    val meanWordLen =
+      length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_toks")
+    val rulesKeep = col("n_toks") >= 30 &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 && col("n_stop") >= 2
+    val pe = "(CAST(n_both_keep + n_rules_only AS DECIMAL(38,0)) * " +
+      "(n_both_keep + n_clf_only) + " +
+      "CAST(n_clf_only + n_both_drop AS DECIMAL(38,0)) * " +
+      "(n_rules_only + n_both_drop))"
+    docSig
+      .select(col("lang"), rulesKeep.as("rk"), (col("logit") >= 0).as("ck"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("rk") && col("ck")).as("n_both_keep"),
+        count_if(col("rk") && !col("ck")).as("n_rules_only"),
+        count_if(!col("rk") && col("ck")).as("n_clf_only"),
+        count_if(!col("rk") && !col("ck")).as("n_both_drop"))
+      .withColumn("num", expr("CAST(n_docs AS DECIMAL(38,0)) * " +
+        s"(n_both_keep + n_both_drop) - $pe"))
+      .withColumn("den",
+        expr(s"CAST(n_docs AS DECIMAL(38,0)) * n_docs - $pe"))
+      .withColumn("agree_ppm",
+        expr("CAST(n_both_keep + n_both_drop AS DECIMAL(38,0)) * 1000000 " +
+          "div n_docs").cast("long"))
+      .withColumn("kappa_ppm", expr("CASE WHEN den = 0 THEN NULL ELSE " +
+        "(CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+        "(abs(num) * 1000000 div abs(den)) END").cast("long"))
+      .select(col("lang"), col("n_docs"), col("n_both_keep"),
+        col("n_rules_only"), col("n_clf_only"), col("n_both_drop"),
+        col("agree_ppm"), col("kappa_ppm"))
+      .orderBy("lang")
+  }
+
+  val q122Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang, text,
+       |    ((${PolyHash.hornerSql("token")} % $QcBuckets) * 37 + 11) % $QcWMod - 10 AS w,
+       |    token IN ('the','a','of','and','is','to','in') AS is_stop
+       |  FROM t),
+       |dl AS (SELECT doc_id, any_value(lang) AS lang,
+       |    any_value(text) AS text, count(*) AS n_toks,
+       |    CAST(sum(w) AS BIGINT) AS logit, count_if(is_stop) AS n_stop
+       |  FROM f GROUP BY doc_id),
+       |fl AS (SELECT lang,
+       |    (n_toks >= 30
+       |     AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_toks
+       |         BETWEEN 3.0 AND 10.0
+       |     AND n_stop >= 2) AS rk,
+       |    logit >= 0 AS ck
+       |  FROM dl),
+       |cm AS (SELECT lang, count(*) AS n_docs,
+       |    CAST(count_if(rk AND ck) AS BIGINT) AS n_both_keep,
+       |    CAST(count_if(rk AND NOT ck) AS BIGINT) AS n_rules_only,
+       |    CAST(count_if(NOT rk AND ck) AS BIGINT) AS n_clf_only,
+       |    CAST(count_if(NOT rk AND NOT ck) AS BIGINT) AS n_both_drop
+       |  FROM fl GROUP BY lang),
+       |k AS (SELECT *,
+       |    CAST(n_docs AS HUGEINT) * (n_both_keep + n_both_drop)
+       |      - (CAST(n_both_keep + n_rules_only AS HUGEINT)
+       |           * (n_both_keep + n_clf_only)
+       |         + CAST(n_clf_only + n_both_drop AS HUGEINT)
+       |           * (n_rules_only + n_both_drop)) AS num,
+       |    CAST(n_docs AS HUGEINT) * n_docs
+       |      - (CAST(n_both_keep + n_rules_only AS HUGEINT)
+       |           * (n_both_keep + n_clf_only)
+       |         + CAST(n_clf_only + n_both_drop AS HUGEINT)
+       |           * (n_rules_only + n_both_drop)) AS den
+       |  FROM cm)
+       |SELECT lang, n_docs, n_both_keep, n_rules_only, n_clf_only,
+       |  n_both_drop,
+       |  CAST(CAST(n_both_keep + n_both_drop AS HUGEINT) * 1000000
+       |       // n_docs AS BIGINT) AS agree_ppm,
+       |  CAST(CASE WHEN den = 0 THEN NULL ELSE
+       |    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+       |      * (abs(num) * 1000000 // abs(den)) END AS BIGINT) AS kappa_ppm
+       |FROM k ORDER BY lang""".stripMargin
+  }
 }
