@@ -21,6 +21,9 @@ object Bench {
       // pin the managed-table location (q59/q60 bucketed layouts) inside
       // the repo regardless of the invoking working directory
       .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
+      // bench times q59's production (sketch-only) shape; the exact
+      // verification branches stay in Verify — see q59Sketches
+      .config("spark.graft.q59.verifyExact", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Reuse analyzed table DataFrames across queries: the fixture dirs are

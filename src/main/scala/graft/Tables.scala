@@ -42,22 +42,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's µs-based TimestampType refuses outright ([PARQUET_TYPE_ILLEGAL]).
-    * The session must therefore be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (every graft entry point —
-    * Verify, Bench, ExplainAudit, SparkSpec — sets it at construction; this
-    * getter deliberately does NOT mutate session state as a side effect).
-    * `nanosAsLong` reads the raw int64, and `ts DIV 1000` converts to µs with
-    * integer division — a double division would lose precision (epoch-nanos
-    * ~1.7e18 exceeds 2^53). DuckDB-oracle side keeps native TIMESTAMP_NS;
-    * both engines therefore agree to the microsecond (ns truncated).
+  /** Schema-adaptive loader for the events fixture, whose physical `ts`
+    * type has changed across driver regenerations:
+    *
+    *   - TIMESTAMP(NANOS): Spark's µs-based TimestampType refuses it
+    *     ([PARQUET_TYPE_ILLEGAL]), so entry points set
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` and `ts` arrives as
+    *     LongType epoch-nanos → `timestamp_micros(ts DIV 1000)`. Integer
+    *     division is required — a double division would lose precision
+    *     (epoch-nanos ~1.7e18 exceeds 2^53). DuckDB truncates ns→µs the
+    *     same way, so both engines agree to the microsecond.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *     TimestampNTZType → cast to TimestampType. All graft sessions run
+    *     with `spark.sql.session.timeZone=UTC`, so the cast reinterprets
+    *     the same µs value with identical window/interval semantics and
+    *     oracle stringification.
+    *   - TIMESTAMP(MICROS, adjusted): already TimestampType → pass through.
+    *
+    * Branching on the READ dtype (not a config) means the same binary
+    * works against either fixture vintage — the failure mode this guards
+    * is a fixture regeneration landing mid-round (see VERDICT round 8).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    table(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

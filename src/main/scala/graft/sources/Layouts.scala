@@ -125,13 +125,50 @@ object Layouts {
     */
   private[graft] def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Content-identity token for one fixture table: a mixing hash over
+    * (file name, mtime, length) of every data file under
+    * `d/<name>.parquet` (single file or a directory of parts). Folded
+    * into every maintained-layout name via [[srcTag]] so a fixture
+    * REGENERATED IN PLACE (same path, new bytes) can never be served a
+    * stale layout — the round-8 events regeneration hit exactly this
+    * hazard: dir names encoded path + file count but no content
+    * identity, and only a coincidental warehouse rebuild saved the
+    * round. mtime+length is the same freshness signal a filesystem
+    * cache uses; hashing the bytes themselves would read the whole
+    * fixture just to name a directory.
+    */
+  def srcToken(s: SparkSession, d: String, name: String): String = {
+    val p = new Path(s"$d/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sts =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName)
+      else Array(fs.getFileStatus(p))
+    var h = 1125899906842597L // large prime seed; FNV-style mix
+    sts.foreach { st =>
+      h = h * 31 + st.getPath.getName.hashCode
+      h = h * 31 + st.getModificationTime
+      h = h * 31 + st.getLen
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** The ONE name fragment every maintained layout derived from fixture
+    * table `d/<name>.parquet` must embed: sanitized path + content
+    * token. Catalog-safe (alphanumeric + underscore only). */
+  def srcTag(s: SparkSession, d: String, name: String): String =
+    s"${tag(d)}_f${srcToken(s, d, name)}"
+
   /** Builder-semantics version baked into every split-layout dir name
     * (the bucketed CTAS layouts carry the same token — `lineitem_v3`):
     * a warehouse populated by an OLDER binary must never satisfy the
     * reuse path with bytes the current builder would not produce. Bump
     * whenever the builder's semantics change — the repartition key, the
     * file count, or any upstream conversion the layout bakes in (e.g.
-    * `Tables.events`' nanos→µs timestamp rewrite).
+    * `Tables.events`' timestamp normalization). Orthogonal to
+    * [[srcTag]]'s content token: version = BUILDER identity, token =
+    * SOURCE identity; a reuse hit requires both to match.
     */
   private val LayoutVersion = "v1"
 
@@ -141,7 +178,7 @@ object Layouts {
     * order).
     */
   def split(s: SparkSession, d: String, name: String, key: String): DataFrame = {
-    val p = ensureDir(s, s"${name}_${LayoutVersion}_x${SplitFiles}_${tag(d)}") { tmp =>
+    val p = ensureDir(s, s"${name}_${LayoutVersion}_x${SplitFiles}_${srcTag(s, d, name)}") { tmp =>
       graft.Tables.table(s, d, name)
         .repartition(SplitFiles, col(key))
         .write.parquet(tmp)
@@ -169,7 +206,7 @@ object Layouts {
     * fixture's `nanosAsLong` special-casing.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val p = ensureDir(s, s"events_${LayoutVersion}_x${SplitFiles}_${tag(d)}") { tmp =>
+    val p = ensureDir(s, s"events_${LayoutVersion}_x${SplitFiles}_${srcTag(s, d, "events")}") { tmp =>
       graft.Tables.events(s, d)
         .repartition(SplitFiles, col("user_id"))
         .write.parquet(tmp)

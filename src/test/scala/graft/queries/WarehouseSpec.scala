@@ -151,11 +151,12 @@ class WarehouseSpec extends SparkSpec {
     // over a warehouse a previous process populated (the table is
     // registered EXTERNAL, so DROP keeps the files).
     Warehouse.q60BucketedJoin(spark, d).write.format("noop").mode("overwrite").save()
-    val tag = graft.sources.Layouts.tag(d)
+    val liTag = graft.sources.Layouts.srcTag(spark, d, "lineitem")
+    val oTag = graft.sources.Layouts.srcTag(spark, d, "orders")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"lineitem_v3_$tag", s"orders_q60_$tag").foreach { t =>
+    Seq(s"lineitem_v3_$liTag", s"orders_q60_$oTag").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS graft_bucketed.$t")
       val loc = new org.apache.hadoop.fs.Path(s"$wh/graft_bucketed.db/$t/_SUCCESS")
       assert(fs.exists(loc), s"published layout must survive a metadata drop: $loc")

@@ -98,6 +98,34 @@ class LayoutsSpec extends SparkSpec {
     assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
   }
 
+  test("an in-place fixture regeneration invalidates the maintained layout") {
+    // The round-8 hazard: the fixture is regenerated at the SAME path
+    // with new bytes; a name that encodes only the path would keep
+    // serving the old layout. srcTag folds (mtime, length) of the
+    // fixture files into the name, so the regenerated fixture maps to a
+    // fresh layout dir and the old one is simply never consulted.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_fixture_").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/t.parquet")
+    val first = Layouts.split(spark, d, "t", "doc_id")
+    assert(first.count() == 2)
+    // regenerate in place: same path, different content (row count AND
+    // byte length differ, so the token changes even at coarse mtime
+    // granularity)
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma-regenerated"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/t.parquet")
+    val second = Layouts.split(spark, d, "t", "doc_id")
+    assert(second.count() == 3,
+      "regenerated fixture must rebuild the layout, not serve stale bytes")
+    val t1 = Layouts.srcToken(spark, d, "t")
+    Seq((9L, "x")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/t.parquet")
+    assert(Layouts.srcToken(spark, d, "t") != t1,
+      "content token must change when the fixture bytes change")
+  }
+
   test("a failed build leaks no temp directory") {
     val root = freshRoot()
     intercept[RuntimeException] {
