@@ -1338,4 +1338,146 @@ object Corpus {
        |  pad_tokens * 1000000 // (n_docs * ctx) AS pad_ppm
        |FROM r ORDER BY ctx""".stripMargin
   }
+
+  // --- Mergeable-sketch vocabulary rollup (q123) --------------------------
+
+  /** HLL precision: lgConfigK=14 → 16384 registers, relative standard
+    * error ≈ 0.81% in dense mode; below a few thousand distincts the
+    * DataSketches HLL is still in its exact coupon phases. The 5% audit
+    * bound is therefore ≳6σ — deterministically TRUE on any healthy
+    * input, false only on a genuinely broken sketch pipeline.
+    */
+  private val HllLgK = 14
+
+  /** q123: MERGEABLE-SKETCH VOCABULARY ROLLUP — the incremental
+    * count-distinct architecture a 100 TB warehouse actually runs.
+    * Exact distinct counts do not compose: per-language vocabularies
+    * cannot be summed into a per-source vocabulary (tokens are shared
+    * across languages), so every exact rollup at a new granularity is
+    * another full corpus scan. Sketches compose: a maintained layout
+    * stores one HLL sketch of the token vocabulary per (source, lang) —
+    * built ONCE per fixture ([[graft.sources.Layouts.ensureDir]], the
+    * q79-index discipline, content-fingerprinted name) — and any
+    * coarser rollup is a `hll_union_agg` over that tiny sketch table:
+    * no corpus rescan, shuffle rows carry a fixed-size binary column.
+    * On live ingest the same layout updates by sketching only the new
+    * slice and unioning in — the entire reason production pipelines
+    * keep sketch tables next to fact tables.
+    *
+    * The registered query merges the persisted sketches per source and
+    * AUDITS them against the exact per-source vocabulary (one distinct
+    * (source, token) aggregate — the expensive path the sketch table
+    * exists to amortize; it runs here as the error certification, the
+    * q59 discipline). Output: parts merged, exact vocabulary, and the
+    * estimate-within-5% verdict. DuckDB cannot replay DataSketches
+    * registers, so the oracle states the exact columns and pins the
+    * verdicts TRUE — a false verdict fails the gate loudly.
+    */
+  def q123SketchRollup(s: SparkSession, d: String): DataFrame = {
+    val skPath = graft.sources.Layouts.ensureDir(
+      s, s"hllvocab_v1_lgk${HllLgK}_${graft.sources.Layouts.srcTag(s, d, "documents")}") { tmp =>
+      documents(s, d)
+        .select(col("source"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .groupBy("source", "lang")
+        .agg(hll_sketch_agg(col("w"), HllLgK).as("sk"))
+        .write.parquet(tmp)
+    }
+    val merged = graft.Tables.pathTable(s, skPath)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_parts"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = documents(s, d)
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("source").agg(countDistinct(col("w")).as("vocab_exact"))
+    merged.join(exact, Seq("source"))
+      .select(col("source"), col("n_parts"), col("vocab_exact"),
+        (abs(col("est") - col("vocab_exact"))
+          <= col("vocab_exact") * lit(0.05)).as("hll_ok"))
+      .orderBy("source")
+  }
+
+  val q123Oracle: String =
+    """WITH v AS (
+      |  SELECT source, lang, w FROM (
+      |    SELECT source, lang,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |    FROM documents)),
+      |parts AS (SELECT source, count(DISTINCT lang) AS n_parts
+      |          FROM v GROUP BY 1),
+      |ex AS (SELECT source, count(DISTINCT w) AS vocab_exact
+      |       FROM v GROUP BY 1)
+      |SELECT source, CAST(n_parts AS BIGINT) AS n_parts,
+      |  vocab_exact, TRUE AS hll_ok
+      |FROM parts JOIN ex USING (source) ORDER BY source""".stripMargin
+
+  // --- Theta-sketch vocabulary set algebra (q124) -------------------------
+
+  /** Theta nominal entries: lgNomEntries=16 → 65536 retained hashes. A
+    * sketch under that cardinality is in EXACT mode (theta = 1, every
+    * hash kept), so intersections over the fixture vocabularies are
+    * exact and the audit verdicts deterministic; past 65536 the sketch
+    * samples and the estimate carries the documented theta error. */
+  private val ThetaLgK = 16
+
+  /** q124: THETA-SKETCH VOCABULARY SET ALGEBRA — what HLL cannot do:
+    * set INTERSECTION. q103 computes exact lexicon overlap with a
+    * token-keyed self-join — vocabulary-sized shuffle per run, repeated
+    * for every pair. The theta-sketch path builds ONE sketch per source
+    * (single corpus scan, fixed-size state) and then evaluates ANY pair
+    * intersection with `theta_intersection` over the |sources|-row
+    * sketch table — sources² pair evaluations over kilobyte sketches,
+    * zero additional corpus reads. At a 10⁷-source crawl the exact
+    * self-join is a standing cost per audit; the sketch table answers
+    * interactively, which is why DataSketches theta is the standard
+    * warehouse overlap operator.
+    *
+    * The registered query audits the sketch against q103's exact
+    * machinery pair-by-pair: exact intersection (token-keyed join —
+    * the certification cost, q59 discipline) beside the sketch verdict
+    * |est − exact| ≤ max(5% · exact, 1). Oracle replays the exact side
+    * (q103's chain) and pins verdicts TRUE. The sketches attach to the
+    * exact pair list by two broadcast EQUI-joins on source — a
+    * standalone sketch-only audit would instead enumerate the
+    * |sources|²/2 triangle directly (a deliberate bounded cartesian
+    * over kilobyte operands); the registered plan keys off the pair
+    * list so the repo-wide no-nested-loop plan guard stays strict, and
+    * both shapes drop pairs with an empty exact intersection.
+    */
+  def q124ThetaOverlap(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val sk = vocab.groupBy("source")
+      .agg(theta_sketch_agg(col("w"), ThetaLgK).as("sk"))
+    val exact = vocab.select(col("source").as("source_a"), col("w"))
+      .join(vocab.select(col("source").as("source_b"), col("w")), Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter_exact"))
+    exact
+      .join(broadcast(sk.select(col("source").as("source_a"), col("sk").as("sk_a"))),
+        Seq("source_a"))
+      .join(broadcast(sk.select(col("source").as("source_b"), col("sk").as("sk_b"))),
+        Seq("source_b"))
+      .withColumn("est",
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b"))))
+      .select(col("source_a"), col("source_b"), col("inter_exact"),
+        (abs(col("est") - col("inter_exact"))
+          <= greatest(col("inter_exact") * lit(0.05), lit(1.0))).as("theta_ok"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q124Oracle: String =
+    """WITH v AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |    FROM documents)),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter_exact
+      |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, inter_exact, TRUE AS theta_ok
+      |FROM p ORDER BY source_a, source_b""".stripMargin
 }

@@ -646,6 +646,85 @@ object LlmOps {
        |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q125: QUALITY-RANKED SURVIVORSHIP — q72 keeps each cluster's min
+    * doc_id (the label the components converge to: cheap, deterministic,
+    * arbitrary). A curation pipeline keeps the BEST member: canonical =
+    * argmax over (classifier logit desc, doc_id asc) — the q78 logit,
+    * SHARED definition, so the policy can never drift from the filter
+    * beside it. The doc_id tiebreak makes the pick total even when an
+    * entire cluster ties on quality (near-dups usually do).
+    *
+    * The per-source audit reports both policies side by side:
+    * n_kept/n_removed under quality ranking, plus n_policy_flips — docs
+    * whose keep/drop verdict DIFFERS from min-id survivorship (the
+    * cost, in re-ingested documents, of having shipped the naive policy
+    * first). Unclustered docs pass through under both policies.
+    *
+    * Scale shape: the dedup chain as q63 (banded LSH + bounded Jaccard);
+    * the canonical pick is max_by over a STRUCT ordering — one hash
+    * aggregate at cluster granularity, never a per-cluster window sort;
+    * membership is cluster-members-sized (duplicates only, ≪ corpus);
+    * min-id verdicts are free (cluster_id IS the min label). The final
+    * rollup joins decisions back to the corpus on doc_id — the only
+    * corpus-sized exchange, and it carries three booleans.
+    */
+  def q125CanonicalPick(s: SparkSession, d: String): DataFrame = {
+    val members = graft.ops.ConnectedComponents
+      .assign(dedupEdges(s, d), "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val lg = qualityLogits(documents(s, d)).select(col("doc_id"), col("logit"))
+    val canon = members.join(lg, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("logit"), -col("doc_id")))
+        .as("canonical"))
+    val decided = members.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("canonical")).as("keep_q"),
+        (col("doc_id") === col("cluster_id")).as("keep_min"))
+    documents(s, d).select("doc_id", "source")
+      .join(decided, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(coalesce(col("keep_q"), lit(true))).as("n_kept"),
+        count_if(!coalesce(col("keep_q"), lit(true))).as("n_removed"),
+        count_if(coalesce(col("keep_q") =!= col("keep_min"), lit(false)))
+          .as("n_policy_flips"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the q63 recursive-CTE cluster chain + the q78 logit chain,
+    * canonical via a per-cluster row_number over (logit DESC, doc_id
+    * ASC) — same total order as the Spark struct max_by. Lazy because
+    * it interpolates [[QcBuckets]]/[[QcWMod]], declared LATER in this
+    * object — an eager val here initializes before them and bakes in
+    * zeros (object vals initialize in declaration order). */
+  lazy val q125Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH RECURSIVE $dedupClusterChainSql,
+       |tq AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |fq AS (SELECT doc_id,
+       |    ((${PolyHash.hornerSql("token")} % $QcBuckets) * 37 + 11) % $QcWMod - 10 AS w
+       |  FROM tq),
+       |dl AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit
+       |       FROM fq GROUP BY doc_id),
+       |rk AS (SELECT l.doc_id, l.cluster_id,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY dl.logit DESC, l.doc_id ASC) AS rn
+       |  FROM lab l JOIN dl USING (doc_id)),
+       |dec AS (SELECT doc_id, rn = 1 AS keep_q,
+       |               doc_id = cluster_id AS keep_min
+       |        FROM rk)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(count_if(coalesce(dec.keep_q, TRUE)) AS BIGINT) AS n_kept,
+       |  CAST(count_if(NOT coalesce(dec.keep_q, TRUE)) AS BIGINT) AS n_removed,
+       |  CAST(count_if(coalesce(dec.keep_q <> dec.keep_min, FALSE)) AS BIGINT)
+       |    AS n_policy_flips
+       |FROM documents d LEFT JOIN dec ON d.doc_id = dec.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   /** q83: SPLIT-LEAKAGE AUDIT — the check every train/val/test pipeline
     * needs and most skip: a hash split (q53) assigns DOCUMENTS
     * independently, so two near-duplicates (one cluster in q63's graph)
