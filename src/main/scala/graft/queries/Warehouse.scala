@@ -1372,32 +1372,54 @@ object Warehouse {
     * cut points in one pass).
     *
     * Scale shape: ONE fact scan explodes each row into (column, value)
-    * pairs, collapsing immediately to per-(column, value) HISTOGRAMS —
-    * bounded by each column's VALUE DOMAIN (quantity: 50, discount/tax:
-    * ~10; extendedprice: price-grid-sized), not by row count. The
-    * running-sum window rides a (column)-partitioned sort of histogram
-    * rows, and all three quartile flags plus totals come out of one
-    * final aggregate. Four audit rows out of a single pass over the
-    * fact table.
+    * pairs, collapsing immediately to per-(column, value) HISTOGRAMS.
+    * For a discrete column that histogram is value-domain-sized
+    * (quantity: 50, discount/tax: ~10), but a continuous column's is
+    * near ROW-sized (extendedprice: 583k distinct of 600k rows at
+    * sf0.1) — so the running sum must NOT ride a
+    * `Window.partitionBy(column)`: that puts one column's entire
+    * histogram in a single task's sort (the q111 failure class; at
+    * 100 TB a single-task sort of billions of price points). Instead
+    * the cumulative count is a DISTRIBUTED PREFIX SUM: range-partition
+    * the histogram on (column, value) — contiguous ordered slices, ~1/P
+    * of the rows each — compute running sums within each (slice,
+    * column) window IN PARALLEL, then shift every slice by the total
+    * mass of earlier slices via a P×|columns|-row broadcast (its own
+    * windows run over that tiny frame). The histogram is materialized
+    * once (eager localCheckpoint, the q103/q116 discipline) so both the
+    * prefix pass and the offset pass read it without re-exploding the
+    * fact table, and so the slice ids both passes see are the same
+    * physical partitioning.
     */
   def q119Profile(s: SparkSession, d: String): DataFrame = {
     // integer column ids through the hot path (2.4M-row explode + the
     // histogram aggregate hash on (int, double), not (string, double) —
     // measured ~2x on the scan+agg stage); names surface only on the
     // final 4 rows
-    val wCum = Window.partitionBy("ci").orderBy("v")
+    val wLoc = Window.partitionBy("pid", "ci").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCol = Window.partitionBy("ci")
+    val wOff = Window.partitionBy("ci").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     def pick(t: Column): Column =
       max(when(col("cum") >= t && col("cum") - col("cnt") < t, col("v")))
     val cname = ProfileCols.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, (c, i)) => when(col("ci") === i, lit(c)).otherwise(acc)
     }
-    lineitem(s, d)
+    val slices = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val hist = lineitem(s, d)
       .select(posexplode(array(ProfileCols.map(col): _*)).as(Seq("ci", "v")))
       .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("n", sum("cnt").over(wCol))
+      .repartitionByRange(slices, col("ci"), col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offs = hist.groupBy("pid", "ci").agg(sum("cnt").as("sub"))
+      .select(col("pid"), col("ci"),
+        coalesce(sum("sub").over(wOff), lit(0L)).as("off"),
+        sum("sub").over(Window.partitionBy("ci")).as("n"))
+    hist
+      .withColumn("lcum", sum("cnt").over(wLoc))
+      .join(broadcast(offs), Seq("pid", "ci"))
+      .withColumn("cum", col("lcum") + col("off"))
       .groupBy("ci")
       .agg(
         max(col("n")).as("n_rows"),
