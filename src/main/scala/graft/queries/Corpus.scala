@@ -1480,4 +1480,52 @@ object Corpus {
       |  GROUP BY 1, 2)
       |SELECT source_a, source_b, inter_exact, TRUE AS theta_ok
       |FROM p ORDER BY source_a, source_b""".stripMargin
+
+  // --- Deterministic curriculum interleave (q127) -------------------------
+
+  /** Positions materialized by the interleave audit. */
+  private[queries] val InterleaveK = 40
+
+  /** q127: DETERMINISTIC CURRICULUM INTERLEAVE — the feed order a
+    * round-robin-by-source scheduler gives a training run: each source's
+    * documents ranked by doc_id, then rank-1 docs of every source first
+    * (source-ascending), then every rank-2 doc, and so on. Training jobs
+    * need this order REPRODUCIBLE — a resumed or re-sharded run must see
+    * the identical stream — which is why the order is a pure function of
+    * (doc_id, source) and never of partition layout (the same property
+    * q53 demands of splits: `randomSplit`-style order dependence breaks
+    * on any repartition). The audit materializes the first
+    * [[InterleaveK]] positions as the inspectable prefix.
+    *
+    * Scale shape: the per-source rank is a source-partitioned window —
+    * sources are 10⁷⁺ at crawl scale, so partitions are fine-grained
+    * (per-source skew is the q117 audit's job); the global (rank,
+    * source) order materializes ONLY the top-K via limit pushdown
+    * (TakeOrderedAndProject — no full sort, the q07/q68 discipline);
+    * the position stamp is a window over the K-row result, not the
+    * corpus.
+    */
+  def q127Interleave(s: SparkSession, d: String): DataFrame = {
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    val prefix = documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .orderBy(col("rn"), col("source"))
+      .limit(InterleaveK)
+    prefix
+      .withColumn("position",
+        row_number().over(Window.orderBy(col("rn"), col("source"))).cast("long"))
+      .select(col("position"), col("source"), col("doc_id"), col("rn"))
+      .orderBy("position")
+  }
+
+  val q127Oracle: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |t AS (SELECT * FROM r ORDER BY rn, source LIMIT $InterleaveK)
+       |SELECT CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS position,
+       |  source, doc_id, CAST(rn AS BIGINT) AS rn
+       |FROM t ORDER BY position""".stripMargin
 }

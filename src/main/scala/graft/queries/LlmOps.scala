@@ -3374,4 +3374,52 @@ object LlmOps {
        |      * (abs(num) * 1000000 // abs(den)) END AS BIGINT) AS kappa_ppm
        |FROM k ORDER BY lang""".stripMargin
   }
+
+  // --- Embedding dimension audit (q126) -----------------------------------
+
+  /** q126: EMBEDDING DIMENSION AUDIT — per-coordinate health of the
+    * vector column, the complement of q110's per-VECTOR norm spectrum:
+    * a dimension that is constant across the corpus ("dead" — min = max,
+    * typically a zeroed coordinate from a truncated export or a frozen
+    * neuron) contributes nothing to any distance and silently shrinks
+    * the effective embedding dimensionality that ANN (q24/q25) and
+    * semantic dedup (q77) budget for; a dimension whose range dwarfs the
+    * others dominates every unnormalized dot product. The audit reports,
+    * per coordinate: population, exact quantized sum (the ·2^20
+    * half-away-from-zero quantization shared with the q110/q112 kernels,
+    * so the audit can never disagree with the distances the engine
+    * actually computes), min/max, zero-component count (sparsity), and
+    * the dead-dimension verdict.
+    *
+    * All-integer output — no float accumulation, no division — so the
+    * gate hashes exactly. Scale shape: one vector scan, posexplode to
+    * (coordinate, component), map-side partial aggregation into a
+    * |dims|-row rollup: the shuffle carries |dims| partial rows per
+    * task, nothing corpus-sized moves.
+    */
+  def q126DimAudit(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).cast("long").as("pos"),
+        round(col("x").cast("double") * lit(1048576L)).cast("long").as("qc"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qc")).as("sum_q"),
+        min(col("qc")).as("min_q"),
+        max(col("qc")).as("max_q"),
+        count_if(col("qc") === 0L).as("n_zero"))
+      .withColumn("dead", col("min_q") === col("max_q"))
+      .orderBy("pos")
+
+  val q126Oracle: String =
+    """WITH ex AS (
+      |  SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS qc,
+      |    unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings)
+      |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
+      |  CAST(sum(qc) AS BIGINT) AS sum_q,
+      |  min(qc) AS min_q, max(qc) AS max_q,
+      |  CAST(count_if(qc = 0) AS BIGINT) AS n_zero,
+      |  min(qc) = max(qc) AS dead
+      |FROM ex GROUP BY pos ORDER BY pos""".stripMargin
 }
