@@ -1362,7 +1362,9 @@ object Corpus {
     * no corpus rescan, shuffle rows carry a fixed-size binary column.
     * On live ingest the same layout updates by sketching only the new
     * slice and unioning in — the entire reason production pipelines
-    * keep sketch tables next to fact tables.
+    * keep sketch tables next to fact tables; the streaming half is
+    * executable at [[graft.streaming.SketchMaintainer]] (per-micro-batch
+    * sketch append + union-merge reads, replay-safe).
     *
     * The registered query merges the persisted sketches per source and
     * AUDITS them against the exact per-source vocabulary (one distinct
