@@ -1457,4 +1457,78 @@ object Warehouse {
        |  max(v) AS max_v
        |FROM c GROUP BY cname ORDER BY cname""".stripMargin
   }
+
+  // --- Time-grid resample + forward fill (q128) ---------------------------
+
+  /** q128: TIME-GRID RESAMPLE WITH FORWARD FILL (LOCF) — the time-series
+    * regularization every feature store runs before ML consumption: the
+    * irregular purchase stream becomes a per-user HOURLY grid, each grid
+    * point carrying the last observation at or before it
+    * (last-observation-carried-forward). As-of joins (q58/q67) align two
+    * streams; this materializes ONE stream onto a regular clock, which
+    * is what windowed feature pipelines and gap-sensitive models
+    * consume. Per user the audit reports grid size, observed points,
+    * forward-filled points, leading nulls (grid before first
+    * observation — LOCF must NOT invent values there), and the hour of
+    * the last observation.
+    *
+    * Exactness: the fill only ROUTES existing values (no interpolation
+    * arithmetic), and the audit is pure counts + a selected timestamp —
+    * nothing float-summed, so the gate hashes exactly.
+    *
+    * Scale shape: observations collapse to (user, hour) BEFORE any
+    * expansion (map-side combine on the partial agg); the grid spine is
+    * one broadcast array (bounded by the observed time span — hours, not
+    * events); the user × grid expansion is a broadcast nested loop over
+    * that bounded spine (PlanGuard-allowlisted, the q13/q17 spine
+    * discipline); the LOCF window partitions by user_id — high
+    * cardinality, per-partition frame = grid length. Nothing
+    * corpus-sized is ever sorted globally.
+    */
+  def q128Resample(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val obs = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("gts"))
+      .agg(max(col("value")).as("obs"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      .select(explode(sequence(col("t0"), col("t1"),
+        expr("INTERVAL 1 HOUR"))).as("gts"))
+    val wFill = Window.partitionBy("user_id").orderBy("gts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select("user_id").distinct()
+      .crossJoin(broadcast(grid))
+      .join(obs, Seq("user_id", "gts"), "left")
+      .withColumn("locf", last(col("obs"), ignoreNulls = true).over(wFill))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_points"),
+        count(col("obs")).as("n_observed"),
+        (count(col("locf")) - count(col("obs"))).as("n_filled"),
+        (count(lit(1)) - count(col("locf"))).as("n_leading_nulls"),
+        max(when(col("obs").isNotNull, col("gts"))).as("last_seen_hour"))
+      .orderBy("user_id")
+  }
+
+  val q128Oracle: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', min(ts)) AS t0,
+      |         date_trunc('hour', max(ts)) AS t1 FROM events),
+      |g AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts FROM b),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |o AS (SELECT user_id, date_trunc('hour', ts) AS gts, max(value) AS obs
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |f AS (
+      |  SELECT u.user_id, g.gts, o.obs,
+      |    last_value(o.obs IGNORE NULLS) OVER (
+      |      PARTITION BY u.user_id ORDER BY g.gts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+      |  FROM u CROSS JOIN g
+      |  LEFT JOIN o ON o.user_id = u.user_id AND o.gts = g.gts)
+      |SELECT user_id, count(*) AS n_points,
+      |  count(obs) AS n_observed,
+      |  CAST(count(locf) - count(obs) AS BIGINT) AS n_filled,
+      |  CAST(count(*) - count(locf) AS BIGINT) AS n_leading_nulls,
+      |  max(CASE WHEN obs IS NOT NULL THEN gts END) AS last_seen_hour
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 }
