@@ -1530,4 +1530,76 @@ object Corpus {
        |SELECT CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS position,
        |  source, doc_id, CAST(rn AS BIGINT) AS rn
        |FROM t ORDER BY position""".stripMargin
+
+  // --- Token-distribution drift between snapshots (q129) ------------------
+
+  /** q129: TOKEN-DISTRIBUTION DRIFT — the monitoring table that catches a
+    * crawl gone stale, a source changing register, or an extraction bug
+    * shifting the token mix BETWEEN two snapshots of the same corpus:
+    * per source, the exact total-variation distance between the token
+    * distributions of the two slices (here the deterministic doc_id
+    * parity split stands in for consecutive snapshots — the operator is
+    * the comparison, not the slicing).
+    *
+    * TV = ½ · Σ_w |p_a(w) − p_b(w)| is computed entirely in integers by
+    * cross-multiplying counts: Σ_w |c_a(w)·N_b − c_b(w)·N_a| over
+    * (2·N_a·N_b), evaluated in decimal(38,0) (HUGEINT on the oracle
+    * side — c·N at a 10¹²-token snapshot overflows a long), emitted as
+    * exact ppm. TV is the right drift statistic here because it is
+    * bounded [0, 1], symmetric, and defined even where one side's count
+    * is zero — KL would need smoothing, and smoothing constants are
+    * exactly the kind of cross-engine float hazard this repo bans.
+    *
+    * Scale shape: ONE corpus scan → (source, token) counts with a
+    * conditional COUNT per side (map-side combine; nothing wider than
+    * two longs per vocabulary row moves), per-source totals as a
+    * |sources|-row broadcast, one vocabulary-sized |...| aggregate.
+    */
+  def q129DistDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(col("source"), (col("doc_id") % 2 === 0).as("a"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("source", "w")
+      .agg(count_if(col("a")).as("c_a"), count_if(!col("a")).as("c_b"))
+    val totals = counts.groupBy("source")
+      .agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    counts.join(broadcast(totals), Seq("source"))
+      .groupBy("source")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("vocab_union"),
+        sum(abs(col("c_a").cast("decimal(38,0)") * col("n_b")
+          - col("c_b").cast("decimal(38,0)") * col("n_a"))).as("tv_num"))
+      // TV is undefined when a slice is empty (a source whose docs all
+      // land on one parity): explicit NULL, never a division error —
+      // and a monitoring consumer treats NULL as "no comparison", not 0
+      .withColumn("tv_ppm",
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(tv_num * 1000000 div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END"))
+      .select(col("source"), col("n_a"), col("n_b"), col("vocab_union"),
+        col("tv_ppm"))
+      .orderBy("source")
+  }
+
+  val q129Oracle: String =
+    """WITH t AS (
+      |  SELECT source, doc_id % 2 = 0 AS a,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |c AS (SELECT source, w,
+      |    count_if(a) AS c_a, count_if(NOT a) AS c_b
+      |  FROM t GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c_a) AS BIGINT) AS n_a,
+      |          CAST(sum(c_b) AS BIGINT) AS n_b
+      |        FROM c GROUP BY 1),
+      |agg AS (
+      |  SELECT c.source, max(tot.n_a) AS n_a, max(tot.n_b) AS n_b,
+      |    count(*) AS vocab_union,
+      |    sum(abs(CAST(c.c_a AS HUGEINT) * tot.n_b
+      |            - CAST(c.c_b AS HUGEINT) * tot.n_a)) AS tv_num
+      |  FROM c JOIN tot USING (source) GROUP BY c.source)
+      |SELECT source, n_a, n_b, vocab_union,
+      |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |    ELSE tv_num * 1000000 // (2 * CAST(n_a AS HUGEINT) * n_b) END AS BIGINT)
+      |    AS tv_ppm
+      |FROM agg ORDER BY source""".stripMargin
 }
