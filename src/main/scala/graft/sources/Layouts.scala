@@ -160,6 +160,56 @@ object Layouts {
   def srcTag(s: SparkSession, d: String, name: String): String =
     s"${tag(d)}_f${srcToken(s, d, name)}"
 
+  /** Garbage-collect layouts orphaned by fixture regeneration: content
+    * tokens make a regenerated fixture map to FRESH layout names (the
+    * round-8 staleness fix), which also means every regeneration
+    * orphans the previous generation's directories — correct but
+    * unbounded disk growth. The sweep deletes, under both maintained
+    * roots (`graft_layouts` and the bucketed CTAS warehouse
+    * `graft_bucketed.db`), every directory whose name embeds THIS
+    * fixture dir's path tag with a content token that no current
+    * fixture table produces — such a dir can never be reused (reuse
+    * requires an exact name match) and is garbage by construction.
+    * Dirs for OTHER fixture dirs, temp dirs mid-publish (`_w<uuid>`
+    * suffixes carry no `_f` token for this tag), and current-generation
+    * layouts are untouched.
+    *
+    * NOT concurrency-safe against a process still READING a stale
+    * layout with an older binary: call it where a warehouse owner runs
+    * compaction — pipeline startup/teardown — not beside live queries.
+    * Returns the deleted directory names (bounded; for the run log).
+    */
+  def sweepStale(s: SparkSession, d: String): Seq[String] = {
+    val t = tag(d)
+    val marker = s"_${t}_f"
+    val current: Set[String] = {
+      val fixture = new Path(d)
+      val ffs = fixture.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!ffs.exists(fixture)) Set.empty
+      else ffs.listStatus(fixture).iterator
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+        .map(n => srcToken(s, d, n.stripSuffix(".parquet")))
+        .toSet
+    }
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    Seq(s"$wh/graft_layouts", s"$wh/graft_bucketed.db").flatMap { root =>
+      val rp = new Path(root)
+      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rp)) Seq.empty[String]
+      else fs.listStatus(rp).iterator.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        val i = n.lastIndexOf(marker)
+        val stale = i >= 0 && {
+          val tok = n.substring(i + marker.length)
+          tok.nonEmpty && tok.forall(c => c.isDigit || ('a' to 'f').contains(c)) &&
+            !current.contains(tok)
+        }
+        if (stale && fs.delete(st.getPath, true)) Some(n) else None
+      }.toSeq
+    }
+  }
+
   /** Builder-semantics version baked into every split-layout dir name
     * (the bucketed CTAS layouts carry the same token — `lineitem_v3`):
     * a warehouse populated by an OLDER binary must never satisfy the

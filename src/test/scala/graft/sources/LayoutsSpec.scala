@@ -126,6 +126,35 @@ class LayoutsSpec extends SparkSpec {
       "content token must change when the fixture bytes change")
   }
 
+  test("sweepStale reclaims orphaned generations, never the current one") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_fixture_gc_").toString
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def layoutDirs() = {
+      val p = new Path(s"$wh/graft_layouts")
+      fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/t.parquet")
+    Layouts.split(spark, d, "t", "doc_id")
+    val gen1 = layoutDirs().filter(_.contains(Layouts.tag(d)))
+    // regenerate in place → a second generation appears beside the first
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/t.parquet")
+    Layouts.split(spark, d, "t", "doc_id")
+    val gen2 = layoutDirs().filter(_.contains(Layouts.tag(d)))
+    assert(gen1.subsetOf(gen2) && gen2.size == gen1.size + 1,
+      "both generations should coexist before the sweep")
+    val swept = Layouts.sweepStale(spark, d)
+    assert(swept.toSet == gen1, s"sweep must reclaim exactly gen1, got $swept")
+    val after = layoutDirs().filter(_.contains(Layouts.tag(d)))
+    assert(after == gen2 -- gen1, "current generation must survive the sweep")
+    // the surviving layout still reads
+    assert(Layouts.split(spark, d, "t", "doc_id").count() == 2)
+    // idempotent: nothing left to sweep
+    assert(Layouts.sweepStale(spark, d).isEmpty)
+  }
+
   test("a failed build leaks no temp directory") {
     val root = freshRoot()
     intercept[RuntimeException] {
