@@ -26,6 +26,12 @@ object Bench {
       .config("spark.graft.q59.verifyExact", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // startup-time warehouse hygiene (see Layouts.sweepStale): before any
+    // layout is built or reused, reclaim generations orphaned by a
+    // fixture regeneration — bounded directory listing, one-time cost
+    val swept = graft.sources.Layouts.sweepStale(spark, sfDir)
+    if (swept.nonEmpty)
+      System.err.println(s"[bench] swept ${swept.size} stale layout dir(s)")
     // Reuse analyzed table DataFrames across queries: the fixture dirs are
     // immutable for the whole run, so re-listing files and re-reading
     // footers per query is pure fixed overhead (round-4 verdict: ~0.3-0.5s

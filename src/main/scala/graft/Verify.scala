@@ -19,6 +19,12 @@ object Verify {
       .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // startup-time warehouse hygiene: reclaim layout generations
+    // orphaned by a driver fixture regeneration (single-process point —
+    // safe to delete; see Layouts.sweepStale)
+    val swept = graft.sources.Layouts.sweepStale(spark, sfDir)
+    if (swept.nonEmpty)
+      System.err.println(s"[verify] swept ${swept.size} stale layout dir(s)")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
