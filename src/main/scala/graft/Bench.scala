@@ -21,9 +21,11 @@ object Bench {
       // pin the managed-table location (q59/q60 bucketed layouts) inside
       // the repo regardless of the invoking working directory
       .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
-      // bench times q59's production (sketch-only) shape; the exact
-      // verification branches stay in Verify — see q59Sketches
+      // bench times q59's and q130's production (sketch-only) shapes;
+      // the exact verification branches stay in Verify — see
+      // q59Sketches / q130JoinCard
       .config("spark.graft.q59.verifyExact", "false")
+      .config("spark.graft.q130.verifyExact", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // startup-time warehouse hygiene (see Layouts.sweepStale): before any

@@ -1458,6 +1458,114 @@ object Warehouse {
        |FROM c GROUP BY cname ORDER BY cname""".stripMargin
   }
 
+  // --- Join-cardinality estimation from key sketches (q130) ---------------
+
+  /** Theta nominal entries for join-key sketches: 2^16 retained hashes —
+    * exact mode below 65536 distinct keys, sub-1% estimates above. */
+  private val JoinCardLgK = 16
+
+  /** q130: JOIN-CARDINALITY ESTIMATION — "how many keys will this join
+    * match" answered from KILOBYTE sketch state instead of running the
+    * join: one theta sketch per key role, built in ONE pass per table
+    * (lineitem's three roles ride one aggregate), then every FK edge's
+    * matching-key count is a `theta_intersection` over two sketches.
+    * This is the third leg of the planning-observability suite — q116
+    * audits integrity (orphans), q117 audits skew (hot keys), q130
+    * audits VOLUME (how much will shuffle) — and the sketch table is
+    * what a planner or ops dashboard consults interactively at 10⁴
+    * edges, where running every join to measure it is the thing being
+    * avoided. Per edge: exact distinct keys per side, exact key
+    * overlap, and the sketch-estimate-within-bound verdict
+    * (|est − exact| ≤ max(5% · exact, 1)).
+    *
+    * The exact side (per-edge distinct-key full joins) is the
+    * certification cost, the q59/q123/q124 discipline: at scale only
+    * the sketch pass runs. Sketch attachment joins operate on 1-ROW
+    * frames (Catalyst folds the constant key and plans a broadcast
+    * nested loop over single-row operands — the most bounded shape
+    * possible; PlanGuard-allowlisted).
+    */
+  def q130JoinCard(s: SparkSession, d: String): DataFrame = {
+    def skAgg(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg(
+        theta_sketch_agg(col(keys.head), JoinCardLgK).as(s"sk_${keys.head}"),
+        keys.tail.map(k => theta_sketch_agg(col(k), JoinCardLgK).as(s"sk_$k")): _*)
+        .withColumn("j", lit(1))
+    val skLi = skAgg(lineitem(s, d), Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val skO = skAgg(orders(s, d), Seq("o_orderkey", "o_custkey"))
+    val skC = skAgg(customer(s, d), Seq("c_custkey", "c_nationkey"))
+    val skS = skAgg(supplier(s, d), Seq("s_suppkey", "s_nationkey"))
+    val skP = skAgg(part(s, d), Seq("p_partkey"))
+    val skN = skAgg(nation(s, d), Seq("n_nationkey"))
+    val sketches = Map(
+      "lineitem" -> skLi, "orders" -> skO, "customer" -> skC,
+      "supplier" -> skS, "part" -> skP, "nation" -> skN)
+    val tables = Map(
+      "lineitem" -> lineitem(s, d), "orders" -> orders(s, d),
+      "customer" -> customer(s, d), "supplier" -> supplier(s, d),
+      "part" -> part(s, d), "nation" -> nation(s, d))
+    val edges = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"))
+    // Benched shape vs verified shape (the q59 discipline): under
+    // `spark.graft.q130.verifyExact=false` (set ONLY by Bench) the plan
+    // is the production path — six 1-pass sketch scans and kilobyte
+    // intersections, no per-edge exact joins. Verify keeps the default
+    // and certifies the estimates against exact overlaps.
+    if (s.conf.get("spark.graft.q130.verifyExact", "true") == "false") {
+      return edges.map { case (ct, ck, pt, pk) =>
+        sketches(ct).select(col("j"), col(s"sk_$ck").as("sk_c"))
+          .join(broadcast(sketches(pt).select(col("j"), col(s"sk_$pk").as("sk_p"))), Seq("j"))
+          .select(lit(s"$ct.$ck->$pt.$pk").as("edge"),
+            theta_sketch_estimate(theta_intersection(col("sk_c"), col("sk_p")))
+              .cast("long").as("est_overlap"))
+      }.reduce(_ unionByName _).orderBy("edge")
+    }
+    edges.map { case (ct, ck, pt, pk) =>
+      val exact = tables(ct).select(col(ck).as("k")).distinct()
+        .withColumn("c", lit(1))
+        .join(tables(pt).select(col(pk).as("k")).distinct()
+          .withColumn("p", lit(1)), Seq("k"), "full")
+        .agg(count(col("c")).as("n_child_keys"),
+          count(col("p")).as("n_parent_keys"),
+          count_if(col("c").isNotNull && col("p").isNotNull)
+            .as("overlap_exact"))
+        .withColumn("j", lit(1))
+      exact
+        .join(broadcast(sketches(ct).select(col("j"), col(s"sk_$ck").as("sk_c"))), Seq("j"))
+        .join(broadcast(sketches(pt).select(col("j"), col(s"sk_$pk").as("sk_p"))), Seq("j"))
+        .select(lit(s"$ct.$ck->$pt.$pk").as("edge"),
+          col("n_child_keys"), col("n_parent_keys"), col("overlap_exact"),
+          (abs(theta_sketch_estimate(theta_intersection(col("sk_c"), col("sk_p")))
+            - col("overlap_exact"))
+            <= greatest(col("overlap_exact") * lit(0.05), lit(1.0))).as("theta_ok"))
+    }.reduce(_ unionByName _)
+      .orderBy("edge")
+  }
+
+  val q130Oracle: String = {
+    val edges = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"))
+    edges.map { case (ct, ck, pt, pk) =>
+      s"""SELECT '$ct.$ck->$pt.$pk' AS edge,
+         |  (SELECT count(DISTINCT $ck) FROM $ct) AS n_child_keys,
+         |  (SELECT count(DISTINCT $pk) FROM $pt) AS n_parent_keys,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $ck AS k FROM $ct) a
+         |     JOIN (SELECT DISTINCT $pk AS k FROM $pt) b USING (k))
+         |    AS overlap_exact,
+         |  TRUE AS theta_ok""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   // --- Time-grid resample + forward fill (q128) ---------------------------
 
   /** q128: TIME-GRID RESAMPLE WITH FORWARD FILL (LOCF) — the time-series
