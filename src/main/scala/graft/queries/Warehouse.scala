@@ -1458,6 +1458,82 @@ object Warehouse {
        |FROM c GROUP BY cname ORDER BY cname""".stripMargin
   }
 
+  // --- Incremental materialized-view maintenance (q131) -------------------
+
+  /** The q131 snapshot split: doc-parity-style deterministic slicing of
+    * orders into the "already materialized" base (keys 0–7 mod 10) and
+    * the newly-arrived delta (8–9). The operator is the MERGE — the
+    * slicing stands in for an ingest boundary. */
+  private def q131IsBase: Column = col("o_orderkey") % 10 < 8
+
+  /** q131: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the warehouse op
+    * that makes dashboards affordable: a per-priority aggregate over a
+    * 100 TB fact table is NOT recomputed when a delta arrives; the
+    * maintained view absorbs the delta's partial aggregate. Only
+    * DECOMPOSABLE aggregates participate (counts and sums merge by +,
+    * min/max by min/max; AVG is derived sum/count downstream — never
+    * merged directly), which is exactly the constraint real MV engines
+    * impose.
+    *
+    * The BASE aggregate is a maintained layout
+    * ([[graft.sources.Layouts.ensureDir]], content-fingerprinted) — the
+    * materialized view itself. The registered query reads that view
+    * (view-sized: |priorities| rows), aggregates ONLY the delta slice,
+    * and full-outer-merges with coalesce-to-identity (0 for sums, no-op
+    * for min/max) — so a priority appearing only in the delta, or only
+    * in the base, is preserved. Money stays exact: cents as
+    * decimal(38,0) end-to-end.
+    *
+    * Self-certifying: the oracle recomputes the SAME aggregate from
+    * scratch over the whole table — the gate passing IS the proof that
+    * incremental maintenance equals batch recomputation, the invariant
+    * every MV engine must uphold.
+    */
+  def q131MvDelta(s: SparkSession, d: String): DataFrame = {
+    // The view stores the UNROUNDED mergeable state (exact decimal sum,
+    // Num.dec discipline): merging ROUNDED partials would not equal the
+    // rounded total (round(a)+round(b) != round(a+b)); rounding happens
+    // once, at presentation, exactly like the q06 oracle shape.
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(38,10)")).as("total_d"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))
+    val mvPath = graft.sources.Layouts.ensureDir(
+      s, s"mv_orders_pri_v1_${graft.sources.Layouts.srcTag(s, d, "orders")}") { tmp =>
+      agg(orders(s, d).filter(q131IsBase)).write.parquet(tmp)
+    }
+    val base = graft.Tables.pathTable(s, mvPath)
+      .select(col("o_orderpriority"), col("n_orders").as("b_n"),
+        col("total_d").as("b_t"), col("first_date").as("b_f"),
+        col("last_date").as("b_l"))
+    val delta = agg(orders(s, d).filter(!q131IsBase))
+      .select(col("o_orderpriority"), col("n_orders").as("d_n"),
+        col("total_d").as("d_t"), col("first_date").as("d_f"),
+        col("last_date").as("d_l"))
+    val zero = lit(0).cast("decimal(38,10)")
+    base.join(delta, Seq("o_orderpriority"), "full")
+      .select(col("o_orderpriority"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        round(coalesce(col("b_t"), zero) + coalesce(col("d_t"), zero), 2)
+          .cast("double").as("total_price"),
+        least(coalesce(col("b_f"), col("d_f")), coalesce(col("d_f"), col("b_f")))
+          .as("first_date"),
+        greatest(coalesce(col("b_l"), col("d_l")), coalesce(col("d_l"), col("b_l")))
+          .as("last_date"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q131Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE)
+      |    AS total_price,
+      |  min(o_orderdate) AS first_date,
+      |  max(o_orderdate) AS last_date
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --- Join-cardinality estimation from key sketches (q130) ---------------
 
   /** Theta nominal entries for join-key sketches: 2^16 retained hashes —
