@@ -1512,6 +1512,14 @@ object Warehouse {
       .select(col("o_orderpriority"), col("n_orders").as("d_n"),
         col("total_d").as("d_t"), col("first_date").as("d_f"),
         col("last_date").as("d_l"))
+    mvMerge(base, delta)
+  }
+
+  /** The q131 merge, exposed for edge-case specs: a group present on
+    * only ONE side must survive with identity fill (0 for sums, the
+    * present side's min/max) — the branch a fixture where every group
+    * appears on both sides never exercises. */
+  private[queries] def mvMerge(base: DataFrame, delta: DataFrame): DataFrame = {
     val zero = lit(0).cast("decimal(38,10)")
     base.join(delta, Seq("o_orderpriority"), "full")
       .select(col("o_orderpriority"),
