@@ -1602,4 +1602,90 @@ object Corpus {
       |    ELSE tv_num * 1000000 // (2 * CAST(n_a AS HUGEINT) * n_b) END AS BIGINT)
       |    AS tv_ppm
       |FROM agg ORDER BY source""".stripMargin
+
+  // --- Sub-document duplicate mass (q133) ---------------------------------
+
+  /** q133 chunk geometry: NON-overlapping 32-token spans (q61's chunker
+    * with stride = length — dedup wants a partition of the text, not a
+    * sliding cover, so each token is counted exactly once). */
+  private val DupChunkLen = 32
+
+  /** q133: SUB-DOCUMENT DUPLICATE MASS — the span-granular dedup audit
+    * between q26 (whole-document exact dup) and q37/q44 (document-level
+    * near-dup): chunk every document into non-overlapping
+    * [[DupChunkLen]]-token spans, hash each span, and measure per source
+    * how much of the corpus is REPEATED spans (templated boilerplate,
+    * syndicated passages, quoted chains — mass that whole-doc dedup
+    * never sees because the surrounding text differs). This is the
+    * measurement half of RefinedWeb/CCNet-style sub-document dedup; the
+    * ppm it reports is the upper bound on what span-level purging could
+    * remove.
+    *
+    * A span is dup-eligible only at FULL length ([[DupChunkLen]] tokens):
+    * tail fragments shorter than the window (a doc's last few tokens)
+    * collide on trivial grounds and would inflate the signal — the
+    * min-span threshold every substring-dedup system applies. Totals
+    * still count every chunk, so the ppm denominator is the whole corpus.
+    *
+    * Shape: ONE explode scan (map-only chunker, q61) producing the
+    * engine-portable 61-bit content hash per span
+    * ([[graft.functions.PolyHash]] — the shuffle key is 8 bytes, never
+    * the ~200-byte span text); one hash aggregate to the (source, hash)
+    * frame; corpus-wide occurrence counts via an unordered window over
+    * the hash partition of THAT distinct-span frame (distinct-span-sized,
+    * not corpus-sized); a sources-row rollup. Nothing after the first
+    * aggregate touches span text.
+    */
+  def q133ChunkDupmass(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val lastStart = expr(
+      s"CAST(CASE WHEN n <= $DupChunkLen THEN 0 " +
+        s"ELSE (n - 1) DIV $DupChunkLen END AS INT)")
+    val chunkToks = slice(col("t"), col("chunk_id") * DupChunkLen + 1, lit(DupChunkLen))
+    val pairs = documents(s, d)
+      .select(col("source"), t.as("t"), size(t).as("n"))
+      .select(col("source"), col("t"),
+        explode(sequence(lit(0), lastStart)).as("chunk_id"))
+      .select(col("source"),
+        graft.functions.VectorExpressions.hornerHash(concat_ws(" ", chunkToks)).as("h"),
+        size(chunkToks).as("ln"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"), max(col("ln")).as("ln"))
+    val wH = Window.partitionBy("h")
+    pairs
+      .withColumn("nh", sum(col("c")).over(wH))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        coalesce(sum(when(col("nh") > 1 && col("ln") === DupChunkLen, col("c"))),
+          lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ppm", expr("n_dup_chunks * 1000000 DIV n_chunks"))
+      .orderBy("source")
+  }
+
+  val q133Oracle: String =
+    s"""WITH base AS (
+       |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |ch AS (
+       |  SELECT source,
+       |    ${graft.functions.PolyHash.hornerSql(
+    s"array_to_string(t[s * $DupChunkLen + 1 : s * $DupChunkLen + $DupChunkLen], ' ')")} AS h,
+       |    len(t[s * $DupChunkLen + 1 : s * $DupChunkLen + $DupChunkLen]) AS ln
+       |  FROM (SELECT source, t,
+       |          unnest(generate_series(0,
+       |            CASE WHEN len(t) <= $DupChunkLen THEN 0
+       |                 ELSE (len(t) - 1) // $DupChunkLen END)) AS s
+       |        FROM base)),
+       |p AS (SELECT source, h, count(*) AS c, max(ln) AS ln
+       |      FROM ch GROUP BY 1, 2),
+       |w AS (SELECT source, h, c, ln,
+       |        sum(c) OVER (PARTITION BY h) AS nh FROM p)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_chunks,
+       |  count(*) AS n_distinct_chunks,
+       |  CAST(coalesce(sum(CASE WHEN nh > 1 AND ln = $DupChunkLen THEN c END), 0)
+       |    AS BIGINT) AS n_dup_chunks,
+       |  CAST(coalesce(sum(CASE WHEN nh > 1 AND ln = $DupChunkLen THEN c END), 0)
+       |    * 1000000 // sum(c) AS BIGINT) AS dup_ppm
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1723,4 +1723,274 @@ object Warehouse {
       |  CAST(count(*) - count(locf) AS BIGINT) AS n_leading_nulls,
       |  max(CASE WHEN obs IS NOT NULL THEN gts END) AS last_seen_hour
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- SCD2 dimension build (q132) ----------------------------------------
+
+  /** The 5-value event_type domain in lexical order — the shared
+    * state→index encoding q132/q135 use to make "argmax with largest-value
+    * tie-break" a single exact-integer `max` on BOTH engines (the q53
+    * portable-arithmetic discipline: `max(metric * 8 + idx)` then
+    * div/mod to decode; 8 > |domain| so fields never carry). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def eventTypeIdx(c: Column): Column =
+    EventTypes.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (t, i)) =>
+      when(c === t, lit(i.toLong)).otherwise(acc)
+    }
+  private def eventTypeIdxSql(e: String): String =
+    "CASE " + EventTypes.zipWithIndex
+      .map { case (t, i) => s"WHEN $e = '$t' THEN $i" }
+      .mkString(" ") + " ELSE -1 END"
+  private def eventTypeDecode(idx: Column): Column =
+    element_at(array(EventTypes.map(lit): _*), (idx + 1).cast("int"))
+  private def eventTypeDecodeSql(e: String): String =
+    s"(['click','error','purchase','signup','view'])[CAST($e AS INTEGER) + 1]"
+
+  /** q132: SCD2 (TYPE-2 SLOWLY-CHANGING DIMENSION) BUILD — the warehouse
+    * operator that turns a mutation/event log into versioned dimension
+    * rows with validity intervals: per user, consecutive runs of the same
+    * state collapse into ONE version, `valid_from` = run start,
+    * `valid_to` = next version's start (NULL = current). This is how
+    * every dimensional warehouse historizes customer attributes; q67's
+    * upsert keeps only the LATEST row — SCD2 keeps the full history with
+    * interval semantics, which is what point-in-time joins (q48/q58)
+    * consume.
+    *
+    * Run detection is the classic gaps-and-islands double window: a
+    * change flag via `lag` under the (ts, event_id) TOTAL order (null-safe
+    * `<=>` so the first row opens version 1 — IS DISTINCT FROM on the
+    * oracle), then a running sum numbers the versions. Both windows and
+    * the version-granularity `lead` share ONE user_id hash exchange
+    * (high-cardinality key — never the 5-value state). The registered
+    * result is the per-user SCD2 audit: version/re-entry counts, the
+    * current open version, and the longest CLOSED version — duration in
+    * exact MICROSECONDS (`unix_micros` diff; seconds would truncate both
+    * engines differently at sub-second boundaries), argmax via the
+    * `dur·8+idx` encoding so duration ties break to the lexically-largest
+    * state identically everywhere. Single-version users have no closed
+    * version → explicit NULLs. Nothing after the first shuffle is
+    * event-sized: versions ≤ events, the rollup is user-sized.
+    */
+  def q132Scd2(s: SparkSession, d: String): DataFrame = {
+    val wEv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val versions = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(!(lag(col("event_type"), 1).over(wEv) <=> col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(wEv))
+      .groupBy("user_id", "ver")
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wVer = Window.partitionBy("user_id").orderBy("ver")
+    val iv = versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("enc",
+        when(col("valid_to").isNotNull,
+          (unix_micros(col("valid_to")) - unix_micros(col("valid_from"))) * 8L
+            + eventTypeIdx(col("state"))))
+    iv.groupBy("user_id")
+      .agg(sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_versions"),
+        (count(lit(1)) - countDistinct(col("state"))).as("n_reentries"),
+        expr("max_by(state, ver)").as("current_state"),
+        max(col("valid_from")).as("current_since"),
+        max(col("enc")).as("enc"))
+      .select(col("user_id"), col("n_events"), col("n_versions"),
+        col("n_reentries"), col("current_state"), col("current_since"),
+        expr("enc DIV 8").as("longest_us"),
+        eventTypeDecode(expr("enc % 8")).as("longest_state"))
+      .orderBy("user_id")
+  }
+
+  val q132Oracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |v AS (
+       |  SELECT user_id, ts, event_type,
+       |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+       |  FROM e),
+       |g AS (
+       |  SELECT user_id, ver, min(event_type) AS state,
+       |    min(ts) AS valid_from, count(*) AS n_events
+       |  FROM v GROUP BY 1, 2),
+       |iv AS (
+       |  SELECT user_id, ver, state, valid_from, n_events,
+       |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to
+       |  FROM g)
+       |SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  count(*) AS n_versions,
+       |  CAST(count(*) - count(DISTINCT state) AS BIGINT) AS n_reentries,
+       |  max_by(state, ver) AS current_state,
+       |  max(valid_from) AS current_since,
+       |  CAST(max(CASE WHEN valid_to IS NOT NULL THEN
+       |    date_diff('microsecond', valid_from, valid_to) * 8
+       |      + ${eventTypeIdxSql("state")} END) // 8 AS BIGINT) AS longest_us,
+       |  ${eventTypeDecodeSql(
+    s"max(CASE WHEN valid_to IS NOT NULL THEN date_diff('microsecond', valid_from, valid_to) * 8 + ${eventTypeIdxSql("state")} END) % 8")}
+       |    AS longest_state
+       |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- Robust median/MAD outlier audit (q134) -----------------------------
+
+  /** MAD cut multiplier: |x − median| > 3·MAD flags an outlier — the
+    * robust-statistics analog of a 3σ rule (for a normal population
+    * 3·MAD ≈ 2σ; the point is robustness, not the exact z). */
+  private val MadCutK = 3
+
+  /** q134: ROBUST (MEDIAN/MAD) OUTLIER AUDIT per event_type — the
+    * complement of q86's rolling z-score: mean/stddev are themselves
+    * dragged by the outliers they are meant to find, so data-quality
+    * gates on heavy-tailed value streams use the breakdown-resistant
+    * median and MAD (median absolute deviation). Flag: |x − med| >
+    * [[MadCutK]]·MAD, an EXACT integer comparison on cents.
+    *
+    * The scale design is the q50 histogram discipline taken further:
+    * ONE event-sized scan builds a (type, cents) VALUE HISTOGRAM, and
+    * every subsequent step — cumulative walk to the lower median,
+    * deviation re-histogram around it, second walk to the MAD, outlier
+    * mass — operates on the distinct-value frame, which is bounded by
+    * the value DOMAIN, not the corpus (the built-in sort-based
+    * `percentile` would buffer every row per group). Lower median =
+    * smallest value whose cumulative count reaches ceil(n/2) — a pure
+    * integer definition both engines compute identically, no
+    * interpolation float. The 5-row median/MAD frames broadcast back
+    * onto the histogram; NOTHING after the first aggregate is
+    * event-sized. MAD = 0 (over half the mass on one value) degrades to
+    * flagging every non-median value — the documented MAD breakdown
+    * case, preserved rather than papered over.
+    */
+  def q134RobustStats(s: SparkSession, d: String): DataFrame = {
+    val half = expr("cum >= (n + 1) DIV 2")
+    val hist = events(s, d)
+      .groupBy(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .agg(count(lit(1)).as("c"))
+    val wT = Window.partitionBy("event_type")
+    val med = hist
+      .withColumn("n", sum(col("c")).over(wT))
+      .withColumn("cum", sum(col("c")).over(
+        wT.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(half)
+      .groupBy("event_type").agg(min(col("cents")).as("med"), max(col("n")).as("n"))
+    val dev = hist.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("cents") - col("med")).as("dev"))
+      .agg(sum(col("c")).as("dc"), max(col("n")).as("n"), max(col("med")).as("med"))
+    val mad = dev
+      .withColumn("cum", sum(col("dc")).over(
+        wT.orderBy("dev").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(half)
+      .groupBy("event_type").agg(min(col("dev")).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        max(col("med")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        coalesce(sum(when(col("dev") > lit(MadCutK.toLong) * col("mad"), col("dc"))),
+          lit(0L)).as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 DIV n_events"))
+      .orderBy("event_type")
+  }
+
+  val q134Oracle: String =
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |hc AS (
+       |  SELECT event_type, cents, c,
+       |    sum(c) OVER (PARTITION BY event_type) AS n,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+       |  FROM h),
+       |med AS (
+       |  SELECT event_type, min(cents) AS med, max(n) AS n
+       |  FROM hc WHERE cum >= (n + 1) // 2 GROUP BY 1),
+       |dev AS (
+       |  SELECT h.event_type, abs(h.cents - m.med) AS dev, sum(h.c) AS dc,
+       |    max(m.n) AS n, max(m.med) AS med
+       |  FROM h JOIN med m ON m.event_type = h.event_type GROUP BY 1, 2),
+       |dc AS (
+       |  SELECT event_type, dev, dc, n, med,
+       |    sum(dc) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+       |  FROM dev),
+       |mad AS (
+       |  SELECT event_type, min(dev) AS mad
+       |  FROM dc WHERE cum >= (n + 1) // 2 GROUP BY 1)
+       |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n_events,
+       |  max(d.med) AS median_cents,
+       |  max(a.mad) AS mad_cents,
+       |  CAST(coalesce(sum(CASE WHEN d.dev > $MadCutK * a.mad THEN d.dc END), 0)
+       |    AS BIGINT) AS n_outliers,
+       |  CAST(coalesce(sum(CASE WHEN d.dev > $MadCutK * a.mad THEN d.dc END), 0)
+       |    * 1000000 // max(d.n) AS BIGINT) AS outlier_ppm
+       |FROM dev d JOIN mad a ON a.event_type = d.event_type
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Higher-order sequence-model dataset builder (q135) -----------------
+
+  /** Context length for q135: each training example is (3 preceding
+    * event types → next type), i.e. a 4-gram over the type sequence. */
+  private val SeqCtxLen = 3
+
+  /** q135: SEQUENCE-MODEL DATASET BUILDER — the supervised-pair
+    * extraction step of next-event prediction: per user, under the
+    * (ts, event_id) total order, every event with [[SeqCtxLen]]
+    * predecessors becomes one (context → label) example. q91 is the
+    * 1st-order transition matrix; this is the HIGHER-ORDER analog plus
+    * the dataset-curation statistics a modeler reads before training:
+    * per context — example support, label diversity, and the majority
+    * label with its exact ppm share (Bayes-optimal accuracy of a
+    * lookup-table predictor on this context).
+    *
+    * Shape: the lag chain rides ONE user-partitioned window exchange
+    * (all three lags share the frame), then everything collapses to the
+    * (context, label) CELL frame — ≤ |types|^4 rows at any corpus size.
+    * The majority label is the same `cnt·8+idx` exact-integer argmax as
+    * q132 (count ties break to the lexically-largest label on both
+    * engines); its ppm is integer division, so every column hashes.
+    */
+  def q135SeqContexts(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cells = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("c1", lag(col("event_type"), 3).over(w))
+      .withColumn("c2", lag(col("event_type"), 2).over(w))
+      .withColumn("c3", lag(col("event_type"), 1).over(w))
+      .filter(col("c1").isNotNull)
+      .groupBy(concat_ws(">", col("c1"), col("c2"), col("c3")).as("context"),
+        col("event_type").as("label"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy("context")
+      .agg(sum(col("c")).as("n_examples"),
+        count(lit(1)).as("n_labels"),
+        max(col("c") * 8L + eventTypeIdx(col("label"))).as("enc"))
+      .select(col("context"), col("n_examples"), col("n_labels"),
+        eventTypeDecode(expr("enc % 8")).as("top_label"),
+        expr("(enc DIV 8) * 1000000 DIV n_examples").as("top_label_ppm"))
+      .orderBy("context")
+  }
+
+  val q135Oracle: String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type, 3) OVER w AS c1,
+       |    lag(event_type, 2) OVER w AS c2,
+       |    lag(event_type, 1) OVER w AS c3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |cells AS (
+       |  SELECT c1 || '>' || c2 || '>' || c3 AS context, event_type AS label,
+       |    count(*) AS c
+       |  FROM x WHERE c1 IS NOT NULL GROUP BY 1, 2)
+       |SELECT context, CAST(sum(c) AS BIGINT) AS n_examples,
+       |  count(*) AS n_labels,
+       |  ${eventTypeDecodeSql(
+    s"max(c * 8 + ${eventTypeIdxSql("label")}) % 8")} AS top_label,
+       |  CAST((max(c * 8 + ${eventTypeIdxSql("label")}) // 8) * 1000000
+       |    // sum(c) AS BIGINT) AS top_label_ppm
+       |FROM cells GROUP BY context ORDER BY context""".stripMargin
 }
