@@ -45,6 +45,11 @@ object Privacy {
   private def customer(s: SparkSession, d: String): DataFrame =
     graft.sources.Layouts.customer(s, d)
 
+  /** documents through the maintained split layout — same contract as the
+    * [[Corpus]]/[[LlmOps]] twins. */
+  private def documents(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.documents(s, d)
+
   /** q64: end-to-end PII scrub. The fixture tables carry no free-form
     * contact text, so the contact line is synthesized DETERMINISTICALLY
     * from customer columns (name, key-derived email present on 2/3 of
@@ -96,4 +101,59 @@ object Privacy {
       |  CAST(len(regexp_extract_all(t1, '[0-9]{9,}')) AS BIGINT) AS n_ids,
       |  regexp_replace(t1, '[0-9]{5,}([0-9]{4})', '***\1', 'g') AS redacted
       |FROM e1 ORDER BY c_custkey""".stripMargin
+
+  // --- k-anonymity audit (q138) -------------------------------------------
+
+  /** q138 anonymity threshold and the length-generalization width (chars
+    * per band). k=5 is the conventional floor for released datasets. */
+  private val KAnon = 5L
+  private val CharsBand = 256L
+
+  /** q138: K-ANONYMITY AUDIT — the governance complement of q64's PII
+    * redaction: scrubbing direct identifiers is not enough if
+    * QUASI-identifiers (attributes an adversary can know from elsewhere)
+    * isolate individuals. Here the QI tuple is (lang, source, document
+    * length generalized to [[CharsBand]]-char bands — generalization IS
+    * the k-anonymity mechanic); any QI group smaller than [[KAnon]] is
+    * re-identifiable and its rows must be suppressed or further
+    * generalized before release. Per (lang, source): group counts, the
+    * suppressed mass in exact ppm, and the minimum group size (the
+    * headline "this release is min_k-anonymous" number).
+    *
+    * Shape: one corpus scan → QI-group hash aggregate (domain-bounded:
+    * |langs|·|sources|·|bands|), then a tiny rollup — the audit never
+    * materializes row-level flags, so it runs at any corpus size; the
+    * row-level suppression list is a semi-join of the corpus against the
+    * small-group frame, deliberately NOT part of the audit plan.
+    */
+  def q138KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val groups = documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars DIV $CharsBand").as("len_band"))
+      .agg(count(lit(1)).as("gsz"))
+    groups.groupBy("lang", "source")
+      .agg(sum(col("gsz")).as("n_docs"),
+        count(lit(1)).as("n_qi_groups"),
+        coalesce(sum(when(col("gsz") < KAnon, col("gsz"))), lit(0L))
+          .as("n_suppressed"),
+        min(col("gsz")).as("min_group_size"))
+      .withColumn("suppressed_ppm",
+        expr("n_suppressed * 1000000 DIV n_docs"))
+      .orderBy("lang", "source")
+  }
+
+  val q138Oracle: String =
+    s"""WITH g AS (
+       |  SELECT lang, source, n_chars // $CharsBand AS len_band,
+       |    count(*) AS gsz
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT lang, source,
+       |  CAST(sum(gsz) AS BIGINT) AS n_docs,
+       |  count(*) AS n_qi_groups,
+       |  CAST(coalesce(sum(CASE WHEN gsz < $KAnon THEN gsz END), 0) AS BIGINT)
+       |    AS n_suppressed,
+       |  CAST(min(gsz) AS BIGINT) AS min_group_size,
+       |  CAST(coalesce(sum(CASE WHEN gsz < $KAnon THEN gsz END), 0)
+       |    * 1000000 // sum(gsz) AS BIGINT) AS suppressed_ppm
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -1993,4 +1993,138 @@ object Warehouse {
        |  CAST((max(c * 8 + ${eventTypeIdxSql("label")}) // 8) * 1000000
        |    // sum(c) AS BIGINT) AS top_label_ppm
        |FROM cells GROUP BY context ORDER BY context""".stripMargin
+
+  // --- Interval union / coverage (q136) -----------------------------------
+
+  /** q136 interval half-width: each event claims [ts, ts + 10 min) of
+    * attention; overlapping or abutting claims merge. */
+  private val CoverIvUs = 600L * 1000000L
+
+  /** q136: INTERVAL UNION (coverage) — merge overlapping per-user time
+    * intervals and measure the UNION length, the dual of q33's
+    * sessionization (which groups events; this measures covered TIME —
+    * billing windows, attention minutes, SLA coverage all reduce to it).
+    * Naive Σ(interval lengths) double-counts overlap; the union is the
+    * honest denominator for utilization.
+    *
+    * The merge is the classic sweep: under the (us, event_id) total
+    * order, an interval opens a NEW island iff its start exceeds the
+    * running max of all PRECEDING ends (frame ends at 1 PRECEDING — the
+    * current row must not see its own end; abutting intervals, start ==
+    * prev end, merge by the strict `>`). Island numbering is the same
+    * running-sum idiom as q132; both windows and the island rollup ride
+    * ONE user_id exchange, and everything is exact microsecond integers.
+    * Per user: island/event counts, union coverage, and utilization —
+    * covered_us as exact ppm of the Σ-lengths naive total (1e6 = zero
+    * overlap; lower = denser bursts).
+    */
+  def q136IntervalUnion(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val islands = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("en", col("us") + CoverIvUs)
+      .withColumn("pmax",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl",
+        sum(when(col("pmax").isNull || col("us") > col("pmax"), 1L)
+          .otherwise(0L)).over(w))
+      .groupBy("user_id", "isl")
+      .agg(min(col("us")).as("st"), max(col("en")).as("en"),
+        count(lit(1)).as("n"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("n")).as("n_events"),
+        sum(col("en") - col("st")).as("covered_us"),
+        max(col("n")).as("max_events_per_interval"))
+      .withColumn("utilization_ppm",
+        expr(s"covered_us * 1000000 DIV (n_events * $CoverIvUs)"))
+      .orderBy("user_id")
+  }
+
+  val q136Oracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    epoch_us(ts) + $CoverIvUs AS en
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, event_id, us, en,
+       |    max(en) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM e),
+       |i AS (
+       |  SELECT user_id, us, en,
+       |    sum(CASE WHEN pmax IS NULL OR us > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS isl
+       |  FROM m),
+       |g AS (
+       |  SELECT user_id, isl, min(us) AS st, max(en) AS en, count(*) AS n
+       |  FROM i GROUP BY 1, 2)
+       |SELECT user_id, count(*) AS n_intervals,
+       |  CAST(sum(n) AS BIGINT) AS n_events,
+       |  CAST(sum(en - st) AS BIGINT) AS covered_us,
+       |  CAST(max(n) AS BIGINT) AS max_events_per_interval,
+       |  CAST(sum(en - st) * 1000000 // (sum(n) * $CoverIvUs) AS BIGINT)
+       |    AS utilization_ppm
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- Exact mergeable distinct via bitmaps (q137) ------------------------
+
+  /** q137: EXACT MERGEABLE COUNT-DISTINCT via BITMAPS — the third point
+    * on the distinct-counting spectrum this engine covers: q116's
+    * grouping-sets countDistinct is exact but NOT mergeable (re-scan per
+    * rollup grain), q123's HLL sketches are mergeable but approximate;
+    * RoaringBitmap-style bitmap aggregation is BOTH — exact AND
+    * mergeable — whenever the key domain is dense integers (user ids).
+    * Spark 4's native bitmap family implements it: ids bucket into
+    * 32k-bit segments (`bitmap_bucket_number`/`bitmap_bit_position`),
+    * per-segment bitmaps OR together losslessly, and `bitmap_count` is
+    * exact popcount.
+    *
+    * The pyramid here proves the merge law: level 1 builds ONE bitmap
+    * per (type, day, bucket) in a single corpus scan; the per-type
+    * distinct is NOT recounted from events but OR-merged from the
+    * day-level bitmaps — at 100 TB the daily bitmap table is the
+    * maintained artifact (kilobytes per day) and any rollup window is a
+    * bitmap OR, zero re-scan (the q123/q131 incremental discipline, but
+    * exact). Σ(daily distinct) rides the same frame, giving revisit_ppm
+    * — the share of daily-active entries that are RETURNING users
+    * (Σ daily − true distinct, the exact DAU-vs-MAU inflation) — with
+    * no second pass. The oracle recomputes both sides from raw
+    * count(DISTINCT), so the gate certifies popcount == true distinct
+    * at every grain.
+    */
+  def q137BitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    val lvl1 = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        expr("bitmap_bucket_number(user_id)").as("bk"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .withColumn("cnt", expr("bitmap_count(bm)"))
+    lvl1.groupBy("event_type", "bk")
+      .agg(sum(col("cnt")).as("s"), expr("bitmap_or_agg(bm)").as("bm2"))
+      .withColumn("cnt2", expr("bitmap_count(bm2)"))
+      .groupBy("event_type")
+      .agg(sum(col("s")).as("sum_daily_distinct"),
+        sum(col("cnt2")).as("n_distinct_users"))
+      .withColumn("revisit_ppm",
+        expr("(sum_daily_distinct - n_distinct_users) * 1000000" +
+          " DIV sum_daily_distinct"))
+      .orderBy("event_type")
+  }
+
+  val q137Oracle: String =
+    """WITH dd AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(DISTINCT user_id) AS nd
+      |  FROM events GROUP BY 1, 2),
+      |tt AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS ndu
+      |  FROM events GROUP BY 1)
+      |SELECT dd.event_type,
+      |  CAST(sum(dd.nd) AS BIGINT) AS sum_daily_distinct,
+      |  max(tt.ndu) AS n_distinct_users,
+      |  CAST((sum(dd.nd) - max(tt.ndu)) * 1000000 // sum(dd.nd) AS BIGINT)
+      |    AS revisit_ppm
+      |FROM dd JOIN tt ON tt.event_type = dd.event_type
+      |GROUP BY dd.event_type ORDER BY dd.event_type""".stripMargin
 }
