@@ -1688,4 +1688,53 @@ object Corpus {
        |  CAST(coalesce(sum(CASE WHEN nh > 1 AND ln = $DupChunkLen THEN c END), 0)
        |    * 1000000 // sum(c) AS BIGINT) AS dup_ppm
        |FROM w GROUP BY source ORDER BY source""".stripMargin
+
+  // --- Order-independent table checksum (q140) ----------------------------
+
+  /** q140: MERGEABLE TABLE CHECKSUM — replication/ingest validation at
+    * kilobyte cost: per source, an ORDER-INDEPENDENT fingerprint of the
+    * full row content (doc_id | lang | text through the engine-portable
+    * [[graft.functions.PolyHash]] row hash). Two replicas, two engine
+    * versions, or a pre/post-migration pair compare equal iff their
+    * (n_rows, sum, xor) triples match — without shipping or sorting a
+    * single row. Every component is a COMMUTATIVE, ASSOCIATIVE aggregate,
+    * which buys two properties a naive md5-of-sorted-dump lacks:
+    * partition layout and row order cannot change the answer, and
+    * partial checksums MERGE (shard fingerprints add/xor into the table
+    * fingerprint; an append-only delta updates it incrementally — the
+    * q131 MV discipline applied to integrity metadata).
+    *
+    * sum rides decimal(38,0)/HUGEINT before the final mod (row hashes
+    * are < 2^30, so 10^38 headroom covers ~10^28 rows); xor needs no
+    * widening (closed on 64 bits). min/max ride along as cheap
+    * corruption locators. One scan, sources-row output.
+    */
+  def q140TableChecksum(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{PolyHash, VectorExpressions}
+    val rowH = VectorExpressions.hornerHash(
+      concat_ws("|", col("doc_id").cast("string"), col("lang"), col("text")))
+    documents(s, d)
+      .select(col("source"), rowH.as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h").cast("decimal(38,0)")) % PolyHash.Mod)
+          .cast("long").as("sum_mod"),
+        expr("bit_xor(h)").as("xor_h"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      .orderBy("source")
+  }
+
+  val q140Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH r AS (
+       |  SELECT source,
+       |    ${PolyHash.hornerSql(
+      "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || text")} AS h
+       |  FROM documents)
+       |SELECT source, count(*) AS n_rows,
+       |  CAST(sum(CAST(h AS HUGEINT)) % ${PolyHash.Mod} AS BIGINT) AS sum_mod,
+       |  bit_xor(h) AS xor_h,
+       |  min(h) AS min_h, max(h) AS max_h
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
 }

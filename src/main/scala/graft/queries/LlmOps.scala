@@ -3422,4 +3422,123 @@ object LlmOps {
       |  CAST(count_if(qc = 0) AS BIGINT) AS n_zero,
       |  min(qc) = max(qc) AS dead
       |FROM ex GROUP BY pos ORDER BY pos""".stripMargin
+
+  // --- kNN-graph triangle census (q139) -----------------------------------
+
+  /** q139 graph degree bound: each vector contributes its top-5 cosine
+    * neighbors; union symmetrization caps degree at 10 + incoming. */
+  private val TriKnnK = 5
+
+  /** q139: TRIANGLE CENSUS of the semantic k-NN graph — the structure
+    * audit ABOVE pairwise similarity: q42 counts near-dup PAIRS, q63
+    * finds connected components, but neither says how CLUMPED the
+    * embedding space is. The global clustering coefficient
+    * (transitivity = 3·triangles / wedges) does: high transitivity means
+    * near-dups come in tight cliques (template families — purge-friendly),
+    * low means chains/hubs (LSH bucket-joins will over-merge). Graph
+    * construction is the q82 discipline — cell-restricted (label)
+    * candidate scoring, rank window over (rounded sim DESC, id ASC),
+    * top-[[TriKnnK]] per vector, symmetrized by UNION into undirected
+    * (lo, hi) edges.
+    *
+    * Scale shape: the candidate join is |cell|²-bounded like q77 (never
+    * corpus²); after it, everything is EDGE-sized with bounded degree —
+    * wedges ≤ n·C(deg,2), and the triangle join is the ordered-adjacency
+    * enumeration (each triangle x<y<z found exactly once as wedge
+    * (x,y),(x,z) closed by edge (y,z) — the a<b<c direction cuts the 6×
+    * symmetric blow-up). Node/degree stats ride the edge frame, not the
+    * corpus. Exact integers throughout the census; sims only order the
+    * rank window (4-dp rounded, the cross-engine-stable q82 form).
+    */
+  def q139KnnTriangles(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("ia"),
+      col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("ib"),
+      col("embedding").as("eb"))
+    val wA = Window.partitionBy("label", "ia")
+      .orderBy(col("sim").desc, col("ib"))
+    val edges = a.join(b, Seq("label")).filter(col("ia") =!= col("ib"))
+      .select(col("label"), col("ia"), col("ib"),
+        round(VectorExpressions.cosine(col("ea"), col("eb")), 4).as("sim"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= TriKnnK)
+      .select(col("label"), least(col("ia"), col("ib")).as("lo"),
+        greatest(col("ia"), col("ib")).as("hi"))
+      .distinct()
+    val degRoll = edges
+      .select(col("label"), explode(array(col("lo"), col("hi"))).as("v"))
+      .groupBy("label", "v").agg(count(lit(1)).as("deg"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("sum(deg * (deg - 1)) DIV 2").as("n_wedges"))
+    val eRoll = edges.groupBy("label").agg(count(lit(1)).as("n_edges"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e2.label") === col("e1.label") && col("e2.lo") === col("e1.lo") &&
+          col("e2.hi") > col("e1.hi"))
+      .join(edges.as("e3"),
+        col("e3.label") === col("e1.label") && col("e3.lo") === col("e1.hi") &&
+          col("e3.hi") === col("e2.hi"))
+      .groupBy(col("e1.label").as("label"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degRoll.join(eRoll, Seq("label"))
+      .join(tri, Seq("label"), "left")
+      .select(col("label").cast("long").as("label"), col("n_nodes"),
+        col("n_edges"), col("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("transitivity_ppm",
+        expr("CASE WHEN n_wedges > 0 THEN " +
+          "n_triangles * 3 * 1000000 DIV n_wedges END"))
+      .orderBy("label")
+  }
+
+  val q139Oracle: String =
+    s"""WITH ex AS (
+       |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+       |    unnest(a.embedding) AS x, unnest(b.embedding) AS y
+       |  FROM embeddings a JOIN embeddings b USING (label)
+       |  WHERE a.vec_id <> b.vec_id),
+       |sims AS (
+       |  SELECT label, ia, ib,
+       |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS sim
+       |  FROM ex GROUP BY 1, 2, 3),
+       |dkt AS (
+       |  SELECT label, ia, ib,
+       |    row_number() OVER (PARTITION BY label, ia
+       |                       ORDER BY sim DESC, ib) AS rn
+       |  FROM sims),
+       |edges AS (
+       |  SELECT DISTINCT label, least(ia, ib) AS lo, greatest(ia, ib) AS hi
+       |  FROM dkt WHERE rn <= $TriKnnK),
+       |deg AS (
+       |  SELECT label, v, count(*) AS deg FROM (
+       |    SELECT label, lo AS v FROM edges
+       |    UNION ALL SELECT label, hi AS v FROM edges)
+       |  GROUP BY 1, 2),
+       |droll AS (
+       |  SELECT label, count(*) AS n_nodes,
+       |    sum(deg * (deg - 1)) // 2 AS n_wedges
+       |  FROM deg GROUP BY 1),
+       |eroll AS (SELECT label, count(*) AS n_edges FROM edges GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.label, count(*) AS n_triangles
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.label = e1.label AND e2.lo = e1.lo
+       |                AND e2.hi > e1.hi
+       |  JOIN edges e3 ON e3.label = e1.label AND e3.lo = e1.hi
+       |                AND e3.hi = e2.hi
+       |  GROUP BY 1)
+       |SELECT CAST(droll.label AS BIGINT) AS label, droll.n_nodes,
+       |  eroll.n_edges,
+       |  CAST(droll.n_wedges AS BIGINT) AS n_wedges,
+       |  CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST(CASE WHEN droll.n_wedges > 0 THEN
+       |    coalesce(tri.n_triangles, 0) * 3 * 1000000 // droll.n_wedges END
+       |    AS BIGINT) AS transitivity_ppm
+       |FROM droll JOIN eroll ON eroll.label = droll.label
+       |LEFT JOIN tri ON tri.label = droll.label
+       |ORDER BY label""".stripMargin
 }
