@@ -2127,4 +2127,199 @@ object Warehouse {
       |    AS revisit_ppm
       |FROM dd JOIN tt ON tt.event_type = dd.event_type
       |GROUP BY dd.event_type ORDER BY dd.event_type""".stripMargin
+
+  // --- Exact OLS trend (q141) ---------------------------------------------
+
+  /** q141: EXACT OLS TREND per event_type — "is this metric drifting,
+    * and how fast": the least-squares slope of value (cents) against
+    * time, computed ENTIRELY in integer moment sums so both engines
+    * produce the identical milli-cents-per-day figure (`regr_slope`
+    * would hand back an engine-floating double). The moments ride one
+    * aggregate: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over
+    * decimal(38,0)/HUGEINT.
+    *
+    * Two scale-critical choices: x is SECONDS SINCE THE PER-TYPE MIN
+    * (raw epoch-µs x would put Σx² at ~1e48 — past even HUGEINT — at
+    * 10¹¹ rows; centered seconds keep it under 1e36), with the min
+    * joined in via an unordered partition window so no second scan; and
+    * the final division runs on ABSOLUTE values with the sign factored
+    * out (`sign · (|num|·86400000 div den)`) because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — identical on
+    * non-negative operands, off-by-one on negative trends. Constant-x
+    * degenerate groups (den = 0) return explicit NULL. Mean milli-cents
+    * rides along for free.
+    */
+  def q141Trend(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val wT = Window.partitionBy("event_type")
+    events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("x", expr("(us - min(us) OVER (PARTITION BY event_type))" +
+        " DIV 1000000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        big(sum(big(col("x")))).as("sx"),
+        big(sum(big(col("cents")))).as("sy"),
+        big(sum(big(col("x")) * big(col("cents")))).as("sxy"),
+        big(sum(big(col("x")) * big(col("x")))).as("sxx"),
+        max(col("x")).as("span_s"))
+      .withColumn("num", big(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", big(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n").as("n_events"), col("span_s"),
+        expr("sy * 1000 DIV n").cast("long").as("mean_mcents"),
+        expr("CASE WHEN den > 0 THEN CAST(sign(num) AS DECIMAL(38,0)) * " +
+          "(abs(num) * 86400000 DIV den) END").cast("long")
+          .as("slope_mcents_per_day"))
+      .orderBy("event_type")
+  }
+
+  val q141Oracle: String =
+    """WITH r AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |cx AS (
+      |  SELECT event_type, cents,
+      |    (us - min(us) OVER (PARTITION BY event_type)) // 1000000 AS x
+      |  FROM r),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx,
+      |    sum(CAST(cents AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * cents) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    max(x) AS span_s
+      |  FROM cx GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, n, span_s, sy,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |  FROM m)
+      |SELECT event_type, n AS n_events, CAST(span_s AS BIGINT) AS span_s,
+      |  CAST(sy * 1000 // n AS BIGINT) AS mean_mcents,
+      |  CAST(CASE WHEN den > 0 THEN sign(num) * (abs(num) * 86400000 // den)
+      |    END AS BIGINT) AS slope_mcents_per_day
+      |FROM f ORDER BY event_type""".stripMargin
+
+  // --- Day-of-week seasonality profile (q142) -----------------------------
+
+  /** q142: DAY-OF-WEEK SEASONALITY PROFILE — the periodic complement of
+    * q141's monotone trend: per (event_type, weekday) exact traffic
+    * share and mean value, plus the peak-day flag feeding capacity
+    * planning and anomaly baselines ("is Tuesday ALWAYS like this").
+    * The weekday is computed engine-neutrally as
+    * `(days_since_epoch + 4) % 7` (1970-01-01 was a Thursday; 0 =
+    * Sunday) — Spark's `dayofweek` is 1-based and DuckDB's `dayofweek`
+    * 0-based, an off-by-one trap this arithmetic sidesteps entirely.
+    * Peak = rank 1 under (mean DESC, dow DESC) over the 7-row type
+    * frame; all ratios exact (ppm / milli-cents). One event-sized
+    * aggregate to the ≤ |types|·7 frame; windows ride that frame.
+    */
+  def q142DowProfile(s: SparkSession, d: String): DataFrame = {
+    val wT = Window.partitionBy("event_type")
+    events(s, d)
+      .select(col("event_type"),
+        expr("(datediff(CAST(ts AS DATE), DATE '1970-01-01') + 4) % 7")
+          .cast("long").as("dow"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("tot"))
+      .withColumn("share_ppm",
+        expr("n_events * 1000000 DIV sum(n_events) OVER " +
+          "(PARTITION BY event_type)"))
+      .withColumn("mean_mcents", expr("tot * 1000 DIV n_events"))
+      .withColumn("is_peak",
+        row_number().over(wT.orderBy(col("mean_mcents").desc, col("dow").desc))
+          === 1)
+      .select(col("event_type"), col("dow"), col("n_events"),
+        col("share_ppm"), col("mean_mcents"), col("is_peak"))
+      .orderBy("event_type", "dow")
+  }
+
+  val q142Oracle: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+      |      AS dow,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, CAST(dow AS BIGINT) AS dow,
+      |    count(*) AS n_events, sum(cents) AS tot
+      |  FROM r GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, dow, n_events,
+      |    CAST(n_events * 1000000 // sum(n_events) OVER
+      |      (PARTITION BY event_type) AS BIGINT) AS share_ppm,
+      |    CAST(tot * 1000 // n_events AS BIGINT) AS mean_mcents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY tot * 1000 // n_events DESC, dow DESC) AS rn
+      |  FROM g)
+      |SELECT event_type, dow, n_events, share_ppm, mean_mcents,
+      |  rn = 1 AS is_peak
+      |FROM w ORDER BY event_type, dow""".stripMargin
+
+  // --- CUSUM change-point detection (q143) --------------------------------
+
+  /** q143: CUSUM CHANGE-POINT DETECTION — "did this metric's level SHIFT,
+    * and when": per event_type, daily cents totals T_d, scaled
+    * deviations D_d = T_d·n − G (n = days, G = grand total — scaling by
+    * n instead of subtracting the fractional mean keeps everything in
+    * exact integers; Σ D_d = 0 by construction), running CUSUM
+    * S_k = Σ_{d≤k} D_d. The day with max |S_k| is the classic
+    * single-change-point estimate; its magnitude normalized to
+    * `|S|·10⁶ div (G·n)` is the engine-portable severity score (0 =
+    * flat). Ties break to the EARLIEST day on both engines via the
+    * (|S| DESC, day ASC) rank. Decimal(38,0)/HUGEINT throughout —
+    * S_k magnitudes reach T·n² and overflow longs at warehouse scale.
+    * One event-sized aggregate to the (type, day) frame; every window
+    * rides that day-granularity frame.
+    */
+  def q143Cusum(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val wT = Window.partitionBy("event_type")
+    val wCum = wT.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("t"))
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("g", sum(col("t")).over(wT))
+      .withColumn("dev", big(col("t")) * big(col("n")) - big(col("g")))
+      .withColumn("cusum", abs(sum(col("dev")).over(wCum)))
+      .withColumn("rn",
+        row_number().over(wT.orderBy(col("cusum").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("change_day"),
+        expr("cusum * 1000000 DIV (CAST(g AS DECIMAL(38,0)) * n)")
+          .cast("long").as("severity_ppm"))
+      .orderBy("event_type")
+  }
+
+  val q143Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS t
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, t,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(t) OVER (PARTITION BY event_type) AS g
+      |  FROM daily),
+      |c AS (
+      |  SELECT event_type, day, n, g,
+      |    abs(sum(CAST(t AS HUGEINT) * n - g) OVER (
+      |      PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      |  FROM w),
+      |r AS (
+      |  SELECT event_type, day, n, g, cusum,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cusum DESC, day) AS rn
+      |  FROM c)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS change_day,
+      |  CAST(cusum * 1000000 // (CAST(g AS HUGEINT) * n) AS BIGINT)
+      |    AS severity_ppm
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+/** q141 OLS trend, q142 DOW profile, q143 CUSUM: BigInt Scala replays pin
+  * the exact-integer moment algebra (centered-x slope, truncate-toward-
+  * zero signed division), the engine-neutral weekday arithmetic, and the
+  * scaled-deviation CUSUM with earliest-day tie-break.
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def rows: Seq[(String, Long, Long, String)] =
+    Tables.events(spark, d)
+      .select($"event_type", expr("unix_micros(ts)").as("us"),
+        round($"value" * 100, 0).cast("long").as("cents"),
+        to_date($"ts").cast("string").as("day"))
+      .as[(String, Long, Long, String)].collect().toSeq
+
+  test("q141 slope equals a BigInt moment replay (sign-factored division)") {
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val minUs = rs.map(_._2).min
+      val xy = rs.map(r => (BigInt((r._2 - minUs) / 1000000L), BigInt(r._3)))
+      val n = BigInt(xy.size)
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val slope = if (den > 0)
+        Some((num.signum * ((num.abs * 86400000) / den)).toLong) else None
+      (et, xy.size.toLong, xy.map(_._1).max.toLong, (sy * 1000 / n).toLong,
+        slope)
+    }
+    val got = Warehouse.q141Trend(spark, d)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == expected)
+    assert(got.forall(_._5.isDefined), "fixture spans > 1 second per type")
+  }
+
+  test("q142 DOW profile equals an epoch-day replay; one peak per type") {
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (et, rs) =>
+      val byDow = rs.groupBy { r =>
+        (java.time.LocalDate.parse(r._4, fmt).toEpochDay + 4) % 7
+      }
+      val nType = rs.size.toLong
+      val cells = byDow.toSeq.map { case (dow, v) =>
+        val tot = v.map(_._3).sum
+        (dow, v.size.toLong, tot * 1000 / v.size)
+      }
+      val peak = cells.maxBy(c => (c._3, c._1))
+      cells.sortBy(_._1).map { case (dow, n, mean) =>
+        (et, dow, n, n * 1000000L / nType, mean,
+          (mean, dow) == ((peak._3, peak._1)))
+      }
+    }
+    val got = Warehouse.q142DowProfile(spark, d)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == expected)
+    assert(got.count(_._6) == got.map(_._1).distinct.size,
+      "exactly one peak day per type")
+  }
+
+  test("q143 CUSUM equals a scaled-deviation replay with earliest-day ties") {
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val daily = rs.groupBy(_._4).toSeq
+        .map { case (day, v) => (day, BigInt(v.map(_._3).sum)) }
+        .sortBy(_._1)
+      val n = BigInt(daily.size); val g = daily.map(_._2).sum
+      val cusums = daily.scanLeft(BigInt(0)) { case (s, (_, t)) =>
+        s + t * n - g
+      }.tail.map(_.abs)
+      val (best, idx) = cusums.zipWithIndex.maxBy { case (c, i) => (c, -i) }
+      (et, daily.size.toLong, daily(idx)._1,
+        (best * 1000000 / (g * n)).toLong)
+    }
+    val got = Warehouse.q143Cusum(spark, d)
+      .select($"event_type", $"n_days", $"change_day".cast("string"),
+        $"severity_ppm")
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 > 0), "fixture should show some level shift")
+  }
+}
