@@ -156,4 +156,71 @@ object Privacy {
        |  CAST(coalesce(sum(CASE WHEN gsz < $KAnon THEN gsz END), 0)
        |    * 1000000 // sum(gsz) AS BIGINT) AS suppressed_ppm
        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- l-diversity audit (q148) -------------------------------------------
+
+  /** q148: L-DIVERSITY AUDIT — the attribute-disclosure complement of
+    * q138's k-anonymity: a QI group can be k-large yet still leak if
+    * every member shares the same SENSITIVE value (the classic
+    * homogeneity attack — "all 12 patients in that ZIP+age cell have
+    * the same diagnosis"). Here the QI tuple is (lang, length band —
+    * q138's generalization) and the sensitive attribute is `source`
+    * (which crawl/provider a document came from — exactly what a
+    * release would withhold). Per lang: the worst-case distinct-l
+    * (min distinct sources over its QI groups), the homogeneous-group
+    * count and its row mass in exact ppm, and the corpus-worst
+    * single-source share inside any group (max top-share, the
+    * probabilistic-inference bound on P[sensitive|QI]) — every figure
+    * an exact integer, nothing rank-ordered, so no tie rule needed.
+    *
+    * Shape: one corpus scan → (lang, band, source) counts
+    * (domain-bounded, map-side combinable), a second domain-sized
+    * rollup to QI groups, then a |langs|-row audit frame. Row-level
+    * remediation (suppress/generalize homogeneous groups) is a
+    * semi-join against the small QI frame, deliberately not part of
+    * the audit plan — same discipline as q138.
+    */
+  def q148LDiversity(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy(col("lang"), expr(s"n_chars DIV $CharsBand").as("len_band"),
+        col("source"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy("lang", "len_band")
+      .agg(sum(col("c")).as("gsz"), count(lit(1)).as("ndist"),
+        max(col("c")).as("topc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_qi_groups"),
+        sum(col("gsz")).as("n_docs"),
+        min(col("ndist")).as("min_l"),
+        sum(when(col("ndist") === 1, 1L).otherwise(0L))
+          .as("n_homogeneous"),
+        coalesce(sum(when(col("ndist") === 1, col("gsz"))), lit(0L))
+          .as("homogeneous_docs"),
+        max(expr("topc * 1000000 DIV gsz")).as("max_top_share_ppm"))
+      .withColumn("homogeneous_ppm",
+        expr("homogeneous_docs * 1000000 DIV n_docs"))
+      .select(col("lang"), col("n_qi_groups"), col("n_docs"), col("min_l"),
+        col("n_homogeneous"), col("homogeneous_ppm"),
+        col("max_top_share_ppm"))
+      .orderBy("lang")
+  }
+
+  val q148Oracle: String =
+    s"""WITH cells AS (
+       |  SELECT lang, n_chars // $CharsBand AS len_band, source,
+       |    count(*) AS c
+       |  FROM documents GROUP BY 1, 2, 3),
+       |qi AS (
+       |  SELECT lang, len_band, sum(c) AS gsz, count(*) AS ndist,
+       |    max(c) AS topc
+       |  FROM cells GROUP BY 1, 2)
+       |SELECT lang, count(*) AS n_qi_groups,
+       |  CAST(sum(gsz) AS BIGINT) AS n_docs,
+       |  CAST(min(ndist) AS BIGINT) AS min_l,
+       |  CAST(sum(CASE WHEN ndist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_homogeneous,
+       |  CAST(coalesce(sum(CASE WHEN ndist = 1 THEN gsz END), 0)
+       |    * 1000000 // sum(gsz) AS BIGINT) AS homogeneous_ppm,
+       |  CAST(max(topc * 1000000 // gsz) AS BIGINT) AS max_top_share_ppm
+       |FROM qi GROUP BY lang ORDER BY lang""".stripMargin
 }

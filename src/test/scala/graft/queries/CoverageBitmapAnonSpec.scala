@@ -78,4 +78,29 @@ class CoverageBitmapAnonSpec extends SparkSpec {
     assert(got.exists(_._5 > 0),
       "fixture should contain re-identifiable (sub-k) QI groups")
   }
+
+  test("q148 l-diversity equals a sensitive-value replay; homogeneity " +
+    "flagged iff one source per QI group") {
+    val rows = graft.sources.Layouts.documents(spark, d)
+      .select($"lang", expr("n_chars DIV 256"), $"source")
+      .as[(String, Long, String)].collect()
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rs) =>
+      val groups = rs.groupBy(_._2).values.toSeq
+      val perGroup = groups.map { g =>
+        val bySrc = g.groupBy(_._3).values.map(_.size.toLong).toSeq
+        (g.size.toLong, bySrc.size.toLong, bySrc.max)
+      }
+      val homo = perGroup.filter(_._2 == 1)
+      val nDocs = perGroup.map(_._1).sum
+      (lang, perGroup.size.toLong, nDocs, perGroup.map(_._2).min,
+        homo.size.toLong, homo.map(_._1).sum * 1000000L / nDocs,
+        perGroup.map(g => g._3 * 1000000L / g._1).max)
+    }
+    val got = Privacy.q148LDiversity(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.forall(_._7 <= 1000000L))
+    assert(got.forall(r => (r._5 == 0) == (r._6 == 0)),
+      "homogeneous doc mass is zero exactly when no homogeneous groups")
+  }
 }

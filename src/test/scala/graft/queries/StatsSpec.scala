@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+/** q144 Spearman, q145 Gini, q146 autocorrelation: BigInt Scala replays
+  * pin the tie-aware average-rank algebra (against a literal
+  * sort-and-average-ranks computation), the histogram Gini identity
+  * (against a brute-force ranked Gini plus an exact top-decile split),
+  * and the n²-scaled lag-1 moment expansion (against the textbook
+  * fractional-mean estimator).
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  // Literal average ranks (1-based, ties averaged), doubled to integers.
+  private def avgRank2(xs: Seq[Long]): Map[Long, BigInt] = {
+    val sorted = xs.sorted
+    xs.distinct.map { v =>
+      val before = sorted.count(_ < v); val c = sorted.count(_ == v)
+      // avg of ranks before+1 .. before+c, doubled: 2*before + c + 1
+      v -> BigInt(2L * before + c + 1)
+    }.toMap
+  }
+
+  test("q144 Spearman equals Pearson over literal tie-averaged ranks") {
+    val rows = Tables.lineitem(spark, d)
+      .select($"l_returnflag", $"l_quantity".cast("long"),
+        round($"l_discount" * 100, 0).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val rx = avgRank2(rs.map(_._2)); val ry = avgRank2(rs.map(_._3))
+      val n = BigInt(rs.size)
+      val dxy = rs.map(r => (rx(r._2) - (n + 1), ry(r._3) - (n + 1)))
+      val sxy = dxy.map(p => p._1 * p._2).sum
+      val sxx = dxy.map(p => p._1 * p._1).sum
+      val syy = dxy.map(p => p._2 * p._2).sum
+      assert(dxy.map(_._1).sum == 0 && dxy.map(_._2).sum == 0,
+        "centered double-ranks must sum to zero")
+      val rho = BigDecimal(sxy) /
+        (BigDecimal(math.sqrt(sxx.toDouble)) *
+          BigDecimal(math.sqrt(syy.toDouble)))
+      (g, rs.size.toLong, rs.map(_._2).distinct.size.toLong,
+        rs.map(_._3).distinct.size.toLong,
+        rho.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Stats.q144Spearman(spark, d)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4)
+      assert(math.abs(g._5 - e._5) <= 1e-6, s"rho mismatch: $g vs $e")
+    }
+    assert(got.size == expected.size && got.nonEmpty)
+  }
+
+  test("q145 Gini equals a brute-force ranked computation with exact top-decile") {
+    val rows = Tables.events(spark, d)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("v"))
+      .select($"event_type", $"v".cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = BigInt(xs.size); val t = xs.map(BigInt(_)).sum
+      val s = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = (2 * s - (n + 1) * t) * 1000000 / (n * t)
+      val k = (n / 10).toInt
+      val topk = xs.sortBy(-_).take(k).map(BigInt(_)).sum
+      (et, xs.size.toLong, t.toLong, gini.toLong,
+        (topk * 1000000 / t).toLong)
+    }
+    val got = Stats.q145Gini(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 > 0), "fixture should show some concentration")
+  }
+
+  test("q146 lag-1 autocorrelation equals the fractional-mean estimator") {
+    val rows = Tables.events(spark, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(round($"value" * 100, 0).cast("long")).as("x"))
+      .select($"event_type", $"day".cast("string"), $"x")
+      .as[(String, String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val xs = rs.sortBy(_._2).map(r => BigInt(r._3))
+      val n = BigInt(xs.size)
+      val g = xs.sum
+      val pairs = xs.zip(xs.tail) // (x_{t-1}, x_t)
+      // textbook: sum((x_t - mean)(x_{t-1} - mean)) / sum((x - mean)^2),
+      // multiplied through by n^2 to stay rational-exact
+      val num = n * n * pairs.map(p => p._1 * p._2).sum -
+        n * g * (pairs.map(_._1).sum + pairs.map(_._2).sum) +
+        (n - 1) * g * g
+      val den = n * n * xs.map(x => x * x).sum - n * g * g
+      val r1 =
+        if (n >= 2 && den > 0)
+          Some((BigInt(num.signum) * (num.abs * 1000000 / den)).toLong)
+        else None
+      (et, xs.size.toLong, r1)
+    }
+    val got = Stats.q146Autocorr(spark, d)
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == expected)
+    assert(got.forall(_._3.isDefined), "fixture has >= 2 days per type")
+  }
+
+  test("q147 Benford emits all 9 digits per group; shares sum to ~1e6; " +
+    "constants are round(log10(1+1/d)*1e6)") {
+    Stats.BenfordPpm.foreach { case (dg, p) =>
+      assert(p == math.round(math.log10(1.0 + 1.0 / dg) * 1000000),
+        s"constant for digit $dg")
+    }
+    assert(Stats.BenfordPpm.map(_._2).sum == 1000000L)
+    val got = Stats.q147Benford(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val byG = got.groupBy(_._1)
+    byG.foreach { case (g, rows) =>
+      assert(rows.map(_._2).sorted == (1L to 9L), s"digit spine for $g")
+      val obs = rows.map(_._4).sum
+      // floor-division shortfall < 9 ppm across 9 digits
+      assert(obs > 1000000L - 9 && obs <= 1000000L, s"obs sum $obs for $g")
+      rows.foreach(r => assert(r._6 == r._4 - r._5, "dev = obs - exp"))
+    }
+    // replay one group's digit counts literally
+    val raw = Tables.orders(spark, d)
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      .as[(String, Long)].collect().toSeq
+    val g0 = raw.map(_._1).min
+    val exp0 = raw.filter(_._1 == g0)
+      .groupBy(r => r._2.toString.head.asDigit.toLong)
+      .view.mapValues(_.size.toLong).toMap
+    got.filter(_._1 == g0).foreach { r =>
+      assert(r._3 == exp0.getOrElse(r._2, 0L), s"digit ${r._2} count")
+    }
+  }
+
+  test("q149 KS statistic equals a BigInt CDF-gap replay with smallest-cents ties") {
+    val rows = Tables.events(spark, d)
+      .select($"event_type", round($"value" * 100, 0).cast("long"),
+        ($"user_id" % 2 === 0))
+      .as[(String, Long, Boolean)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val na = BigInt(rs.count(_._3)); val nb = BigInt(rs.size - rs.count(_._3))
+      val values = rs.map(_._2).distinct.sorted
+      var cuma = BigInt(0); var cumb = BigInt(0)
+      var best = BigInt(-1); var bestV = 0L
+      values.foreach { v =>
+        cuma += rs.count(r => r._2 == v && r._3)
+        cumb += rs.count(r => r._2 == v && !r._3)
+        val gap = (cuma * nb - cumb * na).abs
+        if (gap > best) { best = gap; bestV = v }
+      }
+      (et, na.toLong, nb.toLong, (best * 1000000 / (na * nb)).toLong, bestV)
+    }
+    val got = Stats.q149KsDrift(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000))
+  }
+}
