@@ -3450,7 +3450,11 @@ object LlmOps {
     * corpus. Exact integers throughout the census; sims only order the
     * rank window (4-dp rounded, the cross-engine-stable q82 form).
     */
-  def q139KnnTriangles(s: SparkSession, d: String): DataFrame = {
+  /** Shared Spark-side kNN edge builder for q139/q151 — the exact plan
+    * the [[KnnEdgeCtes]] oracle chain mirrors: cell-restricted candidate
+    * scoring, (rounded-sim DESC, id) rank window, top-[[TriKnnK]] per
+    * vector, union-symmetrized undirected (lo, hi) edges. */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val a = e.select(col("label"), col("vec_id").as("ia"),
       col("embedding").as("ea"))
@@ -3458,7 +3462,7 @@ object LlmOps {
       col("embedding").as("eb"))
     val wA = Window.partitionBy("label", "ia")
       .orderBy(col("sim").desc, col("ib"))
-    val edges = a.join(b, Seq("label")).filter(col("ia") =!= col("ib"))
+    a.join(b, Seq("label")).filter(col("ia") =!= col("ib"))
       .select(col("label"), col("ia"), col("ib"),
         round(VectorExpressions.cosine(col("ea"), col("eb")), 4).as("sim"))
       .withColumn("rn", row_number().over(wA))
@@ -3466,6 +3470,10 @@ object LlmOps {
       .select(col("label"), least(col("ia"), col("ib")).as("lo"),
         greatest(col("ia"), col("ib")).as("hi"))
       .distinct()
+  }
+
+  def q139KnnTriangles(s: SparkSession, d: String): DataFrame = {
+    val edges = knnEdges(s, d)
     val degRoll = edges
       .select(col("label"), explode(array(col("lo"), col("hi"))).as("v"))
       .groupBy("label", "v").agg(count(lit(1)).as("deg"))
@@ -3493,8 +3501,11 @@ object LlmOps {
       .orderBy("label")
   }
 
-  val q139Oracle: String =
-    s"""WITH ex AS (
+  /** Shared oracle CTE chain building the q139/q151 kNN edge set — kept
+    * as one string so the two oracles can never drift apart on graph
+    * construction. Ends with the `edges` CTE (undirected (lo, hi)). */
+  private val KnnEdgeCtes: String =
+    s"""ex AS (
        |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
        |    unnest(a.embedding) AS x, unnest(b.embedding) AS y
        |  FROM embeddings a JOIN embeddings b USING (label)
@@ -3512,7 +3523,10 @@ object LlmOps {
        |  FROM sims),
        |edges AS (
        |  SELECT DISTINCT label, least(ia, ib) AS lo, greatest(ia, ib) AS hi
-       |  FROM dkt WHERE rn <= $TriKnnK),
+       |  FROM dkt WHERE rn <= $TriKnnK)""".stripMargin
+
+  val q139Oracle: String =
+    s"""WITH $KnnEdgeCtes,
        |deg AS (
        |  SELECT label, v, count(*) AS deg FROM (
        |    SELECT label, lo AS v FROM edges
@@ -3541,4 +3555,231 @@ object LlmOps {
        |FROM droll JOIN eroll ON eroll.label = droll.label
        |LEFT JOIN tri ON tri.label = droll.label
        |ORDER BY label""".stripMargin
+
+  // --- Reciprocal-rank fusion (q150) --------------------------------------
+
+  /** q150 knobs: queries are the first [[RrfNQueries]] vec_ids (their
+    * cells are searched; they are excluded from the corpus), RRF uses
+    * the standard k = [[RrfK]] (Cormack et al. 2009), and the fused
+    * list keeps [[RrfTopN]] per query. */
+  private val RrfNQueries = 8L
+  private val RrfK = 60L
+  private val RrfTopN = 5
+
+  /** q150: RECIPROCAL-RANK FUSION — the standard way a retrieval stack
+    * combines rankers with incomparable scores (an exact float ranker
+    * and its int8-quantized fast path here; in production: BM25 +
+    * dense, or several embedding models): RRF(doc) = Σ_r 1/(k + rank_r)
+    * depends only on RANKS, so no score calibration is needed, and a
+    * doc must rank well under SEVERAL rankers to fuse high — exactly
+    * why RRF is the robust default for hybrid search. Scores are exact
+    * scaled integers: 10⁹ div (k + rank) summed over the two rankers
+    * (pure rank arithmetic — no float fusion), so the gate hashes the
+    * fused list bit-for-bit.
+    *
+    * Both rankings come off ONE cell-restricted candidate join (q25's
+    * IVF discipline — queries broadcast, candidates bounded by |cell|,
+    * never corpus²): the pair frame computes the exact cosine AND the
+    * quantized-roundtrip cosine (q43's fused kernel) side by side, then
+    * two rank windows over the same frame. The quantized rank is
+    * DELIBERATELY derived from reconstructed vectors — the fusion's
+    * value is precisely that it absorbs quantization rank-flips, which
+    * the spec asserts by bounding fused-vs-exact rank displacement.
+    *
+    * Scale shape: one embeddings scan + a broadcast of [[RrfNQueries]]
+    * query rows; rank windows partition per query over cell-bounded
+    * frames; the fused top-[[RrfTopN]] rides the same frame.
+    */
+  def q150RrfFusion(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Quantize
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Quantize.roundTrip(col("embedding")).as("rt"))
+    val q = e.filter(col("vec_id") < RrfNQueries)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("embedding").as("q_emb"), col("rt").as("q_rt"))
+    val pairs = e.filter(col("vec_id") >= RrfNQueries)
+      .join(broadcast(q), Seq("label"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorExpressions.cosine(col("embedding"), col("q_emb")), 4)
+          .as("sim_cos"),
+        round(VectorExpressions.cosine(col("rt"), col("q_rt")), 4)
+          .as("sim_q"))
+    val wQ = Window.partitionBy("q_id")
+    val ranked = pairs
+      .withColumn("rank_cos",
+        row_number().over(wQ.orderBy(col("sim_cos").desc, col("vec_id"))))
+      .withColumn("rank_quant",
+        row_number().over(wQ.orderBy(col("sim_q").desc, col("vec_id"))))
+      .withColumn("rrf_ppb",
+        expr(s"1000000000 DIV ($RrfK + rank_cos)" +
+          s" + 1000000000 DIV ($RrfK + rank_quant)"))
+    ranked
+      .withColumn("fused_rank",
+        row_number().over(wQ.orderBy(col("rrf_ppb").desc, col("vec_id"))))
+      .filter(col("fused_rank") <= RrfTopN)
+      .select(col("q_id"), col("fused_rank"), col("vec_id"), col("rrf_ppb"),
+        col("rank_cos").cast("long").as("rank_cos"),
+        col("rank_quant").cast("long").as("rank_quant"))
+      .orderBy("q_id", "fused_rank")
+  }
+
+  val q150Oracle: String =
+    s"""WITH deq AS (
+       |  SELECT vec_id, label, embedding,
+       |    CASE WHEN list_max(embedding) = list_min(embedding)
+       |         THEN list_transform(embedding, x -> CAST(list_min(embedding) AS DOUBLE))
+       |         ELSE list_transform(embedding, x ->
+       |           CAST(list_min(embedding) AS DOUBLE)
+       |           + round((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+       |                   / ((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0))
+       |             * ((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0))
+       |    END AS rt
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label, embedding AS q_emb, rt AS q_rt
+       |      FROM deq WHERE vec_id < $RrfNQueries),
+       |ex AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    unnest(e.embedding) AS x, unnest(q.q_emb) AS y,
+       |    unnest(e.rt) AS xr, unnest(q.q_rt) AS yr
+       |  FROM deq e JOIN q ON e.label = q.label
+       |  WHERE e.vec_id >= $RrfNQueries),
+       |sims AS (
+       |  SELECT q_id, vec_id,
+       |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS sim_cos,
+       |    round(sum(xr * yr) / (sqrt(sum(xr * xr)) * sqrt(sum(yr * yr))), 4)
+       |      AS sim_q
+       |  FROM ex GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim_cos DESC, vec_id)
+       |      AS rank_cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id)
+       |      AS rank_quant
+       |  FROM sims),
+       |fused AS (
+       |  SELECT q_id, vec_id, rank_cos, rank_quant,
+       |    1000000000 // ($RrfK + rank_cos)
+       |      + 1000000000 // ($RrfK + rank_quant) AS rrf_ppb
+       |  FROM ranked),
+       |top AS (
+       |  SELECT q_id, vec_id, rrf_ppb, rank_cos, rank_quant,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rrf_ppb DESC, vec_id)
+       |      AS fused_rank
+       |  FROM fused)
+       |SELECT q_id, CAST(fused_rank AS BIGINT) AS fused_rank, vec_id,
+       |  CAST(rrf_ppb AS BIGINT) AS rrf_ppb,
+       |  CAST(rank_cos AS BIGINT) AS rank_cos,
+       |  CAST(rank_quant AS BIGINT) AS rank_quant
+       |FROM top WHERE fused_rank <= $RrfTopN
+       |ORDER BY q_id, fused_rank""".stripMargin
+
+  // --- Integer fixed-point PageRank (q151) --------------------------------
+
+  /** q151 knobs: damping 85/100, [[PrIters]] synchronous iterations,
+    * rank mass held in [[PrUnit]]-scaled integer units. */
+  private val PrIters = 3
+  private val PrUnit = 1000000000000L // 1e12
+
+  /** q151: PAGERANK over the semantic k-NN graph — the authority score
+    * that turns "these documents are similar" (q139's edges) into
+    * "THESE are the canonical centers": in a near-dup cluster the
+    * highest-PageRank node is the best keep candidate (the q125
+    * survivorship pick, but structure-derived instead of quality-
+    * derived), and hub nodes flag LSH over-merge risk before a purge
+    * fuses distinct families. Classic damped PageRank
+    * r ← 15/100·1/n + 85/100·Σ r(u)/deg(u), run [[PrIters]] synchronous
+    * rounds from the uniform start.
+    *
+    * Engine-portability is the design problem: float PageRank diverges
+    * across engines in the last ulps, so ranks live in EXACT integer
+    * fixed point — [[PrUnit]]-scaled units where every step is
+    * `(85·r) div (100·deg)` and `(15·unit) div (100·n)`. All operands
+    * are non-negative, so Spark's truncate-toward-zero `DIV` and
+    * DuckDB's floor `//` agree EXACTLY and both engines walk the
+    * identical integer trajectory (the tiny truncation leak per step is
+    * part of the defined algorithm; the spec pins mass conservation up
+    * to that leak). The same discipline as q109's relational BPE: a
+    * deterministic integer algorithm, not a float approximation.
+    *
+    * Scale shape: the candidate join is |cell|²-bounded (shared
+    * [[knnEdges]] builder); after it everything is EDGE-sized: each
+    * iteration is one (label, src)-keyed join + one (label, dst)-keyed
+    * aggregate — the message-passing shape that scales to billions of
+    * edges. The [[PrIters]] unrolled iterations reference the same edge
+    * subplan; AQE exchange reuse materializes it once (ReuseCheck
+    * discipline, as in q139's triple self-join). Top-3 per cell +
+    * per-cell mass ride the node frame.
+    */
+  def q151Pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = knnEdges(s, d)
+    val dir = edges.select(col("label"), col("lo").as("src"), col("hi").as("dst"))
+      .unionAll(edges.select(col("label"), col("hi").as("src"),
+        col("lo").as("dst")))
+    val deg = dir.groupBy("label", "src").agg(count(lit(1)).as("deg"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("label"), col("src").as("v"), col("deg"), col("n"))
+    var cur = deg.withColumn("r", expr(s"${PrUnit}L DIV n"))
+    for (_ <- 1 to PrIters) {
+      val msgs = dir
+        .join(cur.withColumnRenamed("v", "src"), Seq("label", "src"))
+        .select(col("label"), col("dst").as("v"),
+          expr("(85 * r) DIV (100 * deg)").as("c"))
+        .groupBy("label", "v").agg(sum(col("c")).as("inflow"))
+      cur = deg.join(msgs, Seq("label", "v"), "left")
+        .withColumn("r",
+          expr(s"(15 * ${PrUnit}L) DIV (100 * n) + coalesce(inflow, 0L)"))
+        .drop("inflow")
+    }
+    val wL = Window.partitionBy("label")
+    cur
+      .withColumn("mass", sum(col("r")).over(wL))
+      .withColumn("pos",
+        row_number().over(wL.orderBy(col("r").desc, col("v"))))
+      .filter(col("pos") <= 3)
+      .select(col("label").cast("long").as("label"),
+        col("pos").cast("long").as("pos"), col("v").as("vec_id"),
+        col("r").as("pr_scaled"), col("n").as("n_nodes"),
+        col("mass").as("mass_scaled"))
+      .orderBy("label", "pos")
+  }
+
+  val q151Oracle: String = {
+    // unrolled synchronous iterations over the shared edge CTEs
+    val iters = (1 to PrIters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""m$i AS (
+         |  SELECT d.label, d.dst AS v,
+         |    sum((85 * p.r) // (100 * p.deg)) AS inflow
+         |  FROM dirs d JOIN $prev p ON p.label = d.label AND p.v = d.src
+         |  GROUP BY 1, 2),
+         |r$i AS (
+         |  SELECT b.label, b.v, b.deg, b.n,
+         |    (15 * ${PrUnit}) // (100 * b.n) + coalesce(m$i.inflow, 0) AS r
+         |  FROM deg b LEFT JOIN m$i ON m$i.label = b.label AND m$i.v = b.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $KnnEdgeCtes,
+       |dirs AS (
+       |  SELECT label, lo AS src, hi AS dst FROM edges
+       |  UNION ALL SELECT label, hi AS src, lo AS dst FROM edges),
+       |deg AS (
+       |  SELECT label, src AS v, count(*) AS deg,
+       |    count(*) OVER (PARTITION BY label) AS n
+       |  FROM dirs GROUP BY label, src),
+       |r0 AS (
+       |  SELECT label, v, deg, n, ${PrUnit} // n AS r FROM deg),
+       |$iters,
+       |fin AS (
+       |  SELECT label, v, r, n,
+       |    sum(r) OVER (PARTITION BY label) AS mass,
+       |    row_number() OVER (PARTITION BY label ORDER BY r DESC, v) AS pos
+       |  FROM r$PrIters)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       |  v AS vec_id, CAST(r AS BIGINT) AS pr_scaled,
+       |  CAST(n AS BIGINT) AS n_nodes, CAST(mass AS BIGINT) AS mass_scaled
+       |FROM fin WHERE pos <= 3 ORDER BY label, pos""".stripMargin
+  }
 }
