@@ -461,4 +461,97 @@ object Stats {
       |    AS ks_ppm,
       |  cents AS split_cents
       |FROM g WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  // --- Exact trimmed & winsorized means (q153) ----------------------------
+
+  /** q153: TRIMMED AND WINSORIZED MEANS — the robust location estimators
+    * between q03's plain mean (outlier-hostage) and q134's median
+    * (discards all magnitude information): trim DROPS the extreme 5%
+    * per tail, winsorize CLAMPS them to the surviving boundary values —
+    * the standard treatment before averaging monetary columns that mix
+    * organic traffic with test records and fat-finger amounts. Both are
+    * order statistics, so the engine-portability problem is the same as
+    * q50's quartiles and solved the same way: from the (type, cents)
+    * COUNT HISTOGRAM, never a per-group sorted buffer. k = n div 20
+    * rows come off each tail by cumulative walk with the straddling
+    * block SPLIT EXACTLY (take = clamp(k − cum_before) per block, the
+    * q145 decile discipline); the winsorizing boundaries are the values
+    * at ranks k+1 and n−k (min/max surviving value, from the same
+    * cumulative frame — no second pass). All sums exact longs-in-
+    * decimal; means emitted in milli-cents via integer division.
+    *
+    * Scale shape: one events scan → (type, cents) histogram (map-side
+    * combinable, value-domain-bounded); two cumulative windows and the
+    * boundary lookups ride that frame; final rollup is |types| rows.
+    */
+  def q153TrimmedMean(s: SparkSession, d: String): DataFrame = {
+    val wT = Window.partitionBy("event_type")
+    val wAsc = wT.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = wT.orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("m"))
+      .withColumn("n", sum(col("m")).over(wT))
+      .withColumn("t", sum(col("cents") * col("m")).over(wT))
+      .withColumn("k", expr("n DIV 20"))
+      .withColumn("cumb", coalesce(sum(col("m")).over(wAsc), lit(0L)))
+      .withColumn("cuma", coalesce(sum(col("m")).over(wDesc), lit(0L)))
+      .withColumn("take_lo",
+        greatest(lit(0L), least(col("m"), col("k") - col("cumb"))))
+      .withColumn("take_hi",
+        greatest(lit(0L), least(col("m"), col("k") - col("cuma"))))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"), max(col("t")).as("sum_cents"),
+        max(col("k")).as("k_trimmed"),
+        sum(col("take_lo") * col("cents")).as("lo_sum"),
+        sum(col("take_hi") * col("cents")).as("hi_sum"),
+        min(when(col("cumb") + col("m") > col("k"), col("cents")))
+          .as("lo_kept"),
+        max(when(col("cuma") + col("m") > col("k"), col("cents")))
+          .as("hi_kept"))
+      .select(col("event_type"), col("n_events"), col("k_trimmed"),
+        col("lo_kept"), col("hi_kept"),
+        expr("(sum_cents - lo_sum - hi_sum) * 1000 DIV " +
+          "(n_events - 2 * k_trimmed)").as("trimmed_mean_mcents"),
+        expr("(sum_cents - lo_sum - hi_sum + k_trimmed * lo_kept" +
+          " + k_trimmed * hi_kept) * 1000 DIV n_events")
+          .as("winsorized_mean_mcents"),
+        expr("sum_cents * 1000 DIV n_events").as("raw_mean_mcents"))
+      .orderBy("event_type")
+  }
+
+  val q153Oracle: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    count(*) AS m
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, cents, m,
+      |    sum(m) OVER (PARTITION BY event_type) AS n,
+      |    sum(cents * m) OVER (PARTITION BY event_type) AS t,
+      |    sum(m) OVER (PARTITION BY event_type) // 20 AS k,
+      |    coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+      |    coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY cents DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cuma
+      |  FROM h),
+      |f AS (
+      |  SELECT event_type, max(n) AS n, max(t) AS t, max(k) AS k,
+      |    sum(greatest(0, least(m, k - cumb)) * cents) AS lo_sum,
+      |    sum(greatest(0, least(m, k - cuma)) * cents) AS hi_sum,
+      |    min(CASE WHEN cumb + m > k THEN cents END) AS lo_kept,
+      |    max(CASE WHEN cuma + m > k THEN cents END) AS hi_kept
+      |  FROM w GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+      |  CAST(k AS BIGINT) AS k_trimmed,
+      |  lo_kept, hi_kept,
+      |  CAST((t - lo_sum - hi_sum) * 1000 // (n - 2 * k) AS BIGINT)
+      |    AS trimmed_mean_mcents,
+      |  CAST((t - lo_sum - hi_sum + k * lo_kept + k * hi_kept) * 1000
+      |    // n AS BIGINT) AS winsorized_mean_mcents,
+      |  CAST(t * 1000 // n AS BIGINT) AS raw_mean_mcents
+      |FROM f ORDER BY event_type""".stripMargin
 }

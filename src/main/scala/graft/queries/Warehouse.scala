@@ -2322,4 +2322,84 @@ object Warehouse {
       |  CAST(cusum * 1000000 // (CAST(g AS HUGEINT) * n) AS BIGINT)
       |    AS severity_ppm
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  // --- Peak concurrency via sweep-line (q152) -----------------------------
+
+  /** q152 interval width (same 10-minute claim as q136's coverage). */
+  private val ConcIvUs = 600L * 1000000L
+
+  /** q152: PEAK CONCURRENCY — the capacity number q136's coverage union
+    * cannot give: union length says how much TIME was covered, peak
+    * concurrency says how many intervals were open AT ONCE (the
+    * provisioning figure: max simultaneous sessions/streams/locks). Per
+    * (event_type, day): classic sweep-line as pure windows — each
+    * event's [ts, ts+10min) claim becomes a +1 boundary at its start
+    * and a −1 at its end, the running sum over boundaries ordered by
+    * (time, delta) is the live count, and its max is the peak. Ordering
+    * −1 before +1 at equal instants encodes the HALF-OPEN interval: a
+    * claim starting exactly when another ends does not overlap it. The
+    * running max is order-independent within remaining ties (equal
+    * (t, delta) rows permute prefix sums without changing their
+    * multiset), so no further tiebreak is needed. The first instant the
+    * peak is reached rides along (min t where running == peak —
+    * deterministic), as epoch micros.
+    *
+    * Scale shape: claims are CLIPPED to the day so every (type, day)
+    * partition is self-contained — the sweep sort is day-bounded (the
+    * q33/q136 user-partition discipline applied to time), never a
+    * corpus-wide ordering; at 100 TB the sweep parallelizes over
+    * type×day cells. One events scan → 2 boundary rows per event →
+    * cell-bounded windows → (type, day) rollup.
+    */
+  def q152PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"),
+        unix_micros(date_add(to_date(col("ts")), 1).cast("timestamp"))
+          .as("day_end_us"))
+      .select(col("event_type"), col("day"), col("us"),
+        least(col("us") + ConcIvUs, col("day_end_us")).as("en"))
+    val bounds = base.select(col("event_type"), col("day"),
+        col("us").as("t"), lit(1L).as("delta"))
+      .unionAll(base.select(col("event_type"), col("day"),
+        col("en").as("t"), lit(-1L).as("delta")))
+    val wSweep = Window.partitionBy("event_type", "day")
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("live", sum(col("delta")).over(wSweep))
+      .withColumn("peak",
+        max(col("live")).over(Window.partitionBy("event_type", "day")))
+      .groupBy("event_type", "day")
+      .agg((count(lit(1)) / 2).cast("long").as("n_events"),
+        max(col("live")).as("peak"),
+        min(when(col("live") === col("peak"), col("t")))
+          .as("first_peak_us"))
+      .orderBy("event_type", "day")
+  }
+
+  val q152Oracle: String =
+    s"""WITH base AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+       |    least(epoch_us(ts) + $ConcIvUs,
+       |      epoch_us(CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP))) AS en
+       |  FROM events),
+       |bounds AS (
+       |  SELECT event_type, day, us AS t, 1 AS delta FROM base
+       |  UNION ALL
+       |  SELECT event_type, day, en AS t, -1 AS delta FROM base),
+       |sw AS (
+       |  SELECT event_type, day, t, delta,
+       |    sum(delta) OVER (PARTITION BY event_type, day
+       |      ORDER BY t, delta
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+       |  FROM bounds),
+       |pk AS (
+       |  SELECT event_type, day, t, live,
+       |    max(live) OVER (PARTITION BY event_type, day) AS peak
+       |  FROM sw)
+       |SELECT event_type, day, CAST(count(*) / 2 AS BIGINT) AS n_events,
+       |  CAST(max(live) AS BIGINT) AS peak,
+       |  min(CASE WHEN live = peak THEN t END) AS first_peak_us
+       |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -161,4 +161,62 @@ class StatsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000))
   }
+
+  test("q152 peak concurrency equals a literal sweep replay; half-open " +
+    "intervals (end == start does not overlap)") {
+    val iv = 600L * 1000000L
+    val rows = Tables.events(spark, d)
+      .select($"event_type", to_date($"ts").cast("string"),
+        expr("unix_micros(ts)"))
+      .as[(String, String, Long)].collect().toSeq
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
+      .map { case ((et, day), rs) =>
+        val dayEnd = (java.time.LocalDate.parse(day).toEpochDay + 1) *
+          86400L * 1000000L
+        val bounds = rs.flatMap { r =>
+          Seq((r._3, 1L), (math.min(r._3 + iv, dayEnd), -1L))
+        }.sortBy(identity)
+        val sweep = bounds.scanLeft((0L, 0L)) { case ((live, _), (t, dl)) =>
+          (live + dl, t)
+        }.tail
+        val peak = sweep.map(_._1).max
+        val firstPeak = sweep.filter(_._1 == peak).map(_._2).min
+        (et, day, rs.size.toLong, peak, firstPeak)
+      }
+    val got = Warehouse.q152PeakConcurrency(spark, d)
+      .select($"event_type", $"day".cast("string"), $"n_events", $"peak",
+        $"first_peak_us")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 > 1), "fixture should show real overlap")
+    // synthetic half-open check: [0,10) and [10,20) never coexist
+    val b = Seq((0L, 1L), (10L, -1L), (10L, 1L), (20L, -1L)).sorted
+    assert(b.scanLeft(0L)(_ + _._2).max == 1L)
+  }
+
+  test("q153 trimmed/winsorized means equal a literal sort-and-trim replay") {
+    val rows = Tables.events(spark, d)
+      .select($"event_type", round($"value" * 100, 0).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.size; val k = n / 20
+      val kept = xs.slice(k, n - k)
+      val winso = Seq.fill(k)(kept.head) ++ kept ++ Seq.fill(k)(kept.last)
+      (et, n.toLong, k.toLong, kept.head, kept.last,
+        kept.map(BigInt(_)).sum * 1000 / kept.size,
+        winso.map(BigInt(_)).sum * 1000 / n,
+        xs.map(BigInt(_)).sum * 1000 / n)
+    }.map(t => (t._1, t._2, t._3, t._4, t._5, t._6.toLong, t._7.toLong,
+      t._8.toLong))
+    val got = Stats.q153TrimmedMean(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == expected)
+    // both robust means lie within the surviving value range
+    got.foreach { r =>
+      assert(r._4 * 1000 <= r._6 && r._6 <= r._5 * 1000, "trimmed in range")
+      assert(r._4 * 1000 <= r._7 && r._7 <= r._5 * 1000, "winsorized in range")
+    }
+  }
 }
