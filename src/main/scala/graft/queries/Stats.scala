@@ -554,4 +554,80 @@ object Stats {
       |    // n AS BIGINT) AS winsorized_mean_mcents,
       |  CAST(t * 1000 // n AS BIGINT) AS raw_mean_mcents
       |FROM f ORDER BY event_type""".stripMargin
+
+  // --- Quantile-quantile displacement table (q154) ------------------------
+
+  /** q154: Q–Q DISPLACEMENT TABLE — the full-profile complement of
+    * q149's KS statistic: KS reports the single worst CDF gap, the Q–Q
+    * table reports WHERE the whole distribution moved — per event_type,
+    * the exact decile values (p = 10..90) of the two user-parity slices
+    * side by side with their signed displacement in cents ("slice B's
+    * median is 340 cents higher, but its p90 is unchanged" — the shape
+    * of a drift, not just its size). Quantiles are TYPE-1 (value at
+    * rank ⌈p·n/100⌉ = (p·n+99) div 100 — pure integer, no
+    * interpolation), so every figure is exact and the displacement is a
+    * plain difference — no division, hence no truncate-vs-floor hazard
+    * even on negative shifts.
+    *
+    * Scale shape: the same (type, cents) conditional histogram as q149
+    * (one scan, two longs per distinct value through the shuffle);
+    * cumulative windows ride the value-domain frame; each of the 9
+    * decile thresholds is resolved as min(v | cum ≥ rank) — a 9-way
+    * literal explode of the domain frame, then a tiny (type, p) rollup.
+    * Never a per-group sorted buffer, never a corpus-sized sort.
+    */
+  def q154QqTable(s: SparkSession, d: String): DataFrame = {
+    val wT = Window.partitionBy("event_type")
+    val wCum = wT.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("user_id") % 2 === 0).as("a"))
+      .groupBy("event_type", "cents")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("na", sum(col("ca")).over(wT))
+      .withColumn("nb", sum(col("cb")).over(wT))
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("p", explode(expr(
+        "array(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L)")))
+    def side(cum: String, n: String): Column =
+      min(when(col(cum) >= expr(s"(p * $n + 99) DIV 100"), col("cents")))
+    hist.groupBy("event_type", "p")
+      .agg(side("cuma", "na").as("q_a_cents"),
+        side("cumb", "nb").as("q_b_cents"))
+      .withColumn("shift_cents", col("q_b_cents") - col("q_a_cents"))
+      .orderBy("event_type", "p")
+  }
+
+  val q154Oracle: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS cb
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, cents,
+      |    sum(ca) OVER (PARTITION BY event_type) AS na,
+      |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+      |    sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM h),
+      |x AS (
+      |  SELECT w.*, p.p
+      |  FROM w CROSS JOIN (VALUES (10), (20), (30), (40), (50), (60),
+      |    (70), (80), (90)) p(p))
+      |SELECT event_type, CAST(p AS BIGINT) AS p,
+      |  min(CASE WHEN cuma >= (p * na + 99) // 100 THEN cents END)
+      |    AS q_a_cents,
+      |  min(CASE WHEN cumb >= (p * nb + 99) // 100 THEN cents END)
+      |    AS q_b_cents,
+      |  min(CASE WHEN cumb >= (p * nb + 99) // 100 THEN cents END)
+      |    - min(CASE WHEN cuma >= (p * na + 99) // 100 THEN cents END)
+      |    AS shift_cents
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -219,4 +219,32 @@ class StatsSpec extends SparkSpec {
       assert(r._4 * 1000 <= r._7 && r._7 <= r._5 * 1000, "winsorized in range")
     }
   }
+
+  test("q154 Q-Q deciles equal literal type-1 quantiles of each parity slice") {
+    val rows = Tables.events(spark, d)
+      .select($"event_type", round($"value" * 100, 0).cast("long"),
+        ($"user_id" % 2 === 0))
+      .as[(String, Long, Boolean)].collect().toSeq
+    def q1(xs: Seq[Long], p: Long): Long = {
+      val sorted = xs.sorted
+      sorted(((p * xs.size + 99) / 100 - 1).toInt) // rank is 1-based
+    }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (et, rs) =>
+        val a = rs.filter(_._3).map(_._2); val b = rs.filterNot(_._3).map(_._2)
+        (10L to 90L by 10L).map { p =>
+          val qa = q1(a, p); val qb = q1(b, p)
+          (et, p, qa, qb, qb - qa)
+        }
+    }
+    val got = Stats.q154QqTable(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // deciles are monotone in p within each (type, side)
+    got.groupBy(_._1).values.foreach { rsRaw =>
+      val rs = rsRaw.sortBy(_._2)
+      assert(rs.map(_._3) == rs.map(_._3).sorted, "side A monotone")
+      assert(rs.map(_._4) == rs.map(_._4).sorted, "side B monotone")
+    }
+  }
 }
