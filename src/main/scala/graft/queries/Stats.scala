@@ -630,4 +630,92 @@ object Stats {
       |    - min(CASE WHEN cuma >= (p * na + 99) // 100 THEN cents END)
       |    AS shift_cents
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- Activity decile lift table (q155) ----------------------------------
+
+  /** q155: DECILE LIFT TABLE — the full Lorenz curve behind q145's two
+    * scalars (Gini + top-decile): users ranked by activity, cut into 10
+    * exact deciles (most-active first), each row reporting its exact
+    * user count, event share, and cumulative share in ppm — the table
+    * that answers "how deep do the whales go" when setting per-user
+    * quotas (q93) and deciding whether skew handling (q117) is
+    * load-bearing. Deciles are EXACT boundary splits: decile i takes
+    * users at ranks (i−1)·n div 10 + 1 .. i·n div 10 from the top, so a
+    * tie block straddling a boundary is split by COUNT (take =
+    * clamp(hi_rank − users_above) per block — the q145/q153 straddle
+    * discipline, tie-invariant because every member of a tie block
+    * contributes the same activity). Σ decile shares telescopes to the
+    * total exactly; the spec pins both that and monotone non-increasing
+    * per-user intensity down the deciles.
+    *
+    * Scale shape: per-user counts (user-keyed, map-side combinable) →
+    * (type, activity) histogram (value-domain-bounded) → one descending
+    * cumulative window → 10-way literal explode → |types|·10 rollup.
+    */
+  def q155DecileLift(s: SparkSession, d: String): DataFrame = {
+    val wT = Window.partitionBy("event_type")
+    val wDesc = wT.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("n", sum(col("m")).over(wT))
+      .withColumn("t", sum(col("v") * col("m")).over(wT))
+      .withColumn("above", coalesce(sum(col("m")).over(wDesc), lit(0L)))
+      .withColumn("dec", explode(expr(
+        "array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)")))
+      .withColumn("lo_rank", expr("(dec - 1) * n DIV 10"))
+      .withColumn("hi_rank", expr("dec * n DIV 10"))
+      .withColumn("take", greatest(lit(0L),
+        least(col("m"), col("hi_rank") - col("above"))
+          - greatest(lit(0L), col("lo_rank") - col("above"))))
+      .groupBy("event_type", "dec")
+      .agg(max(expr("hi_rank - lo_rank")).as("n_users"),
+        sum(col("take") * col("v")).as("events"),
+        max(col("t")).as("t"))
+      .withColumn("share_ppm", expr("events * 1000000 DIV t"))
+      .withColumn("cum_share_ppm",
+        expr("sum(events) OVER (PARTITION BY event_type ORDER BY dec" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+          " * 1000000 DIV t"))
+      .select(col("event_type"), col("dec"), col("n_users"),
+        col("events").as("n_events"), col("share_ppm"),
+        col("cum_share_ppm"))
+      .orderBy("event_type", "dec")
+  }
+
+  val q155Oracle: String =
+    """WITH ua AS (
+      |  SELECT event_type, user_id, count(*) AS v
+      |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT event_type, v, count(*) AS m FROM ua GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, v, m,
+      |    sum(m) OVER (PARTITION BY event_type) AS n,
+      |    sum(v * m) OVER (PARTITION BY event_type) AS t,
+      |    coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+      |  FROM h),
+      |x AS (
+      |  SELECT w.*, d.dec,
+      |    (d.dec - 1) * n // 10 AS lo_rank, d.dec * n // 10 AS hi_rank
+      |  FROM w CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7), (8),
+      |    (9), (10)) d(dec)),
+      |g AS (
+      |  SELECT event_type, CAST(dec AS BIGINT) AS dec,
+      |    max(hi_rank - lo_rank) AS n_users,
+      |    sum(greatest(0, least(m, hi_rank - above)
+      |      - greatest(0, lo_rank - above)) * v) AS events,
+      |    max(t) AS t
+      |  FROM x GROUP BY 1, 2)
+      |SELECT event_type, dec, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(events AS BIGINT) AS n_events,
+      |  CAST(events * 1000000 // t AS BIGINT) AS share_ppm,
+      |  CAST(sum(events) OVER (PARTITION BY event_type ORDER BY dec
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    * 1000000 // t AS BIGINT) AS cum_share_ppm
+      |FROM g ORDER BY event_type, dec""".stripMargin
 }

@@ -2402,4 +2402,83 @@ object Warehouse {
        |  CAST(max(live) AS BIGINT) AS peak,
        |  min(CASE WHEN live = peak THEN t END) AS first_peak_us
        |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- Longest activity streaks (q156) ------------------------------------
+
+  /** q156: LONGEST CONSECUTIVE-DAY STREAKS — the engagement-depth figure
+    * DAU counts (q137) flatten away: how LONG do users stay active
+    * without a break, per event_type. Classic gaps-and-islands with the
+    * arithmetic trick that needs NO island numbering: over each user's
+    * DISTINCT active days, day − dense-day-index is constant exactly
+    * within a run of consecutive days, so grouping on that anchor
+    * yields streaks directly — one user-partitioned window (the q33
+    * sessionize exchange), one aggregate. The per-type rollup reports
+    * the longest streak and who holds it (ties → smallest user_id on
+    * both engines), how many users ever held a ≥7-day streak, and the
+    * exact milli-mean of per-user BEST streaks — each user weighted
+    * once, not per streak, so power users don't inflate the mean twice.
+    *
+    * Scale shape: the distinct-day frame is user×day-bounded (≤ span
+    * days per user, map-side distinct); windows partition by user; the
+    * streak frame is a fraction of the day frame; rollups are |types|
+    * rows. Nothing corpus-row-sized survives the first distinct.
+    */
+  def q156Streaks(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy("event_type", "user_id")
+      .orderBy("epoch_day")
+    val wT = Window.partitionBy("event_type")
+    val streaks = events(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .cast("long").as("epoch_day"))
+      .distinct()
+      .withColumn("anchor",
+        col("epoch_day") - row_number().over(wU))
+      .groupBy("event_type", "user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("event_type", "user_id")
+      .agg(max(col("len")).as("best"))
+    streaks
+      .withColumn("rn", row_number().over(
+        wT.orderBy(col("best").desc, col("user_id"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        max(col("best")).as("max_streak_days"),
+        min(when(col("rn") === 1, col("user_id"))).as("champion_user"),
+        sum(when(col("best") >= 7, 1L).otherwise(0L)).as("users_ge_7d"),
+        sum(col("best")).as("sum_best"))
+      .withColumn("mean_best_milli", expr("sum_best * 1000 DIV n_users"))
+      .select(col("event_type"), col("n_users"), col("max_streak_days"),
+        col("champion_user"), col("users_ge_7d"), col("mean_best_milli"))
+      .orderBy("event_type")
+  }
+
+  val q156Oracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+      |  FROM events),
+      |runs AS (
+      |  SELECT event_type, user_id,
+      |    epoch_day - row_number() OVER (PARTITION BY event_type, user_id
+      |      ORDER BY epoch_day) AS anchor
+      |  FROM days),
+      |st AS (
+      |  SELECT event_type, user_id, anchor, count(*) AS len
+      |  FROM runs GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT event_type, user_id, max(len) AS best
+      |  FROM st GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, user_id, best,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY best DESC, user_id) AS rn
+      |  FROM best)
+      |SELECT event_type, count(*) AS n_users,
+      |  CAST(max(best) AS BIGINT) AS max_streak_days,
+      |  min(CASE WHEN rn = 1 THEN user_id END) AS champion_user,
+      |  CAST(sum(CASE WHEN best >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS users_ge_7d,
+      |  CAST(sum(best) * 1000 // count(*) AS BIGINT) AS mean_best_milli
+      |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -247,4 +247,37 @@ class StatsSpec extends SparkSpec {
       assert(rs.map(_._4) == rs.map(_._4).sorted, "side B monotone")
     }
   }
+
+  test("q155 decile lift equals a literal ranked split; shares telescope " +
+    "and decay down the deciles") {
+    val rows = Tables.events(spark, d)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("v"))
+      .select($"event_type", $"v".cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (et, rs) =>
+        val xs = rs.map(_._2).sortBy(-_) // most active first
+        val n = xs.size.toLong; val t = xs.sum
+        var cum = 0L
+        (1L to 10L).map { dec =>
+          val lo = ((dec - 1) * n / 10).toInt; val hi = (dec * n / 10).toInt
+          val ev = xs.slice(lo, hi).sum
+          cum += ev
+          (et, dec, (hi - lo).toLong, ev, ev * 1000000L / t,
+            cum * 1000000L / t)
+        }
+    }
+    val got = Stats.q155DecileLift(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    got.groupBy(_._1).values.foreach { rsRaw =>
+      val rs = rsRaw.sortBy(_._2)
+      assert(rs.map(_._4).sum == rows.filter(_._1 == rs.head._1).map(_._2).sum,
+        "decile events telescope to the total")
+      // per-user intensity is non-increasing down the deciles (where
+      // deciles are non-empty)
+      val intens = rs.filter(_._3 > 0).map(r => BigDecimal(r._4) / r._3)
+      assert(intens == intens.sorted.reverse, "intensity decays")
+    }
+  }
 }

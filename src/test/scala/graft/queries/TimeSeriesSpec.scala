@@ -86,4 +86,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == expected)
     assert(got.exists(_._4 > 0), "fixture should show some level shift")
   }
+
+  test("q156 streaks equal a literal consecutive-day replay with " +
+    "smallest-user champion ties") {
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val dayRows = Tables.events(spark, d)
+      .select($"event_type", $"user_id", to_date($"ts").cast("string"))
+      .distinct()
+      .as[(String, Long, String)].collect().toSeq
+    val expected = dayRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (et, rs) =>
+        val perUser = rs.groupBy(_._2).toSeq.map { case (u, ds) =>
+          val days = ds.map(r =>
+            java.time.LocalDate.parse(r._3, fmt).toEpochDay)
+          // literal scan: longest run of consecutive epoch days
+          val sorted = days.sorted
+          var best = 1L; var cur = 1L
+          (1 until sorted.size).foreach { k =>
+            cur = if (sorted(k) == sorted(k - 1) + 1) cur + 1 else 1L
+            if (cur > best) best = cur
+          }
+          (u, best)
+        }
+        val champion = perUser.minBy { case (u, b) => (-b, u) }
+        (et, perUser.size.toLong, perUser.map(_._2).max, champion._1,
+          perUser.count(_._2 >= 7).toLong,
+          perUser.map(_._2).sum * 1000 / perUser.size)
+    }
+    val got = Warehouse.q156Streaks(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 >= 2), "fixture should contain real streaks")
+  }
 }
