@@ -3704,6 +3704,20 @@ object LlmOps {
     * to that leak). The same discipline as q109's relational BPE: a
     * deterministic integer algorithm, not a float approximation.
     *
+    * Relationship to [[graft.ops.PageRank]] (q87's TextRank engine),
+    * which is deliberately NOT reused here: that module is the
+    * long-iteration workhorse — weighted edges, per-node `scale` start
+    * (unnormalized "weak" PageRank, fine for ranking WITHIN one graph),
+    * eager localCheckpoint per round so 10+ rounds don't stack lineage.
+    * This query needs the opposite contract on every axis: PER-CELL
+    * 1/n-normalized mass so the mass-conservation audit and cross-cell
+    * comparisons mean something, a label-partitioned forest rather than
+    * one graph, and a SINGLE LAZY plan (no eager actions) so the whole
+    * query remains one explainable/oracle-checkable DataFrame whose
+    * [[PrIters]] unrolled rounds share the edge exchange via AQE reuse.
+    * Two variants, one discipline — both exact-integer, both
+    * floor-division trajectories.
+    *
     * Scale shape: the candidate join is |cell|²-bounded (shared
     * [[knnEdges]] builder); after it everything is EDGE-sized: each
     * iteration is one (label, src)-keyed join + one (label, dst)-keyed

@@ -2481,4 +2481,153 @@ object Warehouse {
       |    AS users_ge_7d,
       |  CAST(sum(best) * 1000 // count(*) AS BIGINT) AS mean_best_milli
       |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- Seasonality strength via one-way ANOVA (q157) ----------------------
+
+  /** q157: SEASONALITY STRENGTH — the effect-size figure that closes the
+    * decomposition family: q141 says whether the level DRIFTS, q142
+    * shows the weekday PROFILE, q143 whether it SHIFTED once, q146
+    * whether it has MOMENTUM; this says how much of the daily variance
+    * the weekday explains at all — one-way ANOVA η² = SSB/SST over
+    * daily totals grouped by day-of-week, in exact ppm. η² ≈ 0 ⇒ q142's
+    * profile is noise and a DOW-aware alert baseline buys nothing;
+    * η² high ⇒ day-over-day comparisons (q146) must be deseasonalized
+    * first.
+    *
+    * Exact-integer form: multiplying η² = (Σ_g G_g²/n_g − G²/n) /
+    * (Σx² − G²/n) through by n gives num = Σ_g floor(G_g²·n / n_g) − G²
+    * and den = n·Σx² − G², with the ONE per-group division defined as
+    * integer floor — identical on both engines (the q151 defined-
+    * algorithm discipline; the truncation is ≤ 7 units against numbers
+    * ~10³⁰ and can only nudge a zero-effect num below 0, clamped).
+    * Spark's `DIV` would coerce this ~10³⁰ quotient to long, so the
+    * floor is taken on the decimal division instead: Spark rounds
+    * decimal quotients HALF_UP at scale 6, and the true quotient's
+    * fractional part is a multiple of 1/n_g ≥ 10⁻⁴ (n ≤ 10⁴ days) —
+    * four orders above the 5·10⁻⁷ rounding radius, so
+    * floor(round₆(q)) = floor(q) always, matching DuckDB's native
+    * HUGEINT `//`. Bounds: exact while G_g²·n stays inside the
+    * decimal(38,6) quotient window — per-DOW totals to ~10¹⁵ cents
+    * ($10 billion/day streams), same bound class q141 documents.
+    * Weekday is the engine-neutral `(epoch_day + 4) % 7` (q142).
+    *
+    * Scale shape: one events scan → (type, day) totals (the q141–q146
+    * frame), a ≤ 7-row group rollup per type, scalars joined back by a
+    * tiny broadcast — no window wider than the day frame.
+    */
+  def q157SeasonStrength(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+      .withColumn("dow",
+        expr("(datediff(day, DATE '1970-01-01') + 4) % 7"))
+    val byDow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("ng"), big(sum(col("x"))).as("gg"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), big(sum(col("x"))).as("g"),
+        big(sum(big(col("x")) * big(col("x")))).as("sxx"))
+    byDow.join(broadcast(tot), Seq("event_type"))
+      .withColumn("tg", expr(
+        "CAST(floor(gg * gg * n / ng) AS DECIMAL(38,0))"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_days"),
+        countDistinct(col("dow")).as("n_dow"),
+        big(sum(col("tg"))).as("stg"),
+        max(col("g")).as("g"), max(col("sxx")).as("sxx"))
+      .withColumn("num",
+        greatest(lit(0L).cast("decimal(38,0)"),
+          col("stg") - col("g") * col("g")))
+      .withColumn("den",
+        big(col("n_days")) * col("sxx") - col("g") * col("g"))
+      .select(col("event_type"), col("n_days"), col("n_dow"),
+        expr("CASE WHEN den > 0 THEN CAST(num * 1000000 DIV den AS BIGINT)" +
+          " END").as("eta2_ppm"))
+      .orderBy("event_type")
+  }
+
+  val q157Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS x,
+      |    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+      |      AS dow
+      |  FROM events GROUP BY 1, 2),
+      |bydow AS (
+      |  SELECT event_type, dow, count(*) AS ng,
+      |    sum(CAST(x AS HUGEINT)) AS gg
+      |  FROM daily GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, count(*) AS n, sum(CAST(x AS HUGEINT)) AS g,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM daily GROUP BY 1),
+      |m AS (
+      |  SELECT b.event_type, max(t.n) AS n,
+      |    count(DISTINCT b.dow) AS n_dow,
+      |    sum(b.gg * b.gg * t.n // b.ng) AS stg,
+      |    max(t.g) AS g, max(t.sxx) AS sxx
+      |  FROM bydow b JOIN tot t ON t.event_type = b.event_type
+      |  GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  CAST(n_dow AS BIGINT) AS n_dow,
+      |  CAST(CASE WHEN n * sxx - g * g > 0 THEN
+      |    greatest(0, stg - g * g) * 1000000 // (n * sxx - g * g)
+      |  END AS BIGINT) AS eta2_ppm
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // --- INTERSECT / EXCEPT cohort movement (q158) --------------------------
+
+  /** q158: SET-OPERATION COHORT MOVEMENT — formal INTERSECT/EXCEPT
+    * coverage (SURVEY §2 row U2, "none in reference" — provided anyway,
+    * the same way W1 windows are) dressed as the standard
+    * retained/churned/new customer decomposition between two order
+    * eras: customers ordering in BOTH eras (INTERSECT), only the early
+    * era (EXCEPT), only the late era (reverse EXCEPT). Spark's
+    * `intersect`/`except` are SET-semantic (implicit distinct) exactly
+    * like SQL INTERSECT/EXCEPT — pinned by the count+checksum pairs
+    * here. Each branch also carries an order-independent key checksum
+    * (plain sum — associative/commutative, the q140 discipline) so the
+    * gate certifies MEMBERSHIP, not just cardinality; the three
+    * branches assemble via unionByName (U1).
+    *
+    * Plan shape: set ops lower to left-semi/left-anti hash joins on the
+    * distinct key frames (the q20/q21 machinery) — two key-sized
+    * shuffles, no corpus-sized sort; the era frames are
+    * filter-pushdown scans of orders.
+    */
+  def q158SetOps(s: SparkSession, d: String): DataFrame = {
+    val early = orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_custkey"))
+    val late = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+      .select(col("o_custkey"))
+    def roll(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_customers"),
+        coalesce(sum(col("o_custkey")), lit(0L)).as("key_checksum"))
+        .select(lit(name).as("cohort"), col("n_customers"),
+          col("key_checksum"))
+    roll(early.intersect(late), "retained")
+      .unionByName(roll(early.except(late), "churned"))
+      .unionByName(roll(late.except(early), "new"))
+      .orderBy("cohort")
+  }
+
+  val q158Oracle: String =
+    """WITH early AS (
+      |  SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+      |late AS (
+      |  SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+      |r AS (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late),
+      |c AS (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late),
+      |n AS (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early)
+      |SELECT 'churned' AS cohort, count(*) AS n_customers,
+      |  CAST(coalesce(sum(o_custkey), 0) AS BIGINT) AS key_checksum FROM c
+      |UNION ALL
+      |SELECT 'new', count(*), CAST(coalesce(sum(o_custkey), 0) AS BIGINT)
+      |  FROM n
+      |UNION ALL
+      |SELECT 'retained', count(*), CAST(coalesce(sum(o_custkey), 0) AS BIGINT)
+      |  FROM r
+      |ORDER BY cohort""".stripMargin
 }

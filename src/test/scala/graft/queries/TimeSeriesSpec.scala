@@ -118,4 +118,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == expected)
     assert(got.exists(_._3 >= 2), "fixture should contain real streaks")
   }
+
+  test("q157 seasonality strength equals a BigInt ANOVA replay; eta2 in " +
+    "[0, 1e6]") {
+    val rows = Tables.events(spark, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(round($"value" * 100, 0).cast("long")).as("x"))
+      .select($"event_type", $"day".cast("string"), $"x")
+      .as[(String, String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val cells = rs.map { r =>
+        ((java.time.LocalDate.parse(r._2).toEpochDay + 4) % 7, BigInt(r._3))
+      }
+      val n = BigInt(cells.size)
+      val g = cells.map(_._2).sum
+      val sxx = cells.map(c => c._2 * c._2).sum
+      val byDow = cells.groupBy(_._1).values.toSeq
+      val stg = byDow.map { grp =>
+        val gg = grp.map(_._2).sum
+        gg * gg * n / grp.size // BigInt division floors on positives
+      }.sum
+      val num = (stg - g * g).max(BigInt(0))
+      val den = n * sxx - g * g
+      val eta = if (den > 0) Some((num * 1000000 / den).toLong) else None
+      (et, cells.size.toLong, byDow.size.toLong, eta)
+    }
+    val got = Warehouse.q157SeasonStrength(spark, d)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == expected)
+    got.flatMap(_._4).foreach(e => assert(e >= 0 && e <= 1000000))
+    assert(got.forall(_._3 == 7), "fixture spans all weekdays")
+  }
 }

@@ -298,4 +298,25 @@ class WarehouseSpec extends SparkSpec {
         s"$from row floor-leak bound")
     }
   }
+  test("q158 set ops equal literal distinct-key set algebra; cohorts " +
+    "partition the customer universe") {
+    val rows = Tables.orders(spark, d)
+      .select($"o_custkey".cast("long"), $"o_orderdate".cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val early = rows.filter(_._2 < "1998-01-01").map(_._1).toSet
+    val late = rows.filter(_._2 >= "1998-01-01").map(_._1).toSet
+    val expected = Seq(
+      ("churned", early -- late), ("new", late -- early),
+      ("retained", early & late)
+    ).map { case (n, ks) => (n, ks.size.toLong, ks.sum) }
+    val got = Warehouse.q158SetOps(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == (early ++ late).size,
+      "cohorts partition the active-customer universe")
+    // at sf0.001 a tail cohort may legitimately be empty (an empty set's
+    // checksum must then be 0, not NULL); retained is always populated
+    assert(got.find(_._1 == "retained").exists(_._2 > 0))
+    got.filter(_._2 == 0).foreach(r => assert(r._3 == 0L))
+  }
 }
