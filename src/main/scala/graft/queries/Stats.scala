@@ -718,4 +718,95 @@ object Stats {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |    * 1000000 // t AS BIGINT) AS cum_share_ppm
       |FROM g ORDER BY event_type, dec""".stripMargin
+
+  // --- Tail (p90) trend (q159) --------------------------------------------
+
+  /** q159: TAIL TREND — "is my p90 drifting": the composition ops teams
+    * actually watch. q141's OLS slope tracks the MEAN, but capacity
+    * incidents live in the tail, and a mean-flat stream whose p90
+    * climbs is the classic slow-burn regression. Stage 1 computes each
+    * day's EXACT type-1 p90 (value at rank ⌈0.9·n_d⌉ = (9·n_d+9) div
+    * 10, resolved as min(v | cum ≥ rank) over the per-(type, day)
+    * cents histogram — the q154 discipline at day grain); stage 2 runs
+    * q141's integer OLS over (day index, p90): centered-x moments in
+    * decimal(38,0), sign-factored division, milli-cents-per-day slope.
+    * Day index is epoch_day − per-type min via an unordered partition
+    * window (no second scan).
+    *
+    * Scale shape: one events scan → (type, day, cents) histogram
+    * (map-side combinable); the cumulative window partitions per
+    * (type, day) — day-bounded, embarrassingly parallel; the trend
+    * moments ride the (type, day) frame. Never a corpus-wide sort.
+    */
+  def q159TailTrend(s: SparkSession, d: String): DataFrame = {
+    val wDay = Window.partitionBy("event_type", "day")
+    val wCum = wDay.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type", "day", "cents").agg(count(lit(1)).as("m"))
+      .withColumn("nd", sum(col("m")).over(wDay))
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .groupBy("event_type", "day")
+      .agg(min(when(col("cum") >= expr("(9 * nd + 9) DIV 10"),
+        col("cents"))).as("p90"))
+    daily
+      .withColumn("x", expr("datediff(day, DATE '1970-01-01') - " +
+        "min(datediff(day, DATE '1970-01-01')) OVER " +
+        "(PARTITION BY event_type)").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        big(sum(big(col("x")))).as("sx"),
+        big(sum(big(col("p90")))).as("sy"),
+        big(sum(big(col("x")) * big(col("p90")))).as("sxy"),
+        big(sum(big(col("x")) * big(col("x")))).as("sxx"),
+        min(col("p90")).as("min_p90"), max(col("p90")).as("max_p90"))
+      .withColumn("num", big(col("n_days")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", big(col("n_days")) * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n_days"), col("min_p90"), col("max_p90"),
+        expr("sy * 1000 DIV n_days").cast("long").as("mean_p90_mcents"),
+        expr("CASE WHEN den > 0 THEN CAST(sign(num) AS DECIMAL(38,0)) * " +
+          "(abs(num) * 1000 DIV den) END").cast("long")
+          .as("p90_slope_mcents_per_day"))
+      .orderBy("event_type")
+  }
+
+  val q159Oracle: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS m
+      |  FROM events GROUP BY 1, 2, 3),
+      |w AS (
+      |  SELECT event_type, day, cents,
+      |    sum(m) OVER (PARTITION BY event_type, day) AS nd,
+      |    sum(m) OVER (PARTITION BY event_type, day ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h),
+      |daily AS (
+      |  SELECT event_type, day,
+      |    min(CASE WHEN cum >= (9 * nd + 9) // 10 THEN cents END) AS p90
+      |  FROM w GROUP BY 1, 2),
+      |cx AS (
+      |  SELECT event_type, p90,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - min(date_diff('day', DATE '1970-01-01', day))
+      |        OVER (PARTITION BY event_type) AS x
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(p90 AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * p90) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    min(p90) AS min_p90, max(p90) AS max_p90
+      |  FROM cx GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, n, min_p90, max_p90, sy,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |  FROM m)
+      |SELECT event_type, n AS n_days, min_p90, max_p90,
+      |  CAST(sy * 1000 // n AS BIGINT) AS mean_p90_mcents,
+      |  CAST(CASE WHEN den > 0 THEN sign(num) * (abs(num) * 1000 // den)
+      |    END AS BIGINT) AS p90_slope_mcents_per_day
+      |FROM f ORDER BY event_type""".stripMargin
 }

@@ -280,4 +280,33 @@ class StatsSpec extends SparkSpec {
       assert(intens == intens.sorted.reverse, "intensity decays")
     }
   }
+
+  test("q159 tail trend equals a literal per-day p90 + BigInt OLS replay") {
+    val rows = Tables.events(spark, d)
+      .select($"event_type", to_date($"ts").cast("string"),
+        round($"value" * 100, 0).cast("long"))
+      .as[(String, String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val daily = rs.groupBy(_._2).toSeq.map { case (day, v) =>
+        val xs = v.map(_._3).sorted
+        val rank = (9 * xs.size + 9) / 10 // ceil(0.9 n), 1-based
+        (java.time.LocalDate.parse(day).toEpochDay, BigInt(xs(rank - 1)))
+      }
+      val minDay = daily.map(_._1).min
+      val xy = daily.map { case (ed, p) => (BigInt(ed - minDay), p) }
+      val n = BigInt(xy.size)
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val slope = if (den > 0)
+        Some((num.signum * (num.abs * 1000 / den)).toLong) else None
+      (et, xy.size.toLong, xy.map(_._2).min.toLong, xy.map(_._2).max.toLong,
+        (sy * 1000 / n).toLong, slope)
+    }
+    val got = Stats.q159TailTrend(spark, d)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == expected)
+    assert(got.forall(_._6.isDefined), "fixture spans multiple days per type")
+  }
 }
