@@ -2630,4 +2630,192 @@ object Warehouse {
       |SELECT 'retained', count(*), CAST(coalesce(sum(o_custkey), 0) AS BIGINT)
       |  FROM r
       |ORDER BY cohort""".stripMargin
+
+  // --- Time-to-convert distribution (q160) --------------------------------
+
+  /** q160: TIME-TO-CONVERT — q89's funnel counts WHO converts; this
+    * measures HOW LONG conversion takes, the number that sizes
+    * attribution windows (q66) and retargeting budgets. Per user: first
+    * 'view', then the first 'purchase' AT OR AFTER it (a purchase
+    * before ever viewing is organic, not conversion — excluded by the
+    * ≥ filter, not by wishful ordering); the latency distribution is
+    * summarized as exact type-1 p50/p90 in SECONDS from the
+    * second-grain latency histogram (q154/q159 discipline — never a
+    * sorted latency buffer), alongside viewer/converter counts and the
+    * exact conversion rate.
+    *
+    * Scale shape: one events scan → per-user conditional-min aggregate
+    * (first view); the purchase side re-filters the same scan and joins
+    * user-keyed (both sides hash-partitioned on user_id — the shuffle
+    * carries (user, µs) pairs only); latencies collapse to a
+    * second-grain histogram whose cumulative windows are
+    * domain-bounded. One |types|-free single-row output per metric
+    * grain keeps the driver compare exact.
+    */
+  def q160TimeToConvert(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("fv"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") >= col("fv"))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("fp"), min(col("fv")).as("fv2"))
+      .select(col("user_id"),
+        expr("(fp - fv2) DIV 1000000").as("lat_s"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = wAll.orderBy("lat_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = firstPurchase.groupBy("lat_s").agg(count(lit(1)).as("m"))
+      .withColumn("n", sum(col("m")).over(wAll))
+      .withColumn("cum", sum(col("m")).over(wCum))
+    val conv = hist.groupBy()
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") * 2 >= col("n"), col("lat_s"))).as("p50_s"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("lat_s")))
+          .as("p90_s"))
+    firstView.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(conv)
+      .withColumn("conversion_ppm",
+        expr("n_converted * 1000000 DIV n_viewers"))
+      .select(col("n_viewers"), col("n_converted"), col("conversion_ppm"),
+        col("p50_s"), col("p90_s"))
+  }
+
+  val q160Oracle: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS fv
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |fp AS (
+      |  SELECT e.user_id,
+      |    (min(epoch_us(e.ts)) - min(fv.fv)) // 1000000 AS lat_s
+      |  FROM events e JOIN fv ON fv.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.fv
+      |  GROUP BY 1),
+      |h AS (SELECT lat_s, count(*) AS m FROM fp GROUP BY 1),
+      |w AS (
+      |  SELECT lat_s, m, sum(m) OVER () AS n,
+      |    sum(m) OVER (ORDER BY lat_s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h),
+      |conv AS (
+      |  SELECT max(n) AS n_converted,
+      |    min(CASE WHEN cum * 2 >= n THEN lat_s END) AS p50_s,
+      |    min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lat_s END) AS p90_s
+      |  FROM w)
+      |SELECT (SELECT count(*) FROM fv) AS n_viewers,
+      |  n_converted,
+      |  CAST(n_converted * 1000000 // (SELECT count(*) FROM fv) AS BIGINT)
+      |    AS conversion_ppm,
+      |  p50_s, p90_s
+      |FROM conv""".stripMargin
+
+  // --- Revenue-weighted median (q161) -------------------------------------
+
+  /** q161: REVENUE-WEIGHTED MEDIAN — the "half the money" order
+    * statistic: the l_quantity at which HALF THE REVENUE sits, per
+    * return flag. Count-median (q50) answers "the typical line";
+    * weight-median answers "the typical dollar" — they diverge exactly
+    * when big-ticket lines behave differently, which is the signal
+    * procurement watches. Weights are exact revenue cents; the median
+    * is type-1 on the weight CDF (min v with 2·cumW ≥ W — the ×2 form
+    * avoids a halving division entirely), read off the (flag, quantity)
+    * weight histogram — 50 rows per flag at any corpus size. The mean
+    * quantity per dollar rides along (q·cents moment over the same
+    * frame) for the classic weighted-mean-vs-weighted-median gap.
+    *
+    * Scale shape: one lineitem scan → (flag, quantity) SUM histogram
+    * (map-side combinable, domain-bounded), cumulative window on the
+    * tiny frame, |flags| rows out.
+    */
+  def q161WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val wF = Window.partitionBy("l_returnflag")
+    val wCum = wF.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("l_returnflag", "q")
+      .agg(sum(col("cents")).as("wsum"), count(lit(1)).as("m"))
+      .withColumn("tw", sum(col("wsum")).over(wF))
+      .withColumn("cumw", sum(col("wsum")).over(wCum))
+      .groupBy("l_returnflag")
+      .agg(max(col("tw")).as("revenue_cents"),
+        sum(col("m")).as("n_lines"),
+        min(when(col("cumw") * 2 >= col("tw"), col("q")))
+          .as("weighted_median_qty"),
+        big(sum(big(col("q")) * big(col("wsum")))).as("qw"))
+      .withColumn("weighted_mean_qty_milli",
+        expr("CAST(qw * 1000 DIV CAST(revenue_cents AS DECIMAL(38,0))" +
+          " AS BIGINT)"))
+      .select(col("l_returnflag"), col("n_lines"), col("revenue_cents"),
+        col("weighted_median_qty"), col("weighted_mean_qty_milli"))
+      .orderBy("l_returnflag")
+  }
+
+  val q161Oracle: String =
+    """WITH h AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS wsum,
+      |    count(*) AS m
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT l_returnflag, q, wsum, m,
+      |    sum(wsum) OVER (PARTITION BY l_returnflag) AS tw,
+      |    sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+      |  FROM h)
+      |SELECT l_returnflag, CAST(sum(m) AS BIGINT) AS n_lines,
+      |  CAST(max(tw) AS BIGINT) AS revenue_cents,
+      |  min(CASE WHEN cumw * 2 >= tw THEN q END) AS weighted_median_qty,
+      |  CAST(sum(CAST(q AS HUGEINT) * wsum) * 1000 // max(CAST(tw AS HUGEINT))
+      |    AS BIGINT) AS weighted_mean_qty_milli
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Burstiness / dispersion index (q162) -------------------------------
+
+  /** q162: BURSTINESS — the Fano dispersion index (variance-to-mean
+    * ratio) of daily event counts per type: ≈1e6 ppm for Poisson
+    * arrivals, far above for bursty traffic (campaign spikes, retry
+    * storms), below for throttled/metered flows. This is the statistic
+    * that says whether q146's autocorrelation and q152's concurrency
+    * peaks ride on genuinely bursty arrivals or just volume. Exact
+    * form: D = σ²/μ = (n·Σx² − G²) / (n·G) over daily COUNTS (not
+    * cents — arrival statistics), emitted in exact ppm; everything
+    * non-negative, so DIV == // throughout. One event-sized aggregate
+    * to the day frame, then a |types|-row rollup.
+    */
+  def q162Burstiness(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), big(sum(col("x"))).as("g"),
+        big(sum(big(col("x")) * big(col("x")))).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(g AS DECIMAL(38,0)) DIV n_days").cast("long")
+          .as("mean_daily"),
+        expr("CASE WHEN g > 0 THEN CAST((CAST(n_days AS DECIMAL(38,0))" +
+          " * sxx - g * g) * 1000000 DIV (CAST(n_days AS DECIMAL(38,0))" +
+          " * g) AS BIGINT) END").as("fano_ppm"))
+      .orderBy("event_type")
+  }
+
+  val q162Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, sum(CAST(x AS HUGEINT)) AS g,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  CAST(g // n AS BIGINT) AS mean_daily,
+      |  CAST(CASE WHEN g > 0 THEN (n * sxx - g * g) * 1000000 // (n * g)
+      |    END AS BIGINT) AS fano_ppm
+      |FROM m ORDER BY event_type""".stripMargin
 }
