@@ -2500,16 +2500,19 @@ object Warehouse {
     * integer floor — identical on both engines (the q151 defined-
     * algorithm discipline; the truncation is ≤ 7 units against numbers
     * ~10³⁰ and can only nudge a zero-effect num below 0, clamped).
-    * Spark's `DIV` would coerce this ~10³⁰ quotient to long, so the
-    * floor is taken on the decimal division instead: Spark rounds
-    * decimal quotients HALF_UP at scale 6, and the true quotient's
-    * fractional part is a multiple of 1/n_g ≥ 10⁻⁴ (n ≤ 10⁴ days) —
-    * four orders above the 5·10⁻⁷ rounding radius, so
-    * floor(round₆(q)) = floor(q) always, matching DuckDB's native
-    * HUGEINT `//`. Bounds: exact while G_g²·n stays inside the
-    * decimal(38,6) quotient window — per-DOW totals to ~10¹⁵ cents
-    * ($10 billion/day streams), same bound class q141 documents.
-    * Weekday is the engine-neutral `(epoch_day + 4) % 7` (q142).
+    * A direct decimal quotient of these ~10³⁰ magnitudes would ride
+    * Spark's precision-loss-adjusted scale and silently NULL well below
+    * plausible volumes, so the floor is computed with NO wide division
+    * at all — remainder decomposition on h = |G_g| (a long):
+    * h = q₁·n_g + r₁ ⇒ floor(h²n/n_g) = h·n·q₁ + m·q₁ + (r₁·m DIV n_g)
+    * with m = n·r₁. The only division left is r₁·m DIV n_g on longs
+    * (r₁ < n_g and m ≤ n·n_g keep r₁·m ≤ n_g²·n ≲ 10¹⁵), and the two
+    * products are exact decimal(38,0) integer products. Bounds: exact
+    * while per-DOW total |cents| fits a signed long (~9·10¹⁸, i.e.
+    * ~$10¹⁶ per weekday bucket) and Σ_g tg ≈ n·Σ_g G_g²/n_g stays
+    * under 10³⁸ — per-DOW totals to ~10¹⁸ cents, three orders beyond
+    * q141's documented class. Weekday is the engine-neutral
+    * `(epoch_day + 4) % 7` (q142).
     *
     * Scale shape: one events scan → (type, day) totals (the q141–q146
     * frame), a ≤ 7-row group rollup per type, scalars joined back by a
@@ -2523,13 +2526,23 @@ object Warehouse {
       .withColumn("dow",
         expr("(datediff(day, DATE '1970-01-01') + 4) % 7"))
     val byDow = daily.groupBy("event_type", "dow")
-      .agg(count(lit(1)).as("ng"), big(sum(col("x"))).as("gg"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("gg"))
     val tot = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n"), big(sum(col("x"))).as("g"),
         big(sum(big(col("x")) * big(col("x")))).as("sxx"))
     byDow.join(broadcast(tot), Seq("event_type"))
-      .withColumn("tg", expr(
-        "CAST(floor(gg * gg * n / ng) AS DECIMAL(38,0))"))
+      // floor(gg²·n/ng) by remainder decomposition on h = |gg| (long):
+      // h = q1·ng + r1 ⇒ h²n/ng = h·n·q1 + m·q1 + r1·m/ng, m = n·r1.
+      // r1·m ≤ ng²·n fits a long, so the residual floor is long DIV;
+      // the rest are exact decimal(38,0) integer products.
+      .withColumn("h", abs(col("gg")))
+      .withColumn("q1", expr("h DIV ng"))
+      .withColumn("r1", expr("h % ng"))
+      .withColumn("m", expr("n * r1"))
+      .withColumn("tg",
+        big(col("h")) * big(col("n")) * big(col("q1"))
+          + big(col("m")) * big(col("q1"))
+          + big(expr("(r1 * m) DIV ng")))
       .groupBy("event_type")
       .agg(max(col("n")).as("n_days"),
         countDistinct(col("dow")).as("n_dow"),
@@ -2671,13 +2684,17 @@ object Warehouse {
     val hist = firstPurchase.groupBy("lat_s").agg(count(lit(1)).as("m"))
       .withColumn("n", sum(col("m")).over(wAll))
       .withColumn("cum", sum(col("m")).over(wCum))
-    val conv = hist.groupBy()
+    // n_viewers is one exact integer — collect it and stamp it as a
+    // literal (q84/q96 observe pattern) rather than single-row-joining,
+    // which would plan a BroadcastNestedLoopJoin.
+    val nViewers = firstView.agg(count(lit(1)).as("n"))
+      .collect().head.getLong(0)
+    hist.groupBy()
       .agg(max(col("n")).as("n_converted"),
         min(when(col("cum") * 2 >= col("n"), col("lat_s"))).as("p50_s"),
         min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("lat_s")))
           .as("p90_s"))
-    firstView.agg(count(lit(1)).as("n_viewers"))
-      .crossJoin(conv)
+      .withColumn("n_viewers", lit(nViewers))
       .withColumn("conversion_ppm",
         expr("n_converted * 1000000 DIV n_viewers"))
       .select(col("n_viewers"), col("n_converted"), col("conversion_ppm"),
@@ -2706,7 +2723,7 @@ object Warehouse {
       |    min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lat_s END) AS p90_s
       |  FROM w)
       |SELECT (SELECT count(*) FROM fv) AS n_viewers,
-      |  n_converted,
+      |  CAST(n_converted AS BIGINT) AS n_converted,
       |  CAST(n_converted * 1000000 // (SELECT count(*) FROM fv) AS BIGINT)
       |    AS conversion_ppm,
       |  p50_s, p90_s

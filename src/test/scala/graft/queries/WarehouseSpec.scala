@@ -319,4 +319,78 @@ class WarehouseSpec extends SparkSpec {
     assert(got.find(_._1 == "retained").exists(_._2 > 0))
     got.filter(_._2 == 0).foreach(r => assert(r._3 == 0L))
   }
+
+  test("q160 time-to-convert equals a per-user first-view/first-purchase " +
+    "latency replay with type-1 percentiles") {
+    val rows = Tables.events(spark, d)
+      .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_type")
+      .as[(Long, Long, String)].collect()
+    val viewers = rows.groupBy(_._1)
+      .filter(_._2.exists(_._3 == "view"))
+    val lats = viewers.values.flatMap { evs =>
+      val fv = evs.filter(_._3 == "view").map(_._2).min
+      evs.filter(e => e._3 == "purchase" && e._2 >= fv).map(_._2)
+        .minOption.map(fp => (fp - fv) / 1000000L)
+    }.toSeq.sorted
+    val nV = viewers.size.toLong
+    val nC = lats.size.toLong
+    assert(nV > 0 && nC > 0, "fixture must have converting viewers")
+    val Array((gV, gC, ppm, p50, p90)) =
+      Warehouse.q160TimeToConvert(spark, d)
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(gV == nV && gC == nC)
+    assert(ppm == nC * 1000000L / nV, "exact floor conversion rate")
+    // type-1 quantile: min lat whose cumulative count reaches k
+    assert(p50.contains(lats(((nC + 1) / 2 - 1).toInt)))
+    assert(p90.contains(lats(((9 * nC + 9) / 10 - 1).toInt)))
+    assert(p50.get <= p90.get && lats.forall(_ >= 0))
+  }
+
+  test("q161 weighted median equals a literal weight-CDF replay and sits " +
+    "where half the revenue sits") {
+    val rows = Tables.lineitem(spark, d)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("q"),
+        round($"l_extendedprice" * 100, 0).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
+      val w = rs.map(r => BigInt(r._3)).sum
+      val byQ = rs.groupBy(_._2).view
+        .mapValues(_.map(r => BigInt(r._3)).sum).toSeq.sortBy(_._1)
+      var cum = BigInt(0)
+      val med = byQ.find { case (_, ws) => cum += ws; cum * 2 >= w }.get._1
+      val qw = rs.map(r => BigInt(r._2) * r._3).sum
+      (f, rs.size.toLong, w.toLong, med, (qw * 1000 / w).toLong)
+    }
+    val got = Warehouse.q161WeightedMedian(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the defining CDF property, asserted directly: revenue at or below
+    // the median is >= half, revenue strictly below is < half
+    expected.foreach { case (f, _, wTot, med, _) =>
+      val rs = rows.filter(_._1 == f)
+      val below = rs.filter(_._2 < med).map(r => BigInt(r._3)).sum
+      val atOrBelow = rs.filter(_._2 <= med).map(r => BigInt(r._3)).sum
+      assert(atOrBelow * 2 >= BigInt(wTot) && below * 2 < BigInt(wTot))
+    }
+  }
+
+  test("q162 burstiness equals a BigInt dispersion replay; Fano is " +
+    "non-negative") {
+    val daily = Tables.events(spark, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select($"event_type", $"x").as[(String, Long)].collect().toSeq
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val n = BigInt(rs.size); val g = rs.map(r => BigInt(r._2)).sum
+      val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+      (et, rs.size.toLong, (g / n).toLong,
+        if (g > 0) Some(((n * sxx - g * g) * 1000000 / (n * g)).toLong)
+        else None)
+    }
+    val got = Warehouse.q162Burstiness(spark, d)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == expected)
+    // n·Σx² ≥ G² (Cauchy–Schwarz) makes the index non-negative
+    got.flatMap(_._4).foreach(f => assert(f >= 0))
+  }
 }
