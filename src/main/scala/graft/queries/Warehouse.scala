@@ -2835,4 +2835,232 @@ object Warehouse {
       |  CAST(CASE WHEN g > 0 THEN (n * sxx - g * g) * 1000000 // (n * g)
       |    END AS BIGINT) AS fano_ppm
       |FROM m ORDER BY event_type""".stripMargin
+
+  // --- RFM segmentation (q163) --------------------------------------------
+
+  /** q163: RFM SEGMENTATION — the classic warehouse customer-value cube:
+    * each customer scored 1–4 on Recency (days since last order, 4 =
+    * most recent), Frequency (order count) and Monetary (exact revenue
+    * cents), rolled up to the ≤64 (r,f,m) segments with count, order
+    * volume and revenue — "444 = champions, 1xx = lapsed" is the
+    * retention team's working vocabulary, and none of q89/q90/q155
+    * produce it (funnel = step conversion, retention = cohort decay,
+    * deciles = one-metric Lorenz; RFM is the three-metric cross).
+    *
+    * Scores are THRESHOLD-based, not rank-based: each metric's exact
+    * type-1 quartile cuts (min v with cum ≥ ⌈p·n⌉ off the metric's
+    * value histogram — the q50/q155 discipline) are collected as
+    * literals (q84/q96 observe pattern), and a customer's score counts
+    * the cuts it strictly clears (ties at a cut share the lower band).
+    * Rank-based ntile would need a global total order AND make straddled
+    * tie blocks ambiguous; thresholds are tie-clean, deterministic, and
+    * assign in a single scan.
+    *
+    * Scale shape: one orders scan → per-customer aggregate (custkey-
+    * shuffled, map-side combinable, localCheckpoint'd for the three
+    * downstream jobs); cuts come off ONE long-form (metric, v) histogram
+    * pass — rec/freq domains are bounded, monetary rides the distinct-
+    * cents frame (q149/q154 discipline); final scoring is a literal
+    * comparison ladder, no join, into a ≤64-row rollup.
+    */
+  def q163Rfm(s: SparkSession, d: String): DataFrame = {
+    val perCust = orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .localCheckpoint(eager = true)
+    val maxDay = perCust.agg(max(col("last_day"))).collect().head.getDate(0)
+    val rfm = perCust.select(col("cust"), col("freq"), col("cents"),
+      datediff(lit(maxDay), col("last_day")).cast("long").as("rec"))
+    val wM = Window.partitionBy("metric")
+    val wCum = wM.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = rfm
+      .select(col("cust"), explode(map(
+        lit("r"), col("rec"), lit("f"), col("freq"),
+        lit("m"), col("cents"))).as(Seq("metric", "v")))
+      .groupBy("metric", "v").agg(count(lit(1)).as("m"))
+      .withColumn("n", sum(col("m")).over(wM))
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .groupBy("metric")
+      .agg(min(when(col("cum") >= expr("(n + 3) DIV 4"), col("v"))).as("c25"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v"))).as("c50"),
+        min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("v"))).as("c75"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    require(cuts.keySet == Set("r", "f", "m"), s"missing metric cuts: $cuts")
+    def up(v: Column, c: (Long, Long, Long)): Column =
+      lit(1L) + (v > c._1).cast("long") + (v > c._2).cast("long") +
+        (v > c._3).cast("long")
+    def down(v: Column, c: (Long, Long, Long)): Column =
+      lit(1L) + (v < c._1).cast("long") + (v < c._2).cast("long") +
+        (v < c._3).cast("long")
+    rfm
+      .select(down(col("rec"), cuts("r")).as("r_score"),
+        up(col("freq"), cuts("f")).as("f_score"),
+        up(col("cents"), cuts("m")).as("m_score"),
+        col("freq"), col("cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum(col("freq")).as("n_orders"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("r_score").desc, col("f_score").desc, col("m_score").desc)
+  }
+
+  val q163Oracle: String =
+    """WITH pc AS (
+      |  SELECT o_custkey AS cust, max(CAST(o_orderdate AS DATE)) AS last_day,
+      |    count(*) AS freq,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1),
+      |rfm AS (
+      |  SELECT cust, freq, cents,
+      |    CAST(date_diff('day', last_day, (SELECT max(last_day) FROM pc))
+      |      AS BIGINT) AS rec
+      |  FROM pc),
+      |lng AS (
+      |  SELECT 'r' AS metric, rec AS v FROM rfm
+      |  UNION ALL SELECT 'f', CAST(freq AS BIGINT) FROM rfm
+      |  UNION ALL SELECT 'm', cents FROM rfm),
+      |h AS (SELECT metric, v, count(*) AS m FROM lng GROUP BY 1, 2),
+      |w AS (
+      |  SELECT metric, v, m, sum(m) OVER (PARTITION BY metric) AS n,
+      |    sum(m) OVER (PARTITION BY metric ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h),
+      |c AS (
+      |  SELECT metric,
+      |    min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS c25,
+      |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS c50,
+      |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS c75
+      |  FROM w GROUP BY 1),
+      |s AS (
+      |  SELECT f.freq, f.cents,
+      |    1 + CASE WHEN f.rec < cr.c25 THEN 1 ELSE 0 END
+      |      + CASE WHEN f.rec < cr.c50 THEN 1 ELSE 0 END
+      |      + CASE WHEN f.rec < cr.c75 THEN 1 ELSE 0 END AS r_score,
+      |    1 + CASE WHEN f.freq > cf.c25 THEN 1 ELSE 0 END
+      |      + CASE WHEN f.freq > cf.c50 THEN 1 ELSE 0 END
+      |      + CASE WHEN f.freq > cf.c75 THEN 1 ELSE 0 END AS f_score,
+      |    1 + CASE WHEN f.cents > cm.c25 THEN 1 ELSE 0 END
+      |      + CASE WHEN f.cents > cm.c50 THEN 1 ELSE 0 END
+      |      + CASE WHEN f.cents > cm.c75 THEN 1 ELSE 0 END AS m_score
+      |  FROM rfm f,
+      |    (SELECT * FROM c WHERE metric = 'r') cr,
+      |    (SELECT * FROM c WHERE metric = 'f') cf,
+      |    (SELECT * FROM c WHERE metric = 'm') cm)
+      |SELECT CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  count(*) AS n_customers,
+      |  CAST(sum(freq) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM s GROUP BY 1, 2, 3
+      |ORDER BY r_score DESC, f_score DESC, m_score DESC""".stripMargin
+
+  // --- Association rules / market basket (q164) ---------------------------
+
+  private val AssocMinSup = 3L
+  private val AssocTopK = 50
+  private val AssocMaxBasket = 1000L
+  private val AssocBuckets = 64
+
+  /** q164: ASSOCIATION RULES — market-basket mining over order baskets
+    * (order = basket, part = item): the top-[[AssocTopK]] co-purchased
+    * part pairs by LIFT, with both directed confidences — the
+    * "customers who bought X also bought Y" table, which none of the
+    * join/cooccurrence queries produce (q99 is token windows, q103 is
+    * source overlap; this is basket support/confidence/lift semantics).
+    *
+    * Scale is the A-PRIORI downward-closure prune: a pair can only be
+    * frequent if BOTH items are (sup ≥ [[AssocMinSup]]), so item
+    * supports are counted first (map-side combinable) and the quadratic
+    * within-basket pair join runs over FREQUENT items only; baskets
+    * larger than [[AssocMaxBasket]] frequent items are excluded outright
+    * (the q42 maxCell degenerate-basket guard) rather than allowed to
+    * explode one task. Item supports ride the pair join as carried
+    * columns (constant per item, folded with max) — no second join.
+    * All metrics are exact integers: lift_ppm = sup_xy·n·10⁶ DIV
+    * (sup_x·sup_y) on decimal(38,0) products (n = basket count, a
+    * collected literal — q84/q96 observe pattern; ≤ ~10²⁶ at 10¹⁰
+    * baskets), confidences on longs. Top-K via the q68/q96 bucket
+    * prefilter (per-bucket rank caps the global window's input at
+    * [[AssocBuckets]]·K rows), final order total on (lift DESC, x, y).
+    */
+  def q164AssocRules(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val n = items.select(countDistinct(col("o")).as("n"))
+      .collect().head.getLong(0)
+    val freq = items.groupBy("item").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= AssocMinSup)
+    val sized = items.join(freq, Seq("item"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("o")))
+      .filter(col("bsz") <= AssocMaxBasket)
+    val pairs = sized
+      .select(col("o"), col("item").as("part_x"), col("sup").as("sx"))
+      .join(sized.select(col("o"), col("item").as("part_y"),
+        col("sup").as("sy")), Seq("o"))
+      .filter(col("part_x") < col("part_y"))
+      .groupBy("part_x", "part_y")
+      .agg(count(lit(1)).as("sup_xy"), max(col("sx")).as("sup_x"),
+        max(col("sy")).as("sup_y"))
+      .filter(col("sup_xy") >= AssocMinSup)
+      .withColumn("lift_ppm", expr(
+        s"CAST(sup_xy AS DECIMAL(38,0)) * CAST($n AS DECIMAL(38,0))" +
+          " * 1000000 DIV (CAST(sup_x AS DECIMAL(38,0)) * sup_y)"))
+      .withColumn("conf_xy_ppm", expr("sup_xy * 1000000 DIV sup_x"))
+      .withColumn("conf_yx_ppm", expr("sup_xy * 1000000 DIV sup_y"))
+    val ord = Seq(col("lift_ppm").desc, col("part_x").asc, col("part_y").asc)
+    val wBucket = Window.partitionBy("__bucket").orderBy(ord: _*)
+    val wTop = Window.partitionBy(lit(1)).orderBy(ord: _*)
+    pairs
+      .withColumn("__bucket",
+        pmod(xxhash64(col("part_x"), col("part_y")), lit(AssocBuckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= AssocTopK)
+      .drop("__bucket", "__brank")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= AssocTopK)
+      .select(col("rank"), col("part_x"), col("part_y"), col("sup_xy"),
+        col("sup_x"), col("sup_y"), col("lift_ppm"), col("conf_xy_ppm"),
+        col("conf_yx_ppm"))
+      .orderBy("rank")
+  }
+
+  val q164Oracle: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+       |nb AS (SELECT count(DISTINCT o) AS n FROM items),
+       |freq AS (
+       |  SELECT item, count(*) AS sup FROM items GROUP BY 1
+       |  HAVING count(*) >= $AssocMinSup),
+       |sized AS (
+       |  SELECT i.o, i.item, f.sup,
+       |    count(*) OVER (PARTITION BY i.o) AS bsz
+       |  FROM items i JOIN freq f USING (item)),
+       |p AS (
+       |  SELECT a.item AS part_x, b.item AS part_y, count(*) AS sup_xy,
+       |    max(a.sup) AS sup_x, max(b.sup) AS sup_y
+       |  FROM sized a JOIN sized b ON a.o = b.o AND a.item < b.item
+       |  WHERE a.bsz <= $AssocMaxBasket AND b.bsz <= $AssocMaxBasket
+       |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinSup),
+       |m AS (
+       |  SELECT part_x, part_y, sup_xy, sup_x, sup_y,
+       |    CAST(CAST(sup_xy AS HUGEINT) * (SELECT n FROM nb) * 1000000
+       |      // (CAST(sup_x AS HUGEINT) * sup_y) AS BIGINT) AS lift_ppm,
+       |    CAST(sup_xy * 1000000 // sup_x AS BIGINT) AS conf_xy_ppm,
+       |    CAST(sup_xy * 1000000 // sup_y AS BIGINT) AS conf_yx_ppm
+       |  FROM p),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY lift_ppm DESC, part_x, part_y) AS rank
+       |  FROM m)
+       |SELECT CAST(rank AS BIGINT) AS rank, part_x, part_y,
+       |  CAST(sup_xy AS BIGINT) AS sup_xy, CAST(sup_x AS BIGINT) AS sup_x,
+       |  CAST(sup_y AS BIGINT) AS sup_y, lift_ppm, conf_xy_ppm, conf_yx_ppm
+       |FROM r WHERE rank <= $AssocTopK ORDER BY rank""".stripMargin
 }

@@ -393,4 +393,77 @@ class WarehouseSpec extends SparkSpec {
     // n·Σx² ≥ G² (Cauchy–Schwarz) makes the index non-negative
     got.flatMap(_._4).foreach(f => assert(f >= 0))
   }
+
+  test("q163 RFM equals a literal threshold-quartile replay; segments " +
+    "partition the customer base") {
+    val pc = Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).cast("string").as("last"),
+        count(lit(1)).as("freq"),
+        sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val maxDay = java.time.LocalDate.parse(pc.map(_._2).max)
+    val rfm = pc.map { case (_, last, f, m) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(last), maxDay), f, m)
+    }
+    def cuts(vs: Seq[Long]): (Long, Long, Long) = {
+      val s = vs.sorted; val n = s.size
+      (s(((n + 3) / 4 - 1).toInt), s(((n + 1) / 2 - 1).toInt),
+        s(((3 * n + 3) / 4 - 1).toInt))
+    }
+    val cr = cuts(rfm.map(_._1)); val cf = cuts(rfm.map(_._2))
+    val cm = cuts(rfm.map(_._3))
+    def up(v: Long, c: (Long, Long, Long)): Long =
+      1L + Seq(c._1, c._2, c._3).count(v > _)
+    def down(v: Long, c: (Long, Long, Long)): Long =
+      1L + Seq(c._1, c._2, c._3).count(v < _)
+    val expected = rfm
+      .groupBy(r => (down(r._1, cr), up(r._2, cf), up(r._3, cm)))
+      .map { case ((rs, fs, ms), grp) =>
+        (rs, fs, ms, grp.size.toLong, grp.map(_._2).sum, grp.map(_._3).sum)
+      }.toSeq.sortBy(r => (-r._1, -r._2, -r._3))
+    val got = Warehouse.q163Rfm(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._4).sum == pc.size.toLong,
+      "segments partition the customer base")
+    got.foreach { r =>
+      assert(Seq(r._1, r._2, r._3).forall(s => s >= 1 && s <= 4))
+    }
+    // the threshold rule puts every quartile-boundary tie in ONE segment:
+    // a customer at exactly a cut scores the lower band on that metric
+    assert(got.map(r => (r._1, r._2, r._3)).distinct.size == got.size)
+  }
+
+  test("q164 association rules equal a brute-force basket replay; a-priori " +
+    "pruning is lossless at the support threshold") {
+    val minSup = 3L
+    val items = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val n = items.map(_._1).distinct.size.toLong
+    val sup = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val baskets = items.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairCnt = baskets.flatMap(b =>
+      for (i <- b.indices; j <- (i + 1) until b.size) yield (b(i), b(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minSup).toSeq
+    val scored = pairCnt.map { case ((x, y), sxy) =>
+      val (sx, sy) = (sup(x), sup(y))
+      val lift = (BigInt(sxy) * n * 1000000 / (BigInt(sx) * sy)).toLong
+      (lift, x, y, sxy, sx, sy, sxy * 1000000L / sx, sxy * 1000000L / sy)
+    }.sortBy(r => (-r._1, r._2, r._3)).take(50)
+    val expected = scored.zipWithIndex.map { case (r, i) =>
+      (i + 1L, r._2, r._3, r._4, r._5, r._6, r._1, r._7, r._8)
+    }
+    val got = Warehouse.q164AssocRules(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == expected)
+    // every surfaced pair's items are themselves frequent (downward
+    // closure — the property that makes the a-priori prune lossless)
+    got.foreach(r => assert(r._5 >= minSup && r._6 >= minSup))
+    assert(got.nonEmpty, "fixture must surface frequent pairs")
+  }
 }
