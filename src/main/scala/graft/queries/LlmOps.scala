@@ -3796,4 +3796,83 @@ object LlmOps {
        |  CAST(n AS BIGINT) AS n_nodes, CAST(mass AS BIGINT) AS mass_scaled
        |FROM fin WHERE pos <= 3 ORDER BY label, pos""".stripMargin
   }
+
+  // --- Semantic cross-split leakage (q166) --------------------------------
+
+  private val SemLeakTau = 0.4
+  private val SemLeakMaxCell = 10000L
+
+  /** q166: SEMANTIC CROSS-SPLIT LEAKAGE — embedding-space contamination
+    * audit of the train/val/test split: eval vectors with a TRAIN
+    * near-neighbor at cosine ≥ [[SemLeakTau]] are paraphrase-level
+    * contamination that the LEXICAL decontamination queries cannot see
+    * (q45 n-gram decontaminate, q83 token split-leakage, q92 split
+    * novelty all miss a reworded duplicate; the embedding catches it —
+    * the motivation behind semantic-dedup/decontamination in the
+    * D4/SemDeDup line of work). Per (eval split, label cell): eval
+    * vectors audited, candidate pairs scored, DISTINCT leaked eval
+    * vectors, and the worst similarity (max before round — order-
+    * independent, the q42 discipline).
+    *
+    * Scale shape: the candidate space is label-cell-restricted exactly
+    * like q42/q82 (never eval×corpus), with q42's maxCell guard against
+    * a degenerate cell; the train side re-filters the same bounded scan.
+    * Split assignment is the engine-portable PolyHash bucket
+    * ([[graft.ops.Splits]]) on vec_id — the oracle re-derives it from
+    * the SAME cuts via assignSql, so engine and oracle cannot drift.
+    * Cells with no train vector simply contribute no pairs (nothing to
+    * leak FROM); n_eval therefore counts audited-against-train vectors.
+    */
+  def q166SemanticLeakage(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.ops.Splits.assign(col("vec_id"), Corpus.SplitCuts).as("split"))
+    val cells = e.groupBy("label").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") <= SemLeakMaxCell).select("label")
+    val bounded = e.join(cells, Seq("label"))
+    val train = bounded.filter(col("split") === "train")
+      .select(col("label"), col("embedding").as("te"))
+    bounded.filter(col("split") =!= "train")
+      .select(col("label"), col("split"), col("vec_id"), col("embedding"))
+      .join(train, Seq("label"))
+      .select(col("split"), col("label"), col("vec_id"),
+        VectorExpressions.cosine(col("embedding"), col("te")).as("sim"))
+      .groupBy("split", "label")
+      .agg(countDistinct(col("vec_id")).as("n_eval"),
+        count(lit(1)).as("n_pairs"),
+        countDistinct(when(col("sim") >= SemLeakTau, col("vec_id")))
+          .as("n_leaked"),
+        round(max(col("sim")), 4).as("max_sim"))
+      .select(col("split"), col("label").cast("long").as("label"),
+        col("n_eval"), col("n_pairs"), col("n_leaked"), col("max_sim"))
+      .orderBy("split", "label")
+  }
+
+  val q166Oracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${graft.ops.Splits.assignSql("vec_id", Corpus.SplitCuts)} AS split
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT label FROM e GROUP BY label
+       |  HAVING count(*) <= $SemLeakMaxCell),
+       |b AS (SELECT e.* FROM e JOIN cells USING (label)),
+       |p AS (
+       |  SELECT ev.split, ev.label, ev.vec_id AS eid, tr.vec_id AS tid,
+       |    ev.embedding AS ea, tr.embedding AS eb
+       |  FROM b ev JOIN b tr ON ev.label = tr.label
+       |  WHERE ev.split <> 'train' AND tr.split = 'train'),
+       |ex AS (SELECT split, label, eid, tid,
+       |         unnest(ea) AS x, unnest(eb) AS y FROM p),
+       |sims AS (SELECT split, label, eid, tid,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+       |  FROM ex GROUP BY 1, 2, 3, 4)
+       |SELECT split, CAST(label AS BIGINT) AS label,
+       |  count(DISTINCT eid) AS n_eval, count(*) AS n_pairs,
+       |  CAST(count(DISTINCT CASE WHEN sim >= $SemLeakTau THEN eid END)
+       |    AS BIGINT) AS n_leaked,
+       |  round(max(sim), 4) AS max_sim
+       |FROM sims GROUP BY 1, 2 ORDER BY split, label""".stripMargin
 }

@@ -3063,4 +3063,89 @@ object Warehouse {
        |  CAST(sup_xy AS BIGINT) AS sup_xy, CAST(sup_x AS BIGINT) AS sup_x,
        |  CAST(sup_y AS BIGINT) AS sup_y, lift_ppm, conf_xy_ppm, conf_yx_ppm
        |FROM r WHERE rank <= $AssocTopK ORDER BY rank""".stripMargin
+
+  // --- Chi-square mix independence (q165) ---------------------------------
+
+  /** q165: EVENT-MIX INDEPENDENCE — Pearson chi-square contingency audit
+    * of event_type × weekday on arrival COUNTS: does the COMPOSITION of
+    * traffic shift by day of week? The categorical complement of q157
+    * (ANOVA asks whether value MAGNITUDE has weekday structure; this
+    * asks whether the type MIX does — a product stream can be
+    * magnitude-seasonal but mix-stationary, or vice versa). Per cell:
+    * observed, integer-floor expected E = R·C DIV n, signed deviation,
+    * and the cell's chi-square contribution in exact milli; per type,
+    * the row's total contribution — "which event type's weekday mix
+    * deviates most" read directly off the table.
+    *
+    * INTEGER-EXPECTED variant (defined-algorithm discipline, q151/q157):
+    * E is the exact floor R·C DIV n and contrib = dev²·1000 DIV
+    * max(E,1) — identical on both engines at every scale that fits
+    * HUGEINT/decimal(38,0): dev² ≤ n² needs only ~10²⁷ at a TRILLION
+    * events (the naive (On−RC)²/(nRC) form would overflow both engines
+    * at ~10⁸ events — the floored-E decomposition is what makes the
+    * statistic computable at 100 TB). The floor's relative error in E
+    * is ≤ 1/E — negligible at any volume where chi-square matters.
+    *
+    * Scale shape: one events scan → (type, dow) count cells (map-side
+    * combinable, |types|·7 rows); the dense grid (absent cells OBSERVE
+    * ZERO but still carry expected mass) and every window live on that
+    * bounded frame.
+    */
+  def q165Chi2Mix(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .groupBy(col("event_type"),
+        expr("(datediff(to_date(ts), DATE '1970-01-01') + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("obs0"))
+    val wT = Window.partitionBy("event_type")
+    val wD = Window.partitionBy("dow")
+    val wAll = Window.partitionBy(lit(1))
+    cells.select("event_type").distinct()
+      .withColumn("dow", explode(expr("array(0, 1, 2, 3, 4, 5, 6)")))
+      .join(cells, Seq("event_type", "dow"), "left")
+      .withColumn("obs", coalesce(col("obs0"), lit(0L))).drop("obs0")
+      .withColumn("r", sum(col("obs")).over(wT))
+      .withColumn("c", sum(col("obs")).over(wD))
+      .withColumn("n", sum(col("obs")).over(wAll))
+      .withColumn("expected", expr("CAST(r AS DECIMAL(38,0)) * c DIV n"))
+      .withColumn("dev", col("obs") - col("expected"))
+      .withColumn("contrib_milli", expr(
+        "CAST(dev AS DECIMAL(38,0)) * dev * 1000 DIV greatest(expected, 1)"))
+      .withColumn("chi2_type_milli", sum(col("contrib_milli")).over(wT))
+      .select(col("event_type"), col("dow").cast("long").as("dow"),
+        col("obs"), col("expected"), col("dev"), col("contrib_milli"),
+        col("chi2_type_milli"))
+      .orderBy("event_type", "dow")
+  }
+
+  val q165Oracle: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+      |      AS dow,
+      |    count(*) AS obs
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, d.dow, coalesce(c.obs, 0) AS obs
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) d(dow)
+      |  LEFT JOIN cells c ON c.event_type = t.event_type AND c.dow = d.dow),
+      |w AS (
+      |  SELECT event_type, dow, obs,
+      |    sum(obs) OVER (PARTITION BY event_type) AS r,
+      |    sum(obs) OVER (PARTITION BY dow) AS c,
+      |    sum(obs) OVER () AS n
+      |  FROM grid),
+      |x AS (
+      |  SELECT event_type, CAST(dow AS BIGINT) AS dow,
+      |    CAST(obs AS BIGINT) AS obs, CAST(r * c // n AS BIGINT) AS expected
+      |  FROM w),
+      |y AS (
+      |  SELECT *, obs - expected AS dev,
+      |    CAST(CAST(obs - expected AS HUGEINT) * (obs - expected) * 1000
+      |      // greatest(expected, 1) AS BIGINT) AS contrib_milli
+      |  FROM x)
+      |SELECT event_type, dow, obs, expected, dev, contrib_milli,
+      |  CAST(sum(contrib_milli) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS chi2_type_milli
+      |FROM y ORDER BY event_type, dow""".stripMargin
 }

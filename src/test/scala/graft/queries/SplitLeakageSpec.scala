@@ -32,4 +32,41 @@ class SplitLeakageSpec extends SparkSpec {
     // span counts bounded by the number of splits
     got.foreach { case (n, _, _) => assert(n >= 1L && n <= 3L) }
   }
+
+  test("q166 semantic leakage equals a literal cell-pair cosine replay") {
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"),
+        graft.ops.Splits.assign(col("vec_id"), Corpus.SplitCuts).as("split"))
+      .as[(Long, Long, Array[Float], String)].collect().toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i).toDouble * b(i); xx += a(i).toDouble * a(i)
+        yy += b(i).toDouble * b(i); i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val byLabel = vecs.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (label, cell) =>
+      val train = cell.filter(_._4 == "train")
+      val eval = cell.filter(_._4 != "train")
+      eval.groupBy(_._4).flatMap { case (split, evs) =>
+        val pairs = for (ev <- evs; tr <- train)
+          yield (ev._1, cos(ev._3, tr._3))
+        if (pairs.isEmpty) None
+        else Some((split, label, evs.size.toLong, pairs.size.toLong,
+          pairs.filter(_._2 >= 0.4).map(_._1).distinct.size.toLong,
+          BigDecimal(pairs.map(_._2).max)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = LlmOps.q166SemanticLeakage(spark, d)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    got.foreach { r =>
+      assert(r._5 <= r._3, "leaked eval vectors bounded by audited count")
+      assert(r._6 <= 1.0001 && r._6 >= -1.0001)
+    }
+    assert(got.exists(_._5 > 0), "fixture must surface at least one leak")
+  }
 }

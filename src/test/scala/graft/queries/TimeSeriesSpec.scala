@@ -149,4 +149,39 @@ class TimeSeriesSpec extends SparkSpec {
     got.flatMap(_._4).foreach(e => assert(e >= 0 && e <= 1000000))
     assert(got.forall(_._3 == 7), "fixture spans all weekdays")
   }
+
+  test("q165 chi-square mix equals a BigInt contingency replay; margins " +
+    "reconcile") {
+    val rows = Tables.events(spark, d)
+      .select($"event_type", to_date($"ts").cast("string"))
+      .as[(String, String)].collect().toSeq
+      .map { case (et, day) =>
+        (et, (java.time.LocalDate.parse(day).toEpochDay + 4) % 7)
+      }
+    val types = rows.map(_._1).distinct.sorted
+    val obs = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = BigInt(rows.size)
+    val expected = (for (et <- types; dow <- 0L to 6L) yield {
+      val o = obs.getOrElse((et, dow), 0L)
+      val r = BigInt((0L to 6L).map(w => obs.getOrElse((et, w), 0L)).sum)
+      val c = BigInt(types.map(t => obs.getOrElse((t, dow), 0L)).sum)
+      val e = (r * c / n).toLong
+      val dev = o - e
+      val contrib = (BigInt(dev) * dev * 1000 / BigInt(e).max(1)).toLong
+      (et, dow, o, e, dev, contrib)
+    }).toSeq
+    val chi2ByType = expected.groupBy(_._1).view
+      .mapValues(_.map(_._6).sum).toMap
+    val got = Warehouse.q165Chi2Mix(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) == expected)
+    got.foreach(r => assert(r._7 == chi2ByType(r._1)))
+    // margins: per-type deviations sum to within the per-cell floor leak
+    // (|dows| floors of E), and observed totals reconcile exactly
+    assert(got.map(_._3).sum == rows.size.toLong)
+    got.groupBy(_._1).values.foreach { cells =>
+      val devSum = cells.map(_._5).sum
+      assert(devSum >= 0 && devSum < 7, "E-floor leak bound per type")
+    }
+  }
 }
