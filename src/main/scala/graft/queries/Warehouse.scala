@@ -3148,4 +3148,288 @@ object Warehouse {
       |  CAST(sum(contrib_milli) OVER (PARTITION BY event_type) AS BIGINT)
       |    AS chi2_type_milli
       |FROM y ORDER BY event_type, dow""".stripMargin
+
+  // --- Inter-order gap distribution (q167) --------------------------------
+
+  /** q167: INTER-ORDER GAPS — the customer-lifecycle cadence table: per
+    * market segment, the distribution of days between a customer's
+    * consecutive orders (exact type-1 p50/p90 off the gap histogram,
+    * exact milli mean, and the ≤30-day repeat share in ppm). This is
+    * the number that prices win-back campaigns and sets churn-alert
+    * horizons; none of the existing lifecycle queries produce it (q90
+    * cohort decay is calendar-bucketed, q160 is view→purchase latency,
+    * q162 is daily arrival dispersion — this is per-customer PURCHASE
+    * RHYTHM). Gaps are consecutive diffs of each customer's sorted
+    * order-date sequence — a multiset invariant under same-date tie
+    * permutation (equal values lag to gap 0 whichever way they order),
+    * so the window needs no tiebreak column to be deterministic.
+    *
+    * Scale shape: orders scan → per-customer lag window (custkey-
+    * partitioned, day-sorted — each task holds one customer's dates);
+    * segment attach is a custkey equi-join; then a (segment, gap)
+    * histogram (gap domain is bounded by the corpus date span) carries
+    * every statistic, plus a 5-row distinct-customer rollup joined
+    * back broadcast. Sums ride decimal(38,0) so milli/ppm scaling is
+    * exact past long range at trillion-order volumes.
+    */
+  def q167OrderGaps(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+    val gaps = orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("day"), col("prev")).cast("long").as("gap"))
+      .join(customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+    val custs = gaps.groupBy("segment")
+      .agg(countDistinct(col("o_custkey")).as("n_repeat_customers"))
+    val wS = Window.partitionBy("segment")
+    val wCum = wS.orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps.groupBy("segment", "gap").agg(count(lit(1)).as("m"))
+      .withColumn("n", sum(col("m")).over(wS))
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .groupBy("segment")
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("cum") * 2 >= col("n"), col("gap"))).as("p50_gap_days"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("gap")))
+          .as("p90_gap_days"),
+        big(sum(big(col("gap")) * big(col("m")))).as("gsum"),
+        sum(when(col("gap") <= 30, col("m")).otherwise(lit(0L))).as("le30"))
+      .withColumn("mean_gap_milli",
+        expr("CAST(gsum * 1000 DIV CAST(n_gaps AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("le30d_ppm", expr("le30 * 1000000 DIV n_gaps"))
+      .join(broadcast(custs), Seq("segment"))
+      .select(col("segment"), col("n_repeat_customers"), col("n_gaps"),
+        col("p50_gap_days"), col("p90_gap_days"), col("mean_gap_milli"),
+        col("le30d_ppm"))
+      .orderBy("segment")
+  }
+
+  val q167Oracle: String =
+    """WITH od AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+      |    lag(CAST(o_orderdate AS DATE)) OVER (
+      |      PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE))
+      |      AS prev
+      |  FROM orders),
+      |g AS (
+      |  SELECT c.c_mktsegment AS segment, od.o_custkey,
+      |    CAST(date_diff('day', prev, day) AS BIGINT) AS gap
+      |  FROM od JOIN customer c ON c.c_custkey = od.o_custkey
+      |  WHERE prev IS NOT NULL),
+      |cu AS (
+      |  SELECT segment, count(DISTINCT o_custkey) AS n_repeat_customers
+      |  FROM g GROUP BY 1),
+      |h AS (SELECT segment, gap, count(*) AS m FROM g GROUP BY 1, 2),
+      |w AS (
+      |  SELECT segment, gap, m, sum(m) OVER (PARTITION BY segment) AS n,
+      |    sum(m) OVER (PARTITION BY segment ORDER BY gap
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h),
+      |r AS (
+      |  SELECT segment, max(n) AS n_gaps,
+      |    min(CASE WHEN cum * 2 >= n THEN gap END) AS p50_gap_days,
+      |    min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap END)
+      |      AS p90_gap_days,
+      |    sum(CAST(gap AS HUGEINT) * m) AS gsum,
+      |    sum(CASE WHEN gap <= 30 THEN m ELSE 0 END) AS le30
+      |  FROM w GROUP BY 1)
+      |SELECT r.segment, cu.n_repeat_customers,
+      |  CAST(n_gaps AS BIGINT) AS n_gaps, p50_gap_days, p90_gap_days,
+      |  CAST(gsum * 1000 // n_gaps AS BIGINT) AS mean_gap_milli,
+      |  CAST(le30 * 1000000 // n_gaps AS BIGINT) AS le30d_ppm
+      |FROM r JOIN cu USING (segment) ORDER BY segment""".stripMargin
+
+  // --- Seasonal robust anomaly flags (q168) -------------------------------
+
+  /** q168: DOW-CONDITIONED ROBUST ANOMALIES — which SPECIFIC days were
+    * abnormal GIVEN their weekday: daily cents totals scored against
+    * their (type, weekday) cell's exact type-1 median and MAD, flagged
+    * where |x − med| > 3·MAD. q157 says whether weekday structure
+    * exists; q143 finds a single sustained level shift; q86 rolls
+    * mean/σ over a user window — this is the per-day alert row a
+    * seasonal monitor actually fires, and median/MAD (breakdown point
+    * ½) is what keeps one Black-Friday spike from widening the band
+    * that should catch the next one. Per type: days scored, anomaly
+    * count, the worst day (earliest on ratio ties — deterministic) and
+    * its deviation ratio in exact milli (dev·1000 DIV max(MAD,1),
+    * decimal product so trillion-cent days stay exact).
+    *
+    * Both order statistics ride RANK windows on the day-grain frame
+    * (row_number over (value, day) — a total order, and the type-1
+    * "min x with 2·rn ≥ n" read is tie-permutation invariant), so the
+    * whole query is windows over (type, dow) cells plus one |types|-row
+    * rollup: no joins at all, and every window is bounded by the day
+    * frame (the q141–q146 scale argument).
+    */
+  def q168DowAnomaly(s: SparkSession, d: String): DataFrame = {
+    val wCell = Window.partitionBy("event_type", "dow")
+    val wFull = wCell.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wT = Window.partitionBy("event_type")
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+      .withColumn("dow",
+        expr("(datediff(day, DATE '1970-01-01') + 4) % 7"))
+      .withColumn("n", count(lit(1)).over(wCell))
+      .withColumn("rn", row_number().over(wCell.orderBy("x", "day")))
+      .withColumn("med",
+        min(when(col("rn") * 2 >= col("n"), col("x"))).over(wFull))
+      .withColumn("dev", abs(col("x") - col("med")))
+      .withColumn("rd", row_number().over(wCell.orderBy("dev", "day")))
+      .withColumn("mad",
+        min(when(col("rd") * 2 >= col("n"), col("dev"))).over(wFull))
+      .withColumn("ratio",
+        expr("CAST(dev AS DECIMAL(38,0)) * 1000 DIV greatest(mad, 1)"))
+      .withColumn("wr", max(col("ratio")).over(wT))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        count_if(col("ratio") > 3000).as("n_anomalies"),
+        min(when(col("ratio") === col("wr"), col("day"))).as("worst_day"),
+        max(col("ratio")).as("worst_ratio_milli"))
+      .orderBy("event_type")
+  }
+
+  val q168Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, day, x,
+      |    (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow
+      |  FROM daily),
+      |r1 AS (
+      |  SELECT *, count(*) OVER (PARTITION BY event_type, dow) AS n,
+      |    row_number() OVER (PARTITION BY event_type, dow
+      |      ORDER BY x, day) AS rn
+      |  FROM c),
+      |m1 AS (
+      |  SELECT *, min(CASE WHEN rn * 2 >= n THEN x END)
+      |    OVER (PARTITION BY event_type, dow) AS med
+      |  FROM r1),
+      |r2 AS (
+      |  SELECT *, abs(x - med) AS dev,
+      |    row_number() OVER (PARTITION BY event_type, dow
+      |      ORDER BY abs(x - med), day) AS rd
+      |  FROM m1),
+      |m2 AS (
+      |  SELECT *, min(CASE WHEN rd * 2 >= n THEN dev END)
+      |    OVER (PARTITION BY event_type, dow) AS mad
+      |  FROM r2),
+      |sc AS (
+      |  SELECT *, CAST(CAST(dev AS HUGEINT) * 1000
+      |      // greatest(mad, 1) AS BIGINT) AS ratio
+      |  FROM m2),
+      |f AS (
+      |  SELECT *, max(ratio) OVER (PARTITION BY event_type) AS wr FROM sc)
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(count_if(ratio > 3000) AS BIGINT) AS n_anomalies,
+      |  min(CASE WHEN ratio = wr THEN day END) AS worst_day,
+      |  CAST(max(ratio) AS BIGINT) AS worst_ratio_milli
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- U-shaped multi-touch attribution (q169) ----------------------------
+
+  private val MtaLookbackUs = 7L * 86400L * 1000000L
+
+  /** q169: U-SHAPED MULTI-TOUCH ATTRIBUTION — q66 MATCHES purchases to
+    * their lookback clicks; this DIVIDES each purchase's revenue across
+    * them with the position-weighted U model (first touch 40%, last
+    * 40%, middles share 20% — the standard discover/close-biased
+    * credit), rolled up per channel (the props.k fixture field mod 4
+    * plays the channel dimension, q54's schema-on-read extraction).
+    * Credit is EXACT integer ppm per touch: middles get the floor
+    * share 200000 DIV (k−2) and the floor remainder is assigned to the
+    * LAST touch, so every purchase's credits sum to exactly 10⁶ ppm —
+    * credited cents then ride one decimal(38,0) Σ cents·ppm per
+    * channel with a single floor DIV at the end (never per-touch
+    * rounding drift). Positions are total-ordered by (ts, event_id) —
+    * the q91 tie discipline.
+    *
+    * Scale shape: user-keyed equi-join with a time-range filter (the
+    * q66 linear-output argument: each purchase meets only its own
+    * user's recent clicks), then ONE window partitioned by purchase id
+    * — no task ever holds more than one purchase's touch list; the
+    * channel rollup is map-side combinable into |channels| rows.
+    */
+  def q169MultiTouch(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("pts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"),
+        unix_micros(col("ts")).as("cts"),
+        concat(lit("ch"), (get_json_object(col("props"), "$.k")
+          .cast("long") % 4).cast("string")).as("channel"))
+    val wP = Window.partitionBy("pid")
+    p.join(c, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - MtaLookbackUs)
+      .withColumn("k", count(lit(1)).over(wP))
+      .withColumn("pos", row_number().over(wP.orderBy("cts", "cid")))
+      .withColumn("mid",
+        expr("CASE WHEN k >= 3 THEN 200000 DIV (k - 2) ELSE 0 END"))
+      .withColumn("ppm", expr(
+        """CASE WHEN k = 1 THEN 1000000
+          |     WHEN k = 2 THEN 500000
+          |     WHEN pos = 1 THEN 400000
+          |     WHEN pos = k THEN 400000 + 200000 - (k - 2) * mid
+          |     ELSE mid END""".stripMargin))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        count_if(col("pos") === 1).as("n_first"),
+        count_if(col("pos") === col("k")).as("n_last"),
+        sum(big(col("cents")) * big(col("ppm"))).as("cp"))
+      .withColumn("credited_cents",
+        expr("CAST(cp AS DECIMAL(38,0)) DIV 1000000"))
+      .select(col("channel"), col("n_touches"), col("n_first"),
+        col("n_last"), col("credited_cents"))
+      .orderBy("channel")
+  }
+
+  val q169Oracle: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pts,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT user_id, event_id AS cid, epoch_us(ts) AS cts,
+       |    'ch' || CAST(CAST(json_extract(props, '$$.k') AS BIGINT) % 4
+       |      AS VARCHAR) AS channel
+       |  FROM events WHERE event_type = 'click'),
+       |t AS (
+       |  SELECT p.pid, p.cents, c.cid, c.cts, c.channel
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |  WHERE c.cts <= p.pts AND c.cts >= p.pts - $MtaLookbackUs),
+       |w AS (
+       |  SELECT *, count(*) OVER (PARTITION BY pid) AS k,
+       |    row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS pos
+       |  FROM t),
+       |x AS (
+       |  SELECT *, CASE WHEN k >= 3 THEN 200000 // (k - 2) ELSE 0 END
+       |    AS mid
+       |  FROM w),
+       |y AS (
+       |  SELECT channel, cents, pos, k,
+       |    CASE WHEN k = 1 THEN 1000000
+       |         WHEN k = 2 THEN 500000
+       |         WHEN pos = 1 THEN 400000
+       |         WHEN pos = k THEN 400000 + 200000 - (k - 2) * mid
+       |         ELSE mid END AS ppm
+       |  FROM x)
+       |SELECT channel, count(*) AS n_touches,
+       |  CAST(count_if(pos = 1) AS BIGINT) AS n_first,
+       |  CAST(count_if(pos = k) AS BIGINT) AS n_last,
+       |  CAST(sum(CAST(cents AS HUGEINT) * ppm) // 1000000 AS BIGINT)
+       |    AS credited_cents
+       |FROM y GROUP BY 1 ORDER BY channel""".stripMargin
 }

@@ -184,4 +184,34 @@ class TimeSeriesSpec extends SparkSpec {
       assert(devSum >= 0 && devSum < 7, "E-floor leak bound per type")
     }
   }
+
+  test("q168 DOW anomalies equal a literal median/MAD replay with " +
+    "earliest-worst-day ties") {
+    val daily = Tables.events(spark, d)
+      .groupBy($"event_type", to_date($"ts").cast("string").as("day"))
+      .agg(sum(round($"value" * 100, 0).cast("long")).as("x"))
+      .as[(String, String, Long)].collect().toSeq
+    def med(vs: Seq[Long]): Long = vs.sorted.apply(((vs.size + 1) / 2 - 1))
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, ds) =>
+      val scored = ds.groupBy(r =>
+        (java.time.LocalDate.parse(r._2).toEpochDay + 4) % 7)
+        .values.flatMap { cell =>
+          val m = med(cell.map(_._3))
+          val devs = cell.map(r => (r._2, (r._3 - m).abs))
+          val mad = med(devs.map(_._2)).max(1L)
+          devs.map { case (day, dv) => (day, dv * 1000 / mad) }
+        }.toSeq
+      val wr = scored.map(_._2).max
+      (et, ds.size.toLong, scored.count(_._2 > 3000).toLong,
+        scored.filter(_._2 == wr).map(_._1).min, wr)
+    }
+    val got = Warehouse.q168DowAnomaly(spark, d)
+      .select($"event_type", $"n_days", $"n_anomalies",
+        $"worst_day".cast("string"), $"worst_ratio_milli")
+      .as[(String, Long, Long, String, Long)].collect().toSeq
+    assert(got == expected)
+    // median/MAD guarantee: at most half a cell can sit beyond 1 MAD,
+    // so anomalies (>3 MAD) are always a minority of scored days
+    got.foreach(r => assert(r._3 * 2 <= r._2))
+  }
 }

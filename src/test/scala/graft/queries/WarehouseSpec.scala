@@ -466,4 +466,78 @@ class WarehouseSpec extends SparkSpec {
     got.foreach(r => assert(r._5 >= minSup && r._6 >= minSup))
     assert(got.nonEmpty, "fixture must surface frequent pairs")
   }
+
+  test("q167 order gaps equal a literal sorted-date diff replay with type-1 " +
+    "percentiles") {
+    val seg = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_mktsegment")
+      .as[(Long, String)].collect().toMap
+    val od = Tables.orders(spark, d)
+      .select($"o_custkey", to_date($"o_orderdate").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val gaps = od.groupBy(_._1).toSeq.flatMap { case (cust, rows) =>
+      val days = rows.map(r =>
+        java.time.LocalDate.parse(r._2).toEpochDay).sorted
+      days.zip(days.tail).map { case (a, b) => (seg(cust), cust, b - a) }
+    }
+    val expected = gaps.groupBy(_._1).toSeq.sortBy(_._1).map { case (sg, gs) =>
+      val vs = gs.map(_._3).sorted
+      val n = vs.size.toLong
+      (sg, gs.map(_._2).distinct.size.toLong, n,
+        vs(((n + 1) / 2 - 1).toInt), vs(((9 * n + 9) / 10 - 1).toInt),
+        (BigInt(vs.sum) * 1000 / n).toLong,
+        vs.count(_ <= 30) * 1000000L / n)
+    }
+    val got = Warehouse.q167OrderGaps(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    got.foreach { r =>
+      assert(r._4 <= r._5, "p50 <= p90")
+      assert(r._3 >= r._2, "at least one gap per repeat customer")
+    }
+  }
+
+  test("q169 multi-touch credits equal a per-purchase U-model replay and " +
+    "conserve each purchase's ppm exactly") {
+    val look = 7L * 86400L * 1000000L
+    val rows = Tables.events(spark, d)
+      .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"),
+        $"event_type", round($"value" * 100, 0).cast("long"),
+        expr("CAST(get_json_object(props, '$.k') AS LONG) % 4"))
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    val clicks = rows.filter(_._4 == "click")
+      .map(r => (r._1, r._2, r._3, s"ch${r._6}"))
+    val purchases = rows.filter(_._4 == "purchase")
+    val touches = purchases.flatMap { case (u, pid, pts, _, cents, _) =>
+      val cs = clicks.filter(c => c._1 == u && c._3 <= pts &&
+        c._3 >= pts - look).sortBy(c => (c._3, c._2))
+      val k = cs.size
+      cs.zipWithIndex.map { case (c, i) =>
+        val pos = i + 1
+        val mid = if (k >= 3) 200000L / (k - 2) else 0L
+        val ppm =
+          if (k == 1) 1000000L
+          else if (k == 2) 500000L
+          else if (pos == 1) 400000L
+          else if (pos == k) 400000L + 200000L - (k - 2) * mid
+          else mid
+        (c._4, pos, k, cents, ppm, pid)
+      }
+    }
+    // conservation: every attributed purchase's credits sum to exactly 1e6
+    touches.groupBy(_._6).values.foreach { ts =>
+      assert(ts.map(_._5).sum == 1000000L)
+    }
+    val expected = touches.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (ch, ts) =>
+        (ch, ts.size.toLong, ts.count(_._2 == 1).toLong,
+          ts.count(t => t._2 == t._3).toLong,
+          (ts.map(t => BigInt(t._4) * t._5).sum / 1000000).toLong)
+    }
+    val got = Warehouse.q169MultiTouch(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == got.map(_._4).sum,
+      "every attributed purchase has exactly one first and one last touch")
+  }
 }
