@@ -3827,9 +3827,13 @@ object LlmOps {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.ops.Splits.assign(col("vec_id"), Corpus.SplitCuts).as("split"))
-    val cells = e.groupBy("label").agg(count(lit(1)).as("csz"))
-      .filter(col("csz") <= SemLeakMaxCell).select("label")
-    val bounded = e.join(cells, Seq("label"))
+    // cell-size guard as a count window, not an aggregate+join: one
+    // label-partitioned pass bounds the cells, and the train/eval sides
+    // below both read it off the SAME label exchange (ReuseCheck: the
+    // agg+join formulation scanned the corpus three times)
+    val bounded = e
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("label")))
+      .filter(col("csz") <= SemLeakMaxCell)
     val train = bounded.filter(col("split") === "train")
       .select(col("label"), col("embedding").as("te"))
     bounded.filter(col("split") =!= "train")

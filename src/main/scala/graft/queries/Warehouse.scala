@@ -3092,10 +3092,13 @@ object Warehouse {
     * bounded frame.
     */
   def q165Chi2Mix(s: SparkSession, d: String): DataFrame = {
+    // cells is |types|·7 rows but referenced twice (type universe + the
+    // dense-grid join) — materialize once so the corpus is scanned once
     val cells = events(s, d)
       .groupBy(col("event_type"),
         expr("(datediff(to_date(ts), DATE '1970-01-01') + 4) % 7").as("dow"))
       .agg(count(lit(1)).as("obs0"))
+      .localCheckpoint(eager = true)
     val wT = Window.partitionBy("event_type")
     val wD = Window.partitionBy("dow")
     val wAll = Window.partitionBy(lit(1))
