@@ -3435,4 +3435,232 @@ object Warehouse {
        |  CAST(sum(CAST(cents AS HUGEINT) * ppm) // 1000000 AS BIGINT)
        |    AS credited_cents
        |FROM y GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // --- Growth accounting (q170) -------------------------------------------
+
+  /** q170: GROWTH ACCOUNTING — the standard DAU decomposition every
+    * growth team reads daily: each active (user, day) classified as NEW
+    * (first day ever), RETAINED (also active the previous calendar day)
+    * or RESURRECTED (back after a gap), plus CHURNED = the previous
+    * day's actives who didn't return (defined for consecutive present
+    * days; NULL after a corpus gap — a churn number spanning a hole
+    * would be a lie). dau = new + retained + resurrected holds exactly
+    * by construction, and day-over-day dau growth = new + resurrected −
+    * churned — the accounting identity that tells you WHY the line
+    * moved. q90's cohort triangle shows decay shape; this is the daily
+    * operational ledger.
+    *
+    * Scale shape: distinct (user, day) → ONE user-keyed lag window
+    * (each task holds one user's day list) → day-grain rollup; the
+    * final churn lag rides the bounded day frame (q141 argument). No
+    * corpus-sized state anywhere.
+    */
+  def q170GrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("day")
+    val wD = Window.partitionBy(lit(1)).orderBy("day")
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("prev", lag(col("day"), 1).over(wU))
+      .withColumn("cls", expr(
+        """CASE WHEN prev IS NULL THEN 'new'
+          |     WHEN datediff(day, prev) = 1 THEN 'retained'
+          |     ELSE 'resurrected' END""".stripMargin))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        count_if(col("cls") === "new").as("new_users"),
+        count_if(col("cls") === "retained").as("retained"),
+        count_if(col("cls") === "resurrected").as("resurrected"))
+      .withColumn("prev_day", lag(col("day"), 1).over(wD))
+      .withColumn("prev_dau", lag(col("dau"), 1).over(wD))
+      .withColumn("churned",
+        when(expr("datediff(day, prev_day) = 1"),
+          col("prev_dau") - col("retained")))
+      .select(col("day"), col("dau"), col("new_users"), col("retained"),
+        col("resurrected"), col("churned"))
+      .orderBy("day")
+  }
+
+  val q170Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (
+      |  SELECT day,
+      |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM ud),
+      |k AS (
+      |  SELECT day,
+      |    CASE WHEN prev IS NULL THEN 'new'
+      |         WHEN date_diff('day', prev, day) = 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM c),
+      |g AS (
+      |  SELECT day, count(*) AS dau,
+      |    count_if(cls = 'new') AS new_users,
+      |    count_if(cls = 'retained') AS retained,
+      |    count_if(cls = 'resurrected') AS resurrected
+      |  FROM k GROUP BY 1),
+      |w AS (
+      |  SELECT *, lag(day) OVER (ORDER BY day) AS prev_day,
+      |    lag(dau) OVER (ORDER BY day) AS prev_dau
+      |  FROM g)
+      |SELECT day, dau, CAST(new_users AS BIGINT) AS new_users,
+      |  CAST(retained AS BIGINT) AS retained,
+      |  CAST(resurrected AS BIGINT) AS resurrected,
+      |  CAST(CASE WHEN date_diff('day', prev_day, day) = 1
+      |    THEN prev_dau - retained END AS BIGINT) AS churned
+      |FROM w ORDER BY day""".stripMargin
+
+  // --- Seasonal-naive forecast backtest (q171) ----------------------------
+
+  /** q171: SEASONAL BACKTEST — does weekly seasonality actually help
+    * FORECAST this stream? Per type, the MASE-style ratio of the
+    * seasonal-naive predictor (x̂_t = x_{t−7 days}) against the naive
+    * one (x̂_t = x_{t−1 day}) on daily cents totals: ratio < 1000 milli
+    * ⇒ schedule capacity by weekday (and q168's DOW-conditioned bands
+    * are the right alert model); ≥ 1000 ⇒ q157's η² structure, even if
+    * real, is too weak to beat yesterday's value. Closes the
+    * decomposition family with the only question that cashes out
+    * operationally: predictive skill. Errors are exact SAE cents; the
+    * ratio cross-normalizes by error counts (s7·n1·1000 DIV s1·n7 — one
+    * defined floor on decimal products, no float MAE anywhere).
+    *
+    * Lags are CALENDAR, not row-offset: RANGE windows pinned at exactly
+    * −7/−1 on the epoch-day ordering, so a missing day yields no
+    * fabricated error pair (row-based lag would silently compare across
+    * gaps). Both engines evaluate the identical frame.
+    *
+    * Scale shape: one events scan → day-grain frame; both range windows
+    * and the |types|-row rollup live on it (q141 argument).
+    */
+  def q171SeasonalBacktest(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val wT = Window.partitionBy("event_type").orderBy("ed")
+    val w7 = wT.rangeBetween(-7, -7)
+    val w1 = wT.rangeBetween(-1, -1)
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+      .withColumn("ed", expr("datediff(day, DATE '1970-01-01')"))
+      .withColumn("x7", max(col("x")).over(w7))
+      .withColumn("x1", max(col("x")).over(w1))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        count(col("x7")).as("n7"), count(col("x1")).as("n1"),
+        big(sum(abs(col("x") - col("x7")))).as("sae7_cents"),
+        big(sum(abs(col("x") - col("x1")))).as("sae1_cents"))
+      .withColumn("mase_milli", expr(
+        """CASE WHEN sae1_cents > 0 AND n7 > 0 THEN
+          |  CAST(sae7_cents * n1 * 1000
+          |    DIV (sae1_cents * CAST(n7 AS DECIMAL(38,0))) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("n7"), col("n1"),
+        col("sae7_cents").cast("long").as("sae7_cents"),
+        col("sae1_cents").cast("long").as("sae1_cents"),
+        col("mase_milli"))
+      .orderBy("event_type")
+  }
+
+  val q171Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1, 2),
+      |e AS (
+      |  SELECT event_type, x,
+      |    date_diff('day', DATE '1970-01-01', day) AS ed
+      |  FROM daily),
+      |w AS (
+      |  SELECT event_type, x,
+      |    max(x) OVER (PARTITION BY event_type ORDER BY ed
+      |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS x7,
+      |    max(x) OVER (PARTITION BY event_type ORDER BY ed
+      |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS x1
+      |  FROM e),
+      |g AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    count(x7) AS n7, count(x1) AS n1,
+      |    sum(CAST(abs(x - x7) AS HUGEINT)) AS s7,
+      |    sum(CAST(abs(x - x1) AS HUGEINT)) AS s1
+      |  FROM w GROUP BY 1)
+      |SELECT event_type, n_days, n7, n1,
+      |  CAST(s7 AS BIGINT) AS sae7_cents, CAST(s1 AS BIGINT) AS sae1_cents,
+      |  CAST(CASE WHEN s1 > 0 AND n7 > 0
+      |    THEN s7 * n1 * 1000 // (s1 * n7) END AS BIGINT) AS mase_milli
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // --- Markov memory test (q172) ------------------------------------------
+
+  /** q172: MARKOV MEMORY — does knowing TWO previous events predict the
+    * next better than one? q91 publishes the first-order transition
+    * matrix; this measures whether that model is even the right ORDER:
+    * majority-rule accuracy of the order-1 predictor (argmax c | b) vs
+    * the order-2 predictor (argmax c | a,b), both evaluated on the SAME
+    * triple multiset, in exact ppm. The accuracy sums need no
+    * prediction join at all: Σ-max over each context partition IS the
+    * correct-count (the chosen c's count is the max, whatever the
+    * tie-break), and the finer order-2 partition's Σ-max dominates
+    * order-1's by construction — gain_ppm ≥ 0 is a structural
+    * invariant the spec pins.
+    *
+    * Scale shape: per-user lead windows (the q91 (ts, event_id) total
+    * order) → the (a,b,c) contingency CUBE, which is |types|³ rows at
+    * ANY corpus size — everything after the one map-combinable
+    * aggregate is driver-side arithmetic on ≤125 rows (observe
+    * pattern), emitted as a single literal row.
+    */
+  def q172MarkovMemory(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val abc = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(wU))
+      .withColumn("c", lead(col("a"), 2).over(wU))
+      .filter(col("c").isNotNull)
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n_abc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val n = abc.map(_._4).sum
+    val bc = abc.groupBy(r => (r._2, r._3))
+      .view.mapValues(_.map(_._4).sum).toMap
+    val correct1 = bc.groupBy(_._1._1).map(_._2.values.max).sum
+    val correct2 = abc.groupBy(r => (r._1, r._2))
+      .map(_._2.map(_._4).max).sum
+    val nCtx1 = bc.keys.map(_._1).toSeq.distinct.size.toLong
+    val nCtx2 = abc.map(r => (r._1, r._2)).distinct.size.toLong
+    import s.implicits._
+    Seq((n, nCtx1, nCtx2, correct1, correct2,
+      correct1 * 1000000L / n, correct2 * 1000000L / n,
+      (correct2 - correct1) * 1000000L / n))
+      .toDF("n_triples", "n_ctx1", "n_ctx2", "correct1", "correct2",
+        "acc1_ppm", "acc2_ppm", "gain_ppm")
+  }
+
+  val q172Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type AS a
+      |  FROM events),
+      |t AS (
+      |  SELECT a,
+      |    lead(a, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS b,
+      |    lead(a, 2) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS c
+      |  FROM e),
+      |abc AS (
+      |  SELECT a, b, c, count(*) AS n_abc FROM t
+      |  WHERE c IS NOT NULL GROUP BY 1, 2, 3),
+      |bc AS (SELECT b, c, sum(n_abc) AS n_bc FROM abc GROUP BY 1, 2),
+      |c1 AS (SELECT sum(mx) AS correct1, count(*) AS n_ctx1
+      |  FROM (SELECT b, max(n_bc) AS mx FROM bc GROUP BY 1)),
+      |c2 AS (SELECT sum(mx) AS correct2, count(*) AS n_ctx2
+      |  FROM (SELECT a, b, max(n_abc) AS mx FROM abc GROUP BY 1, 2)),
+      |tot AS (SELECT sum(n_abc) AS n FROM abc)
+      |SELECT CAST(n AS BIGINT) AS n_triples,
+      |  n_ctx1, n_ctx2,
+      |  CAST(correct1 AS BIGINT) AS correct1,
+      |  CAST(correct2 AS BIGINT) AS correct2,
+      |  CAST(correct1 * 1000000 // n AS BIGINT) AS acc1_ppm,
+      |  CAST(correct2 * 1000000 // n AS BIGINT) AS acc2_ppm,
+      |  CAST((correct2 - correct1) * 1000000 // n AS BIGINT) AS gain_ppm
+      |FROM c1, c2, tot""".stripMargin
 }

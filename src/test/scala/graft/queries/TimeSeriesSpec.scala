@@ -214,4 +214,32 @@ class TimeSeriesSpec extends SparkSpec {
     // so anomalies (>3 MAD) are always a minority of scored days
     got.foreach(r => assert(r._3 * 2 <= r._2))
   }
+
+  test("q171 seasonal backtest equals a literal calendar-lag replay") {
+    val daily = Tables.events(spark, d)
+      .groupBy($"event_type", to_date($"ts").cast("string").as("day"))
+      .agg(sum(round($"value" * 100, 0).cast("long")).as("x"))
+      .as[(String, String, Long)].collect().toSeq
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, ds) =>
+      val at = ds.map(r =>
+        java.time.LocalDate.parse(r._2).toEpochDay -> r._3).toMap
+      def sae(lagDays: Long): (Long, Long) = {
+        val pairs = at.toSeq.flatMap { case (ed, x) =>
+          at.get(ed - lagDays).map(xl => (x - xl).abs)
+        }
+        (pairs.size.toLong, pairs.sum)
+      }
+      val (n7, s7) = sae(7); val (n1, s1) = sae(1)
+      val mase = if (s1 > 0 && n7 > 0)
+        Some((BigInt(s7) * n1 * 1000 / (BigInt(s1) * n7)).toLong)
+      else None
+      (et, ds.size.toLong, n7, n1, s7, s1, mase)
+    }
+    val got = Warehouse.q171SeasonalBacktest(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(got == expected)
+    // a calendar gap can only REMOVE error pairs, never fabricate them
+    got.foreach(r => assert(r._3 <= r._2 && r._4 <= r._2))
+  }
 }
