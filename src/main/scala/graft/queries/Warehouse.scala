@@ -3663,4 +3663,154 @@ object Warehouse {
       |  CAST(correct2 * 1000000 // n AS BIGINT) AS acc2_ppm,
       |  CAST((correct2 - correct1) * 1000000 // n AS BIGINT) AS gain_ppm
       |FROM c1, c2, tot""".stripMargin
+
+  // --- Collaborative-filtering neighbors (q173) ---------------------------
+
+  private val CfMinCommon = 2L
+  private val CfTopK = 50
+  private val CfMaxBlock = 10000L
+  private val CfBuckets = 64
+
+  /** q173: CF NEIGHBORS — user-user collaborative filtering over
+    * purchase sets: the top-[[CfTopK]] customer pairs by exact Jaccard
+    * of their distinct part sets ("customers like you bought…" — the
+    * recommender complement of q164's item-item rules). Candidates come
+    * from INVERTED-INDEX BLOCKING: only pairs sharing ≥ 1 part are ever
+    * generated (a part's buyer list is the posting), so the join is
+    * Σ_part |buyers|² — never customers², and a degenerate hub part is
+    * excluded by [[CfMaxBlock]] (q42/q164 guard; at TPC-H uniformity no
+    * real part approaches it). Common counts come off the per-part
+    * self-join as a pure count (each shared part contributes exactly
+    * one pair row); set sizes ride a broadcast-joined per-customer
+    * count frame; jaccard_ppm = common·10⁶ DIV (|u|+|v|−common) is
+    * exact-integer and filtered to common ≥ [[CfMinCommon]] (a
+    * single-part overlap is noise, not taste). Top-K via the q96
+    * bucket prefilter, total order (jaccard DESC, u, v).
+    */
+  def q173CfNeighbors(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
+      .join(orders(s, d).select(col("o_orderkey").as("o"),
+        col("o_custkey").as("cust")), Seq("o"))
+      .select(col("cust"), col("item")).distinct()
+      .localCheckpoint(eager = true)
+    val sizes = items.groupBy("cust").agg(count(lit(1)).as("sz"))
+    val blocks = items
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("item")))
+      .filter(col("bsz") <= CfMaxBlock)
+    val pairs = blocks.select(col("item"), col("cust").as("u"))
+      .join(blocks.select(col("item"), col("cust").as("v")), Seq("item"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= CfMinCommon)
+      .join(sizes.select(col("cust").as("u"), col("sz").as("szu")), Seq("u"))
+      .join(sizes.select(col("cust").as("v"), col("sz").as("szv")), Seq("v"))
+      .withColumn("jaccard_ppm",
+        expr("common * 1000000 DIV (szu + szv - common)"))
+    val ord = Seq(col("jaccard_ppm").desc, col("u").asc, col("v").asc)
+    val wBucket = Window.partitionBy("__bucket").orderBy(ord: _*)
+    val wTop = Window.partitionBy(lit(1)).orderBy(ord: _*)
+    pairs
+      .withColumn("__bucket", pmod(xxhash64(col("u"), col("v")),
+        lit(CfBuckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= CfTopK)
+      .drop("__bucket", "__brank")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= CfTopK)
+      .select(col("rank"), col("u").as("cust_u"), col("v").as("cust_v"),
+        col("common"), col("szu"), col("szv"), col("jaccard_ppm"))
+      .orderBy("rank")
+  }
+
+  val q173Oracle: String =
+    s"""WITH ci AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       |sz AS (SELECT cust, count(*) AS sz FROM ci GROUP BY 1),
+       |bl AS (
+       |  SELECT cust, item,
+       |    count(*) OVER (PARTITION BY item) AS bsz
+       |  FROM ci),
+       |p AS (
+       |  SELECT a.cust AS u, b.cust AS v, count(*) AS common
+       |  FROM bl a JOIN bl b ON a.item = b.item AND a.cust < b.cust
+       |  WHERE a.bsz <= $CfMaxBlock AND b.bsz <= $CfMaxBlock
+       |  GROUP BY 1, 2 HAVING count(*) >= $CfMinCommon),
+       |j AS (
+       |  SELECT p.u, p.v, p.common, su.sz AS szu, sv.sz AS szv,
+       |    CAST(p.common * 1000000 // (su.sz + sv.sz - p.common) AS BIGINT)
+       |      AS jaccard_ppm
+       |  FROM p JOIN sz su ON su.cust = p.u JOIN sz sv ON sv.cust = p.v),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY jaccard_ppm DESC, u, v) AS rank
+       |  FROM j)
+       |SELECT CAST(rank AS BIGINT) AS rank, u AS cust_u, v AS cust_v,
+       |  CAST(common AS BIGINT) AS common, CAST(szu AS BIGINT) AS szu,
+       |  CAST(szv AS BIGINT) AS szv, jaccard_ppm
+       |FROM r WHERE rank <= $CfTopK ORDER BY rank""".stripMargin
+
+  // --- Discount lift / elasticity (q174) ----------------------------------
+
+  /** q174: DISCOUNT LIFT — does discounting actually move volume, per
+    * brand: the exact OLS slope of line quantity against discount
+    * points (x = round(l_discount·100), the fixture's 0–10 integer
+    * domain) in micro-units per point, with the mean quantity
+    * riding along. The q141 integer-moment discipline end to end:
+    * decimal(38,0) moment sums, sign-factored |num| DIV den (Spark div
+    * truncates toward zero, DuckDB // floors — identical only on
+    * non-negative operands), NULL on the constant-x degenerate. A
+    * near-zero slope tells pricing the discount ladder is theater; the
+    * per-brand grain (vs one global line) is what makes it actionable.
+    *
+    * Scale shape: lineitem⋈part is a partkey equi-join (both sides
+    * key-partitioned; never broadcast the 100 TB-scale part side), then
+    * one map-combinable moment aggregate into |brands| rows.
+    */
+  def q174DiscountLift(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    lineitem(s, d)
+      .select(col("l_partkey"),
+        round(col("l_discount") * 100, 0).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .join(part(s, d).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), Seq("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        big(sum(big(col("x")))).as("sx"),
+        big(sum(big(col("y")))).as("sy"),
+        big(sum(big(col("x")) * big(col("y")))).as("sxy"),
+        big(sum(big(col("x")) * big(col("x")))).as("sxx"))
+      .withColumn("num", big(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", big(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .select(col("p_brand"), col("n").as("n_lines"),
+        expr("sy * 1000 DIV n").cast("long").as("mean_qty_milli"),
+        expr("CASE WHEN den > 0 THEN CAST(sign(num) AS DECIMAL(38,0)) * " +
+          "(abs(num) * 1000000 DIV den) END").cast("long")
+          .as("slope_qty_micro_per_point"))
+      .orderBy("p_brand")
+  }
+
+  val q174Oracle: String =
+    """WITH r AS (
+      |  SELECT p.p_brand, CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+      |    CAST(l.l_quantity AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |m AS (
+      |  SELECT p_brand, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM r GROUP BY 1),
+      |f AS (
+      |  SELECT p_brand, n, sy,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |  FROM m)
+      |SELECT p_brand, n AS n_lines,
+      |  CAST(sy * 1000 // n AS BIGINT) AS mean_qty_milli,
+      |  CAST(CASE WHEN den > 0 THEN sign(num) * (abs(num) * 1000000 // den)
+      |    END AS BIGINT) AS slope_qty_micro_per_point
+      |FROM f ORDER BY p_brand""".stripMargin
 }

@@ -606,4 +606,58 @@ class WarehouseSpec extends SparkSpec {
     assert(c2 >= c1, "finer context partition dominates")
     assert(got._8 == (c2 - c1) * 1000000L / n && got._8 >= 0)
   }
+
+  test("q173 CF neighbors equal a brute-force Jaccard replay; blocking " +
+    "loses no pair above the common-count floor") {
+    val oc = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap
+    val ci = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .map { case (o, p) => (oc(o), p) }.distinct.toSeq
+    val sets = ci.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val custs = sets.keys.toSeq.sorted
+    val scored = (for {
+      i <- custs.indices; j <- (i + 1) until custs.size
+      u = custs(i); v = custs(j)
+      common = (sets(u) & sets(v)).size.toLong if common >= 2
+    } yield {
+      val (su, sv) = (sets(u).size.toLong, sets(v).size.toLong)
+      (common * 1000000L / (su + sv - common), u, v, common, su, sv)
+    }).sortBy(r => (-r._1, r._2, r._3)).take(50)
+    val expected = scored.zipWithIndex.map { case (r, i) =>
+      (i + 1L, r._2, r._3, r._4, r._5, r._6, r._1)
+    }
+    val got = Warehouse.q173CfNeighbors(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // Jaccard sanity: common bounded by the smaller set
+    got.foreach(r => assert(r._4 <= math.min(r._5, r._6)))
+    assert(got.nonEmpty, "fixture must surface CF neighbors")
+  }
+
+  test("q174 discount lift equals a BigInt OLS replay per brand") {
+    val pb = Tables.part(spark, d)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val rows = Tables.lineitem(spark, d)
+      .select($"l_partkey", round($"l_discount" * 100, 0).cast("long"),
+        $"l_quantity".cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+      .map { case (pk, x, y) => (pb(pk), BigInt(x), BigInt(y)) }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, rs) =>
+      val n = BigInt(rs.size)
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum
+      val sxx = rs.map(r => r._2 * r._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = if (den > 0)
+        Some((num.sign * ((num.abs * 1000000) / den)).toLong)
+      else None
+      (b, rs.size.toLong, (sy * 1000 / n).toLong, slope)
+    }
+    val got = Warehouse.q174DiscountLift(spark, d)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == expected)
+    assert(got.flatMap(_._4).nonEmpty, "fixture spans the discount ladder")
+  }
 }
