@@ -3813,4 +3813,145 @@ object Warehouse {
       |  CAST(CASE WHEN den > 0 THEN sign(num) * (abs(num) * 1000000 // den)
       |    END AS BIGINT) AS slope_qty_micro_per_point
       |FROM f ORDER BY p_brand""".stripMargin
+
+  // --- Temporal integrity audit (q175) ------------------------------------
+
+  /** q175: TEMPORAL INTEGRITY — cross-field causality audit: a line
+    * shipped BEFORE its order exists is impossible, and its share is a
+    * direct data-quality metric for the ingest (the cross-table cousin
+    * of q116's FK integrity and F8's arithmetic check — those validate
+    * references and sums, this validates TIME ORDER across a join).
+    * Per order priority: lines audited, violations (ship < order),
+    * violation share in ppm, and the exact type-1 p50/p90 fulfillment
+    * delay over the VALID subset (the fixture's dates are synthetic —
+    * the semantics, not the latency values, are the operator).
+    *
+    * Scale shape: one lineitem⋈orders equi-join (orderkey-partitioned
+    * both sides), then a (priority, delay) histogram — delay domain is
+    * bounded by the corpus date span — carrying both the violation
+    * counters and the percentile walk; |priorities| rows out.
+    */
+  def q175TemporalIntegrity(s: SparkSession, d: String): DataFrame = {
+    val wP = Window.partitionBy("prio")
+    val wCum = wP.orderBy("delay")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("odate")), Seq("l_orderkey"))
+      .select(col("prio"), datediff(col("ship"), col("odate"))
+        .cast("long").as("delay"))
+      .groupBy("prio", "delay").agg(count(lit(1)).as("m"))
+      .withColumn("n", sum(col("m")).over(wP))
+      .withColumn("bad", sum(when(col("delay") < 0, col("m"))
+        .otherwise(lit(0L))).over(wP))
+      .filter(col("delay") >= 0)
+      .withColumn("nv", col("n") - col("bad"))
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .groupBy("prio")
+      .agg(max(col("n")).as("n_lines"), max(col("bad")).as("n_violations"),
+        min(when(col("cum") * 2 >= col("nv"), col("delay"))).as("p50_delay"),
+        min(when(col("cum") >= expr("(9 * nv + 9) DIV 10"), col("delay")))
+          .as("p90_delay"))
+      .withColumn("violation_ppm",
+        expr("n_violations * 1000000 DIV n_lines"))
+      .select(col("prio"), col("n_lines"), col("n_violations"),
+        col("violation_ppm"), col("p50_delay"), col("p90_delay"))
+      .orderBy("prio")
+  }
+
+  val q175Oracle: String =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS prio,
+      |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |h AS (SELECT prio, delay, count(*) AS m FROM j GROUP BY 1, 2),
+      |w AS (
+      |  SELECT prio, delay, m, sum(m) OVER (PARTITION BY prio) AS n,
+      |    sum(CASE WHEN delay < 0 THEN m ELSE 0 END)
+      |      OVER (PARTITION BY prio) AS bad,
+      |    sum(CASE WHEN delay >= 0 THEN m END) OVER (PARTITION BY prio
+      |      ORDER BY delay ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum
+      |  FROM h),
+      |v AS (SELECT *, n - bad AS nv FROM w WHERE delay >= 0)
+      |SELECT prio, CAST(max(n) AS BIGINT) AS n_lines,
+      |  CAST(max(bad) AS BIGINT) AS n_violations,
+      |  CAST(max(bad) * 1000000 // max(n) AS BIGINT) AS violation_ppm,
+      |  min(CASE WHEN cum * 2 >= nv THEN delay END) AS p50_delay,
+      |  min(CASE WHEN cum >= (9 * nv + 9) // 10 THEN delay END) AS p90_delay
+      |FROM v GROUP BY prio ORDER BY prio""".stripMargin
+
+  // --- Open-order backlog sweep (q176) ------------------------------------
+
+  /** q176: BACKLOG SWEEP — work-in-progress over time: an order is OPEN
+    * from its order date until its last line ships; per month, the peak
+    * and end-of-month open-order counts — the WIP chart operations
+    * plans capacity against. q152's sweep-line discipline (±1 deltas,
+    * one running sum — never a day×order interval join) applied to a
+    * JOIN-derived interval: close = max(ship) per order, and orders
+    * whose close PRECEDES their open (the q175 violation class) are
+    * excluded rather than allowed to run a negative interval. EOM =
+    * the running level at each month's last delta day (levels only
+    * change on delta days, so that value IS the month-end level —
+    * months with no deltas at all don't appear; at a trillion orders
+    * every month has deltas).
+    *
+    * Scale shape: per-order close via one orderkey-partitioned max;
+    * deltas are two rows per order collapsing map-side into the
+    * day-grain frame; ONE day-ordered running sum (the q152 single
+    * bounded window) and a month rollup.
+    */
+  def q176BacklogSweep(s: SparkSession, d: String): DataFrame = {
+    val close = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close"))
+    val spans = orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open"))
+      .join(close, Seq("o_orderkey"))
+      .filter(col("close") >= col("open"))
+    val deltas = spans.select(col("open").as("day"), lit(1L).as("d"))
+      .unionByName(spans.select(date_add(col("close"), 1).as("day"),
+        lit(-1L).as("d")))
+      .groupBy("day").agg(sum(col("d")).as("delta"))
+    val wRun = Window.partitionBy(lit(1)).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wM = Window.partitionBy("month")
+    deltas
+      .withColumn("level", sum(col("delta")).over(wRun))
+      .withColumn("month", date_format(col("day"), "yyyy-MM"))
+      .withColumn("last_day", max(col("day")).over(wM))
+      .groupBy("month")
+      .agg(max(col("level")).as("peak_open"),
+        min(when(col("day") === col("last_day"), col("level"))).as("eom_open"))
+      .orderBy("month")
+  }
+
+  val q176Oracle: String =
+    """WITH cl AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    max(CAST(l_shipdate AS DATE)) AS close
+      |  FROM lineitem GROUP BY 1),
+      |sp AS (
+      |  SELECT CAST(o.o_orderdate AS DATE) AS open, cl.close
+      |  FROM orders o JOIN cl USING (o_orderkey)
+      |  WHERE cl.close >= CAST(o.o_orderdate AS DATE)),
+      |dl AS (
+      |  SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+      |    SELECT open AS day, 1 AS d FROM sp
+      |    UNION ALL SELECT close + 1, -1 FROM sp)
+      |  GROUP BY 1),
+      |lv AS (
+      |  SELECT day, sum(delta) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level,
+      |    strftime(day, '%Y-%m') AS month
+      |  FROM dl),
+      |lm AS (
+      |  SELECT *, max(day) OVER (PARTITION BY month) AS last_day FROM lv)
+      |SELECT month, CAST(max(level) AS BIGINT) AS peak_open,
+      |  CAST(min(CASE WHEN day = last_day THEN level END) AS BIGINT)
+      |    AS eom_open
+      |FROM lm GROUP BY month ORDER BY month""".stripMargin
 }

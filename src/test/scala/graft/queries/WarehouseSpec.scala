@@ -660,4 +660,69 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected)
     assert(got.flatMap(_._4).nonEmpty, "fixture spans the discount ladder")
   }
+
+  test("q175 temporal integrity equals a literal delay replay; percentiles " +
+    "cover only the valid subset") {
+    val op = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        to_date($"o_orderdate").cast("string"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, java.time.LocalDate.parse(r._3).toEpochDay))
+      .toMap
+    val delays = Tables.lineitem(spark, d)
+      .select($"l_orderkey", to_date($"l_shipdate").cast("string"))
+      .as[(Long, String)].collect().toSeq
+      .map { case (ok, ship) =>
+        val (prio, od) = op(ok)
+        (prio, java.time.LocalDate.parse(ship).toEpochDay - od)
+      }
+    val expected = delays.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (prio, ds) =>
+        val n = ds.size.toLong
+        val bad = ds.count(_._2 < 0).toLong
+        val valid = ds.map(_._2).filter(_ >= 0).sorted
+        val nv = valid.size.toLong
+        (prio, n, bad, bad * 1000000L / n,
+          valid(((nv + 1) / 2 - 1).toInt), valid(((9 * nv + 9) / 10 - 1).toInt))
+    }
+    val got = Warehouse.q175TemporalIntegrity(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 > 0),
+      "fixture's synthetic dates must exercise the violation path")
+    got.foreach(r => assert(r._5 <= r._6 && r._5 >= 0))
+  }
+
+  test("q176 backlog sweep equals a literal interval replay; levels are " +
+    "non-negative and conserve") {
+    val close = Tables.lineitem(spark, d)
+      .groupBy($"l_orderkey")
+      .agg(max(to_date($"l_shipdate")).cast("string").as("close"))
+      .as[(Long, String)].collect().toMap
+    val spans = Tables.orders(spark, d)
+      .select($"o_orderkey", to_date($"o_orderdate").cast("string"))
+      .as[(Long, String)].collect().toSeq
+      .flatMap { case (ok, od) =>
+        // inner join: an order with no lineitem rows has no close date
+        close.get(ok).map(c =>
+          (java.time.LocalDate.parse(od).toEpochDay,
+            java.time.LocalDate.parse(c).toEpochDay))
+      }
+      .filter { case (o, c) => c >= o }
+    val deltas = (spans.map(s => (s._1, 1L)) ++ spans.map(s => (s._2 + 1, -1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var lvl = 0L
+    val levels = deltas.map { case (day, dl) => lvl += dl; (day, lvl) }
+    val expected = levels
+      .groupBy(l => java.time.LocalDate.ofEpochDay(l._1).toString.take(7))
+      .toSeq.sortBy(_._1)
+      .map { case (m, ls) =>
+        (m, ls.map(_._2).max, ls.maxBy(_._1)._2)
+      }
+    val got = Warehouse.q176BacklogSweep(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    levels.foreach(l => assert(l._2 >= 0, "running level can never go negative"))
+    assert(levels.last._2 == 0L, "every opened order eventually closes")
+  }
 }
