@@ -3954,4 +3954,173 @@ object Warehouse {
       |  CAST(min(CASE WHEN day = last_day THEN level END) AS BIGINT)
       |    AS eom_open
       |FROM lm GROUP BY month ORDER BY month""".stripMargin
+
+  // --- Cohort LTV curve (q177) --------------------------------------------
+
+  /** q177: COHORT LTV CURVE — the finance twin of q90's retention
+    * triangle: per signup-WEEK cohort and week offset, paying users,
+    * revenue, CUMULATIVE revenue, and LTV-to-date in exact milli-cents
+    * per cohort member — the table that says whether acquisition cost
+    * pays back, and by which week. Cohort = q90's Monday-truncated week
+    * of the user's first event of any type; revenue = purchase cents.
+    * Zero-revenue offset weeks emit no row and change no cumulative
+    * value (the cum window over present offsets is exact regardless).
+    *
+    * Scale shape: ONE events scan into the (user, week) frame
+    * (map-side combinable; localCheckpoint'd because cohort assignment
+    * re-aggregates the same frame — the q90 discipline), user-keyed
+    * cohort attach, then a weeks²-bounded (cohort, offset) rollup and
+    * its tiny cum window.
+    */
+  def q177LtvCurve(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(lit(0L))
+          .as("cents"))
+      .groupBy("user_id", "wk").agg(sum(col("cents")).as("cents"))
+      .localCheckpoint(eager = true)
+    val cohorts = uw.groupBy("user_id").agg(min(col("wk")).as("cw"))
+    val sizes = cohorts.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+    val wC = Window.partitionBy("cw").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    uw.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cw")) / 7).cast("long"))
+      .groupBy("cw", "week_offset")
+      .agg(count_if(col("cents") > 0).as("n_payers"),
+        sum(col("cents")).as("revenue_cents"))
+      .join(broadcast(sizes), Seq("cw"))
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(wC))
+      .withColumn("ltv_milli_cents", expr(
+        "CAST(CAST(cum_revenue_cents AS DECIMAL(38,0)) * 1000" +
+          " DIV cohort_size AS BIGINT)"))
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("cohort_size"), col("n_payers"), col("revenue_cents"),
+        col("cum_revenue_cents"), col("ltv_milli_cents"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q177Oracle: String =
+    """WITH uw AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |co AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+      |sz AS (SELECT cw, count(*) AS cohort_size FROM co GROUP BY 1),
+      |r AS (
+      |  SELECT co.cw, date_diff('day', co.cw, uw.wk) // 7 AS week_offset,
+      |    count_if(uw.cents > 0) AS n_payers,
+      |    sum(uw.cents) AS revenue_cents
+      |  FROM uw JOIN co USING (user_id) GROUP BY 1, 2),
+      |w AS (
+      |  SELECT r.cw, r.week_offset, sz.cohort_size, r.n_payers,
+      |    r.revenue_cents,
+      |    sum(r.revenue_cents) OVER (PARTITION BY r.cw ORDER BY r.week_offset
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM r JOIN sz USING (cw))
+      |SELECT cw AS cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+      |  cohort_size, CAST(n_payers AS BIGINT) AS n_payers,
+      |  CAST(revenue_cents AS BIGINT) AS revenue_cents,
+      |  CAST(cum AS BIGINT) AS cum_revenue_cents,
+      |  CAST(cum * 1000 // cohort_size AS BIGINT) AS ltv_milli_cents
+      |FROM w ORDER BY cohort_week, week_offset""".stripMargin
+
+  // --- Market-share mix shift (q178) --------------------------------------
+
+  /** q178: MIX SHIFT — which brands GAINED share between the corpus
+    * halves: revenue share per brand in each era (split at the exact
+    * type-1 median order date, a collected literal off the date
+    * histogram — engine-neutral, no wall-clock), the signed share delta
+    * in ppm, and the dense league-table rank in each era. Share deltas
+    * on already-floored ppm values are deterministic subtraction;
+    * q96's split-drift is the token-distribution analogue — this is the
+    * REVENUE-composition one the category team reads.
+    *
+    * Scale shape: the only 3-table join in the extension surface —
+    * lineitem⋈orders (era stamp) ⋈part (brand), all key-partitioned
+    * equi-joins; one conditional-sum rollup to |brands| rows, then
+    * totals/ranks ride the tiny frame's windows.
+    */
+  def q178MixShift(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.partitionBy(lit(1)).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("n", sum(col("m")).over(Window.partitionBy(lit(1))))
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("day"))).collect().head.getDate(0)
+    val wAll = Window.partitionBy(lit(1))
+    def rk(c: String) = row_number().over(
+      wAll.orderBy(col(c).desc, col("p_brand").asc)).cast("long")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        (to_date(col("o_orderdate")) <= lit(med)).as("h1")),
+        Seq("l_orderkey"))
+      .join(part(s, d).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), Seq("l_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(when(col("h1"), col("cents")).otherwise(lit(0L)))
+          .as("rev_h1_cents"),
+        sum(when(!col("h1"), col("cents")).otherwise(lit(0L)))
+          .as("rev_h2_cents"))
+      .withColumn("t1", sum(col("rev_h1_cents")).over(wAll))
+      .withColumn("t2", sum(col("rev_h2_cents")).over(wAll))
+      .withColumn("share_h1_ppm", expr(
+        "CAST(CAST(rev_h1_cents AS DECIMAL(38,0)) * 1000000 DIV t1" +
+          " AS BIGINT)"))
+      .withColumn("share_h2_ppm", expr(
+        "CAST(CAST(rev_h2_cents AS DECIMAL(38,0)) * 1000000 DIV t2" +
+          " AS BIGINT)"))
+      .withColumn("delta_ppm", col("share_h2_ppm") - col("share_h1_ppm"))
+      .withColumn("rank_h1", rk("rev_h1_cents"))
+      .withColumn("rank_h2", rk("rev_h2_cents"))
+      .select(col("p_brand"), col("rev_h1_cents"), col("rev_h2_cents"),
+        col("share_h1_ppm"), col("share_h2_ppm"), col("delta_ppm"),
+        col("rank_h1"), col("rank_h2"))
+      .orderBy("p_brand")
+  }
+
+  val q178Oracle: String =
+    """WITH dh AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS m
+      |  FROM orders GROUP BY 1),
+      |dw AS (
+      |  SELECT day, sum(m) OVER () AS n,
+      |    sum(m) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM dh),
+      |md AS (SELECT min(day) AS med FROM dw WHERE cum * 2 >= n),
+      |j AS (
+      |  SELECT p.p_brand,
+      |    CAST(o.o_orderdate AS DATE) <= (SELECT med FROM md) AS h1,
+      |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey),
+      |g AS (
+      |  SELECT p_brand,
+      |    sum(CASE WHEN h1 THEN cents ELSE 0 END) AS rev_h1_cents,
+      |    sum(CASE WHEN NOT h1 THEN cents ELSE 0 END) AS rev_h2_cents
+      |  FROM j GROUP BY 1),
+      |w AS (
+      |  SELECT *, sum(rev_h1_cents) OVER () AS t1,
+      |    sum(rev_h2_cents) OVER () AS t2,
+      |    row_number() OVER (ORDER BY rev_h1_cents DESC, p_brand) AS r1,
+      |    row_number() OVER (ORDER BY rev_h2_cents DESC, p_brand) AS r2
+      |  FROM g)
+      |SELECT p_brand, CAST(rev_h1_cents AS BIGINT) AS rev_h1_cents,
+      |  CAST(rev_h2_cents AS BIGINT) AS rev_h2_cents,
+      |  CAST(rev_h1_cents * 1000000 // t1 AS BIGINT) AS share_h1_ppm,
+      |  CAST(rev_h2_cents * 1000000 // t2 AS BIGINT) AS share_h2_ppm,
+      |  CAST(rev_h2_cents * 1000000 // t2
+      |    - rev_h1_cents * 1000000 // t1 AS BIGINT) AS delta_ppm,
+      |  CAST(r1 AS BIGINT) AS rank_h1, CAST(r2 AS BIGINT) AS rank_h2
+      |FROM w ORDER BY p_brand""".stripMargin
 }

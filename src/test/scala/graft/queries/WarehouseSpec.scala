@@ -725,4 +725,89 @@ class WarehouseSpec extends SparkSpec {
     levels.foreach(l => assert(l._2 >= 0, "running level can never go negative"))
     assert(levels.last._2 == 0L, "every opened order eventually closes")
   }
+
+  test("q177 LTV curve equals a literal cohort replay; cumulative revenue " +
+    "telescopes") {
+    val rows = Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").cast("string"), $"event_type",
+        round($"value" * 100, 0).cast("long"))
+      .as[(Long, String, String, Long)].collect().toSeq
+      .map { case (u, day, et, cents) =>
+        val ld = java.time.LocalDate.parse(day)
+        val wk = ld.minusDays(ld.getDayOfWeek.getValue - 1L)
+        (u, wk.toEpochDay, if (et == "purchase") cents else 0L)
+      }
+    val uw = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .map { case ((u, wk), cents) => (u, wk, cents) }
+    val cohortOf = uw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohortOf.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val cells = uw.groupBy(r =>
+        (cohortOf(r._1), (r._2 - cohortOf(r._1)) / 7))
+      .view.mapValues(rs =>
+        (rs.count(_._3 > 0).toLong, rs.map(_._3).sum)).toSeq
+      .sortBy(_._1)
+    val expected = cells.groupBy(_._1._1).toSeq.flatMap { case (cw, cs) =>
+      var cum = 0L
+      cs.sortBy(_._1._2).map { case ((_, off), (payers, rev)) =>
+        cum += rev
+        (java.time.LocalDate.ofEpochDay(cw).toString, off, sizes(cw),
+          payers, rev, cum, cum * 1000 / sizes(cw))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Warehouse.q177LtvCurve(spark, d)
+      .select($"cohort_week".cast("string"), $"week_offset", $"cohort_size",
+        $"n_payers", $"revenue_cents", $"cum_revenue_cents",
+        $"ltv_milli_cents")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // every user lands in exactly one cohort
+    assert(got.map(r => (r._1, r._3)).distinct.map(_._2).sum ==
+      cohortOf.size.toLong)
+    // LTV-to-date is monotone within a cohort
+    got.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).map(_._7).sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a)
+        case _ =>
+      }
+    }
+  }
+
+  test("q178 mix shift equals a literal era-split replay; ranks are " +
+    "permutations and floored shares telescope") {
+    val odate = Tables.orders(spark, d)
+      .select($"o_orderkey", to_date($"o_orderdate").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val days = odate.values.toSeq.sorted
+    val med = days(((days.size + 1) / 2 - 1))
+    val brandOf = Tables.part(spark, d)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val rows = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey",
+        round($"l_extendedprice" * 100, 0).cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+      .map { case (ok, pk, c) => (brandOf(pk), odate(ok) <= med, c) }
+    val byBrand = rows.groupBy(_._1).view.mapValues { rs =>
+      (rs.filter(_._2).map(_._3).sum, rs.filterNot(_._2).map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val t1 = byBrand.map(_._2._1).sum; val t2 = byBrand.map(_._2._2).sum
+    val r1 = byBrand.sortBy(r => (-r._2._1, r._1)).map(_._1).zipWithIndex
+      .map { case (b, i) => b -> (i + 1L) }.toMap
+    val r2 = byBrand.sortBy(r => (-r._2._2, r._1)).map(_._1).zipWithIndex
+      .map { case (b, i) => b -> (i + 1L) }.toMap
+    val expected = byBrand.map { case (b, (h1, h2)) =>
+      val s1 = h1 * 1000000L / t1; val s2 = h2 * 1000000L / t2
+      (b, h1, h2, s1, s2, s2 - s1, r1(b), r2(b))
+    }
+    val got = Warehouse.q178MixShift(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == expected)
+    val n = got.size.toLong
+    assert(got.map(_._7).sorted == (1L to n) &&
+      got.map(_._8).sorted == (1L to n), "ranks are permutations")
+    // floored shares can only undershoot the whole by the floor leak
+    assert(got.map(_._4).sum > 1000000L - n && got.map(_._4).sum <= 1000000L)
+  }
 }
