@@ -3912,9 +3912,14 @@ object Warehouse {
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open"))
       .join(close, Seq("o_orderkey"))
       .filter(col("close") >= col("open"))
-    val deltas = spans.select(col("open").as("day"), lit(1L).as("d"))
-      .unionByName(spans.select(date_add(col("close"), 1).as("day"),
-        lit(-1L).as("d")))
+    // ±1 deltas via a single explode, not a self-union — a union reads
+    // the join subtree twice (ReuseCheck caught scans=3)
+    val deltas = spans
+      .select(explode(array(
+        struct(col("open").as("day"), lit(1L).as("d")),
+        struct(date_add(col("close"), 1).as("day"), lit(-1L).as("d"))))
+        .as("e"))
+      .select(col("e.day").as("day"), col("e.d").as("d"))
       .groupBy("day").agg(sum(col("d")).as("delta"))
     val wRun = Window.partitionBy(lit(1)).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
