@@ -819,4 +819,66 @@ object Relational {
       |        * 100 / count(*), 4) AS pct_multi_order_days
       |FROM cust_daily JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Local-supplier revenue: the deep join chain (q179) -----------------
+
+  /** q179: LOCAL-SUPPLIER REVENUE — the TPC-H Q5 shape: revenue by
+    * nation for orders placed in one region/year where the SUPPLIER is
+    * in the CUSTOMER's nation (the c_nationkey = s_nationkey
+    * correlated condition that makes Q5 the canonical join-order
+    * benchmark). Six tables: lineitem⋈orders⋈customer⋈supplier⋈nation
+    * ⋈region — the deepest chain in the surface, and deliberately
+    * DECLARED flat: Catalyst's join reorder + AQE pick the physical
+    * order, the nation⋈region dim pair is broadcast explicitly, and
+    * the year/region filters sit at the scans (PushedFilters) so the
+    * fact side arrives pruned. Revenue is exact integer centi-cents:
+    * round(price·100)·(100 − round(disc·100)) — both factors exact on
+    * the 2-decimal fixture domain, no double product anywhere.
+    *
+    * Scale shape: two fact joins are key-partitioned (orderkey, then
+    * custkey/suppkey); supplier is NOT broadcast (at 100 TB it is a
+    * full table, and the s_nationkey = c_nationkey condition rides the
+    * suppkey equi-join as a residual); dims broadcast; one
+    * |nations|-row rollup.
+    */
+  def q179LocalRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = broadcast(nation(s, d)
+      .join(region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .as("rev_ccents"))
+      .join(orders(s, d)
+        .filter(expr("year(to_date(o_orderdate)) = 1996"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"))
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), Seq("o_custkey"))
+      .join(supplier(s, d).select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey")), Seq("l_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .join(dims, col("n_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_ccents"))
+        .as("revenue_ccents"))
+      .orderBy(col("revenue_ccents").desc, col("n_name"))
+  }
+
+  val q179Oracle: String =
+    """SELECT n.n_name, count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_ccents
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  AND s.s_nationkey = c.c_nationkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE r.r_name = 'ASIA' AND year(CAST(o.o_orderdate AS DATE)) = 1996
+      |GROUP BY 1 ORDER BY revenue_ccents DESC, n_name""".stripMargin
 }

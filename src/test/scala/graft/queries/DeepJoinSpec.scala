@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+/** q179 — the six-table Q5-shaped chain: literal replay plus the plan
+  * properties the docstring claims (broadcast dims, no nested loop).
+  */
+class DeepJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q179 local revenue equals a literal six-table replay") {
+    val cust = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val supp = Tables.supplier(spark, d)
+      .select($"s_suppkey", $"s_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val nat = Tables.nation(spark, d)
+      .select($"n_nationkey".cast("long"), $"n_name", $"n_regionkey".cast("long"))
+      .as[(Long, String, Long)].collect()
+    val asia = Tables.region(spark, d)
+      .select($"r_regionkey".cast("long"), $"r_name")
+      .as[(Long, String)].collect().filter(_._2 == "ASIA").map(_._1).toSet
+    val nationName = nat.filter(n => asia(n._3)).map(n => n._1 -> n._2).toMap
+    val ords = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey", to_date($"o_orderdate").cast("string"))
+      .as[(Long, Long, String)].collect()
+      .filter(_._3.startsWith("1996")).map(o => o._1 -> o._2).toMap
+    val rows = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * 100, 0).cast("long"),
+        round($"l_discount" * 100, 0).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val expected = rows.flatMap { case (ok, sk, cents, dp) =>
+      for {
+        ck <- ords.get(ok)
+        cn = cust(ck)
+        sn = supp(sk) if sn == cn
+        name <- nationName.get(cn)
+      } yield (name, cents * (100 - dp))
+    }.groupBy(_._1).toSeq
+      .map { case (n, rs) => (n, rs.size.toLong, rs.map(_._2).sum) }
+      .sortBy(r => (-r._3, r._1))
+      .zipWithIndex.map { case (r, _) => r }
+    val got = Relational.q179LocalRevenue(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must have local-supplier ASIA revenue")
+  }
+
+  test("q179 plan: dims broadcast, no nested loop, and the year filter " +
+    "prunes before the fact joins") {
+    val plan = Relational.q179LocalRevenue(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dim join must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "no nested loop anywhere")
+    assert(plan.contains("year"), "year predicate present as an early filter")
+  }
+}
