@@ -881,4 +881,115 @@ object Relational {
       |JOIN region r ON r.r_regionkey = n.n_regionkey
       |WHERE r.r_name = 'ASIA' AND year(CAST(o.o_orderdate AS DATE)) = 1996
       |GROUP BY 1 ORDER BY revenue_ccents DESC, n_name""".stripMargin
+
+  // --- GROUPING SETS with grouping_id (q180) ------------------------------
+
+  /** q180: GROUPING SETS — the explicit-set aggregation surface that
+    * ROLLUP (q22) and CUBE (q51) are sugar for: exactly the four sets
+    * ((flag), (status), (flag, status), ()) in ONE aggregate pass, with
+    * `grouping_id()` disambiguating which set each output row belongs
+    * to (the NULL-vs-missing trap: a grouped NULL and a rolled-up
+    * placeholder are indistinguishable without it). Declared in SQL via
+    * spark.sql on a registered view — GROUPING SETS is a first-class
+    * part of the engine's SQL surface, and Spark lowers it to a single
+    * Expand + hash aggregate (each input row fans out once per set,
+    * partials combine map-side; no per-set rescan).
+    *
+    * Scale shape: one lineitem scan, Expand ×4, one shuffle on the
+    * grouping columns + gid; output is Σ per-set group counts — a few
+    * dozen rows at any corpus size.
+    */
+  def q180GroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"))
+      .createOrReplaceTempView("q180_lineitem")
+    s.sql(
+      """SELECT CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+        |    AS gid,
+        |  l_returnflag, l_linestatus,
+        |  count(*) AS n_lines, sum(qty) AS sum_qty
+        |FROM q180_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val q180Oracle: String =
+    """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+      |    AS BIGINT) AS gid,
+      |  l_returnflag, l_linestatus,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |  (l_returnflag, l_linestatus), ())
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** events through the maintained split layout (the Warehouse.scala
+    * discipline — splittable files for the day-windowed scan here). */
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.sources.Layouts.events(s, d)
+
+  // --- Intraday time-weighted average (q181) ------------------------------
+
+  /** q181: TWAP — the time-weighted mean value per event type: each
+    * observation holds until the NEXT same-day observation, and its
+    * value is weighted by that holding duration (Σ cents·Δt DIV Σ Δt,
+    * exact micro-second-weighted milli-cents on decimal(38,0)
+    * products). A plain mean (emitted alongside over the SAME weighted
+    * segments) overweights burst periods — many prints in one busy
+    * minute count once each — while TWAP answers "what was the value
+    * LEVEL over time", the number monitoring and finance actually
+    * chart. Holding periods are INTRA-DAY ((type, day) windows, the
+    * market-session convention): overnight gaps are not holdings, and
+    * the window partition is day-bounded rather than a corpus-wide
+    * per-type sort — the q141-family scale argument. Each day's last
+    * observation has no successor and contributes no segment.
+    */
+  def q181Twap(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val wD = Window.partitionBy("event_type", "day")
+      .orderBy("us", "event_id")
+    events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("nxt", lead(col("us"), 1).over(wD))
+      .filter(col("nxt").isNotNull)
+      .withColumn("gap", col("nxt") - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_segments"),
+        big(sum(big(col("gap")))).as("t_us"),
+        big(sum(big(col("cents")) * big(col("gap")))).as("cw"),
+        big(sum(big(col("cents")))).as("sc"))
+      .select(col("event_type"), col("n_segments"),
+        col("t_us").cast("long").as("held_us"),
+        expr("CASE WHEN t_us > 0 THEN CAST(cw * 1000 DIV t_us AS BIGINT)" +
+          " END").as("twap_milli"),
+        expr("CAST(sc * 1000 DIV n_segments AS BIGINT)").as("mean_milli"))
+      .orderBy("event_type")
+  }
+
+  val q181Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+      |    event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, cents,
+      |    lead(us) OVER (PARTITION BY event_type, day
+      |      ORDER BY us, event_id) - us AS gap
+      |  FROM e),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_segments,
+      |    sum(CAST(gap AS HUGEINT)) AS t_us,
+      |    sum(CAST(cents AS HUGEINT) * gap) AS cw,
+      |    sum(CAST(cents AS HUGEINT)) AS sc
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_segments, CAST(t_us AS BIGINT) AS held_us,
+      |  CAST(CASE WHEN t_us > 0 THEN cw * 1000 // t_us END AS BIGINT)
+      |    AS twap_milli,
+      |  CAST(sc * 1000 // n_segments AS BIGINT) AS mean_milli
+      |FROM m ORDER BY event_type""".stripMargin
 }

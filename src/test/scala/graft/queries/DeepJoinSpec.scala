@@ -62,4 +62,57 @@ class DeepJoinSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), "no nested loop anywhere")
     assert(plan.contains("year"), "year predicate present as an early filter")
   }
+
+  test("q180 grouping sets equal four independent aggregations and lower " +
+    "to ONE Expand pass") {
+    val rows = Tables.lineitem(spark, d)
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity".cast("long"))
+      .as[(String, String, Long)].collect().toSeq
+    def agg(key: ((String, String, Long)) => (Option[String], Option[String]))
+        : Seq[(Option[String], Option[String], Long, Long)] =
+      rows.groupBy(key).toSeq.map { case ((f, st), rs) =>
+        (f, st, rs.size.toLong, rs.map(_._3).sum)
+      }
+    val expected = (
+      agg(r => (Some(r._1), None)).map(r => (1L, r._1, r._2, r._3, r._4)) ++
+        agg(r => (None, Some(r._2))).map(r => (2L, r._1, r._2, r._3, r._4)) ++
+        agg(r => (Some(r._1), Some(r._2)))
+          .map(r => (0L, r._1, r._2, r._3, r._4)) ++
+        Seq((3L, None: Option[String], None: Option[String],
+          rows.size.toLong, rows.map(_._3).sum))
+      ).sortBy(r => (r._1, r._2, r._3))
+    val df = Relational.q180GroupingSets(spark, d)
+    val got = df
+      .as[(Long, Option[String], Option[String], Long, Long)].collect().toSeq
+    assert(got == expected)
+    // one Expand, one aggregate pass — not a union of four scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets must lower to Expand")
+    assert(!plan.toLowerCase.contains("union"), "never a per-set rescan union")
+  }
+
+  test("q181 TWAP equals a literal intra-day holding replay and diverges " +
+    "from the plain mean under bursts") {
+    val rows = Tables.events(spark, d)
+      .select($"event_type", to_date($"ts").cast("string"),
+        expr("unix_micros(ts)"), $"event_id",
+        round($"value" * 100, 0).cast("long"))
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val segs = rs.groupBy(_._2).values.flatMap { day =>
+        val o = day.sortBy(r => (r._3, r._4))
+        o.zip(o.tail).map { case (a, b) => (a._5, b._3 - a._3) }
+      }.toSeq
+      val t = segs.map(s => BigInt(s._2)).sum
+      val cw = segs.map(s => BigInt(s._1) * s._2).sum
+      val sc = segs.map(s => BigInt(s._1)).sum
+      (et, segs.size.toLong, t.toLong,
+        if (t > 0) Some((cw * 1000 / t).toLong) else None,
+        (sc * 1000 / segs.size).toLong)
+    }
+    val got = Relational.q181Twap(spark, d)
+      .as[(String, Long, Long, Option[Long], Long)].collect().toSeq
+    assert(got == expected)
+    got.foreach(r => assert(r._2 > 0 && r._3 > 0))
+  }
 }
