@@ -992,4 +992,167 @@ object Relational {
       |    AS twap_milli,
       |  CAST(sc * 1000 // n_segments AS BIGINT) AS mean_milli
       |FROM m ORDER BY event_type""".stripMargin
+
+  // --- Within-session funnel conversion (q182) ----------------------------
+
+  /** q182: SESSION FUNNEL — does a session that SAW something BUY
+    * something: per session-length band, the share of view-containing
+    * sessions with a purchase strictly after the first view (ordered by
+    * the (ts, event_id) total key — a purchase in the same session but
+    * BEFORE any view is browsing-after-buying, not conversion). q89 is
+    * the LIFETIME funnel; q33/q39 build sessions but never ask what
+    * happens inside one — this joins the two: the q33 gap rule (new
+    * session after 30 idle minutes), then ONE per-session aggregate
+    * comparing min view key against max purchase key (tuple compare —
+    * no ordered re-scan of the session), banded by session length.
+    *
+    * Scale shape: the q33 lag+cumsum windows (user-keyed), a
+    * per-(user, session) aggregate, and a bands-row rollup; nothing
+    * wider than one user's stream in any task.
+    */
+  def q182SessionFunnel(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gapUs = 30L * 60L * 1000000L
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("us"), 1).over(wU))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") > col("prev") + gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view",
+          struct(col("us"), col("event_id")))).as("first_view"),
+        max(when(col("event_type") === "purchase",
+          struct(col("us"), col("event_id")))).as("last_purchase"))
+      .withColumn("band", expr(
+        """CASE WHEN n_events = 1 THEN '1' WHEN n_events = 2 THEN '2'
+          |     WHEN n_events <= 5 THEN '3-5' WHEN n_events <= 10 THEN '6-10'
+          |     ELSE '11+' END""".stripMargin))
+      .withColumn("has_view", col("first_view").isNotNull)
+      .withColumn("converted", col("first_view").isNotNull &&
+        col("last_purchase").isNotNull &&
+        col("first_view") < col("last_purchase"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_sessions"),
+        count_if(col("has_view")).as("n_with_view"),
+        count_if(col("converted")).as("n_converted"))
+      .withColumn("conversion_ppm", expr(
+        "CASE WHEN n_with_view > 0" +
+          " THEN n_converted * 1000000 DIV n_with_view END"))
+      .orderBy("band")
+  }
+
+  val q182Oracle: String =
+    """WITH lagged AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR us > prev + 1800000000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sess AS (
+      |  SELECT user_id, us, event_id, event_type,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, sid, count(*) AS n_events,
+      |    min(CASE WHEN event_type = 'view' THEN (us, event_id) END)
+      |      AS first_view,
+      |    max(CASE WHEN event_type = 'purchase' THEN (us, event_id) END)
+      |      AS last_purchase
+      |  FROM sess GROUP BY 1, 2),
+      |banded AS (
+      |  SELECT CASE WHEN n_events = 1 THEN '1' WHEN n_events = 2 THEN '2'
+      |           WHEN n_events <= 5 THEN '3-5' WHEN n_events <= 10
+      |           THEN '6-10' ELSE '11+' END AS band,
+      |    first_view IS NOT NULL AS has_view,
+      |    first_view IS NOT NULL AND last_purchase IS NOT NULL
+      |      AND first_view < last_purchase AS converted
+      |  FROM agg),
+      |g AS (
+      |  SELECT band, count(*) AS n_sessions,
+      |    count_if(has_view) AS n_with_view,
+      |    count_if(converted) AS n_converted
+      |  FROM banded GROUP BY 1)
+      |SELECT band, n_sessions, CAST(n_with_view AS BIGINT) AS n_with_view,
+      |  CAST(n_converted AS BIGINT) AS n_converted,
+      |  CAST(CASE WHEN n_with_view > 0
+      |    THEN n_converted * 1000000 // n_with_view END AS BIGINT)
+      |    AS conversion_ppm
+      |FROM g ORDER BY band""".stripMargin
+
+  // --- Activation → retention cross-tab (q183) ----------------------------
+
+  /** q183: ACTIVATION METRIC — does first-week intensity predict
+    * week-4 retention: users bucketed by their activity count in days
+    * 0–6 after first touch, and per bucket the share still active in
+    * days 21–27, in exact ppm. This is the table behind every
+    * "aha-moment" claim ("users who do X in week one retain") — q170
+    * decomposes the daily line, q90 shows cohort decay; this CROSSES
+    * early behavior with later survival, which neither does. Only
+    * users whose week-4 window fits inside the corpus are scored
+    * (first day ≤ max day − 27, the max a collected literal — an
+    * unobservable week-4 is not churn, it's censoring).
+    *
+    * Scale shape: one events scan → per-(user, offset-class) counts
+    * (the first-day attach is a user-keyed self-aggregate join), a
+    * user-grain bucket row, a buckets-row rollup. No day×user grid.
+    */
+  def q183Activation(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = ev.groupBy("user_id").agg(min(col("day")).as("fd"))
+      .localCheckpoint(eager = true)
+    val maxDay = ev.agg(max(col("day"))).collect().head.getDate(0)
+    val scored = ev.join(firsts, Seq("user_id"))
+      .filter(col("fd") <= date_sub(lit(maxDay), 27))
+      .withColumn("off", datediff(col("day"), col("fd")))
+      .groupBy("user_id")
+      .agg(count_if(col("off") <= 6).as("activation"),
+        count_if(col("off").between(21, 27)).as("w4"))
+    scored
+      .withColumn("bucket", expr(
+        """CASE WHEN activation <= 10 THEN 'a:<=10'
+          |     WHEN activation <= 15 THEN 'b:11-15'
+          |     WHEN activation <= 20 THEN 'c:16-20'
+          |     ELSE 'd:21+' END""".stripMargin))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        count_if(col("w4") > 0).as("n_retained_w4"))
+      .withColumn("retention_ppm",
+        expr("n_retained_w4 * 1000000 DIV n_users"))
+      .orderBy("bucket")
+  }
+
+  val q183Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS fd FROM ev GROUP BY 1),
+      |mx AS (SELECT max(day) AS md FROM ev),
+      |sc AS (
+      |  SELECT ev.user_id,
+      |    count_if(date_diff('day', f.fd, ev.day) <= 6) AS activation,
+      |    count_if(date_diff('day', f.fd, ev.day) BETWEEN 21 AND 27) AS w4
+      |  FROM ev JOIN f USING (user_id)
+      |  WHERE f.fd <= (SELECT md FROM mx) - INTERVAL 27 DAY
+      |  GROUP BY 1),
+      |b AS (
+      |  SELECT CASE WHEN activation <= 10 THEN 'a:<=10'
+      |           WHEN activation <= 15 THEN 'b:11-15'
+      |           WHEN activation <= 20 THEN 'c:16-20'
+      |           ELSE 'd:21+' END AS bucket,
+      |    w4 > 0 AS retained
+      |  FROM sc)
+      |SELECT bucket, count(*) AS n_users,
+      |  CAST(count_if(retained) AS BIGINT) AS n_retained_w4,
+      |  CAST(count_if(retained) * 1000000 // count(*) AS BIGINT)
+      |    AS retention_ppm
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
 }

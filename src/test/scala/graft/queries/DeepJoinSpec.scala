@@ -115,4 +115,66 @@ class DeepJoinSpec extends SparkSpec {
     assert(got == expected)
     got.foreach(r => assert(r._2 > 0 && r._3 > 0))
   }
+
+  test("q182 session funnel equals a literal gap-session replay with " +
+    "ordered view-before-purchase semantics") {
+    val rows = Tables.events(spark, d)
+      .select($"user_id", expr("unix_micros(ts)"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val gap = 30L * 60L * 1000000L
+    val sessions = rows.groupBy(_._1).values.flatMap { evs =>
+      val o = evs.sortBy(e => (e._2, e._3))
+      val sid = o.scanLeft((0L, Option.empty[Long])) { case ((id, prev), e) =>
+        (if (prev.forall(p => e._2 > p + gap)) id + 1 else id, Some(e._2))
+      }.tail.map(_._1)
+      o.zip(sid).groupBy(_._2).values.map(_.map(_._1))
+    }.toSeq
+    def band(n: Int): String =
+      if (n == 1) "1" else if (n == 2) "2" else if (n <= 5) "3-5"
+      else if (n <= 10) "6-10" else "11+"
+    val stats = sessions.map { ses =>
+      val fv = ses.filter(_._4 == "view").map(e => (e._2, e._3)).minOption
+      val lp = ses.filter(_._4 == "purchase").map(e => (e._2, e._3)).maxOption
+      (band(ses.size), fv.isDefined,
+        fv.isDefined && lp.isDefined &&
+          implicitly[Ordering[(Long, Long)]].lt(fv.get, lp.get))
+    }
+    val expected = stats.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ss) =>
+      val wv = ss.count(_._2).toLong
+      val cv = ss.count(_._3).toLong
+      (b, ss.size.toLong, wv, cv, if (wv > 0) Some(cv * 1000000L / wv) else None)
+    }
+    val got = Relational.q182SessionFunnel(spark, d)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == expected)
+    got.foreach(r => assert(r._4 <= r._3 && r._3 <= r._2))
+  }
+
+  test("q183 activation cross-tab equals a literal per-user replay and " +
+    "only scores observable users") {
+    val rows = Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").cast("string"))
+      .as[(Long, String)].collect().toSeq
+      .map { case (u, day) => (u, java.time.LocalDate.parse(day).toEpochDay) }
+    val maxDay = rows.map(_._2).max
+    val perUser = rows.groupBy(_._1).toSeq
+      .map { case (u, ds) => (u, ds.map(_._2).min, ds.map(_._2)) }
+      .filter(_._2 <= maxDay - 27)
+    def bucket(a: Long): String =
+      if (a <= 10) "a:<=10" else if (a <= 15) "b:11-15"
+      else if (a <= 20) "c:16-20" else "d:21+"
+    val stats = perUser.map { case (_, fd, ds) =>
+      (bucket(ds.count(d0 => d0 - fd <= 6).toLong),
+        ds.exists(d0 => d0 - fd >= 21 && d0 - fd <= 27))
+    }
+    val expected = stats.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ss) =>
+      val r = ss.count(_._2).toLong
+      (b, ss.size.toLong, r, r * 1000000L / ss.size)
+    }
+    val got = Relational.q183Activation(spark, d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == perUser.size.toLong,
+      "every observable user scored exactly once")
+  }
 }
