@@ -1155,4 +1155,170 @@ object Relational {
       |  CAST(count_if(retained) * 1000000 // count(*) AS BIGINT)
       |    AS retention_ppm
       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // --- Returns at risk (q184) ---------------------------------------------
+
+  /** q184: RETURNS ANALYSIS — per brand: return-flagged line share in
+    * ppm and the revenue it puts at risk, ranked worst-first — the
+    * quality-escape table merchandising reads next to q174's discount
+    * lift. Exact centi-cent revenue split by flag in ONE conditional
+    * aggregate (no second scan, no pivot); ordering total on
+    * (return_ppm DESC, brand).
+    *
+    * Scale shape: lineitem⋈part partkey equi-join, one map-combinable
+    * rollup to |brands| rows.
+    */
+  def q184Returns(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .select(col("l_partkey"), (col("l_returnflag") === "R").as("ret"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(part(s, d).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), Seq("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        count_if(col("ret")).as("n_returned"),
+        sum(when(col("ret"), col("cents")).otherwise(lit(0L)))
+          .as("returned_cents"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("return_ppm", expr("n_returned * 1000000 DIV n_lines"))
+      .withColumn("revenue_at_risk_ppm", expr(
+        "CAST(CAST(returned_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV total_cents AS BIGINT)"))
+      .select(col("p_brand"), col("n_lines"), col("n_returned"),
+        col("return_ppm"), col("returned_cents"), col("total_cents"),
+        col("revenue_at_risk_ppm"))
+      .orderBy(col("return_ppm").desc, col("p_brand"))
+  }
+
+  val q184Oracle: String =
+    """SELECT p.p_brand, count(*) AS n_lines,
+      |  CAST(count_if(l.l_returnflag = 'R') AS BIGINT) AS n_returned,
+      |  CAST(count_if(l.l_returnflag = 'R') * 1000000 // count(*)
+      |    AS BIGINT) AS return_ppm,
+      |  CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS returned_cents,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS total_cents,
+      |  CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |      THEN CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+      |      ELSE 0 END) * 1000000
+      |    // sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT))
+      |    AS BIGINT) AS revenue_at_risk_ppm
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |GROUP BY 1 ORDER BY return_ppm DESC, p_brand""".stripMargin
+
+  // --- Rapid-repeat-order velocity audit (q185) ---------------------------
+
+  private val RapidWindowDays = 7
+
+  /** q185: ORDER VELOCITY — same-customer order pairs placed within
+    * [[RapidWindowDays]] days: the card-testing / double-submit
+    * signature a payments-risk audit runs (exact-amount dup detection
+    * degenerates on this fixture's continuous prices — the VELOCITY
+    * variant is the same pair-audit shape with a live result). Pairs
+    * are customer-blocked (the q173 inverted-index discipline: the
+    * self-join is Σ|per-customer orders|², never orders², and the
+    * per-customer order count is naturally bounded), ordered
+    * (ok_a < ok_b) so each pair reports once; per flagged customer:
+    * pair count, tightest gap, and the flagged order volume.
+    *
+    * Scale shape: one orders scan, self-join on the custkey exchange
+    * (reused both sides), day-window filter, customer-grain rollup
+    * ordered (n_pairs DESC, cust).
+    */
+  def q185RapidRepeat(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_custkey").as("cust"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderkey").as("ok"), to_date(col("o_orderdate")).as("day"))
+    o.select(col("cust"), col("cents").as("ca"), col("ok").as("ok_a"),
+        col("day").as("day_a"))
+      .join(o.select(col("cust"), col("cents").as("cb"),
+        col("ok").as("ok_b"), col("day").as("day_b")), Seq("cust"))
+      .filter(col("ok_a") < col("ok_b") &&
+        abs(datediff(col("day_b"), col("day_a"))) <= RapidWindowDays)
+      .groupBy("cust")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(datediff(col("day_b"), col("day_a")))).cast("long")
+          .as("min_gap_days"),
+        sum(col("ca") + col("cb")).as("flagged_cents"))
+      .orderBy(col("n_pairs").desc, col("cust"))
+  }
+
+  val q185Oracle: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS cust,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    o_orderkey AS ok, CAST(o_orderdate AS DATE) AS d
+       |  FROM orders),
+       |p AS (
+       |  SELECT a.cust, a.cents AS ca, b.cents AS cb,
+       |    abs(date_diff('day', a.d, b.d)) AS gap
+       |  FROM o a JOIN o b ON a.cust = b.cust AND a.ok < b.ok
+       |    AND abs(date_diff('day', a.d, b.d)) <= $RapidWindowDays)
+       |SELECT cust, count(*) AS n_pairs,
+       |  CAST(min(gap) AS BIGINT) AS min_gap_days,
+       |  CAST(sum(ca + cb) AS BIGINT) AS flagged_cents
+       |FROM p GROUP BY 1 ORDER BY n_pairs DESC, cust""".stripMargin
+
+  // --- Unit-price consistency (q186) --------------------------------------
+
+  /** q186: PRICE CONSISTENCY — the same part sold at different
+    * effective unit prices is either discount policy or a pricing bug;
+    * per brand: parts audited, parts with > 2× unit-price spread, and
+    * the worst spread in ppm. Unit price is the DEFINED floor
+    * round(price·100)·100 DIV qty (centi-cents per unit — exact,
+    * engine-identical; a double division would hash-diverge), spread =
+    * (max − min)·10⁶ DIV min over each part's lines. Top spread per
+    * brand ties to the smallest partkey.
+    *
+    * Scale shape: lineitem → per-part min/max unit price (partkey
+    * rollup, map-combinable), part⋈brand attach, |brands| rows out.
+    */
+  def q186PriceSpread(s: SparkSession, d: String): DataFrame = {
+    val wB = Window.partitionBy("p_brand")
+    val perPart = lineitem(s, d)
+      .select(col("l_partkey"), expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * 100" +
+          " DIV CAST(l_quantity AS BIGINT)").as("ucc"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), min(col("ucc")).as("lo"),
+        max(col("ucc")).as("hi"))
+      .withColumn("spread_ppm", expr(
+        "CASE WHEN lo > 0 THEN (hi - lo) * 1000000 DIV lo END"))
+    perPart
+      .join(part(s, d).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), Seq("l_partkey"))
+      .withColumn("ws", max(col("spread_ppm")).over(wB))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        count_if(col("spread_ppm") > 1000000L).as("n_over_2x"),
+        max(col("spread_ppm")).as("worst_spread_ppm"),
+        min(when(col("spread_ppm") === col("ws"), col("l_partkey")))
+          .as("worst_part"))
+      .orderBy("p_brand")
+  }
+
+  val q186Oracle: String =
+    """WITH pp AS (
+      |  SELECT l_partkey, count(*) AS n_lines,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+      |      // CAST(l_quantity AS BIGINT)) AS lo,
+      |    max(CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+      |      // CAST(l_quantity AS BIGINT)) AS hi
+      |  FROM lineitem GROUP BY 1),
+      |sp AS (
+      |  SELECT l_partkey, n_lines, lo, hi,
+      |    CASE WHEN lo > 0 THEN (hi - lo) * 1000000 // lo END AS spread_ppm
+      |  FROM pp),
+      |j AS (
+      |  SELECT p.p_brand, sp.l_partkey, sp.spread_ppm,
+      |    max(sp.spread_ppm) OVER (PARTITION BY p.p_brand) AS ws
+      |  FROM sp JOIN part p ON p.p_partkey = sp.l_partkey)
+      |SELECT p_brand, count(*) AS n_parts,
+      |  CAST(count_if(spread_ppm > 1000000) AS BIGINT) AS n_over_2x,
+      |  CAST(max(spread_ppm) AS BIGINT) AS worst_spread_ppm,
+      |  min(CASE WHEN spread_ppm = ws THEN l_partkey END) AS worst_part
+      |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin
 }

@@ -177,4 +177,71 @@ class DeepJoinSpec extends SparkSpec {
     assert(got.map(_._2).sum == perUser.size.toLong,
       "every observable user scored exactly once")
   }
+
+  test("q184 returns equal a literal conditional-sum replay") {
+    val pb = Tables.part(spark, d)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val rows = Tables.lineitem(spark, d)
+      .select($"l_partkey", $"l_returnflag" === "R",
+        round($"l_extendedprice" * 100, 0).cast("long"))
+      .as[(Long, Boolean, Long)].collect().toSeq
+      .map(r => (pb(r._1), r._2, r._3))
+    val expected = rows.groupBy(_._1).toSeq.map { case (b, rs) =>
+      val n = rs.size.toLong; val nr = rs.count(_._2).toLong
+      val rc = rs.filter(_._2).map(r => BigInt(r._3)).sum
+      val tc = rs.map(r => BigInt(r._3)).sum
+      (b, n, nr, nr * 1000000L / n, rc.toLong, tc.toLong,
+        (rc * 1000000 / tc).toLong)
+    }.sortBy(r => (-r._4, r._1))
+    val got = Relational.q184Returns(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q185 rapid repeats equal a literal pair replay; min gap inside " +
+    "the window") {
+    val os = Tables.orders(spark, d)
+      .select($"o_custkey", round($"o_totalprice" * 100, 0).cast("long"),
+        $"o_orderkey", to_date($"o_orderdate").cast("string"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+      .map(o => (o._1, o._2, o._3, java.time.LocalDate.parse(o._4).toEpochDay))
+    val expected = os.groupBy(_._1).toSeq.flatMap { case (cust, rs) =>
+      val pairs = for {
+        a <- rs; b <- rs
+        if a._3 < b._3 && (b._4 - a._4).abs <= 7
+      } yield (a._2 + b._2, (b._4 - a._4).abs)
+      if (pairs.isEmpty) None
+      else Some((cust, pairs.size.toLong, pairs.map(_._2).min,
+        pairs.map(_._1).sum))
+    }.sortBy(r => (-r._2, r._1))
+    val got = Relational.q185RapidRepeat(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    got.foreach(r => assert(r._3 >= 0 && r._3 <= 7))
+    assert(got.nonEmpty, "fixture must flag rapid repeats")
+  }
+
+  test("q186 price spread equals a literal floor-unit-price replay") {
+    val pb = Tables.part(spark, d)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val rows = Tables.lineitem(spark, d)
+      .select($"l_partkey", round($"l_extendedprice" * 100, 0).cast("long"),
+        $"l_quantity".cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2 * 100 / r._3))
+    val perPart = rows.groupBy(_._1).toSeq.map { case (pk, rs) =>
+      val lo = rs.map(_._2).min; val hi = rs.map(_._2).max
+      (pk, if (lo > 0) Some((hi - lo) * 1000000L / lo) else None)
+    }
+    val expected = perPart.groupBy(p => pb(p._1)).toSeq.sortBy(_._1)
+      .map { case (b, ps) =>
+        val ws = ps.flatMap(_._2).max
+        (b, ps.size.toLong, ps.flatMap(_._2).count(_ > 1000000L).toLong, ws,
+          ps.filter(_._2.contains(ws)).map(_._1).min)
+      }
+    val got = Relational.q186PriceSpread(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    got.foreach(r => assert(r._3 <= r._2))
+  }
 }
