@@ -3879,4 +3879,108 @@ object LlmOps {
        |    AS BIGINT) AS n_leaked,
        |  round(max(sim), 4) AS max_sim
        |FROM sims GROUP BY 1, 2 ORDER BY split, label""".stripMargin
+
+  // --- Length–frequency-band Spearman (q188) ------------------------------
+
+  /** q188: IS QUALITY JUST LENGTH? — per language, the exact tie-aware
+    * Spearman between document LENGTH (chars) and q121's mean token
+    * frequency band: the audit run before trusting any length-
+    * correlated quality score ("long docs are made of commoner words"
+    * would make a band filter a length filter in disguise). The q144
+    * doubled-average-rank discipline end to end: ranks from marginal
+    * histograms (never a per-row rank sort), centered integer moments
+    * in decimal(38,0), ρ rounded to 6 from exact sums. The pair frame
+    * is (lang, len, band) — value-domain-bounded (length and milli-band
+    * domains), the q149/q154 histogram class.
+    *
+    * Scale shape: the q121 token pipeline (one corpus tokenization +
+    * vocab join) down to per-doc integers, then everything rides the
+    * bounded pair frame.
+    */
+  def q188LenBandSpearman(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val base = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len"), col("text"))
+    val tok = base.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), length(bin(col("c"))).cast("long").as("fb"))
+    val perDoc = tok.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("fb")).as("sfb"))
+      .select(col("doc_id"), expr("sfb * 1000 DIV n_toks").as("band"))
+      .join(base.select(col("doc_id"), col("lang"), col("len")),
+        Seq("doc_id"))
+    val pairs = perDoc.groupBy("lang", "len", "band")
+      .agg(count(lit(1)).as("c"))
+    val wG = Window.partitionBy("lang")
+    def rank2(v: String): DataFrame = {
+      val wCum = Window.partitionBy("lang").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pairs.groupBy(col("lang"), col(v)).agg(sum(col("c")).as("cv"))
+        .withColumn("cumb", coalesce(sum(col("cv")).over(wCum), lit(0L)))
+        .select(col("lang"), col(v),
+          (lit(2) * col("cumb") + col("cv") + 1).as(s"r2$v"))
+    }
+    pairs
+      .join(rank2("len"), Seq("lang", "len"))
+      .join(rank2("band"), Seq("lang", "band"))
+      .withColumn("n", sum(col("c")).over(wG))
+      .withColumn("dx", big(col("r2len") - (col("n") + 1)))
+      .withColumn("dy", big(col("r2band") - (col("n") + 1)))
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        big(sum(col("c") * col("dx") * col("dy"))).as("sxy"),
+        big(sum(col("c") * col("dx") * col("dx"))).as("sxx"),
+        big(sum(col("c") * col("dy") * col("dy"))).as("syy"))
+      .select(col("lang"), col("n_docs"),
+        round(col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy"))), 6)
+          .as("rho_len_band"))
+      .orderBy("lang")
+  }
+
+  val q188Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len, text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM base),
+      |v AS (SELECT w, CAST(length(bin(count(*))) AS BIGINT) AS fb
+      |      FROM t GROUP BY w),
+      |pd AS (
+      |  SELECT t.doc_id, CAST(sum(v.fb) * 1000 // count(*) AS BIGINT)
+      |    AS band
+      |  FROM t JOIN v USING (w) GROUP BY 1),
+      |px AS (
+      |  SELECT b.lang, b.len, pd.band, count(*) AS c
+      |  FROM pd JOIN base b USING (doc_id) GROUP BY 1, 2, 3),
+      |hx AS (
+      |  SELECT lang, len, sum(c) AS cv,
+      |    coalesce(sum(sum(c)) OVER (PARTITION BY lang ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM px GROUP BY 1, 2),
+      |hy AS (
+      |  SELECT lang, band, sum(c) AS cv,
+      |    coalesce(sum(sum(c)) OVER (PARTITION BY lang ORDER BY band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM px GROUP BY 1, 2),
+      |j AS (
+      |  SELECT p.lang, p.c, sum(p.c) OVER (PARTITION BY p.lang) AS n,
+      |    2 * hx.cumb + hx.cv + 1 AS r2x, 2 * hy.cumb + hy.cv + 1 AS r2y
+      |  FROM px p
+      |  JOIN hx ON hx.lang = p.lang AND hx.len = p.len
+      |  JOIN hy ON hy.lang = p.lang AND hy.band = p.band),
+      |m AS (
+      |  SELECT lang, max(n) AS n_docs,
+      |    sum(CAST(c AS HUGEINT) * (r2x - (n + 1)) * (r2y - (n + 1))) AS sxy,
+      |    sum(CAST(c AS HUGEINT) * (r2x - (n + 1)) * (r2x - (n + 1))) AS sxx,
+      |    sum(CAST(c AS HUGEINT) * (r2y - (n + 1)) * (r2y - (n + 1))) AS syy
+      |  FROM j GROUP BY 1)
+      |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  round(CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) *
+      |    sqrt(CAST(syy AS DOUBLE))), 6) AS rho_len_band
+      |FROM m ORDER BY lang""".stripMargin
 }

@@ -223,4 +223,57 @@ object Privacy {
        |    * 1000000 // sum(gsz) AS BIGINT) AS homogeneous_ppm,
        |  CAST(max(topc * 1000000 // gsz) AS BIGINT) AS max_top_share_ppm
        |FROM qi GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- Right-to-be-forgotten impact plan (q187) ----------------------------
+
+  /** q187: FORGET PLAN — the deletion-impact report a GDPR/CCPA erasure
+    * batch produces BEFORE it runs: for a deterministic DSR cohort
+    * (user_id / custkey ≡ 0 mod 97 plays the request batch), the rows to
+    * purge per table INCLUDING the referential cascade — lineitem rows
+    * die because their parent order dies, which a naive per-table
+    * user-column scan would miss entirely. q64 redacts content, q138/
+    * q148 audit re-identifiability; this is the third governance leg:
+    * erasure scoping. Per table: purge count, total, share in ppm.
+    *
+    * Scale shape: each table scanned once; the cascade is one
+    * orderkey-partitioned semi-join (orders-to-purge → lineitem); the
+    * four single-row aggregates union into the 4-row report. A real
+    * deployment swaps the mod-97 predicate for a keyset broadcast —
+    * the plan shape is identical.
+    */
+  def q187ForgetPlan(s: SparkSession, d: String): DataFrame = {
+    def report(name: String, purge: Column, df: DataFrame): DataFrame =
+      df.agg(count(when(purge, 1)).as("n_purge"), count(lit(1)).as("n_total"))
+        .select(lit(name).as("table_name"), col("n_purge"), col("n_total"),
+          expr("n_purge * 1000000 DIV n_total").as("share_ppm"))
+    val ev = report("events", col("user_id") % 97 === 0, events(s, d))
+    val cu = report("customer", col("c_custkey") % 97 === 0, customer(s, d))
+    val or_ = report("orders", col("o_custkey") % 97 === 0, orders(s, d))
+    val li = report("lineitem", col("purge"),
+      lineitem(s, d).select(col("l_orderkey"))
+        .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          (col("o_custkey") % 97 === 0).as("purge")), Seq("l_orderkey")))
+    cu.unionByName(ev).unionByName(li).unionByName(or_)
+      .orderBy("table_name")
+  }
+
+  val q187Oracle: String =
+    """WITH c AS (
+      |  SELECT 'customer' AS table_name,
+      |    count_if(c_custkey % 97 = 0) AS n_purge, count(*) AS n_total
+      |  FROM customer),
+      |e AS (
+      |  SELECT 'events', count_if(user_id % 97 = 0), count(*) FROM events),
+      |o AS (
+      |  SELECT 'orders', count_if(o_custkey % 97 = 0), count(*)
+      |  FROM orders),
+      |l AS (
+      |  SELECT 'lineitem', count_if(oo.o_custkey % 97 = 0), count(*)
+      |  FROM lineitem ll JOIN orders oo ON oo.o_orderkey = ll.l_orderkey),
+      |u AS (
+      |  SELECT * FROM c UNION ALL SELECT * FROM e
+      |  UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+      |SELECT table_name, CAST(n_purge AS BIGINT) AS n_purge,
+      |  n_total, CAST(n_purge * 1000000 // n_total AS BIGINT) AS share_ppm
+      |FROM u ORDER BY table_name""".stripMargin
 }

@@ -43,4 +43,30 @@ class PrivacySpec extends SparkSpec {
       assert(!"[0-9]{9,}".r.findFirstIn(red).isDefined, s"key $key leaked digits: $red")
     }
   }
+
+  test("q187 forget plan equals literal per-table counts with the " +
+    "lineitem cascade") {
+    val d0 = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d0).select($"user_id")
+      .as[Long].collect().toSeq
+    val cu = graft.Tables.customer(spark, d0).select($"c_custkey")
+      .as[Long].collect().toSeq
+    val or0 = graft.Tables.orders(spark, d0).select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toSeq
+    val purgeOrders = or0.filter(_._2 % 97 == 0).map(_._1).toSet
+    val li = graft.Tables.lineitem(spark, d0).select($"l_orderkey")
+      .as[Long].collect().toSeq
+    val expected = Seq(
+      ("customer", cu.count(_ % 97 == 0).toLong, cu.size.toLong),
+      ("events", ev.count(_ % 97 == 0).toLong, ev.size.toLong),
+      ("lineitem", li.count(purgeOrders).toLong, li.size.toLong),
+      ("orders", or0.count(_._2 % 97 == 0).toLong, or0.size.toLong)
+    ).map { case (t, p0, n) => (t, p0, n, p0 * 1000000L / n) }
+    val got = Privacy.q187ForgetPlan(spark, d0)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the cascade matters: lineitem purge exceeds what a naive
+    // user-column scan would find (lineitem has no user column at all)
+    assert(got.find(_._1 == "lineitem").exists(_._2 > 0))
+  }
 }

@@ -109,4 +109,49 @@ class SurprisalKappaSpec extends SparkSpec {
     }
     assert(out.map(_._2).sum == Tables.documents(spark, d).count())
   }
+
+  test("q188 length-band Spearman equals a BigInt doubled-rank replay") {
+    val d0 = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d0)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val toks = docs.map(r =>
+      (r._1, r._3.trim.toLowerCase.split("\\s+").toSeq))
+    val fb = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(ws => java.lang.Long.toBinaryString(ws.size.toLong).length.toLong)
+      .toMap
+    val band = toks.map { case (id, ws) =>
+      id -> ws.map(fb).sum * 1000 / ws.size
+    }.toMap
+    val triples = docs.map(r => (r._2, r._3.length.toLong, band(r._1)))
+    val expected = triples.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, rs) =>
+        val n = rs.size.toLong
+        def r2(vs: Seq[Long]): Map[Long, Long] = {
+          val grouped = vs.groupBy(identity).view.mapValues(_.size.toLong)
+            .toSeq.sortBy(_._1)
+          var cum = 0L
+          grouped.map { case (v, cv) =>
+            val r = 2 * cum + cv + 1; cum += cv; v -> r
+          }.toMap
+        }
+        val rx = r2(rs.map(_._2)); val ry = r2(rs.map(_._3))
+        val dx = rs.map(r0 => BigInt(rx(r0._2)) - (n + 1))
+        val dy = rs.map(r0 => BigInt(ry(r0._3)) - (n + 1))
+        val sxy = dx.zip(dy).map { case (a, b) => a * b }.sum
+        val sxx = dx.map(a => a * a).sum
+        val syy = dy.map(a => a * a).sum
+        val rho = BigDecimal(
+          sxy.toDouble / (math.sqrt(sxx.toDouble) * math.sqrt(syy.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (lang, n, rho)
+    }
+    val got = LlmOps.q188LenBandSpearman(spark, d0)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 2e-6, s"${g._1}: ${g._3} vs ${e._3}")
+      assert(g._3.abs <= 1.0)
+    }
+  }
 }
