@@ -1321,4 +1321,154 @@ object Relational {
       |  CAST(max(spread_ppm) AS BIGINT) AS worst_spread_ppm,
       |  min(CASE WHEN spread_ppm = ws THEN l_partkey END) AS worst_part
       |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin
+
+  // --- ABC / Pareto classification (q189) ---------------------------------
+
+  /** q189: ABC CLASSES — inventory's Pareto cut: parts ranked by
+    * revenue, class A = the head covering the first 80% of revenue,
+    * B the next 15%, C the tail — the classification that decides
+    * cycle-count frequency and safety stock. Class boundaries are
+    * EXACT threshold splits on the cumulative revenue of the
+    * (revenue-value) HISTOGRAM, descending — the q145/q155 tie-block
+    * discipline: a block of parts with identical revenue straddling a
+    * boundary is split by COUNT, never by an arbitrary per-part rank,
+    * so no global per-part sort exists anywhere (at 10⁹ parts a
+    * row-rank window would be a single-task sort; the distinct-revenue
+    * frame is value-domain-bounded).
+    *
+    * Per class: parts, revenue cents, revenue share ppm, part share
+    * ppm — the "80% of revenue in 12% of parts" readout.
+    */
+  def q189AbcClasses(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = wAll.orderBy(col("rev").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = lineitem(s, d)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("l_partkey").agg(sum(col("cents")).as("rev"))
+      .groupBy("rev").agg(count(lit(1)).as("m"))
+      .withColumn("t", sum(expr("rev * m")).over(wAll))
+      .withColumn("np", sum(col("m")).over(wAll))
+      .withColumn("above", coalesce(sum(expr("rev * m")).over(wCum), lit(0L)))
+    // a revenue block [above, above + rev·m) is split across the 80/95
+    // boundaries by COUNT: parts_in(lo, hi) = clamp((hi−above) div rev)
+    def take(hiExpr: String): Column = expr(
+      s"""greatest(0L, least(CAST(m AS BIGINT),
+         |  CASE WHEN rev > 0 THEN (($hiExpr) - above + rev - 1) DIV rev
+         |       ELSE CAST(m AS BIGINT) END))""".stripMargin)
+    hist
+      .withColumn("inA", take("t * 80 DIV 100"))
+      .withColumn("inAB", take("t * 95 DIV 100"))
+      .withColumn("cls", explode(expr("array('A', 'B', 'C')")))
+      .withColumn("n_parts", expr(
+        """CASE cls WHEN 'A' THEN inA WHEN 'B' THEN inAB - inA
+          |     ELSE m - inAB END""".stripMargin))
+      .withColumn("rev_cents", expr("n_parts * rev"))
+      .groupBy("cls")
+      .agg(sum(col("n_parts")).as("n_parts"),
+        sum(col("rev_cents")).as("revenue_cents"),
+        max(col("t")).as("t"), max(col("np")).as("np"))
+      .withColumn("revenue_share_ppm", expr(
+        "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000 DIV t" +
+          " AS BIGINT)"))
+      .withColumn("part_share_ppm", expr("n_parts * 1000000 DIV np"))
+      .select(col("cls"), col("n_parts"), col("revenue_cents"),
+        col("revenue_share_ppm"), col("part_share_ppm"))
+      .orderBy("cls")
+  }
+
+  val q189Oracle: String =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |h AS (SELECT rev, count(*) AS m FROM pr GROUP BY 1),
+      |w AS (
+      |  SELECT rev, m, sum(rev * m) OVER () AS t, sum(m) OVER () AS np,
+      |    coalesce(sum(rev * m) OVER (ORDER BY rev DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+      |  FROM h),
+      |x AS (
+      |  SELECT rev, m, t, np, above,
+      |    greatest(0, least(m, CASE WHEN rev > 0
+      |      THEN (t * 80 // 100 - above + rev - 1) // rev ELSE m END))
+      |      AS inA,
+      |    greatest(0, least(m, CASE WHEN rev > 0
+      |      THEN (t * 95 // 100 - above + rev - 1) // rev ELSE m END))
+      |      AS inAB
+      |  FROM w),
+      |e AS (
+      |  SELECT cls,
+      |    CASE cls WHEN 'A' THEN inA WHEN 'B' THEN inAB - inA
+      |         ELSE m - inAB END AS n_parts,
+      |    rev, t, np
+      |  FROM x CROSS JOIN (VALUES ('A'), ('B'), ('C')) c(cls)),
+      |g AS (
+      |  SELECT cls, sum(n_parts) AS n_parts,
+      |    sum(n_parts * rev) AS revenue_cents, max(t) AS t, max(np) AS np
+      |  FROM e GROUP BY 1)
+      |SELECT cls, CAST(n_parts AS BIGINT) AS n_parts,
+      |  CAST(revenue_cents AS BIGINT) AS revenue_cents,
+      |  CAST(revenue_cents * 1000000 // t AS BIGINT) AS revenue_share_ppm,
+      |  CAST(n_parts * 1000000 // np AS BIGINT) AS part_share_ppm
+      |FROM g ORDER BY cls""".stripMargin
+
+  // --- SLO burn rate (q190) -----------------------------------------------
+
+  private val SloErrPpm = 210000L
+
+  /** q190: SLO BURN — the SRE error-budget table: per day, the error
+    * share of events in exact ppm, the trailing-7-day share (CALENDAR
+    * range window, the q171 discipline — gaps contribute nothing), and
+    * both expressed as burn rates in milli against a literal
+    * [[SloErrPpm]] objective: burn > 1000 milli means the budget is
+    * being consumed faster than the SLO allows, the fast-burn/slow-burn
+    * pair every multiwindow alert policy (SRE workbook ch. 5) pages on.
+    * All-integer: shares are count ratios, burns are ppm DIV ppm.
+    *
+    * Scale shape: one events scan → (day) counts frame; both windows
+    * ride the bounded day frame.
+    */
+  def q190SloBurn(s: SparkSession, d: String): DataFrame = {
+    val w7 = Window.partitionBy(lit(1)).orderBy("ed").rangeBetween(-6, 0)
+    events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("event_type") === "error").as("errs"))
+      .withColumn("ed", expr("datediff(day, DATE '1970-01-01')"))
+      .withColumn("n7", sum(col("n")).over(w7))
+      .withColumn("errs7", sum(col("errs")).over(w7))
+      .withColumn("err_ppm_1d", expr("errs * 1000000 DIV n"))
+      .withColumn("err_ppm_7d", expr("errs7 * 1000000 DIV n7"))
+      .withColumn("burn_1d_milli",
+        expr(s"err_ppm_1d * 1000 DIV $SloErrPpm"))
+      .withColumn("burn_7d_milli",
+        expr(s"err_ppm_7d * 1000 DIV $SloErrPpm"))
+      .select(col("day"), col("n"), col("errs"), col("err_ppm_1d"),
+        col("err_ppm_7d"), col("burn_1d_milli"), col("burn_7d_milli"))
+      .orderBy("day")
+  }
+
+  val q190Oracle: String =
+    s"""WITH dd AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+       |    count_if(event_type = 'error') AS errs
+       |  FROM events GROUP BY 1),
+       |w AS (
+       |  SELECT day, n, errs,
+       |    sum(n) OVER (ORDER BY date_diff('day', DATE '1970-01-01', day)
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7,
+       |    sum(errs) OVER (ORDER BY
+       |        date_diff('day', DATE '1970-01-01', day)
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS errs7
+       |  FROM dd)
+       |SELECT day, n, CAST(errs AS BIGINT) AS errs,
+       |  CAST(errs * 1000000 // n AS BIGINT) AS err_ppm_1d,
+       |  CAST(errs7 * 1000000 // n7 AS BIGINT) AS err_ppm_7d,
+       |  CAST(errs * 1000000 // n * 1000 // $SloErrPpm AS BIGINT)
+       |    AS burn_1d_milli,
+       |  CAST(errs7 * 1000000 // n7 * 1000 // $SloErrPpm AS BIGINT)
+       |    AS burn_7d_milli
+       |FROM w ORDER BY day""".stripMargin
 }

@@ -244,4 +244,59 @@ class DeepJoinSpec extends SparkSpec {
     assert(got == expected)
     got.foreach(r => assert(r._3 <= r._2))
   }
+
+  test("q189 ABC classes equal a literal Pareto-prefix replay; classes " +
+    "partition parts and revenue exactly") {
+    val revs = Tables.lineitem(spark, d)
+      .select($"l_partkey", round($"l_extendedprice" * 100, 0).cast("long"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).values.map(_.map(_._2).sum).toSeq
+      .sorted(Ordering[Long].reverse)
+    val t = revs.map(BigInt(_)).sum
+    def prefixCovering(target: BigInt): Int = {
+      var cum = BigInt(0); var i = 0
+      while (cum < target && i < revs.size) { cum += revs(i); i += 1 }
+      i
+    }
+    val a = prefixCovering(t * 80 / 100)
+    val ab = prefixCovering(t * 95 / 100)
+    val np = revs.size.toLong
+    val expected = Seq(
+      ("A", a.toLong, revs.take(a).map(BigInt(_)).sum),
+      ("B", (ab - a).toLong, revs.slice(a, ab).map(BigInt(_)).sum),
+      ("C", (np - ab).toLong, revs.drop(ab).map(BigInt(_)).sum)
+    ).map { case (c, n, r) =>
+      (c, n, r.toLong, (r * 1000000 / t).toLong, n * 1000000L / np)
+    }
+    val got = Relational.q189AbcClasses(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == np && got.map(r => BigInt(r._3)).sum == t,
+      "classes partition parts and revenue")
+    assert(got.head._4 >= 800000L - 1000L, "A really covers ~80% of revenue")
+  }
+
+  test("q190 SLO burn equals a literal calendar-window replay") {
+    val days = Tables.events(spark, d)
+      .select(to_date($"ts").cast("string"), $"event_type" === "error")
+      .as[(String, Boolean)].collect().toSeq
+      .map { case (day, e) => (java.time.LocalDate.parse(day).toEpochDay, e) }
+    val byDay = days.groupBy(_._1).view
+      .mapValues(rs => (rs.size.toLong, rs.count(_._2).toLong)).toMap
+    val slo = 210000L
+    val expected = byDay.keys.toSeq.sorted.map { ed =>
+      val (n, errs) = byDay(ed)
+      val win = (ed - 6 to ed).flatMap(byDay.get)
+      val n7 = win.map(_._1).sum; val e7 = win.map(_._2).sum
+      val p1 = errs * 1000000L / n; val p7 = e7 * 1000000L / n7
+      (java.time.LocalDate.ofEpochDay(ed).toString, n, errs, p1, p7,
+        p1 * 1000 / slo, p7 * 1000 / slo)
+    }
+    val got = Relational.q190SloBurn(spark, d)
+      .select($"day".cast("string"), $"n", $"errs", $"err_ppm_1d",
+        $"err_ppm_7d", $"burn_1d_milli", $"burn_7d_milli")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    got.foreach(r => assert(r._3 <= r._2 && r._4 <= 1000000L))
+  }
 }
