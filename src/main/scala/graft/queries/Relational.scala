@@ -1471,4 +1471,160 @@ object Relational {
        |  CAST(errs7 * 1000000 // n7 * 1000 // $SloErrPpm AS BIGINT)
        |    AS burn_7d_milli
        |FROM w ORDER BY day""".stripMargin
+
+  // --- Two-proportion A/B readout (q191) ----------------------------------
+
+  /** q191: A/B READOUT — the two-proportion experiment table: users
+    * split into arms by id parity (the q149 deterministic split), the
+    * metric is user-level purchase conversion, and significance is the
+    * EXACT pooled two-proportion z² in milli — z² reduces to one
+    * integer fraction, (c₁n₂ − c₂n₁)²·N / (n₁·n₂·C·(N−C)) with
+    * C = c₁+c₂, N = n₁+n₂, evaluated on decimal(38,0)/HUGEINT and
+    * floored once (z² ≥ 3.84 ⇔ p < .05 two-sided ⇔ z2_milli ≥ 3841-ish
+    * — the experimenter's line). Exact while (c₁n₂−c₂n₁)²·N fits 38
+    * digits — arms to ~3·10⁷ users; beyond that an experiment
+    * subsamples anyway. No float anywhere: rates and diff in exact ppm.
+    *
+    * Scale shape: one events scan → per-user converted flag (user-keyed,
+    * map-combinable) → two-arm rollup → one literal row.
+    */
+  def q191AbTest(s: SparkSession, d: String): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val arms = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count_if(col("event_type") === "purchase").as("purchases"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        count_if(col("purchases") > 0).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (n1, c1) = arms("A"); val (n2, c2) = arms("B")
+    val (nn, cc) = (BigInt(n1) + n2, BigInt(c1) + c2)
+    val dNum = BigInt(c1) * n2 - BigInt(c2) * n1
+    val den = BigInt(n1) * n2 * cc * (nn - cc)
+    val z2Milli =
+      if (den > 0) Some((dNum * dNum * nn * 1000 / den).toLong) else None
+    import s.implicits._
+    Seq((n1, c1, n2, c2, c1 * 1000000L / n1, c2 * 1000000L / n2,
+      c1 * 1000000L / n1 - c2 * 1000000L / n2, z2Milli))
+      .toDF("n_a", "conv_a", "n_b", "conv_b", "rate_a_ppm", "rate_b_ppm",
+        "diff_ppm", "z2_milli")
+  }
+
+  val q191Oracle: String =
+    """WITH u AS (
+      |  SELECT user_id, count_if(event_type = 'purchase') AS p
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    count(*) AS n, count_if(p > 0) AS c
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT max(CASE WHEN arm = 'A' THEN n END) AS n1,
+      |    max(CASE WHEN arm = 'A' THEN c END) AS c1,
+      |    max(CASE WHEN arm = 'B' THEN n END) AS n2,
+      |    max(CASE WHEN arm = 'B' THEN c END) AS c2
+      |  FROM a)
+      |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(c1 AS BIGINT) AS conv_a,
+      |  CAST(n2 AS BIGINT) AS n_b, CAST(c2 AS BIGINT) AS conv_b,
+      |  CAST(c1 * 1000000 // n1 AS BIGINT) AS rate_a_ppm,
+      |  CAST(c2 * 1000000 // n2 AS BIGINT) AS rate_b_ppm,
+      |  CAST(c1 * 1000000 // n1 - c2 * 1000000 // n2 AS BIGINT)
+      |    AS diff_ppm,
+      |  CAST(CASE WHEN n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2) > 0
+      |    THEN CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1 END
+      |    * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+      |    * (n1 + n2) * 1000
+      |    // (CAST(n1 AS HUGEINT) * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))
+      |    AS BIGINT) AS z2_milli
+      |FROM w""".stripMargin
+
+  // --- Per-item "also bought" recs (q192) ---------------------------------
+
+  private val AlsoHeadParts = 10
+  private val AlsoTopK = 3
+
+  /** q192: ALSO-BOUGHT TABLE — the per-item production artifact q164's
+    * global rule list feeds: for each of the [[AlsoHeadParts]]
+    * highest-support parts, its [[AlsoTopK]] strongest co-purchase
+    * partners by lift. Head parts come off the support histogram
+    * (bucket-prefiltered rank, q68 discipline); the pair frame is
+    * q164's a-priori-pruned basket self-join REUSED semantically but
+    * restricted by a broadcast head-part semi-join BEFORE pairing —
+    * the anchor side of every generated pair is a head part, so the
+    * pair space is |head|·|basket| not |basket|². Per anchor, the
+    * partner rank window is anchor-partitioned (never global).
+    */
+  def q192AlsoBought(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val n = items.select(countDistinct(col("o")).as("n"))
+      .collect().head.getLong(0)
+    val sup = items.groupBy("item").agg(count(lit(1)).as("sup"))
+      .localCheckpoint(eager = true)
+    val ordH = Seq(col("sup").desc, col("item").asc)
+    val wHb = Window.partitionBy("__b").orderBy(ordH: _*)
+    val wHg = Window.partitionBy(lit(1)).orderBy(ordH: _*)
+    val heads = sup
+      .withColumn("__b", pmod(xxhash64(col("item")), lit(64)))
+      .withColumn("__r", row_number().over(wHb))
+      .filter(col("__r") <= AlsoHeadParts)
+      .withColumn("__g", row_number().over(wHg))
+      .filter(col("__g") <= AlsoHeadParts)
+      .select(col("item").as("anchor"), col("sup").as("sup_a"))
+    val anchored = items.join(broadcast(heads),
+      col("item") === col("anchor"))
+      .select(col("o"), col("anchor"), col("sup_a"))
+    val pairs = anchored
+      .join(items.select(col("o"), col("item").as("partner")), Seq("o"))
+      .filter(col("partner") =!= col("anchor"))
+      .groupBy("anchor", "sup_a", "partner")
+      .agg(count(lit(1)).as("sup_ap"))
+      .join(sup.select(col("item").as("partner"), col("sup").as("sup_p")),
+        Seq("partner"))
+      .withColumn("lift_ppm", expr(
+        s"CAST(sup_ap AS DECIMAL(38,0)) * CAST($n AS DECIMAL(38,0))" +
+          " * 1000000 DIV (CAST(sup_a AS DECIMAL(38,0)) * sup_p)"))
+    val wA = Window.partitionBy("anchor")
+      .orderBy(col("lift_ppm").desc, col("partner").asc)
+    pairs
+      .withColumn("rank", row_number().over(wA).cast("long"))
+      .filter(col("rank") <= AlsoTopK)
+      .select(col("anchor"), col("sup_a"), col("rank"), col("partner"),
+        col("sup_p"), col("sup_ap"), col("lift_ppm"))
+      .orderBy("anchor", "rank")
+  }
+
+  val q192Oracle: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+       |nb AS (SELECT count(DISTINCT o) AS n FROM items),
+       |sup AS (SELECT item, count(*) AS sup FROM items GROUP BY 1),
+       |heads AS (
+       |  SELECT item AS anchor, sup AS sup_a,
+       |    row_number() OVER (ORDER BY sup DESC, item) AS r
+       |  FROM sup QUALIFY r <= $AlsoHeadParts),
+       |p AS (
+       |  SELECT h.anchor, h.sup_a, b.item AS partner, count(*) AS sup_ap
+       |  FROM items a
+       |  JOIN heads h ON h.anchor = a.item
+       |  JOIN items b ON b.o = a.o AND b.item <> a.item
+       |  GROUP BY 1, 2, 3),
+       |m AS (
+       |  SELECT p.*, s.sup AS sup_p,
+       |    CAST(CAST(p.sup_ap AS HUGEINT) * (SELECT n FROM nb) * 1000000
+       |      // (CAST(p.sup_a AS HUGEINT) * s.sup) AS BIGINT) AS lift_ppm
+       |  FROM p JOIN sup s ON s.item = p.partner),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor
+       |    ORDER BY lift_ppm DESC, partner) AS rank
+       |  FROM m)
+       |SELECT anchor, CAST(sup_a AS BIGINT) AS sup_a,
+       |  CAST(rank AS BIGINT) AS rank, partner,
+       |  CAST(sup_p AS BIGINT) AS sup_p, CAST(sup_ap AS BIGINT) AS sup_ap,
+       |  lift_ppm
+       |FROM r WHERE rank <= $AlsoTopK ORDER BY anchor, rank""".stripMargin
 }

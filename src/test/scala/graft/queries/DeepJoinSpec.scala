@@ -299,4 +299,53 @@ class DeepJoinSpec extends SparkSpec {
     assert(got == expected)
     got.foreach(r => assert(r._3 <= r._2 && r._4 <= 1000000L))
   }
+
+  test("q191 A/B readout equals a BigInt pooled-z2 replay") {
+    val users = Tables.events(spark, d)
+      .select($"user_id", $"event_type" === "purchase")
+      .as[(Long, Boolean)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.exists(_._2)).toSeq
+    val (a, b) = users.partition(_._1 % 2 == 0)
+    val (n1, c1) = (a.size.toLong, a.count(_._2).toLong)
+    val (n2, c2) = (b.size.toLong, b.count(_._2).toLong)
+    val dNum = BigInt(c1) * n2 - BigInt(c2) * n1
+    val den = BigInt(n1) * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)
+    val Array(got) = Relational.q191AbTest(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect()
+    assert((got._1, got._2, got._3, got._4) == ((n1, c1, n2, c2)))
+    assert(got._5 == c1 * 1000000L / n1 && got._6 == c2 * 1000000L / n2)
+    assert(got._7 == got._5 - got._6)
+    assert(got._8 == (if (den > 0)
+      Some((dNum * dNum * (n1 + n2) * 1000 / den).toLong) else None))
+    got._8.foreach(z => assert(z >= 0))
+  }
+
+  test("q192 also-bought equals a brute-force per-anchor lift replay") {
+    val items = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val n = items.map(_._1).distinct.size.toLong
+    val sup = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val heads = sup.toSeq.sortBy(r => (-r._2, r._1)).take(10)
+    val baskets = items.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val expected = heads.flatMap { case (anchor, supA) =>
+      val partners = baskets.filter(_.contains(anchor))
+        .flatMap(_ - anchor)
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      partners.map { case (p, supAp) =>
+        (anchor, supA, p, sup(p), supAp,
+          (BigInt(supAp) * n * 1000000 / (BigInt(supA) * sup(p))).toLong)
+      }.sortBy(r => (-r._6, r._3)).take(3).zipWithIndex
+        .map { case (r, i) =>
+          (r._1, r._2, i + 1L, r._3, r._4, r._5, r._6)
+        }
+    }.sortBy(r => (r._1, r._3))
+    val got = Relational.q192AlsoBought(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._1).distinct.size == 10, "all ten anchors present")
+    got.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._3).sorted == (1L to rs.size)))
+  }
 }
