@@ -29,6 +29,15 @@ object Verify {
     val swept = graft.sources.Layouts.sweepStale(spark, sfDir)
     if (swept.nonEmpty)
       System.err.println(s"[verify] swept ${swept.size} stale layout dir(s)")
+    // oracle type-lint: fail the WHOLE run (before any query executes)
+    // if any oracle's final output carries a silently-widened DuckDB
+    // aggregate type — the q160 incident class (see OracleLint)
+    val lintViolations = OracleLint.lintAll(SparkEntry.oracleSql)
+    if (lintViolations.nonEmpty) {
+      lintViolations.foreach(v => System.err.println(s"[verify] LINT $v"))
+      spark.stop()
+      sys.exit(1)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -235,24 +235,30 @@ object Privacy {
     * q148 audit re-identifiability; this is the third governance leg:
     * erasure scoping. Per table: purge count, total, share in ppm.
     *
-    * Scale shape: each table scanned once; the cascade is one
-    * orderkey-partitioned semi-join (orders-to-purge → lineitem); the
-    * four single-row aggregates union into the 4-row report. A real
-    * deployment swaps the mod-97 predicate for a keyset broadcast —
-    * the plan shape is identical.
+    * Scale shape: each table scanned once — the purge-flagged orders
+    * frame (key + flag, a 2-column projection) is materialized eagerly
+    * (localCheckpoint) and feeds BOTH its own report row and the
+    * lineitem cascade, instead of re-scanning orders per consumer; the
+    * cascade is one orderkey-partitioned equi-join (orders-to-purge →
+    * lineitem); the four single-row aggregates union into the 4-row
+    * report. A real deployment swaps the mod-97 predicate for a keyset
+    * broadcast — the plan shape is identical.
     */
   def q187ForgetPlan(s: SparkSession, d: String): DataFrame = {
     def report(name: String, purge: Column, df: DataFrame): DataFrame =
       df.agg(count(when(purge, 1)).as("n_purge"), count(lit(1)).as("n_total"))
         .select(lit(name).as("table_name"), col("n_purge"), col("n_total"),
           expr("n_purge * 1000000 DIV n_total").as("share_ppm"))
+    val flagged = orders(s, d)
+      .select(col("o_orderkey"), (col("o_custkey") % 97 === 0).as("purge"))
+      .localCheckpoint(eager = true)
     val ev = report("events", col("user_id") % 97 === 0, events(s, d))
     val cu = report("customer", col("c_custkey") % 97 === 0, customer(s, d))
-    val or_ = report("orders", col("o_custkey") % 97 === 0, orders(s, d))
+    val or_ = report("orders", col("purge"), flagged)
     val li = report("lineitem", col("purge"),
       lineitem(s, d).select(col("l_orderkey"))
-        .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
-          (col("o_custkey") % 97 === 0).as("purge")), Seq("l_orderkey")))
+        .join(flagged.select(col("o_orderkey").as("l_orderkey"),
+          col("purge")), Seq("l_orderkey")))
     cu.unionByName(ev).unionByName(li).unionByName(or_)
       .orderBy("table_name")
   }

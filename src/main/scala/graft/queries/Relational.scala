@@ -1356,7 +1356,7 @@ object Relational {
     def take(hiExpr: String): Column = expr(
       s"""greatest(0L, least(CAST(m AS BIGINT),
          |  CASE WHEN rev > 0 THEN (($hiExpr) - above + rev - 1) DIV rev
-         |       ELSE CAST(m AS BIGINT) END))""".stripMargin)
+         |       ELSE 0L END))""".stripMargin)
     hist
       .withColumn("inA", take("t * 80 DIV 100"))
       .withColumn("inAB", take("t * 95 DIV 100"))
@@ -1392,10 +1392,10 @@ object Relational {
       |x AS (
       |  SELECT rev, m, t, np, above,
       |    greatest(0, least(m, CASE WHEN rev > 0
-      |      THEN (t * 80 // 100 - above + rev - 1) // rev ELSE m END))
+      |      THEN (t * 80 // 100 - above + rev - 1) // rev ELSE 0 END))
       |      AS inA,
       |    greatest(0, least(m, CASE WHEN rev > 0
-      |      THEN (t * 95 // 100 - above + rev - 1) // rev ELSE m END))
+      |      THEN (t * 95 // 100 - above + rev - 1) // rev ELSE 0 END))
       |      AS inAB
       |  FROM w),
       |e AS (
@@ -1499,15 +1499,25 @@ object Relational {
         count_if(col("purchases") > 0).as("c"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    val (n1, c1) = arms("A"); val (n2, c2) = arms("B")
-    val (nn, cc) = (BigInt(n1) + n2, BigInt(c1) + c2)
-    val dNum = BigInt(c1) * n2 - BigInt(c2) * n1
-    val den = BigInt(n1) * n2 * cc * (nn - cc)
-    val z2Milli =
-      if (den > 0) Some((dNum * dNum * nn * 1000 / den).toLong) else None
+    // A degenerate assignment (an arm with no users — a filtered fixture,
+    // or every user_id sharing parity) degrades to a NULL row exactly as
+    // the oracle's max(CASE...) pivot does, instead of crashing.
+    val a = arms.get("A"); val b = arms.get("B")
+    def ratePpm(arm: Option[(Long, Long)]): Option[Long] =
+      arm.collect { case (n, c) if n > 0 => c * 1000000L / n }
+    val z2Milli = for {
+      (n1, c1) <- a
+      (n2, c2) <- b
+      nn = BigInt(n1) + n2
+      cc = BigInt(c1) + c2
+      den = BigInt(n1) * n2 * cc * (nn - cc)
+      if den > 0
+      dNum = BigInt(c1) * n2 - BigInt(c2) * n1
+    } yield (dNum * dNum * nn * 1000 / den).toLong
     import s.implicits._
-    Seq((n1, c1, n2, c2, c1 * 1000000L / n1, c2 * 1000000L / n2,
-      c1 * 1000000L / n1 - c2 * 1000000L / n2, z2Milli))
+    Seq((a.map(_._1), a.map(_._2), b.map(_._1), b.map(_._2),
+      ratePpm(a), ratePpm(b),
+      for { ra <- ratePpm(a); rb <- ratePpm(b) } yield ra - rb, z2Milli))
       .toDF("n_a", "conv_a", "n_b", "conv_b", "rate_a_ppm", "rate_b_ppm",
         "diff_ppm", "z2_milli")
   }

@@ -100,9 +100,9 @@ object Warehouse {
 
   val q50Oracle: String =
     """SELECT l_returnflag, count(*) AS n_rows,
-      |  quantile_cont(l_quantity, 0.25) AS p25,
-      |  quantile_cont(l_quantity, 0.5)  AS p50,
-      |  quantile_cont(l_quantity, 0.75) AS p75
+      |  CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25,
+      |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE)  AS p50,
+      |  CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** CUBE — all 2^2 grouping sets in one pass, with `grouping_id()`
@@ -418,7 +418,7 @@ object Warehouse {
   val q59Oracle: String =
     """SELECT l_returnflag,
       |  count(DISTINCT l_orderkey) AS n_orders_exact,
-      |  quantile_cont(l_quantity, 0.5) AS p50_exact,
+      |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50_exact,
       |  TRUE AS acd_ok, TRUE AS ap50_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -1272,44 +1272,6 @@ object Warehouse {
   private val SkewTopK = 10L
   private val SkewBuckets = 32L
 
-  /** One key's concentration profile: rows, distinct keys, and the mass
-    * held by the single hottest and [[SkewTopK]] hottest values. Top-k
-    * selection is the q68/q73/q84 bucket-prefilter discipline — per-
-    * bucket row_number (riding a [[SkewBuckets]]-way hash partitioning)
-    * bounds the global rank's input at buckets·k rows, so the hottest
-    * key of a 10-billion-key table is found without a single-partition
-    * sort. The winner ids then LEFT-join back (broadcast, ≤ k rows) onto
-    * the counts frame so totals and top-k mass come from ONE aggregate —
-    * and both consumers of the counts subtree canonicalize to the same
-    * exchange (scan + shuffle once).
-    */
-  private[queries] def skewAudit(tag: String, df: DataFrame, key: String): DataFrame = {
-    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
-    val ord = Seq(col("cnt").desc, col("k").asc)
-    val wB = Window.partitionBy("__b").orderBy(ord: _*)
-    val wG = Window.partitionBy(lit(1)).orderBy(ord: _*)
-    val top = counts
-      .withColumn("__b", pmod(xxhash64(col("k")), lit(SkewBuckets)))
-      .withColumn("__r", row_number().over(wB)).filter(col("__r") <= SkewTopK)
-      .withColumn("__g", row_number().over(wG).cast("long"))
-      .filter(col("__g") <= SkewTopK)
-      .select(col("k"), col("__g"))
-    counts.join(broadcast(top), Seq("k"), "left")
-      .agg(
-        sum(col("cnt")).as("n_rows"),
-        count(lit(1)).as("n_keys"),
-        coalesce(max(when(col("__g") === 1L, col("cnt"))), lit(0L))
-          .as("top1_rows"),
-        coalesce(sum(when(col("__g").isNotNull, col("cnt"))), lit(0L))
-          .as("top10_rows"))
-      .select(lit(tag).as("key_name"), col("n_rows"), col("n_keys"),
-        col("top1_rows"), col("top10_rows"),
-        expr("CAST(top1_rows AS DECIMAL(38,0)) * 1000000 div n_rows")
-          .cast("long").as("top1_ppm"),
-        expr("CAST(top10_rows AS DECIMAL(38,0)) * 1000000 div n_rows")
-          .cast("long").as("top10_ppm"))
-  }
-
   /** q117: JOIN-KEY SKEW AUDIT — the shuffle-planning observability
     * query behind every salting/AQE-skew decision in this library
     * (`ops/Skew`, q72's guarded purge): for each join key the fleet
@@ -1318,16 +1280,81 @@ object Warehouse {
     * percent is a straggler factory at 1000 executors; this table is
     * what tells you BEFORE the job does. All-exact integer ppm, total
     * ordering, bounded output (one row per audited key).
+    *
+    * Scale shape: EVERY table is scanned ONCE and the whole audit is
+    * ONE rollup. Lineitem's three keys come out of a single
+    * GROUPING-SETS aggregate (the q116 discipline — the expand triples
+    * rows entering the partial aggregate, but map-side combine still
+    * collapses per key before the shuffle, so shuffle volume equals the
+    * separate-aggregate plan while the 100 TB fact is read once);
+    * `grouping_id` names the slice, and since every audited key is
+    * BIGINT the three slices union type-cleanly with the events/orders
+    * count frames into one (key_name, k, cnt) frame, materialized
+    * eagerly (localCheckpoint, key-cardinality-sized) because two
+    * consumers follow. Top-k selection is the q68/q73/q84
+    * bucket-prefilter discipline generalized across keys — per-
+    * (key_name, bucket) row_number bounds the per-key rank's input at
+    * buckets·k rows, so the hottest key of a 10-billion-key table is
+    * found without a single-partition sort. The winners (≤ keys·k
+    * rows) LEFT-join back (broadcast) so totals and top-k mass come
+    * from ONE aggregate over the counts frame.
     */
+  /** The generalized rollup over a combined (key_name, k, cnt) counts
+    * frame: one bucket-prefiltered top-k pass and ONE aggregate for all
+    * audited keys at once (unit-tested against planted hot keys and
+    * count ties in AuditDetectionSpec).
+    */
+  private[queries] def skewRollup(counts: DataFrame): DataFrame = {
+    val ord = Seq(col("cnt").desc, col("k").asc)
+    val wB = Window.partitionBy("key_name", "__b").orderBy(ord: _*)
+    val wG = Window.partitionBy("key_name").orderBy(ord: _*)
+    val top = counts
+      .withColumn("__b", pmod(xxhash64(col("k")), lit(SkewBuckets)))
+      .withColumn("__r", row_number().over(wB)).filter(col("__r") <= SkewTopK)
+      .withColumn("__g", row_number().over(wG).cast("long"))
+      .filter(col("__g") <= SkewTopK)
+      .select(col("key_name"), col("k"), col("__g"))
+    counts.join(broadcast(top), Seq("key_name", "k"), "left")
+      .groupBy("key_name")
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(max(when(col("__g") === 1L, col("cnt"))), lit(0L))
+          .as("top1_rows"),
+        coalesce(sum(when(col("__g").isNotNull, col("cnt"))), lit(0L))
+          .as("top10_rows"))
+      .select(col("key_name"), col("n_rows"), col("n_keys"),
+        col("top1_rows"), col("top10_rows"),
+        expr("CAST(top1_rows AS DECIMAL(38,0)) * 1000000 div n_rows")
+          .cast("long").as("top1_ppm"),
+        expr("CAST(top10_rows AS DECIMAL(38,0)) * 1000000 div n_rows")
+          .cast("long").as("top10_ppm"))
+      .orderBy("key_name")
+  }
+
   def q117SkewAudit(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-    Seq(
-      skewAudit("events.user_id", events(s, d), "user_id"),
-      skewAudit("lineitem.l_orderkey", li, "l_orderkey"),
-      skewAudit("lineitem.l_partkey", li, "l_partkey"),
-      skewAudit("lineitem.l_suppkey", li, "l_suppkey"),
-      skewAudit("orders.o_custkey", orders(s, d), "o_custkey"))
-      .reduce(_ unionByName _).orderBy("key_name")
+    val liKeys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    // singleton set i of n keys: gid = 2ⁿ−1 − 2^(n−1−i); a genuinely
+    // NULL key value stays in its slice (the other two key columns are
+    // NULL throughout a singleton slice, so the coalesce is exact)
+    val liCounts = lineitem(s, d)
+      .groupingSets(liKeys.map(k => Seq(col(k))), liKeys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .select(
+        expr("""CASE gid WHEN 3 THEN 'lineitem.l_orderkey'
+               |  WHEN 5 THEN 'lineitem.l_partkey'
+               |  WHEN 6 THEN 'lineitem.l_suppkey' END""".stripMargin)
+          .as("key_name"),
+        coalesce(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .as("k"),
+        col("cnt"))
+    def one(tag: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        .select(lit(tag).as("key_name"), col("k"), col("cnt"))
+    skewRollup(liCounts
+      .unionByName(one("events.user_id", events(s, d), "user_id"))
+      .unionByName(one("orders.o_custkey", orders(s, d), "o_custkey"))
+      .localCheckpoint(eager = true))
   }
 
   val q117Oracle: String = {
@@ -3546,8 +3573,8 @@ object Warehouse {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         count(col("x7")).as("n7"), count(col("x1")).as("n1"),
-        big(sum(abs(col("x") - col("x7")))).as("sae7_cents"),
-        big(sum(abs(col("x") - col("x1")))).as("sae1_cents"))
+        sum(big(abs(col("x") - col("x7")))).as("sae7_cents"),
+        sum(big(abs(col("x") - col("x1")))).as("sae1_cents"))
       .withColumn("mase_milli", expr(
         """CASE WHEN sae1_cents > 0 AND n7 > 0 THEN
           |  CAST(sae7_cents * n1 * 1000
@@ -3679,13 +3706,24 @@ object Warehouse {
     * generated (a part's buyer list is the posting), so the join is
     * Σ_part |buyers|² — never customers², and a degenerate hub part is
     * excluded by [[CfMaxBlock]] (q42/q164 guard; at TPC-H uniformity no
-    * real part approaches it). Common counts come off the per-part
-    * self-join as a pure count (each shared part contributes exactly
-    * one pair row); set sizes ride a broadcast-joined per-customer
-    * count frame; jaccard_ppm = common·10⁶ DIV (|u|+|v|−common) is
-    * exact-integer and filtered to common ≥ [[CfMinCommon]] (a
-    * single-part overlap is noise, not taste). Top-K via the q96
-    * bucket prefilter, total order (jaccard DESC, u, v).
+    * real part approaches it) via a PRE-AGGREGATED per-part count
+    * joined back — never a corpus-sized count window, whose global
+    * sort-shuffle is pure overhead when only the per-key total is
+    * needed. Common counts come off the per-part self-join as a pure
+    * count (each shared part contributes exactly one pair row);
+    * jaccard_ppm = common·10⁶ DIV (|u|+|v|−common) is exact-integer and
+    * filtered to common ≥ [[CfMinCommon]] (a single-part overlap is
+    * noise, not taste); sizes attach to the [[CfMinCommon]]-filtered
+    * pair frame (AQE broadcasts the customer-cardinality side at bench
+    * scale, co-shuffles beyond). Top-K via the q96 bucket prefilter,
+    * total order (jaccard DESC, u, v).
+    *
+    * Remaining exchanges are the exact-Jaccard floor: one corpus
+    * distinct (checkpointed, feeds guard/sizes/pairs without rescans),
+    * one item-keyed self-join exchange (reused for both sides), the
+    * Σ|block|² pair-space shuffle — irreducible, because a (u,v) pair's
+    * contributions arise under DIFFERENT item partitions and exactness
+    * forbids sketching them — and the bounded top-K rank regroup.
     */
   def q173CfNeighbors(s: SparkSession, d: String): DataFrame = {
     val items = lineitem(s, d)
@@ -3695,13 +3733,19 @@ object Warehouse {
       .select(col("cust"), col("item")).distinct()
       .localCheckpoint(eager = true)
     val sizes = items.groupBy("cust").agg(count(lit(1)).as("sz"))
-    val blocks = items
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("item")))
-      .filter(col("bsz") <= CfMaxBlock)
-    val pairs = blocks.select(col("item"), col("cust").as("u"))
+    val okItems = items.groupBy("item").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= CfMaxBlock).select("item")
+    val blocks = items.join(okItems, Seq("item"))
+    val pairs = blocks
+      .select(col("item"), col("cust").as("u"))
       .join(blocks.select(col("item"), col("cust").as("v")), Seq("item"))
       .filter(col("u") < col("v"))
+      // explicit repartition on the grouping keys: the pair space is
+      // near-unique per partition (map-side combine would collapse
+      // ~nothing), so pre-satisfying the aggregate's distribution buys
+      // a single complete-mode hash aggregate instead of a useless
+      // partial pass over ~Σ|block|² rows — same shuffle volume
+      .repartition(col("u"), col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("common"))
       .filter(col("common") >= CfMinCommon)
       .join(sizes.select(col("cust").as("u"), col("sz").as("szu")), Seq("u"))

@@ -140,6 +140,13 @@ object EventStreams {
     * watermark horizon by definition (a resurrection IS a long gap);
     * a production deployment would bolt on an inactivity TTL policy
     * when "churned forever" users may be forgotten.
+    *
+    * CONTRACT — UTC sessions only: epoch_day is the UTC calendar day
+    * (`floorDiv(epochMillis, 86400000)`), while the batch twin's
+    * `to_date(ts)` follows `spark.sql.session.timeZone`. The two
+    * ledgers agree iff the session time zone is UTC (as this library's
+    * sessions pin); a non-UTC caller must either set the session to
+    * UTC or accept that day boundaries differ by the zone offset.
     */
   def growthAccounting(
       spark: SparkSession, events: Dataset[Event]): Dataset[DayClass] = {

@@ -35,10 +35,16 @@ class AuditDetectionSpec extends SparkSpec {
     assert(row.getLong(4) == 1L, "the null key is an orphan key")
   }
 
-  test("skewAudit isolates a planted hot key's exact mass") {
+  /** Build the (key_name, k, cnt) counts frame skewRollup consumes. */
+  private def countsOf(tag: String, keys: Seq[Long]) =
+    keys.groupBy(identity).toSeq.map { case (k, v) => (tag, k, v.size.toLong) }
+      .toDF("key_name", "k", "cnt")
+
+  test("skewRollup isolates a planted hot key's exact mass") {
     // 90 rows on key 100, one row each on keys 0..9
-    val df = ((Seq.fill(90)(100L) ++ (0L until 10L)).toDF("k"))
-    val row = Warehouse.skewAudit("t.k", df, "k").collect().head
+    val counts = countsOf("t.k", Seq.fill(90)(100L) ++ (0L until 10L))
+    val row = Warehouse.skewRollup(counts).collect().head
+    assert(row.getString(0) == "t.k")
     assert(row.getLong(1) == 100L, "n_rows")
     assert(row.getLong(2) == 11L, "n_keys")
     assert(row.getLong(3) == 90L, "top1_rows")
@@ -46,15 +52,27 @@ class AuditDetectionSpec extends SparkSpec {
     assert(row.getLong(5) == 900000L && row.getLong(6) == 990000L)
   }
 
-  test("skewAudit is deterministic under count ties (key-asc tiebreak)") {
+  test("skewRollup is deterministic under count ties (key-asc tiebreak)") {
     // 12 keys, all with the same count: top10 must be keys 0..9 by the
     // (cnt DESC, k ASC) total order, on every run
-    val df = (0L until 12L).flatMap(k => Seq.fill(3)(k)).toDF("k")
-    val rows = (1 to 3).map(_ => Warehouse.skewAudit("t.k", df, "k").collect().head)
+    val counts = countsOf("t.k", (0L until 12L).flatMap(k => Seq.fill(3)(k)))
+    val rows = (1 to 3).map(_ => Warehouse.skewRollup(counts).collect().head)
     rows.foreach { r =>
       assert(r.getLong(3) == 3L, "top1 is a 3-count key")
       assert(r.getLong(4) == 30L, "top10 = 10 of the tied keys")
     }
+  }
+
+  test("skewRollup audits several keys independently in one pass") {
+    // hot key under tag A, uniform keys under tag B: per-tag isolation
+    val counts = countsOf("a.k", Seq.fill(50)(100L) ++ (0L until 50L))
+      .unionByName(countsOf("b.k", (0L until 20L)))
+    val out = Warehouse.skewRollup(counts).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a.k").getLong(3) == 50L, "tag A top1 is the hot key")
+    assert(out("a.k").getLong(5) == 500000L, "tag A top1_ppm")
+    assert(out("b.k").getLong(3) == 1L, "tag B has no hot key")
+    assert(out("b.k").getLong(4) == 10L, "tag B top10 = 10 singletons")
   }
 
   test("boilerplateAudit flags a planted within-source template") {
