@@ -1689,6 +1689,163 @@ object Corpus {
        |    * 1000000 // sum(c) AS BIGINT) AS dup_ppm
        |FROM w GROUP BY source ORDER BY source""".stripMargin
 
+  // --- Sub-document span purge (q193) --------------------------------------
+
+  /** 2^61 − 1: checksum modulus (the [[q140TableChecksum]] discipline —
+    * hash values are < 2^61, decimal(38,0)/HUGEINT sums have ~10^18
+    * rows of headroom before the mod). */
+  private val ChecksumMod = 2305843009213693951L
+
+  /** SUB-DOCUMENT SPAN PURGE — the APPLY that q133 only measures: drop
+    * every repeated [[DupChunkLen]]-token span corpus-wide, keeping the
+    * FIRST occurrence, and rebuild each document from its surviving
+    * chunks. This is the RefinedWeb/CCNet curation step between
+    * whole-document dedup (q26/q72) and nothing: templated boilerplate,
+    * syndicated passages and quoted chains are excised from otherwise
+    * unique documents instead of either surviving wholesale or dragging
+    * the whole document down.
+    *
+    * Semantics (deliberately the scalable chunk-partition rule, not
+    * suffix-array exactness):
+    *   - chunk geometry is EXACTLY q133's: non-overlapping
+    *     [[DupChunkLen]]-token spans, tail fragment < window never
+    *     dup-eligible (so short-tail collisions can't delete real text);
+    *   - "first occurrence" is the corpus-global (doc_id, chunk_id)
+    *     minimum per span hash — deterministic across runs, engines and
+    *     partition layouts, and within-document repeats purge too;
+    *   - output text is whitespace-normalized (single-space token join;
+    *     the tokenizer's view of the document, same contract as every
+    *     text operator here). Chunk-boundary alignment is the documented
+    *     approximation: a repeated passage straddling chunk boundaries
+    *     keeps its partial chunks (q88 measures those arbitrary-offset
+    *     spans; a production pipeline runs this purge per q88-audit
+    *     epoch).
+    *
+    * Scale shape: ONE explode scan produces 8-byte span hashes (never
+    * shuffles span text); winners are a hash-keyed aggregate
+    * (min(struct) — no window sort); the drop set joins back to the
+    * hash frame and collapses to per-document sorted drop-lists,
+    * materialized eagerly so the final join is SIZE-GUARDED the q72
+    * way: AQE sees the true (typically tiny) runtime size and
+    * broadcasts, while a 30%-duplicate crawl degrades to a shuffled
+    * join instead of OOMing executors. The rebuild is then MAP-SIDE
+    * over the documents scan — filter/transform/flatten higher-order
+    * functions on the token array; corpus text crosses no exchange.
+    */
+  def spanPurge(docs: DataFrame): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val lastStart = expr(
+      s"CAST(CASE WHEN n <= $DupChunkLen THEN 0 " +
+        s"ELSE (n - 1) DIV $DupChunkLen END AS INT)")
+    val chunkToks =
+      slice(col("t"), col("chunk_id") * DupChunkLen + 1, lit(DupChunkLen))
+    val full = docs
+      .select(col("doc_id"), t.as("t"), size(t).as("n"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), lastStart)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        graft.functions.VectorExpressions
+          .hornerHash(concat_ws(" ", chunkToks)).as("h"),
+        size(chunkToks).as("ln"))
+      .filter(col("ln") === DupChunkLen)
+    val winners = full.groupBy("h")
+      .agg(count(lit(1)).as("nh"),
+        min(struct(col("doc_id"), col("chunk_id"))).as("w"))
+      .filter(col("nh") > 1)
+    val dropLists = full.join(winners, Seq("h"))
+      .filter(struct(col("doc_id"), col("chunk_id")) =!= col("w"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("chunk_id"))).as("drops"))
+      .localCheckpoint(eager = true)
+    docs
+      .join(dropLists, Seq("doc_id"), "left")
+      .withColumn("t", t)
+      .withColumn("n", size(col("t")))
+      .withColumn("kept_toks", expr(
+        s"""flatten(transform(
+           |  filter(sequence(0, CAST(CASE WHEN n <= $DupChunkLen THEN 0
+           |                     ELSE (n - 1) DIV $DupChunkLen END AS INT)),
+           |         c -> drops IS NULL OR NOT array_contains(drops, c)),
+           |  c -> slice(t, c * $DupChunkLen + 1, $DupChunkLen)))""".stripMargin))
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("kept_toks")).as("text_purged"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("kept_toks")).cast("long").as("kept_tokens"),
+        (col("n") - size(col("kept_toks"))).cast("long").as("purged_tokens"))
+  }
+
+  /** q193: SPAN-PURGE AUDIT — the per-source ledger the purge publishes:
+    * documents touched, exact token mass removed (ppm of the corpus —
+    * the realized fraction of q133's measured upper bound), and an
+    * order-independent checksum of the REBUILT corpus (the q140
+    * discipline) so the oracle certifies not just the counts but the
+    * byte-identical purged text itself, cross-engine.
+    */
+  def q193SpanPurge(s: SparkSession, d: String): DataFrame =
+    spanPurge(documents(s, d).select("doc_id", "source", "text"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("purged_tokens") > 0).as("docs_purged"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("purged_tokens")).as("tokens_purged"),
+        sum(graft.functions.VectorExpressions.hornerHash(col("text_purged"))
+          .cast("decimal(38,0)")).as("cs"))
+      .select(col("source"), col("n_docs"), col("docs_purged"),
+        col("n_tokens"), col("tokens_purged"),
+        expr("CAST(tokens_purged * 1000000 DIV n_tokens AS BIGINT)")
+          .as("purged_ppm"),
+        expr(s"CAST(cs % $ChecksumMod AS BIGINT)").as("purged_checksum"))
+      .orderBy("source")
+
+  val q193Oracle: String = {
+    import graft.functions.PolyHash.hornerSql
+    s"""WITH base AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, source, s AS cid,
+       |    array_to_string(
+       |      t[s * $DupChunkLen + 1 : s * $DupChunkLen + $DupChunkLen], ' ')
+       |      AS ctext,
+       |    len(t[s * $DupChunkLen + 1 : s * $DupChunkLen + $DupChunkLen])
+       |      AS ln
+       |  FROM (SELECT doc_id, source, t,
+       |          unnest(generate_series(0,
+       |            CASE WHEN len(t) <= $DupChunkLen THEN 0
+       |                 ELSE (len(t) - 1) // $DupChunkLen END)) AS s
+       |        FROM base)),
+       |drops AS (
+       |  SELECT doc_id, cid FROM (
+       |    SELECT doc_id, cid,
+       |      count(*) OVER (PARTITION BY h) AS nh,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, cid) AS rn
+       |    FROM (SELECT doc_id, cid, ${hornerSql("ctext")} AS h
+       |          FROM ch WHERE ln = $DupChunkLen))
+       |  WHERE nh > 1 AND rn > 1),
+       |reb AS (
+       |  SELECT c.doc_id,
+       |    coalesce(string_agg(c.ctext, ' ' ORDER BY c.cid)
+       |      FILTER (WHERE d.doc_id IS NULL), '') AS text_purged,
+       |    coalesce(sum(c.ln) FILTER (WHERE d.doc_id IS NULL), 0) AS kept,
+       |    sum(c.ln) AS tot
+       |  FROM ch c LEFT JOIN drops d
+       |    ON d.doc_id = c.doc_id AND d.cid = c.cid
+       |  GROUP BY c.doc_id),
+       |per AS (
+       |  SELECT b.doc_id, b.source, r.text_purged,
+       |    len(b.t) AS n_tokens, r.tot - r.kept AS purged
+       |  FROM base b JOIN reb r ON r.doc_id = b.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(count_if(purged > 0) AS BIGINT) AS docs_purged,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(purged) AS BIGINT) AS tokens_purged,
+       |  CAST(sum(purged) * 1000000 // sum(n_tokens) AS BIGINT)
+       |    AS purged_ppm,
+       |  CAST(sum(CAST(${hornerSql("text_purged")} AS HUGEINT))
+       |    % $ChecksumMod AS BIGINT) AS purged_checksum
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // --- Order-independent table checksum (q140) ----------------------------
 
   /** q140: MERGEABLE TABLE CHECKSUM — replication/ingest validation at
