@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.SparkSpec
+import graft.sources.v2.{PagedRestPartition, PagedRestScan, PagedRestV2}
+
+/** The paginated-REST DSv2 connector: envelope-probe planning, page
+  * packing, limit pushdown, column pruning, and per-page failure
+  * isolation — all against fixture pages carrying the exact envelope a
+  * paged API returns.
+  */
+class PagedRestV2Spec extends SparkSpec {
+
+  /** Write `total` items at `pageSize` per page; returns the dir.
+    * Item i is (id=i, name="n<i>", value=i/2.0). */
+  private def writePages(total: Int, pageSize: Int,
+      corrupt: Set[Int] = Set.empty): String = {
+    val dir = Files.createTempDirectory("graft_rest_").toString
+    val nPages = math.max(1, (total + pageSize - 1) / pageSize)
+    (0 until nPages).foreach { pg =>
+      val body =
+        if (corrupt(pg)) "{ this is not json"
+        else {
+          val items = (pg * pageSize until math.min(total, (pg + 1) * pageSize))
+            .map(i => s"""{"id": $i, "name": "n$i", "value": ${i / 2.0}}""")
+            .mkString("[", ", ", "]")
+          s"""{"total": $total, "page_size": $pageSize, "items": $items}"""
+        }
+      Files.write(Paths.get(s"$dir/page-$pg.json"),
+        body.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  private def read(dir: String, opts: (String, String)*) = {
+    val r = spark.read.format("graft-rest").option("pages", dir)
+    opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  test("full collection parity: every item of every page, with provenance") {
+    val df = read(writePages(total = 23, pageSize = 5))
+    import spark.implicits._
+    val got = df.as[(Long, String, Double, Int)].collect().toSet
+    val want = (0 until 23).map(i => (i.toLong, s"n$i", i / 2.0, i / 5)).toSet
+    assert(got == want)
+  }
+
+  test("planning packs pages into pagesPerPartition-sized partitions") {
+    val dir = writePages(total = 23, pageSize = 5) // 5 pages
+    def plan(ppp: Int, limit: Option[Int]) =
+      new PagedRestScan(dir, ppp, strict = true, PagedRestV2.Schema, limit)
+        .planInputPartitions().map(_.asInstanceOf[PagedRestPartition])
+    val p2 = plan(2, None)
+    assert(p2.map(p => (p.firstPage, p.lastPage)).toSeq ==
+      Seq((0L, 1L), (2L, 3L), (4L, 4L)))
+    assert(plan(8, None).length == 1)
+  }
+
+  test("limit pushdown plans only the needed page prefix") {
+    val dir = writePages(total = 23, pageSize = 5)
+    def pages(limit: Int) =
+      new PagedRestScan(dir, 1, strict = true, PagedRestV2.Schema, Some(limit))
+        .planInputPartitions().length
+    assert(pages(7) == 2, "limit 7 at page_size 5 needs 2 pages")
+    assert(pages(5) == 1)
+    assert(pages(1) == 1)
+    assert(pages(1000) == 5, "limit beyond the collection plans all pages")
+    // end-to-end: Spark still trims to exactly n rows
+    assert(read(dir).limit(7).collect().length == 7)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = read(writePages(total = 6, pageSize = 3)).select("name", "page")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.schema.fieldNames.toSet == Set("name", "page"),
+      s"reader should materialize only the projection, got ${scan.schema}")
+    assert(df.collect().length == 6)
+  }
+
+  test("a corrupt page is isolated (non-strict) or fatal (strict)") {
+    val dir = writePages(total = 23, pageSize = 5, corrupt = Set(2))
+    val got = read(dir).collect()
+    assert(got.length == 18, "pages 0,1,3,4 survive; page 2's rows drop")
+    assert(!got.map(_.getInt(3)).contains(2))
+    intercept[org.apache.spark.SparkException](
+      read(dir, "strict" -> "true").collect())
+  }
+
+  test("missing fields in an item degrade to nulls, never a crash") {
+    val dir = Files.createTempDirectory("graft_rest_nulls_").toString
+    Files.write(Paths.get(s"$dir/page-0.json"),
+      """{"total": 2, "page_size": 5, "items": [
+        |  {"id": 1, "name": "full", "value": 0.5},
+        |  {"name": "no-id-or-value"}]}""".stripMargin.getBytes("UTF-8"))
+    val rows = read(dir).orderBy("name").collect()
+    assert(rows.length == 2)
+    val partial = rows.find(_.getString(1) == "no-id-or-value").get
+    assert(partial.isNullAt(0) && partial.isNullAt(2))
+  }
+
+  test("a broken page-0 envelope fails planning loudly") {
+    val dir = Files.createTempDirectory("graft_rest_bad_").toString
+    Files.write(Paths.get(s"$dir/page-0.json"),
+      """{"items": []}""".getBytes("UTF-8"))
+    val e = intercept[Exception](read(dir).collect())
+    assert(e.getMessage != null)
+  }
+}
