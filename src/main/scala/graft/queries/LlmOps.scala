@@ -2416,6 +2416,158 @@ object LlmOps {
        |SELECT n_overlap, count(*) AS n_queries
        |FROM o GROUP BY 1 ORDER BY 1 DESC""".stripMargin
 
+  // --- Retrieval ranking-quality metrics (q194) ----------------------------
+
+  /** 2520 = lcm(1..10): reciprocal ranks at K ≤ [[RecallK]] are EXACT
+    * integers 2520/r — no float division anywhere in MRR. */
+  private val RrLcm = 2520L
+  /** NDCG discount weights round(10⁶ / log₂(r+1)) for r = 1..K,
+    * computed ONCE here and embedded as LITERALS in both engines'
+    * plans — the logarithm never runs at query time, so the metric is
+    * bit-identical cross-engine by construction. */
+  private val NdcgW: Seq[Long] =
+    (1 to RecallK).map(r => Math.round(1e6 / (Math.log(r + 1.0) / Math.log(2.0))))
+  /** Ideal-DCG prefix sums P(j) = Σ_{r≤j} W(r). */
+  private val NdcgP: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+  private def ndcgWeightCase(rankCol: String): String =
+    s"CASE $rankCol " + (1 to RecallK)
+      .map(r => s"WHEN $r THEN ${NdcgW(r - 1)}").mkString(" ") + " ELSE 0 END"
+  private def idcgCase(rCol: String): String =
+    s"CASE $rCol " + (1 to RecallK)
+      .map(j => s"WHEN $j THEN ${NdcgP(j - 1)}").mkString(" ") + " ELSE 0 END"
+
+  /** q194: RETRIEVAL RANKING METRICS — the evaluation leg the
+    * similarity-search ring was missing: q106 audits RECALL of the
+    * approximate index against exact search; this scores the exact
+    * search itself against labeled ground truth (relevant = same
+    * label), per label cell: MRR@K, hit@1/5/K, and micro-averaged
+    * NDCG@K — the standard intrinsic embedding-quality panel every
+    * retrieval deployment tracks release-over-release.
+    *
+    * Everything is exact-integer: reciprocal ranks are 2520/r
+    * ([[RrLcm]] = lcm(1..10) — exact), NDCG discounts are SHARED
+    * LITERAL weights ([[NdcgW]], log precomputed at plan-build), ideal
+    * DCG is a prefix-sum literal over min(relevant_in_corpus, K), and
+    * NDCG is aggregated micro (Σdcg·10⁶ DIV Σidcg — ratio of sums, no
+    * per-query NULL propagation when a label has no other members).
+    *
+    * Scale shape: the q106 skeleton verbatim — doubly-bounded query
+    * sample (rate × absolute id cap) broadcast against ONE corpus
+    * pass; per-query partitions sit behind the (q_id, bucket)
+    * top-K prefilter so no task sorts a corpus-sized partition;
+    * per-label relevant counts ride a separate |labels|-row aggregate
+    * joined in at label cardinality. Output: |labels| rows.
+    */
+  def q194RetrievalMetrics(s: SparkSession, d: String): DataFrame =
+    retrievalMetrics(embeddings(s, d))
+
+  /** The q194 chain over any (vec_id, label, embedding) frame —
+    * separated so specs can drive it with crafted vector layouts. */
+  def retrievalMetrics(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter(pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+        col("vec_id") < lit(RecallQueryMod * RecallMaxQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val labelCnt = e.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("lc"))
+    val ord = Seq(col("sim").desc, col("vec_id").asc)
+    val wBucket = Window.partitionBy("q_id", "__b").orderBy(ord: _*)
+    val wAll = Window.partitionBy("q_id").orderBy(ord: _*)
+    val perQ = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        (col("label") === col("q_label")).as("rel"),
+        VectorExpressions.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(RecallBuckets)))
+      .withColumn("__br", row_number().over(wBucket))
+      .filter(col("__br") <= RecallK)
+      .drop("__b", "__br")
+      .withColumn("rnk", row_number().over(wAll))
+      .filter(col("rnk") <= RecallK)
+      .groupBy("q_id", "q_label")
+      .agg(
+        min(when(col("rel"), col("rnk"))).as("first_rel"),
+        count_if(col("rel") && col("rnk") === 1).as("rel1"),
+        count_if(col("rel") && col("rnk") <= 5).as("rel5"),
+        count_if(col("rel")).as("relk"),
+        coalesce(sum(when(col("rel"),
+          expr(ndcgWeightCase("rnk")))), lit(0L)).as("dcg"))
+      .join(labelCnt, Seq("q_label"))
+      .withColumn("idcg",
+        expr(idcgCase(s"least(lc - 1, $RecallK)")))
+    perQ.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(expr(s"$RrLcm DIV first_rel")), lit(0L)).as("rr_sum"),
+        count_if(col("rel1") > 0).as("h1"),
+        count_if(col("rel5") > 0).as("h5"),
+        count_if(col("relk") > 0).as("hk"),
+        sum(col("dcg")).as("dcg_sum"),
+        sum(col("idcg")).as("idcg_sum"))
+      .select(col("label"), col("n_queries"),
+        expr(s"rr_sum * 1000000 DIV ($RrLcm * n_queries)").as("mrr_ppm"),
+        expr("h1 * 1000000 DIV n_queries").as("hit1_ppm"),
+        expr("h5 * 1000000 DIV n_queries").as("hit5_ppm"),
+        expr("hk * 1000000 DIV n_queries").as(s"hit${RecallK}_ppm"),
+        expr("CASE WHEN idcg_sum > 0 THEN " +
+          "CAST(dcg_sum AS DECIMAL(38,0)) * 1000000 DIV idcg_sum END")
+          .cast("long").as("ndcg_ppm"))
+      .orderBy("label")
+  }
+
+  val q194Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id % $RecallQueryMod = 0
+       |    AND vec_id < ${RecallQueryMod * RecallMaxQueries}),
+       |lc AS (SELECT label AS q_label, count(*) AS lc
+       |       FROM embeddings GROUP BY 1),
+       |ex AS (
+       |  SELECT q.q_id, q.q_label, e.vec_id,
+       |    e.label = q.q_label AS rel,
+       |    unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |sims AS (
+       |  SELECT q_id, any_value(q_label) AS q_label, vec_id,
+       |    any_value(rel) AS rel,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+       |  FROM ex GROUP BY q_id, vec_id),
+       |r AS (
+       |  SELECT q_id, q_label, rel,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims),
+       |pq AS (
+       |  SELECT q_id, any_value(r.q_label) AS q_label,
+       |    min(rnk) FILTER (WHERE rel) AS first_rel,
+       |    count(*) FILTER (WHERE rel AND rnk = 1) AS rel1,
+       |    count(*) FILTER (WHERE rel AND rnk <= 5) AS rel5,
+       |    count(*) FILTER (WHERE rel) AS relk,
+       |    coalesce(sum(${ndcgWeightCase("rnk")}) FILTER (WHERE rel), 0)
+       |      AS dcg,
+       |    any_value(${idcgCase(s"least(lc.lc - 1, $RecallK)")}) AS idcg
+       |  FROM r JOIN lc USING (q_label) WHERE rnk <= $RecallK
+       |  GROUP BY q_id),
+       |g AS (
+       |  SELECT q_label AS label, count(*) AS n,
+       |    coalesce(sum($RrLcm // first_rel), 0) AS rr_sum,
+       |    count(*) FILTER (WHERE rel1 > 0) AS h1,
+       |    count(*) FILTER (WHERE rel5 > 0) AS h5,
+       |    count(*) FILTER (WHERE relk > 0) AS hk,
+       |    sum(dcg) AS dcg_sum, sum(idcg) AS idcg_sum
+       |  FROM pq GROUP BY 1)
+       |SELECT label, CAST(n AS BIGINT) AS n_queries,
+       |  CAST(rr_sum * 1000000 // ($RrLcm * n) AS BIGINT) AS mrr_ppm,
+       |  CAST(h1 * 1000000 // n AS BIGINT) AS hit1_ppm,
+       |  CAST(h5 * 1000000 // n AS BIGINT) AS hit5_ppm,
+       |  CAST(hk * 1000000 // n AS BIGINT) AS hit${RecallK}_ppm,
+       |  CAST(CASE WHEN idcg_sum > 0 THEN
+       |    CAST(dcg_sum AS HUGEINT) * 1000000 // idcg_sum END AS BIGINT)
+       |    AS ndcg_ppm
+       |FROM g ORDER BY label""".stripMargin
+
   // --- Embedding norm spectrum (q110) -------------------------------------
 
   /** q110: EMBEDDING NORM SPECTRUM — numeric-health audit of the vector
