@@ -66,9 +66,18 @@ object PolyHash {
 
   /** The Horner hash as a DuckDB SQL lambda body over a string expr —
     * kept HERE next to [[horner]] so the two formulations cannot drift.
+    *
+    * The `c != ''` guard handles the EMPTY STRING: DuckDB's
+    * `regexp_split_to_array('', '')` yields `['']` (one empty element,
+    * whose `ord` is -1), which would hash '' to -1 while [[horner]]
+    * returns 0 — the round-11 q193 incident (a document whose every
+    * chunk purges rebuilds to '', and the checksums diverged by exactly
+    * that one). Non-empty strings never produce empty elements from the
+    * per-character split, so the guard changes nothing else.
     */
   def hornerSql(strExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"[CAST(ord(c) AS BIGINT) for c in regexp_split_to_array($strExpr, '')]), " +
+      s"[CAST(ord(c) AS BIGINT) for c in regexp_split_to_array($strExpr, '') " +
+      s"if c != '']), " +
       s"(acc, x) -> (acc * $Base + x) % $Mod)"
 }

@@ -69,6 +69,25 @@ object Multimodal {
       .select(col(idCol), col("f.frame_no").as("frame_no"), col("f.frame").as("frame"))
   }
 
+  /** Resize plumbing for image-like payloads: a thumbnail as `rows`
+    * uniformly-spaced `rowBytes`-byte slices concatenated — the byte-
+    * subsampling analog of nearest-neighbor downscale, as PURE codegen'd
+    * column expressions (substr/concat on BINARY). A real resizer
+    * replaces the slice arithmetic with pixel-aware scaling; the
+    * contract — binary in, bounded smaller binary out, computed
+    * scan-side so full payloads never reach a shuffle — is what the
+    * plan depends on. Payloads shorter than one row yield
+    * correspondingly short thumbs (never an error).
+    */
+  def resizeBytes(content: Column, rows: Int, rowBytes: Int): Column = {
+    require(rows > 0 && rowBytes > 0, "resize dims must be positive")
+    val len = length(content)
+    concat((0 until rows).map { r =>
+      // row r starts at floor(r · len / rows), 1-based substr
+      content.substr((len * r / rows).cast("int") + 1, lit(rowBytes))
+    }: _*)
+  }
+
   /** The batch-decode seam (mapInPandas analog): one pass per partition,
     * typed in/out, no driver involvement. THIS is where a real codec
     * (JNI/ffi image lib) would run; the fake derives metadata from the

@@ -128,5 +128,11 @@ class MinHashSpec extends SparkSpec {
         (acc * PolyHash.Base + cp) % PolyHash.Mod).toLong
       assert(PolyHash.horner(s) == expected, s"horner('$s')")
     }
+    // '' must hash to 0 and the SQL twin must carry the empty-element
+    // guard — the oracle engine splits '' into [''] whose ord is -1
+    // (round-11 q193 incident)
+    assert(PolyHash.horner("") == 0L)
+    assert(PolyHash.hornerSql("x").contains("if c != ''"),
+      "hornerSql lost its empty-string guard")
   }
 }

@@ -59,6 +59,23 @@ class MultimodalSpec extends SparkSpec {
     assert(capped.count() == 5) // maxFrames bound respected
   }
 
+  test("resizeBytes: uniform byte-subsample thumbnail, scan-side only") {
+    import org.apache.spark.sql.functions.col
+    // 20-byte payload "0123456789abcdefghij", 4 rows × 3 bytes:
+    // row starts floor(20·r/4) = 0,5,10,15 → "012" "567" "abc" "fgh"
+    val df = media((1L, "image", "0123456789abcdefghij")).toDF()
+    val thumb = df.select(
+      Multimodal.resizeBytes(col("content"), rows = 4, rowBytes = 3).as("t"))
+      .collect().head.getAs[Array[Byte]]("t")
+    assert(new String(thumb, StandardCharsets.UTF_8) == "012567abcfgh")
+    // short payload degrades to short thumb, never errors
+    val short = media((2L, "image", "xy")).toDF().select(
+      Multimodal.resizeBytes(col("content"), rows = 4, rowBytes = 3).as("t"))
+      .collect().head.getAs[Array[Byte]]("t")
+    // len 2: row starts floor(2·r/4) = 0,0,1,1 → "xy","xy","y","y"
+    assert(new String(short, StandardCharsets.UTF_8) == "xyxyyy")
+  }
+
   test("decodeBatch seam: per-partition typed decode with fake codec") {
     val out = Multimodal.decodeBatch(media(
       (1L, "image", "img-bytes"), (2L, "audio", "wav-bytes"))).collect().sortBy(_.media_id)
