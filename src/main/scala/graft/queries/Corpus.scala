@@ -1733,21 +1733,7 @@ object Corpus {
     * functions on the token array; corpus text crosses no exchange.
     */
   def spanPurge(docs: DataFrame): DataFrame = {
-    val t = split(trim(col("text")), "\\s+")
-    val lastStart = expr(
-      s"CAST(CASE WHEN n <= $DupChunkLen THEN 0 " +
-        s"ELSE (n - 1) DIV $DupChunkLen END AS INT)")
-    val chunkToks =
-      slice(col("t"), col("chunk_id") * DupChunkLen + 1, lit(DupChunkLen))
-    val full = docs
-      .select(col("doc_id"), t.as("t"), size(t).as("n"))
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), lastStart)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        graft.functions.VectorExpressions
-          .hornerHash(concat_ws(" ", chunkToks)).as("h"),
-        size(chunkToks).as("ln"))
-      .filter(col("ln") === DupChunkLen)
+    val full = docChunks(docs)
     val winners = full.groupBy("h")
       .agg(count(lit(1)).as("nh"),
         min(struct(col("doc_id"), col("chunk_id"))).as("w"))
@@ -1757,9 +1743,42 @@ object Corpus {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("chunk_id"))).as("drops"))
       .localCheckpoint(eager = true)
+    applySpanDrops(docs, dropLists)
+  }
+
+  /** Discovery kernel: every FULL-length chunk of every document as
+    * (doc_id, chunk_id, h) — 8-byte span hashes off one explode scan,
+    * the q133 chunker. Shared by batch [[spanPurge]] and the streaming
+    * twin ([[graft.streaming.SpanPurgeStream]]). */
+  private[graft] def docChunks(docs: DataFrame): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val lastStart = expr(
+      s"CAST(CASE WHEN n <= $DupChunkLen THEN 0 " +
+        s"ELSE (n - 1) DIV $DupChunkLen END AS INT)")
+    val chunkToks =
+      slice(col("t"), col("chunk_id") * DupChunkLen + 1, lit(DupChunkLen))
+    docs
+      .select(col("doc_id"), t.as("t"), size(t).as("n"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), lastStart)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        graft.functions.VectorExpressions
+          .hornerHash(concat_ws(" ", chunkToks)).as("h"),
+        size(chunkToks).as("ln"))
+      .filter(col("ln") === DupChunkLen)
+      .drop("ln")
+  }
+
+  /** Apply kernel: rebuild each document from its surviving chunks,
+    * map-side (higher-order functions over the token array; corpus text
+    * crosses no exchange). `dropLists` is (doc_id, drops: array<int>) —
+    * absent doc_id = untouched. Shared by [[spanPurge]] and the
+    * streaming twin. */
+  private[graft] def applySpanDrops(
+      docs: DataFrame, dropLists: DataFrame): DataFrame =
     docs
       .join(dropLists, Seq("doc_id"), "left")
-      .withColumn("t", t)
+      .withColumn("t", split(trim(col("text")), "\\s+"))
       .withColumn("n", size(col("t")))
       .withColumn("kept_toks", expr(
         s"""flatten(transform(
@@ -1772,7 +1791,6 @@ object Corpus {
         col("n").cast("long").as("n_tokens"),
         size(col("kept_toks")).cast("long").as("kept_tokens"),
         (col("n") - size(col("kept_toks"))).cast("long").as("purged_tokens"))
-  }
 
   /** q193: SPAN-PURGE AUDIT — the per-source ledger the purge publishes:
     * documents touched, exact token mass removed (ppm of the corpus —
