@@ -20,8 +20,12 @@ import graft.functions.{ExactDecimal, VectorExpressions}
   * builders validate before constructing), matching built-in behavior.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(extensions: SparkSessionExtensions): Unit =
+  def apply(extensions: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(extensions.injectFunction)
+    // optimizer surface: config-gated (default OFF), so injection is
+    // inert until spark.graft.windowToAggJoin.enabled=true
+    extensions.injectOptimizerRule(_ => graft.rules.WindowToAggJoin)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,101 @@
+package graft.rules
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** WHOLE-PARTITION WINDOW → PRE-AGGREGATED JOIN — the round-11 q173
+  * lesson as a reusable `Rule[LogicalPlan]`.
+  *
+  * A window aggregate with a partition spec but NO ordering —
+  * `count(*) OVER (PARTITION BY k)`, `sum(x) OVER (PARTITION BY k)` —
+  * computes one value per key yet Spark executes it as
+  * exchange + FULL SORT of the child by k + WindowExec buffering. When
+  * |distinct k| ≪ rows (the hub-guard / per-key-total shape every
+  * blocking pipeline runs) the equivalent
+  * `child ⋈ (child GROUP BY k)` plan is strictly cheaper: the aggregate
+  * collapses map-side, the join side is key-cardinality-sized (AQE
+  * broadcasts it), and the corpus-wide sort disappears.
+  *
+  * Rewrite (exactly value-preserving):
+  *   Window([agg₁ … aggₙ] OVER (PARTITION BY p⃗), child)
+  *     ⇒ Project(child.* ++ agg-outputs,
+  *         Join(child, Aggregate(p⃗, [p⃗ as keys, agg₁ … aggₙ], child),
+  *              Inner, p⃗ <=> keys))
+  * NULL-SAFE equality reproduces window semantics for NULL keys (a
+  * window treats NULL as one group; a plain equi-join would drop those
+  * rows); Inner is safe because every child row's group exists by
+  * construction. Output attribute ids are preserved, so downstream
+  * references are untouched.
+  *
+  * Fires ONLY when every window expression in the node is a
+  * deterministic aggregate over the whole partition (UnspecifiedFrame
+  * or UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) — ranking functions,
+  * ordered windows, and bounded frames pass through untouched.
+  *
+  * CONFIG-GATED, default OFF (`spark.graft.windowToAggJoin.enabled`):
+  * profitability depends on key cardinality, which the rule cannot see
+  * — on a near-unique key the join is a regression. The library's own
+  * registered queries encode the choice per query instead (q173's
+  * hand-written pre-aggregation); this rule is the session-wide lever
+  * for workloads a user cannot rewrite.
+  */
+object WindowToAggJoin extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.windowToAggJoin.enabled"
+
+  private def wholePartition(frame: Expression): Boolean = frame match {
+    case UnspecifiedFrame => true
+    case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => true
+    case _ => false
+  }
+
+  /** All window expressions as (original alias, aggregate) — or None if
+    * ANY expression is not a rewritable whole-partition aggregate. */
+  private def rewritable(w: Window): Option[Seq[(Alias, AggregateExpression)]] = {
+    if (w.orderSpec.nonEmpty || w.partitionSpec.isEmpty ||
+        !w.partitionSpec.forall(_.deterministic)) return None
+    val pairs = w.windowExpressions.map {
+      case a @ Alias(WindowExpression(ae: AggregateExpression,
+          WindowSpecDefinition(ps, Nil, frame)), _)
+          if wholePartition(frame) && ae.deterministic &&
+            ps.length == w.partitionSpec.length &&
+            ps.zip(w.partitionSpec).forall(t => t._1.semanticEquals(t._2)) =>
+        Some(a -> ae)
+      case _ => None
+    }
+    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten)
+    else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
+    plan.transformUp {
+      case w: Window =>
+        rewritable(w) match {
+          case Some(pairs) =>
+            // grouping keys re-aliased so the join's two sides expose
+            // disjoint attribute ids (the subtree itself is shared —
+            // exchange reuse / AQE handle that downstream)
+            val keys = w.partitionSpec.zipWithIndex.map { case (e, i) =>
+              Alias(e, s"__wtaj_k$i")()
+            }
+            val vals = pairs.map { case (orig, ae) => Alias(ae, orig.name)() }
+            val agg = Aggregate(w.partitionSpec, keys ++ vals, w.child)
+            val cond = keys.zip(w.partitionSpec)
+              .map { case (k, p) => EqualNullSafe(p, k.toAttribute) }
+              .reduce[Expression](And(_, _))
+            val join = Join(w.child, agg, Inner, Some(cond), JoinHint.NONE)
+            // original output ids preserved: downstream plans keep
+            // resolving against the window aliases' exprIds
+            Project(w.child.output ++ pairs.zip(vals).map {
+              case ((orig, _), v) =>
+                Alias(v.toAttribute, orig.name)(exprId = orig.exprId)
+            }, join)
+          case None => w
+        }
+    }
+  }
+}

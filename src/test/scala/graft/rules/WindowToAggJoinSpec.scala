@@ -1,0 +1,99 @@
+package graft.rules
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The whole-partition-window → pre-aggregated-join rewrite: fires only
+  * on the safe shape, preserves values bit-for-bit (NULL keys
+  * included), and leaves ordered/ranking windows untouched.
+  */
+class WindowToAggJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` with the rule installed and enabled on the shared
+    * session, restoring both afterwards. */
+  private def withRule[A](body: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ WindowToAggJoin
+    spark.conf.set(WindowToAggJoin.ConfKey, "true")
+    try body
+    finally {
+      spark.conf.unset(WindowToAggJoin.ConfKey)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  private def fixture = Seq(
+    (1L, Some("a"), 10L), (2L, Some("a"), 20L), (3L, Some("b"), 30L),
+    (4L, None, 40L), (5L, None, 50L), (6L, Some("b"), 60L), (7L, Some("c"), 70L)
+  ).toDF("id", "k", "x")
+
+  private def counts(df: DataFrame) = df
+    .withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+    .withColumn("s", sum(col("x")).over(Window.partitionBy("k")))
+
+  test("rewrites to one aggregate + join, no Window, values identical") {
+    val expected = counts(fixture).orderBy("id").collect().toSeq
+    withRule {
+      val df = counts(fixture)
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect { case w: LWindow => w }.isEmpty, s"Window survived:\n$plan")
+      assert(plan.collect { case a: Aggregate => a }.size == 1,
+        "both aggs must share ONE pre-aggregate")
+      assert(plan.collect { case j: Join => j }.nonEmpty)
+      assert(df.orderBy("id").collect().toSeq == expected,
+        "rewrite must be value-identical")
+    }
+  }
+
+  test("NULL keys form one group, exactly like the window") {
+    withRule {
+      val got = counts(fixture).filter(col("k").isNull)
+        .select("id", "c", "s").as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((4L, 2L, 90L), (5L, 2L, 90L)),
+        "null-safe join must keep the NULL-key group")
+    }
+  }
+
+  test("ordered and ranking windows pass through untouched") {
+    withRule {
+      val df = fixture.withColumn("r",
+        row_number().over(Window.partitionBy("k").orderBy("id")))
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect { case w: LWindow => w }.nonEmpty,
+        "ranking window must NOT be rewritten")
+      // and a mixed query rewrites only the whole-partition aggregate
+      val mixed = counts(fixture).withColumn("r",
+        row_number().over(Window.partitionBy("k").orderBy("id")))
+      val mp = mixed.queryExecution.optimizedPlan
+      assert(mp.collect { case w: LWindow => w }.size == 1,
+        "exactly the ranking window survives")
+      assert(mp.collect { case a: Aggregate => a }.size == 1)
+      val got = mixed.orderBy("id").select("id", "c", "r").collect()
+      assert(got.length == 7 && got.head.getLong(1) == 2L)
+    }
+  }
+
+  test("bounded frames are not rewritten") {
+    withRule {
+      val df = fixture.withColumn("m", sum(col("x")).over(
+        Window.partitionBy("k").orderBy("id").rowsBetween(-1, 0)))
+      assert(df.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }.nonEmpty)
+    }
+  }
+
+  test("rule is inert when the config gate is off") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ WindowToAggJoin
+    try {
+      val plan = counts(fixture).queryExecution.optimizedPlan
+      assert(plan.collect { case w: LWindow => w }.nonEmpty,
+        "gate off ⇒ no rewrite")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+}
