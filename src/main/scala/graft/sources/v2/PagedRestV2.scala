@@ -60,16 +60,19 @@ object PagedRestV2 {
     StructField("value", DoubleType),
     StructField("page", IntegerType)))
 
-  /** Driver-side planning probe: page 0's envelope metadata. */
+  /** Driver-side planning probe: a standalone `meta.json` (what the
+    * writer publishes) or, failing that, page 0's inline envelope (the
+    * classic first-page probe of a live API). */
   private[v2] def probe(pagesDir: String): (Long, Int) = {
-    val root = new ObjectMapper().readTree(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$pagesDir/page-0.json")))
+    val metaPath = java.nio.file.Paths.get(s"$pagesDir/meta.json")
+    val src = if (java.nio.file.Files.exists(metaPath)) metaPath
+      else java.nio.file.Paths.get(s"$pagesDir/page-0.json")
+    val root = new ObjectMapper().readTree(java.nio.file.Files.readAllBytes(src))
     val total = root.path("total")
     val pageSize = root.path("page_size")
     require(total.isIntegralNumber && pageSize.isIntegralNumber &&
       pageSize.asInt() > 0,
-      s"graft-rest: page-0 envelope must carry total and page_size > 0")
+      s"graft-rest: ${src.getFileName} envelope must carry total and page_size > 0")
     (total.asLong(), pageSize.asInt())
   }
 }
@@ -85,13 +88,19 @@ class PagedRestTableProvider extends TableProvider with DataSourceRegister {
 }
 
 final class PagedRestTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-rest(${options.get("pages")})"
   override def schema(): StructType = PagedRestV2.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new PagedRestScanBuilder(options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PagedRestWriteBuilder(options, info)
 }
 
 final class PagedRestScanBuilder(options: CaseInsensitiveStringMap)
