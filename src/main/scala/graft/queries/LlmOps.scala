@@ -2568,6 +2568,191 @@ object LlmOps {
        |    AS ndcg_ppm
        |FROM g ORDER BY label""".stripMargin
 
+  // --- IVF probe-width sweep (q195) ----------------------------------------
+
+  /** Widest probe the sweep evaluates (nprobe = 1..[[SweepMaxProbe]]). */
+  private val SweepMaxProbe = 4
+
+  /** q195: IVF PROBE-WIDTH SWEEP — the tuning dial q106 leaves implicit:
+    * q106 audits recall at ONE index configuration; this publishes the
+    * whole recall/cost frontier — for nprobe = 1..[[SweepMaxProbe]]
+    * probed cells per query, exact recall@K against exhaustive search
+    * AND the exact share of the corpus scanned. The two columns are the
+    * axes every ANN capacity plan trades on: a 100 TB deployment reads
+    * this table and picks the nprobe where the recall curve flattens.
+    *
+    * Cell ranking is EXACT-INTEGER: components quantize at 2^20 (the
+    * q110/q81 discipline — float·2^20 is exact in double, round is
+    * half-away in both engines), cell centroid direction is the integer
+    * component-sum vector (same direction as the mean — the 1/n cancels
+    * in cosine), dots and norms are exact integer sums, and the only
+    * float is one correctly-rounded divide/sqrt per (query, cell) —
+    * bit-identical cross-engine. Candidate scoring then reuses the
+    * q106 skeleton (bucket-prefiltered per-cell top-K; the global
+    * top-K survives per-cell top-K by containment, so rn_all ≤ K is the
+    * exact-hit flag). The nested probe sets (cells(1) ⊂ … ⊂ cells(P))
+    * make the sweep ONE pass: each candidate explodes to the probe
+    * widths that can see it (≤ P bounded rows each), and a per-(query,
+    * nprobe) rank window reads the retrieved set.
+    *
+    * Scale: the query panel is the q106 doubly-bounded broadcast; cell
+    * stats are |cells|·dims-sized aggregates; everything after the one
+    * corpus scoring pass is (queries · cells · K)-bounded.
+    */
+  def q195IvfSweep(s: SparkSession, d: String): DataFrame =
+    ivfSweep(embeddings(s, d))
+
+  /** The q195 chain over any (vec_id, label, embedding) frame. */
+  def ivfSweep(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    def quant(c: Column): Column =
+      round(c.cast("double") * 1048576, 0).cast("long")
+    val q = e.filter(pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+        col("vec_id") < lit(RecallQueryMod * RecallMaxQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // integer cell stats: component sums (direction of the centroid),
+    // their norm, and member counts
+    val cellSums = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(sum(quant(col("x"))).as("s"))
+    val cellNorm = cellSums.groupBy("label")
+      .agg(sum(big(col("s")) * big(col("s"))).as("norm2"))
+    val cellCnt = e.groupBy("label").agg(count(lit(1)).as("n_cell"))
+    val qFlat = broadcast(q
+      .select(col("q_id"), posexplode(col("q_emb")).as(Seq("dim", "qx")))
+      .select(col("q_id"), col("dim"), quant(col("qx")).as("qq")))
+    // exact-integer dot per (query, cell); ONE correctly-rounded float
+    // per pair for the ordering
+    val ranked = qFlat.join(cellSums, Seq("dim"))
+      .groupBy("q_id", "label")
+      .agg(sum(big(col("qq")) * big(col("s"))).as("dot"))
+      .join(cellNorm, Seq("label"))
+      .withColumn("cscore", expr(
+        """CASE WHEN norm2 > 0
+          |  THEN CAST(dot AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE))
+          |  ELSE -2.0 END""".stripMargin))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cscore").desc, col("label"))))
+      .filter(col("cell_rank") <= SweepMaxProbe)
+      .select(col("q_id"), col("label"), col("cell_rank"))
+      .localCheckpoint(eager = true)
+    // candidate scoring: q106 skeleton — per-(query, cell) top-K under
+    // the bucket prefilter; rn_all ≤ K is exact by containment
+    val ord = Seq(col("sim").desc, col("vec_id").asc)
+    val wBucket = Window.partitionBy("q_id", "label", "__b").orderBy(ord: _*)
+    val wCell = Window.partitionBy("q_id", "label").orderBy(ord: _*)
+    val wAll = Window.partitionBy("q_id").orderBy(ord: _*)
+    val cand = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        VectorExpressions.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(RecallBuckets)))
+      .withColumn("__br", row_number().over(wBucket))
+      .filter(col("__br") <= RecallK)
+      .drop("__b", "__br")
+      .withColumn("rn_cell", row_number().over(wCell))
+      .filter(col("rn_cell") <= RecallK)
+      .withColumn("rn_all", row_number().over(wAll))
+    val perP = cand.join(ranked, Seq("q_id", "label"))
+      .withColumn("p", explode(sequence(col("cell_rank"), lit(SweepMaxProbe))))
+      .withColumn("rn_p", row_number().over(
+        Window.partitionBy("q_id", "p").orderBy(ord: _*)))
+      .filter(col("rn_p") <= RecallK)
+      .groupBy("p")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count_if(col("rn_all") <= RecallK).as("hits"))
+    val cost = ranked.join(cellCnt, Seq("label"))
+      .withColumn("p", explode(sequence(col("cell_rank"), lit(SweepMaxProbe))))
+      .groupBy("p").agg(sum(col("n_cell")).as("scanned"))
+    val corpus = e.agg(count(lit(1)).as("n_corpus")).withColumn("__k", lit(1))
+    perP.join(cost, Seq("p")).withColumn("__k", lit(1))
+      .join(broadcast(corpus), Seq("__k"))
+      .select(col("p").cast("long").as("probe_cells"),
+        col("n_queries"), col("hits"),
+        expr(s"hits * 1000000 DIV ($RecallK * n_queries)").as("recall_ppm"),
+        col("scanned"),
+        expr("CAST(CAST(scanned AS DECIMAL(38,0)) * 1000000" +
+          " DIV (n_queries * n_corpus) AS BIGINT)").as("scanned_share_ppm"))
+      .orderBy("probe_cells")
+  }
+
+  val q195Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % $RecallQueryMod = 0
+       |    AND vec_id < ${RecallQueryMod * RecallMaxQueries}),
+       |corpus AS (SELECT count(*) AS n_corpus FROM embeddings),
+       |ce AS (
+       |  SELECT label, i AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS qc
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+       |cs AS (SELECT label, dim, CAST(sum(qc) AS BIGINT) AS s
+       |       FROM ce GROUP BY 1, 2),
+       |cn AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS norm2
+       |       FROM cs GROUP BY 1),
+       |cc AS (SELECT label, count(*) AS n_cell FROM embeddings GROUP BY 1),
+       |qv AS (
+       |  SELECT q_id, i AS dim,
+       |    CAST(round(CAST(q_emb[i] AS DOUBLE) * 1048576) AS BIGINT) AS qq
+       |  FROM q, unnest(generate_series(1, len(q_emb))) AS t(i)),
+       |dots AS (
+       |  SELECT q_id, label, sum(CAST(qq AS HUGEINT) * s) AS dot
+       |  FROM qv JOIN cs USING (dim) GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      CASE WHEN norm2 > 0
+       |        THEN CAST(dot AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE))
+       |        ELSE -2.0 END DESC, label) AS cell_rank
+       |  FROM dots JOIN cn USING (label)),
+       |pr AS (SELECT * FROM ranked WHERE cell_rank <= $SweepMaxProbe),
+       |ex AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |    unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |sims AS (
+       |  SELECT q_id, vec_id, any_value(label) AS label,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+       |  FROM ex GROUP BY q_id, vec_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id, label
+       |            ORDER BY sim DESC, vec_id) AS rn_cell
+       |  FROM sims),
+       |r2 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY sim DESC, vec_id) AS rn_all
+       |  FROM r WHERE rn_cell <= $RecallK),
+       |pp AS (
+       |  SELECT r2.q_id, r2.vec_id, r2.sim, r2.rn_all, t.p
+       |  FROM r2 JOIN pr USING (q_id, label),
+       |    unnest(generate_series(pr.cell_rank, $SweepMaxProbe)) AS t(p)),
+       |rp AS (
+       |  SELECT q_id, p, rn_all,
+       |    row_number() OVER (PARTITION BY q_id, p
+       |                       ORDER BY sim DESC, vec_id) AS rn_p
+       |  FROM pp),
+       |h AS (
+       |  SELECT p, count(DISTINCT q_id) AS n_queries,
+       |    count(*) FILTER (WHERE rn_all <= $RecallK) AS hits
+       |  FROM rp WHERE rn_p <= $RecallK GROUP BY 1),
+       |cost AS (
+       |  SELECT t.p, sum(cc.n_cell) AS scanned
+       |  FROM pr JOIN cc USING (label),
+       |    unnest(generate_series(pr.cell_rank, $SweepMaxProbe)) AS t(p)
+       |  GROUP BY 1)
+       |SELECT CAST(p AS BIGINT) AS probe_cells,
+       |  CAST(n_queries AS BIGINT) AS n_queries,
+       |  CAST(hits AS BIGINT) AS hits,
+       |  CAST(hits * 1000000 // ($RecallK * n_queries) AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(scanned AS BIGINT) AS scanned,
+       |  CAST(CAST(scanned AS HUGEINT) * 1000000
+       |    // (n_queries * n_corpus) AS BIGINT) AS scanned_share_ppm
+       |FROM h JOIN cost USING (p) CROSS JOIN corpus ORDER BY 1""".stripMargin
+
   // --- Embedding norm spectrum (q110) -------------------------------------
 
   /** q110: EMBEDDING NORM SPECTRUM — numeric-health audit of the vector
