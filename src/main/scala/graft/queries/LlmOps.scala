@@ -2654,19 +2654,33 @@ object LlmOps {
       .withColumn("rn_cell", row_number().over(wCell))
       .filter(col("rn_cell") <= RecallK)
       .withColumn("rn_all", row_number().over(wAll))
+    // hits per probe width, from surviving candidates ONLY — a probe
+    // width whose probed cells retrieve nothing contributes no row here
+    // and must still appear in the sweep with 0 hits, so the output
+    // frame is driven from `cost` (below) and LEFT-joins this.
     val perP = cand.join(ranked, Seq("q_id", "label"))
       .withColumn("p", explode(sequence(col("cell_rank"), lit(SweepMaxProbe))))
       .withColumn("rn_p", row_number().over(
         Window.partitionBy("q_id", "p").orderBy(ord: _*)))
       .filter(col("rn_p") <= RecallK)
       .groupBy("p")
-      .agg(countDistinct(col("q_id")).as("n_queries"),
-        count_if(col("rn_all") <= RecallK).as("hits"))
+      .agg(count_if(col("rn_all") <= RecallK).as("hits"))
+    // the per-p spine: `ranked` always has cell_rank=1 per query, so
+    // exploding to SweepMaxProbe covers EVERY probe width even when a
+    // width retrieves zero candidates (e.g. the query's best cell is
+    // its own singleton) — the round-11 dropped-row bug.
     val cost = ranked.join(cellCnt, Seq("label"))
       .withColumn("p", explode(sequence(col("cell_rank"), lit(SweepMaxProbe))))
       .groupBy("p").agg(sum(col("n_cell")).as("scanned"))
+    // denominators come from the panel and the corpus, NOT from
+    // surviving candidate rows: an empty-probe query must count as 0
+    // hits in recall, not vanish from the denominator.
+    val nq = q.agg(count(lit(1)).as("n_queries")).withColumn("__k", lit(1))
     val corpus = e.agg(count(lit(1)).as("n_corpus")).withColumn("__k", lit(1))
-    perP.join(cost, Seq("p")).withColumn("__k", lit(1))
+    cost.join(perP, Seq("p"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("__k", lit(1))
+      .join(broadcast(nq), Seq("__k"))
       .join(broadcast(corpus), Seq("__k"))
       .select(col("p").cast("long").as("probe_cells"),
         col("n_queries"), col("hits"),
@@ -2735,9 +2749,9 @@ object LlmOps {
        |                       ORDER BY sim DESC, vec_id) AS rn_p
        |  FROM pp),
        |h AS (
-       |  SELECT p, count(DISTINCT q_id) AS n_queries,
-       |    count(*) FILTER (WHERE rn_all <= $RecallK) AS hits
+       |  SELECT p, count(*) FILTER (WHERE rn_all <= $RecallK) AS hits
        |  FROM rp WHERE rn_p <= $RecallK GROUP BY 1),
+       |nq AS (SELECT count(*) AS n_queries FROM q),
        |cost AS (
        |  SELECT t.p, sum(cc.n_cell) AS scanned
        |  FROM pr JOIN cc USING (label),
@@ -2745,13 +2759,14 @@ object LlmOps {
        |  GROUP BY 1)
        |SELECT CAST(p AS BIGINT) AS probe_cells,
        |  CAST(n_queries AS BIGINT) AS n_queries,
-       |  CAST(hits AS BIGINT) AS hits,
-       |  CAST(hits * 1000000 // ($RecallK * n_queries) AS BIGINT)
+       |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(hits, 0) * 1000000 // ($RecallK * n_queries) AS BIGINT)
        |    AS recall_ppm,
        |  CAST(scanned AS BIGINT) AS scanned,
        |  CAST(CAST(scanned AS HUGEINT) * 1000000
        |    // (n_queries * n_corpus) AS BIGINT) AS scanned_share_ppm
-       |FROM h JOIN cost USING (p) CROSS JOIN corpus ORDER BY 1""".stripMargin
+       |FROM cost LEFT JOIN h USING (p)
+       |  CROSS JOIN nq CROSS JOIN corpus ORDER BY 1""".stripMargin
 
   // --- Embedding norm spectrum (q110) -------------------------------------
 

@@ -57,6 +57,18 @@ object WindowToAggJoin extends Rule[LogicalPlan] {
   private def rewritable(w: Window): Option[Seq[(Alias, AggregateExpression)]] = {
     if (w.orderSpec.nonEmpty || w.partitionSpec.isEmpty ||
         !w.partitionSpec.forall(_.deterministic)) return None
+    // the rewrite DUPLICATES w.child into both join legs, so the whole
+    // child subtree must be deterministic and replay-stable: a child
+    // computing rand(), or a Sample / unordered Limit, would evaluate
+    // independently per leg and the joined aggregate would no longer
+    // describe the rows it is attached to (the guard Spark's own
+    // subtree-duplicating rules use)
+    val unstable = w.child.find {
+      case _: Sample => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case p => !p.expressions.forall(_.deterministic)
+    }
+    if (unstable.nonEmpty) return None
     val pairs = w.windowExpressions.map {
       case a @ Alias(WindowExpression(ae: AggregateExpression,
           WindowSpecDefinition(ps, Nil, frame)), _)

@@ -120,18 +120,26 @@ final class PagedRestBatchWrite(
     Files.write(committing.resolve("meta.json"),
       s"""{"total": $total, "page_size": $pageSize}"""
         .getBytes(StandardCharsets.UTF_8))
-    // publish: one atomic rename — readers never see a torn collection
+    // publish: rename the OLD collection aside, move the new one into
+    // place, delete the old dir last — at every instant the target path
+    // is either the complete old collection or the complete new one
+    // (never missing/torn, which delete-then-rename would expose)
     val target = Paths.get(pagesDir)
+    val retired = Paths.get(s"$pagesDir.old-$queryId")
+    deleteTree(retired)
     if (Files.exists(target)) {
-      val occupied = Files.list(target).iterator().asScala.nonEmpty
+      val listing = Files.list(target)
+      val occupied = try listing.iterator().asScala.nonEmpty
+        finally listing.close()
       if (occupied && !truncate)
         throw new IllegalStateException(
           s"graft-rest: collection at $pagesDir is non-empty; appending " +
             "would renumber pages under readers — write with " +
             "mode('overwrite') to replace it atomically")
-      deleteTree(target)
+      Files.move(target, retired, StandardCopyOption.ATOMIC_MOVE)
     }
     Files.move(committing, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(retired)
     deleteTree(staging)
   }
 
@@ -182,8 +190,14 @@ final class PagedRestDataWriter(
     val id = if (row.isNullAt(idIdx)) "null" else row.getLong(idIdx).toString
     val name = if (row.isNullAt(nameIdx)) "null"
       else "\"" + esc(row.getUTF8String(nameIdx).toString) + "\""
-    val value = if (row.isNullAt(valueIdx)) "null"
-      else row.getDouble(valueIdx).toString
+    // non-finite doubles have no JSON literal — bare NaN/Infinity
+    // tokens would make the whole staged page unparseable and (under
+    // strict=false) silently skipped on read-back, losing a page of
+    // rows while meta.json still counts them
+    val value = if (row.isNullAt(valueIdx)) "null" else {
+      val d = row.getDouble(valueIdx)
+      if (java.lang.Double.isFinite(d)) d.toString else "null"
+    }
     buf += s"""{"id": $id, "name": $name, "value": $value}"""
     nRows += 1
     if (buf.size == pageSize) flushPage()

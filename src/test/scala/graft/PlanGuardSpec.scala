@@ -17,6 +17,7 @@ class PlanGuardSpec extends SparkSpec {
     "q43_quantized_topk" -> "broadcast of the single query vector (1 row)",
     "q106_ivf_recall" -> "broadcast of the query sample (hard-capped at RecallMaxQueries rows)",
     "q194_retrieval_metrics" -> "broadcast of the query sample (same doubly-bounded q106 panel)",
+    "q195_ivf_sweep" -> "broadcast of the query sample (same doubly-bounded q106 panel)",
     "q28_ngram_jaccard" -> "all-pairs over an explicitly bounded candidate set (src0+en)",
     "q77_semantic_dedup" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",
     "q81_kmeans_step" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",

@@ -87,6 +87,36 @@ class WindowToAggJoinSpec extends SparkSpec {
     }
   }
 
+  test("non-deterministic / unstable child subtrees are not rewritten") {
+    // children built on Range, NOT a local relation: the optimizer
+    // folds Project/Sample/Limit over LocalRelation into materialized
+    // rows before extraOptimizations run, at which point duplication IS
+    // safe — the guard matters for real (scan-backed) children
+    def base = spark.range(100)
+      .select(col("id"), (col("id") % 3).cast("string").as("k"),
+        (col("id") * 10).as("x"))
+    withRule {
+      // rand() in the child: the two join legs would see different rows
+      val r = base.withColumn("noise", rand(7)).filter(col("noise") >= 0)
+      val randPlan = counts(r).queryExecution.optimizedPlan
+      assert(randPlan.collect { case w: LWindow => w }.nonEmpty,
+        "rand() child must NOT be rewritten")
+      // unordered limit: each leg could pick a different row subset
+      val limPlan = counts(base.limit(5)).queryExecution.optimizedPlan
+      assert(limPlan.collect { case w: LWindow => w }.nonEmpty,
+        "limit child must NOT be rewritten")
+      // sample: same replay-instability
+      val samPlan = counts(base.sample(0.5, seed = 7))
+        .queryExecution.optimizedPlan
+      assert(samPlan.collect { case w: LWindow => w }.nonEmpty,
+        "sample child must NOT be rewritten")
+      // and the same shape WITHOUT the unstable operator still rewrites
+      val okPlan = counts(base).queryExecution.optimizedPlan
+      assert(okPlan.collect { case w: LWindow => w }.isEmpty,
+        "stable Range child must still be rewritten")
+    }
+  }
+
   test("rule is inert when the config gate is off") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ WindowToAggJoin

@@ -94,4 +94,19 @@ class PagedRestWriterSpec extends SparkSpec {
       .option("pages", dir).option("pageSize", 5).mode("append").save()
     assert(readBack(dir).count() == 0)
   }
+
+  test("non-finite doubles publish as JSON null, never invalid tokens") {
+    val dir = tmp()
+    Seq((1L, "a", Double.NaN), (2L, "b", Double.PositiveInfinity),
+      (3L, "c", 1.5), (4L, "d", Double.NegativeInfinity))
+      .toDF("id", "name", "value").withColumn("page", lit(0))
+      .write.format("graft-rest")
+      .option("pages", dir).option("pageSize", 2).mode("append").save()
+    // every staged page must be parseable JSON — a bare NaN token would
+    // fail Jackson and silently drop the page under strict=false
+    assert(readBack(dir).count() == 4, "no page may be dropped")
+    val got = readBack(dir).select("id", "value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(1.5), 4L -> None))
+  }
 }
