@@ -74,6 +74,12 @@ object GraftExtensions {
         arity("poly_simhash", args, 1)
         VectorExpressions.PolySimHash(args(0))
       }),
+    (FunctionIdentifier("phash_bands"),
+      info("phash_bands", "phash_bands(str) - 4x16-bit perceptual-hash band values"),
+      (args: Seq[Expression]) => {
+        arity("phash_bands", args, 1)
+        VectorExpressions.PHashBands(args(0))
+      }),
     (FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(tokens, shingleN, k[, portable]) - k-wide MinHash signature"),

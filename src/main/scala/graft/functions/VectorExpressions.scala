@@ -321,6 +321,78 @@ object VectorExpressions {
     * text, non-BMP included; oracled callers still filter to lang = 'en'
     * as a corpus choice.
     */
+  /** Perceptual-hash band values for a media payload's textual stand-in
+    * (the multimodal fake-decode discipline — a real pipeline feeds
+    * decoded pixel-block luminance through the SAME shape): the first
+    * [[PHashBands.ThumbChars]] code points are the "thumbnail", split
+    * into 64 position blocks; block bit = 1 iff the block's code-point
+    * sum exceeds the thumbnail mean (`blockSum·64 > total`, exact
+    * integer — no division); bits pack into 4×16-bit band values
+    * (array<long>), which double as the LSH bucket keys, so Hamming
+    * distance is Σ bit_count(band_a XOR band_b) with no 64-bit packing
+    * (a `1<<63` term would need unsigned algebra in the oracle).
+    * Thumbnails shorter than 64 code points yield null (a real pHash
+    * needs a minimum image size). Engine-portable: the DuckDB oracle
+    * rebuilds identical integer block sums from `ord()`.
+    */
+  case class PHashBands(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import PHashBands._
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "phash_bands"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires string, got ${dt.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      // thumbnail: first ThumbChars code points
+      val cps = new Array[Long](ThumbChars)
+      var n = 0
+      var i = 0
+      while (i < s.length && n < ThumbChars) {
+        val cp = s.codePointAt(i)
+        cps(n) = cp.toLong
+        n += 1
+        i += java.lang.Character.charCount(cp)
+      }
+      if (n < Blocks) return null
+      val blockSums = new Array[Long](Blocks)
+      var total = 0L
+      i = 0
+      while (i < n) {
+        blockSums((i * Blocks / n).toInt) += cps(i)
+        total += cps(i)
+        i += 1
+      }
+      val bands = new Array[Long](NBands)
+      var b = 0
+      while (b < Blocks) {
+        if (blockSums(b) * Blocks > total)
+          bands(b / BandBits) |= (1L << (b % BandBits))
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(bands)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  object PHashBands {
+    val ThumbChars = 256
+    val Blocks = 64
+    val NBands = 4
+    val BandBits = 16
+  }
+
   case class PolySimHash(child: Expression) extends UnaryExpression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -676,6 +748,10 @@ object VectorExpressions {
   /** poly_simhash(tokens) — engine-portable 30-bit simhash. */
   def polySimhash(tokens: Column): Column =
     GraftColumnBridge.column(PolySimHash(GraftColumnBridge.expression(tokens)))
+
+  /** phash_bands(str) — 4×16-bit perceptual-hash band values. */
+  def phashBands(str: Column): Column =
+    GraftColumnBridge.column(PHashBands(GraftColumnBridge.expression(str)))
 
 
   /** cosine(a, b) over array<float>/array<double> columns. */

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries that put the native DataSourceV2 connectors under the
+  * driver's correctness gate — the scan itself is the operator under
+  * test, certified against a DuckDB oracle reading the SAME bytes.
+  */
+object Connectors {
+
+  /** The checked-in paged-collection fixture: five `page-<i>.json`
+    * files carrying the exact envelope a paged REST API returns
+    * (`{"total", "page_size", "items": [...]}`), including the edge
+    * shapes a live API serves — explicit nulls, missing fields, escaped
+    * quotes, non-ASCII text, a short last page. No `meta.json`, so the
+    * scan exercises the page-0 planning probe (the live-API path),
+    * not the writer's published envelope.
+    */
+  val RestCatalogDir = "/root/repo/fixtures/rest_catalog"
+
+  /** q196: REST COLLECTION SCAN — `spark.read.format("graft-rest")`
+    * under the driver gate (the reference's HTTP ingest surface,
+    * `scripts/ingest_weather.py:30-52`, generalized to offset paging;
+    * read side of [[graft.sources.v2.PagedRestV2]]).
+    *
+    * The projection deliberately omits `name`, so the V2 column-pruning
+    * contract is on the certified plan (`ReadSchema` = 3 of 4 fields —
+    * pinned in ConnectorsSpec); per-page aggregates pin page-to-row
+    * attribution, null/missing-field handling, and the short last page.
+    * `pagesPerPartition=2` makes the 5-page fixture plan 3 input
+    * partitions, so the fan-out path (not the single-partition
+    * degenerate) is what the gate certifies.
+    *
+    * Scale: planning reads ONE page's envelope; pages fan out across
+    * executors in bounded groups; the aggregate is |pages|-sized.
+    */
+  def q196RestCatalog(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-rest")
+      .option("pages", RestCatalogDir)
+      .option("pagesPerPartition", 2)
+      .option("strict", true)
+      .load()
+      .groupBy(col("page").cast("long").as("page"))
+      .agg(count(lit(1)).as("n_items"),
+        count(col("value")).as("n_vals"),
+        sum(col("id")).as("sum_id"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("page")
+
+  /** DuckDB replays the same JSON bytes (`read_json_auto` + unnest);
+    * page attribution falls out of the filename. */
+  val q196Oracle: String =
+    s"""WITH pages AS (
+       |  SELECT CAST(regexp_extract(filename, 'page-(\\d+)', 1) AS BIGINT)
+       |      AS page,
+       |    unnest(items) AS item
+       |  FROM read_json_auto('$RestCatalogDir/page-*.json', filename=true))
+       |SELECT page, count(*) AS n_items, count(item.value) AS n_vals,
+       |  CAST(sum(item.id) AS BIGINT) AS sum_id,
+       |  CAST(sum(item.value) AS DOUBLE) AS sum_value,
+       |  CAST(min(item.value) AS DOUBLE) AS min_value,
+       |  CAST(max(item.value) AS DOUBLE) AS max_value
+       |FROM pages GROUP BY page ORDER BY page""".stripMargin
+}

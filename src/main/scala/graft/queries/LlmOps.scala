@@ -4335,4 +4335,111 @@ object LlmOps {
       |  round(CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) *
       |    sqrt(CAST(syy AS DOUBLE))), 6) AS rho_len_band
       |FROM m ORDER BY lang""".stripMargin
+
+  // --- Perceptual-hash near-dup (q198) ------------------------------------
+
+  /** Degenerate-bucket guard for the pHash banding (q44 discipline). */
+  private val PhashMaxBucket = 100L
+
+  /** Hamming radius (of 64 bits) under which a candidate pair counts as
+    * a near-duplicate. */
+  private val PhashMaxHamming = 12L
+
+  /** q198: PERCEPTUAL-HASH NEAR-DUP — the dedup ring's IMAGE leg: media
+    * payloads (the q38 kind mapping, image-kind documents as the
+    * deterministic codec stand-in — see [[graft.multimodal.Multimodal]])
+    * are reduced to a 64-bit pHash-style signature
+    * ([[graft.functions.VectorExpressions.PHashBands]]: 64 thumbnail
+    * blocks, block-sum-vs-mean bits, 4×16-bit band values), banded per
+    * the q44 LSH discipline (same-band collision → candidate, windowed
+    * bucket-size guard against degenerate clusters), and candidate
+    * pairs scored by exact Hamming distance with a near-dup flag at
+    * [[PhashMaxHamming]]. Pigeonhole guarantee: any pair within
+    * Hamming < 4 (the band count) MUST share a band and is always
+    * generated; farther pairs are the usual probabilistic LSH tail.
+    *
+    * Scale: one corpus scan computes signatures (compiled kernel,
+    * payloads never shuffle — only 32-byte signatures); one (band,
+    * bucket) exchange; Σ bucket² bounded by the guard. Restricted to
+    * lang = 'en' for engine char-code parity (q29 discipline).
+    */
+  def q198PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kindIsImage =
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) === 0
+    val sigs = documents(s, d)
+      .filter(kindIsImage && col("lang") === "en" && length(col("text")) >= 64)
+      .select(col("doc_id"), VectorExpressions.phashBands(col("text")).as("bands"))
+    val bb = sigs.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    // windowed bucket-size guard over the partitioning the self-join
+    // needs anyway (ReusedExchange — the MinHash.candidatePairs shape)
+    val joinable = bb
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bucket_size") > 1 && col("bucket_size") <= PhashMaxBucket)
+    val a = joinable.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("bands").as("bands_a"))
+    val b = joinable.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("bands").as("bands_b"))
+    val ham = (0 until VectorExpressions.PHashBands.NBands)
+      .map(i => bit_count(col("bands_a")(i).bitwiseXOR(col("bands_b")(i))))
+      .reduce(_ + _).cast("long")
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("near_dup",
+        (col("hamming") <= PhashMaxHamming).cast("int").cast("long"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q198's oracle rebuilds the signatures from scratch in integer SQL:
+    * ord() code points → 64 block sums → mean-threshold bits → 4 band
+    * values → identical banding, guard, pairing, and Hamming algebra.
+    */
+  val q198Oracle: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id, substr(text, 1, ${VectorExpressions.PHashBands.ThumbChars}) AS thumb
+       |  FROM documents
+       |  WHERE CAST(substr(source, 4) AS INT) % 3 = 0
+       |    AND lang = 'en' AND length(text) >= 64),
+       |cps AS (
+       |  SELECT doc_id, [CAST(ord(c) AS BIGINT)
+       |    for c in regexp_split_to_array(thumb, '') if c != ''] AS cps
+       |  FROM imgs),
+       |chars AS (
+       |  SELECT doc_id, i, cps[i] AS cp, len(cps) AS L
+       |  FROM cps, unnest(generate_series(1, len(cps))) AS t(i)),
+       |blocks AS (
+       |  SELECT doc_id, ((i - 1) * 64) // L AS b, sum(cp) AS bs
+       |  FROM chars GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(bs) AS total FROM blocks GROUP BY 1),
+       |bits AS (
+       |  SELECT blocks.doc_id, b,
+       |    CASE WHEN bs * 64 > total THEN 1 ELSE 0 END AS bit
+       |  FROM blocks JOIN tot USING (doc_id)),
+       |bands AS (
+       |  SELECT doc_id, b // 16 AS band,
+       |    CAST(sum(bit * (1 << (b % 16))) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY 1, 2),
+       |sizes AS (SELECT band, bucket, count(*) AS n FROM bands GROUP BY 1, 2),
+       |jb AS (SELECT bands.* FROM bands JOIN sizes USING (band, bucket)
+       |       WHERE n > 1 AND n <= $PhashMaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM jb a JOIN jb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sigs AS (SELECT doc_id, list(bucket ORDER BY band) AS bl
+       |         FROM bands GROUP BY 1)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sa.bl[1], sb.bl[1])) + bit_count(xor(sa.bl[2], sb.bl[2]))
+       |     + bit_count(xor(sa.bl[3], sb.bl[3])) + bit_count(xor(sa.bl[4], sb.bl[4]))
+       |    AS BIGINT) AS hamming,
+       |  CAST(CASE WHEN bit_count(xor(sa.bl[1], sb.bl[1])) + bit_count(xor(sa.bl[2], sb.bl[2]))
+       |     + bit_count(xor(sa.bl[3], sb.bl[3])) + bit_count(xor(sa.bl[4], sb.bl[4]))
+       |    <= $PhashMaxHamming THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+       |FROM pairs JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

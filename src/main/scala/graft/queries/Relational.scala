@@ -1637,4 +1637,49 @@ object Relational {
        |  CAST(sup_p AS BIGINT) AS sup_p, CAST(sup_ap AS BIGINT) AS sup_ap,
        |  lift_ppm
        |FROM r WHERE rank <= $AlsoTopK ORDER BY anchor, rank""".stripMargin
+
+  // --- Window→agg-join rewrite, end-to-end (q197) --------------------------
+
+  /** q197: WHOLE-PARTITION WINDOW VIA THE REWRITE RULE — per-line order
+    * shape (line quantity, the order's total quantity and line count,
+    * and each line's integer ppm share) where the window aggregates run
+    * THROUGH [[graft.rules.WindowToAggJoin.rewrite]], applied to this
+    * one plan explicitly rather than via the session-wide config gate.
+    *
+    * The oracle is the plain `SUM(...) OVER (PARTITION BY ...)` SQL, so
+    * the driver gate certifies the rule is value-preserving end-to-end
+    * on real data — not just in its unit spec. ConnectorsSpec pins that
+    * the registered plan really carries the rewrite (no Window node; a
+    * pre-aggregate join instead).
+    *
+    * Scale: this is the rule's whole point — the corpus-wide sort that
+    * WindowExec would run on a fact table disappears; the join side is
+    * |orders|-sized and collapses map-side before the exchange.
+    */
+  def q197WindowRewrite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    val base = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("qty_total", sum(col("qty")).over(w))
+      .withColumn("n_lines", count(lit(1)).over(w))
+      .withColumn("qty_share_ppm", expr("qty * 1000000 DIV qty_total"))
+      // the synthetic lineitem is NOT unique on (orderkey, linenumber);
+      // qty in the sort makes ties fully-identical rows
+      .orderBy("l_orderkey", "l_linenumber", "qty")
+    org.apache.spark.sql.GraftColumnBridge.ofRows(s,
+      graft.rules.WindowToAggJoin.rewrite(base.queryExecution.analyzed))
+  }
+
+  val q197Oracle: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, qty,
+      |  CAST(sum(qty) OVER (PARTITION BY l_orderkey) AS BIGINT) AS qty_total,
+      |  count(*) OVER (PARTITION BY l_orderkey) AS n_lines,
+      |  CAST(qty * 1000000
+      |    // sum(qty) OVER (PARTITION BY l_orderkey) AS BIGINT)
+      |    AS qty_share_ppm
+      |FROM l ORDER BY l_orderkey, l_linenumber, qty""".stripMargin
 }

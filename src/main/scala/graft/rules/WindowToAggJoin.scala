@@ -84,6 +84,14 @@ object WindowToAggJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
+    rewrite(plan)
+  }
+
+  /** The rewrite itself, unconditionally (same safety guards, no config
+    * gate) — for callers that opt a SINGLE plan in rather than the whole
+    * session (see `Relational.q197OrderShape`).
+    */
+  def rewrite(plan: LogicalPlan): LogicalPlan = {
     plan.transformUp {
       case w: Window =>
         rewritable(w) match {

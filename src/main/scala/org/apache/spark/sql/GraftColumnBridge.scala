@@ -24,4 +24,14 @@ object GraftColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(ident, info, builder)
+
+  /** Wrap an explicitly-built logical plan as a DataFrame
+    * (`Dataset.ofRows` is `private[sql]`). Lets a query run a specific
+    * plan rewrite unconditionally — e.g. the window→agg-join rule —
+    * without flipping session-wide optimizer state.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
