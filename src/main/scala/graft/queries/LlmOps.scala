@@ -799,6 +799,43 @@ object LlmOps {
       |  AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** q199: OUTER ATTRIBUTION — q66's left-outer twin via
+    * [[graft.streaming.EventStreams.attributionJoinOuter]]: every click
+    * appears, unconverted ones null-padded and flagged, so conversion
+    * AND drop-off ride one frame. Registered on the batch events
+    * fixture (the streaming side — watermark-evicted outer state — is
+    * driven through MemoryStream in StreamingSpec; this oracles the
+    * identical expression). Same hash equi-join + range filter shape as
+    * q66; output adds one row per unconverted click, still linear.
+    */
+  def q199AttributionOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    graft.streaming.EventStreams
+      .attributionJoinOuter(clicks, purchases, "30 MINUTES", "10 minutes")
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val q199Oracle: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+      |             ts AS purchase_ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, p.purchase_id,
+      |  epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us, p.value,
+      |  CAST(CASE WHEN p.purchase_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS unconverted
+      |FROM c LEFT JOIN p ON c.user_id = p.p_user
+      |  AND p.purchase_ts > c.click_ts
+      |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   /** Multimodal binary-column statistics: documents cast to opaque BINARY
     * payloads with a kind derived from the source id — real byte-length
     * arithmetic on BinaryType (the fake-decode surface lives in

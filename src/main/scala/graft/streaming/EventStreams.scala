@@ -63,6 +63,37 @@ object EventStreams {
           .as("lag_us"),
         col("value"))
 
+  /** STREAM-STREAM LEFT-OUTER interval join — the shape
+    * [[attributionJoin]] cannot express: every click appears exactly
+    * once per matching purchase AND once with nulls if NOTHING matched,
+    * so conversion and non-conversion ride one result stream (funnel
+    * drop-off, abandoned carts). Outer stream-stream joins are where
+    * watermark state-eviction is LOAD-BEARING, not just an optimization:
+    * the engine can only emit the null-padded row once the left row's
+    * buffered state expires — both watermarks plus the two-sided time
+    * range bound that expiry, so unmatched clicks surface after
+    * (click_ts + maxLag + watermarkDelay) passes, never earlier and
+    * never lost. Batch-wise the same expression is a plain left outer
+    * hash join, which is the oracle (q199's registration).
+    *
+    * Output adds `unconverted` (1 for the null-padded rows) so a
+    * downstream count needs no null inspection.
+    */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame,
+                           maxLag: String, watermarkDelay: String): DataFrame =
+    clicks.withWatermark("click_ts", watermarkDelay)
+      .join(purchases.withWatermark("purchase_ts", watermarkDelay),
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxLag"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        when(col("purchase_id").isNotNull,
+          unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("value"),
+        col("purchase_id").isNull.cast("int").cast("long").as("unconverted"))
+
   /** Gap-based sessionization with EXPLICIT state — the
     * flatMapGroupsWithState formulation (KeyValueGroupedDataset custom
     * state per SURVEY §7.5). A session closes either when a later event

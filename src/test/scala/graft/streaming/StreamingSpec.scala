@@ -247,4 +247,53 @@ class StreamingSpec extends SparkSpec {
       assert(got == expected, "stream result must equal the batch twin")
     } finally q.stop()
   }
+
+  test("stream-stream LEFT-OUTER join: null rows emit only on watermark eviction") {
+    val names = Seq("user_id", "event_id", "ts", "event_type", "value")
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts")),
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value")))
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val (sc, sp) = split(input.toDF().toDF(names: _*))
+    val joined = EventStreams.attributionJoinOuter(sc, sp, "30 MINUTES", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode(OutputMode.Append).start()
+    def table = spark.table("attr_outer_test")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Double], Long)]
+    try {
+      // u1 converts; u2 never does; u3 purchases with no click (must
+      // never appear — left outer, not full)
+      input.addData(
+        (1L, 10L, ts(0), "click", 0.0),
+        (1L, 20L, ts(5), "purchase", 9.99),
+        (2L, 12L, ts(2), "click", 0.0),
+        (3L, 23L, ts(10), "purchase", 2.0))
+      q.processAllAvailable()
+      val afterB1 = table.collect().toSet
+      assert(afterB1 == Set((1L, 10L, Some(20L), Some(5L * 60000000L), Some(9.99), 0L)),
+        s"inner matches emit immediately, null rows must NOT: $afterB1")
+
+      // advance the watermark past u2's click window (2 + 30 lag + 10
+      // delay): events at :55 -> watermark 45. The GLOBAL watermark is
+      // the min across BOTH sides, so the purchase stream must advance
+      // too (u8's matchless purchase — left outer drops it); the
+      // eviction batch runs on the NEXT trigger, so feed once more
+      input.addData((9L, 90L, ts(55), "click", 0.0),
+        (8L, 80L, ts(55), "purchase", 1.0))
+      q.processAllAvailable()
+      input.addData((9L, 91L, ts(59), "click", 0.0),
+        (8L, 81L, ts(59), "purchase", 1.0))
+      q.processAllAvailable()
+      val finalSet = table.collect().toSet
+      assert(finalSet == Set(
+        (1L, 10L, Some(20L), Some(5L * 60000000L), Some(9.99), 0L),
+        (2L, 12L, None, None, None, 1L)),
+        s"evicted unmatched click must surface null-padded, once: $finalSet")
+      // u9's clicks are still inside their match window -> withheld
+      assert(!finalSet.exists(_._1 == 9L))
+    } finally q.stop()
+  }
 }
