@@ -1658,11 +1658,16 @@ object Relational {
     */
   def q197WindowRewrite(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("l_orderkey")
+    // BOTH window aggregates in ONE select: chained withColumns would
+    // analyze into two stacked Window nodes and the rewrite (applied on
+    // the analyzed plan, before CollapseWindow) would build two joins —
+    // one select keeps a single Window, hence ONE pre-aggregate join
     val base = lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("qty"))
-      .withColumn("qty_total", sum(col("qty")).over(w))
-      .withColumn("n_lines", count(lit(1)).over(w))
+      .select(col("*"),
+        sum(col("qty")).over(w).as("qty_total"),
+        count(lit(1)).over(w).as("n_lines"))
       .withColumn("qty_share_ppm", expr("qty * 1000000 DIV qty_total"))
       // the synthetic lineitem is NOT unique on (orderkey, linenumber);
       // qty in the sort makes ties fully-identical rows
