@@ -80,6 +80,13 @@ object GraftExtensions {
         arity("phash_bands", args, 1)
         VectorExpressions.PHashBands(args(0))
       }),
+    (FunctionIdentifier("audio_landmarks"),
+      info("audio_landmarks",
+        "audio_landmarks(str) - packed peak-pair landmark fingerprints of the audio stand-in"),
+      (args: Seq[Expression]) => {
+        arity("audio_landmarks", args, 1)
+        VectorExpressions.AudioLandmarks(args(0))
+      }),
     (FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(tokens, shingleN, k[, portable]) - k-wide MinHash signature"),

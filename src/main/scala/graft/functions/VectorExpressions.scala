@@ -393,6 +393,93 @@ object VectorExpressions {
     val BandBits = 16
   }
 
+  /** Landmark fingerprints for an audio payload's textual stand-in (the
+    * multimodal fake-decode discipline, the audio sibling of
+    * [[PHashBands]] — a real pipeline feeds PCM frame energies through
+    * the SAME shape): the first [[AudioLandmarks.SigChars]] code points
+    * are the "signal"; complete frames of [[AudioLandmarks.FrameLen]]
+    * samples get an integer energy (code-point sum); peaks are frames
+    * strictly above their left neighbor and at-or-above their right
+    * (the deterministic tie-break); each peak pairs with its next TWO
+    * peaks (the constellation fan-out of the landmark-hashing scheme —
+    * Wang 2003, "An Industrial-Strength Audio Search Algorithm") into a
+    * packed fingerprint
+    * `(e1 & 0xFFF) << 20 | (e2 & 0xFFF) << 8 | min(Δframes, 255)`.
+    * Signals shorter than 3 complete frames yield null (no peak can
+    * exist); few-peaked signals yield an empty array. All-integer, so
+    * the DuckDB oracle rebuilds identical fingerprints from `ord()`.
+    */
+  case class AudioLandmarks(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import AudioLandmarks._
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "audio_landmarks"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires string, got ${dt.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      // signal: first SigChars code points
+      val cps = new Array[Long](SigChars)
+      var n = 0
+      var i = 0
+      while (i < s.length && n < SigChars) {
+        val cp = s.codePointAt(i)
+        cps(n) = cp.toLong
+        n += 1
+        i += java.lang.Character.charCount(cp)
+      }
+      val frames = n / FrameLen // complete frames only
+      if (frames < 3) return null
+      val energy = new Array[Long](frames)
+      i = 0
+      while (i < frames * FrameLen) {
+        energy(i / FrameLen) += cps(i)
+        i += 1
+      }
+      // peaks: strict left, at-or-above right
+      val peaks = new scala.collection.mutable.ArrayBuffer[Int](frames)
+      var f = 1
+      while (f < frames - 1) {
+        if (energy(f) > energy(f - 1) && energy(f) >= energy(f + 1)) peaks += f
+        f += 1
+      }
+      val fps = new scala.collection.mutable.ArrayBuffer[Long](2 * peaks.length)
+      var p = 0
+      while (p < peaks.length) {
+        var j = p + 1
+        while (j <= p + FanOut && j < peaks.length) {
+          val e1 = energy(peaks(p)) & EnergyMask
+          val e2 = energy(peaks(j)) & EnergyMask
+          val dt = math.min((peaks(j) - peaks(p)).toLong, MaxDt)
+          fps += (e1 << 20) | (e2 << 8) | dt
+          j += 1
+        }
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(fps.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  object AudioLandmarks {
+    val SigChars = 512
+    val FrameLen = 16
+    val FanOut = 2
+    val EnergyMask = 0xFFFL
+    val MaxDt = 255L
+  }
+
   case class PolySimHash(child: Expression) extends UnaryExpression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -752,6 +839,10 @@ object VectorExpressions {
   /** phash_bands(str) — 4×16-bit perceptual-hash band values. */
   def phashBands(str: Column): Column =
     GraftColumnBridge.column(PHashBands(GraftColumnBridge.expression(str)))
+
+  /** audio_landmarks(text) — landmark fingerprints of the audio stand-in. */
+  def audioLandmarks(str: Column): Column =
+    GraftColumnBridge.column(AudioLandmarks(GraftColumnBridge.expression(str)))
 
 
   /** cosine(a, b) over array<float>/array<double> columns. */

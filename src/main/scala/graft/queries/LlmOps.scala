@@ -4479,4 +4479,338 @@ object LlmOps {
        |FROM pairs JOIN sigs sa ON doc_a = sa.doc_id
        |  JOIN sigs sb ON doc_b = sb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- Audio landmark fingerprint near-dup (q200) --------------------------
+
+  /** Degenerate-bucket guard: a fingerprint shared by more docs than
+    * this is a "common motif", not a match signal (q44 discipline). */
+  private val AudioMaxBucket = 100L
+
+  /** Shared-fingerprint containment (ppm of the smaller doc's
+    * fingerprint set) above which a candidate pair is a near-dup. */
+  private val AudioMinContainPpm = 300000L
+
+  /** Minimum shared-fingerprint count for the near-dup flag — one
+    * coincidental landmark on a tiny fingerprint set is not evidence
+    * (containment alone flags 1/3 pairs). */
+  private val AudioMinShared = 3L
+
+  /** q200: AUDIO LANDMARK NEAR-DUP — the dedup ring's AUDIO leg
+    * (images: q198 pHash; text: q44/q29/q28): audio-kind payloads (the
+    * q38 kind mapping) are reduced to landmark fingerprints
+    * ([[graft.functions.VectorExpressions.AudioLandmarks]]: frame
+    * energies → peaks → packed peak-pair hashes, the constellation
+    * scheme of Wang 2003), and docs sharing a fingerprint become
+    * candidate pairs scored by EXACT shared-fingerprint containment —
+    * n_shared / min(|fps_a|, |fps_b|) in ppm — with a near-dup flag at
+    * [[AudioMinContainPpm]] AND ≥ [[AudioMinShared]] shared landmarks. Matches survive time-shift (a landmark is
+    * a peak-pair DELTA, not a position) — the property that makes the
+    * constellation scheme the industry shape for audio dedup.
+    *
+    * Scale: ONE corpus scan computes fingerprints (payloads never
+    * shuffle — only distinct (doc_id, fp) pairs); the per-doc
+    * fingerprint count rides a doc_id window and flows through the
+    * self-join, so no second pass re-extracts it; the fp exchange
+    * carries a windowed bucket-size guard over the partitioning the
+    * self-join needs anyway (ReusedExchange); Σ bucket² bounded by
+    * [[AudioMaxBucket]]. Restricted to lang = 'en' for engine
+    * char-code parity (q29 discipline).
+    */
+  def q200AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kindIsAudio =
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) === 1
+    // ONE corpus scan: the per-doc fingerprint count rides a doc_id
+    // window on the fingerprint frame and flows THROUGH the self-join,
+    // so no second scan-and-extract pass attaches it at the end
+    val fps = documents(s, d)
+      .filter(kindIsAudio && col("lang") === "en" && length(col("text")) >= 160)
+      .select(col("doc_id"),
+        explode(VectorExpressions.audioLandmarks(col("text"))).as("fp"))
+      .distinct()
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val joinable = fps
+      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("bucket_size") > 1 && col("bucket_size") <= AudioMaxBucket)
+      .select("doc_id", "fp", "n_fp")
+    joinable.as("a")
+      .join(joinable.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.n_fp")).as("n_fp_a"), min(col("b.n_fp")).as("n_fp_b"))
+      .withColumn("contain_ppm",
+        expr("n_shared * 1000000 DIV least(n_fp_a, n_fp_b)"))
+      .withColumn("near_dup",
+        (col("contain_ppm") >= AudioMinContainPpm &&
+          col("n_shared") >= AudioMinShared).cast("int").cast("long"))
+      .select("doc_a", "doc_b", "n_shared", "contain_ppm", "near_dup")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q200's oracle rebuilds the fingerprints from scratch in integer
+    * SQL: ord() code points → 16-sample frame energies → peak frames
+    * (strict-left / at-or-above-right) → packed peak-pair hashes →
+    * identical guard, pairing, and containment algebra.
+    */
+  val q200Oracle: String = {
+    import graft.functions.VectorExpressions.AudioLandmarks._
+    s"""WITH aud AS (
+       |  SELECT doc_id, substr(text, 1, $SigChars) AS sig
+       |  FROM documents
+       |  WHERE CAST(substr(source, 4) AS INT) % 3 = 1
+       |    AND lang = 'en' AND length(text) >= 160),
+       |cps AS (
+       |  SELECT doc_id, [CAST(ord(c) AS BIGINT)
+       |    for c in regexp_split_to_array(sig, '') if c != ''] AS cps
+       |  FROM aud),
+       |fr AS (
+       |  SELECT doc_id, (i - 1) // $FrameLen AS f, sum(cps[i]) AS e,
+       |    len(cps) // $FrameLen AS nf
+       |  FROM cps, unnest(generate_series(1, (len(cps) // $FrameLen) * $FrameLen)) AS t(i)
+       |  GROUP BY 1, 2, 4),
+       |nbr AS (
+       |  SELECT doc_id, f, e, nf,
+       |    lag(e)  OVER (PARTITION BY doc_id ORDER BY f) AS ep,
+       |    lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS en
+       |  FROM fr WHERE nf >= 3),
+       |pk AS (
+       |  SELECT doc_id, f, e,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+       |  FROM nbr
+       |  WHERE f >= 1 AND f <= nf - 2 AND e > ep AND e >= en),
+       |fps AS (
+       |  SELECT DISTINCT a.doc_id,
+       |    ((a.e & ${EnergyMask}) << 20) | ((b.e & ${EnergyMask}) << 8)
+       |      | least(b.f - a.f, $MaxDt) AS fp
+       |  FROM pk a JOIN pk b
+       |    ON a.doc_id = b.doc_id AND b.rn BETWEEN a.rn + 1 AND a.rn + $FanOut),
+       |perdoc AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+       |sizes AS (SELECT fp, count(*) AS n FROM fps GROUP BY 1),
+       |jb AS (SELECT fps.* FROM fps JOIN sizes USING (fp)
+       |       WHERE n > 1 AND n <= $AudioMaxBucket),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM jb a JOIN jb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST(n_shared * 1000000 // least(pa.n_fp, pb.n_fp) AS BIGINT)
+       |    AS contain_ppm,
+       |  CAST(CASE WHEN n_shared * 1000000 // least(pa.n_fp, pb.n_fp)
+       |    >= $AudioMinContainPpm AND n_shared >= $AudioMinShared
+       |    THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+       |FROM shared
+       |  JOIN perdoc pa ON doc_a = pa.doc_id
+       |  JOIN perdoc pb ON doc_b = pb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- Bigram-LM quality scoring (q201) ------------------------------------
+
+  /** Extra bits charged when a scored bigram was never seen in training
+    * (the backoff penalty of a stupid-backoff LM, in whole bits). */
+  private val LmBackoffBits = 3L
+
+  /** q201: BIGRAM-LM SCORING — the CCNet recipe (Wenzek 2020: score
+    * candidate documents by the perplexity of an n-gram LM trained on a
+    * trusted slice) in exact integer "bits": an 80% train slice
+    * (doc_id % 5 ≠ 0) yields unigram and bigram counts; each held-out
+    * document's bigrams are charged
+    * `floorlog2(c(w1)) − floorlog2(c(w1,w2))` bits when seen (the
+    * integer surrogate of −log2 P(w2|w1)), else the stupid-backoff
+    * charge `LmBackoffBits + floorlog2(T) − floorlog2(c(w2))` (unseen
+    * w2 counts as 1), T = total train tokens. Output: per held-out doc,
+    * bigram count and milli-bits-per-bigram — the ranking CCNet buckets
+    * on (head/middle/tail). floorlog2 via `length(bin(x))`, the q121
+    * convention, so both engines compute identical integers.
+    *
+    * Scale: token/bigram exchanges are keyed on the words themselves —
+    * vocabulary-sized aggregates, corpus-sized explodes, no broadcast
+    * of the vocab (count tables join shuffle-side); the single-row
+    * total rides a bounded broadcast (q85 discipline). Bigrams are
+    * built map-side by a `transform` over the split array — no
+    * per-doc window sort. The 80% train slice is scanned ONCE: unigram
+    * and bigram counts fuse into a single (kind, k1, k2) aggregate
+    * (three lookups ride ONE equi-join on it as exploded rows — a
+    * filtered per-kind view would push the kind predicate through the
+    * aggregate and fork it into per-kind corpus scans), the train-total
+    * aggregate reuses the same exchange, and each distinct scored
+    * bigram TYPE is priced once before documents pay
+    * multiplicity × price (the 20% scored slice pays a second scan for
+    * the type vocabulary — the cheap slice, by construction).
+    */
+  def q201BigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("a"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val scored = docs.filter(col("doc_id") % 5 === 0)
+    // ONE train-side scan: unigram and bigram keys ride one explode
+    // into one aggregate ((kind, k1, k2) — kind 0 = unigram with a ''
+    // sentinel k2, impossible as a real token next to another); the cu /
+    // cb / total consumers below all hang off that aggregate's exchange
+    // (ReusedExchange), not off fresh corpus scans
+    // the explicit isnotnull guards below are semantic no-ops (split()
+    // never yields null tokens) but are load-bearing for the PLAN: the
+    // lookup joins INFER them on their inputs, and an inferred filter
+    // pushed through an aggregate's grouping keys forks the subtree —
+    // writing them here keeps every consumer's subtree byte-identical,
+    // so the aggregate exchanges are computed once (ReusedExchange)
+    val counts = train.select(explode(expr(
+        "concat(" +
+        "  transform(a, w -> struct(0L AS kind, w AS k1, '' AS k2))," +
+        "  CASE WHEN size(a) >= 2 THEN" + // sequence(2,1) runs DESCENDING
+        "    transform(sequence(2, size(a))," +
+        "      i -> struct(1L AS kind, a[i-2] AS k1, a[i-1] AS k2))" +
+        "  ELSE array() END)")).as("t"))
+      .filter(col("t.k1").isNotNull && col("t.k2").isNotNull)
+      .groupBy(col("t.kind").as("kind"), col("t.k1").as("k1"),
+        col("t.k2").as("k2"))
+      .agg(count(lit(1)).as("c"))
+    // no filtered views of `counts` anywhere: a kind = 0/1 filter (or a
+    // join-condition constant) would PUSH THROUGH the aggregate and fork
+    // it into per-kind corpus scans — every lookup goes through one
+    // equi-join on the aggregate's own (kind, k1, k2) partitioning
+    val tot = counts.agg(
+      sum(when(col("kind") === 0, col("c"))).as("t"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(a)), i -> struct(a[i-2] AS w1, a[i-1] AS w2))")).as("bg"))
+      .filter(col("bg.w1").isNotNull && col("bg.w2").isNotNull)
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    def fb(c: Column): Column = length(bin(c)).cast("long")
+    // price each DISTINCT bigram type once (three lookups ride one
+    // join as exploded rows); documents then pay multiplicity × price
+    val bgm = bigrams(scored).groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
+    val priced = bgm.select("w1", "w2").distinct()
+      .select(col("w1"), col("w2"), explode(array(
+        struct(lit(1L).as("kind"), col("w1").as("k1"), col("w2").as("k2"),
+          lit(0).as("look")),
+        struct(lit(0L).as("kind"), col("w1").as("k1"), lit("").as("k2"),
+          lit(1).as("look")),
+        struct(lit(0L).as("kind"), col("w2").as("k1"), lit("").as("k2"),
+          lit(2).as("look")))).as("l"))
+      .select(col("w1"), col("w2"), col("l.kind").as("kind"),
+        col("l.k1").as("k1"), col("l.k2").as("k2"), col("l.look").as("look"))
+      .join(counts, Seq("kind", "k1", "k2"), "left")
+      .groupBy("w1", "w2")
+      .agg(max(when(col("look") === 0, col("c"))).as("cb"),
+        max(when(col("look") === 1, col("c"))).as("cu1"),
+        max(when(col("look") === 2, col("c"))).as("cu2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bits", when(col("cb").isNotNull,
+          greatest(lit(0L), fb(col("cu1")) - fb(col("cb"))))
+        .otherwise(lit(LmBackoffBits) + fb(col("t")) -
+          fb(coalesce(col("cu2"), lit(1L)))))
+      .select("w1", "w2", "bits")
+    bgm.join(priced, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"),
+        sum(col("bits") * col("m")).as("sum_bits"))
+      .withColumn("milli_bits", expr("sum_bits * 1000 DIV n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val q201Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+       |  FROM documents),
+       |tr AS (SELECT * FROM d WHERE doc_id % 5 != 0),
+       |sc AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+       |cu AS (SELECT w, count(*) AS c
+       |       FROM (SELECT unnest(a) AS w FROM tr) GROUP BY 1),
+       |tot AS (SELECT sum(c) AS t FROM cu),
+       |cb AS (SELECT w1, w2, count(*) AS c FROM (
+       |         SELECT a[i-1] AS w1, a[i] AS w2
+       |         FROM tr, unnest(generate_series(2, len(a))) AS s(i))
+       |       GROUP BY 1, 2),
+       |bg AS (SELECT doc_id, a[i-1] AS w1, a[i] AS w2
+       |       FROM sc, unnest(generate_series(2, len(a))) AS s(i)),
+       |sb AS (
+       |  SELECT doc_id,
+       |    CASE WHEN cb.c IS NOT NULL
+       |      THEN greatest(0, length(bin(cu1.c)) - length(bin(cb.c)))
+       |      ELSE $LmBackoffBits + length(bin(tot.t))
+       |           - length(bin(coalesce(cu2.c, 1))) END AS bits
+       |  FROM bg
+       |    LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+       |    LEFT JOIN cu cu1 ON bg.w1 = cu1.w
+       |    LEFT JOIN cu cu2 ON bg.w2 = cu2.w, tot)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+       |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS milli_bits
+       |FROM sb GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // --- DSIR importance selection (q202) ------------------------------------
+
+  /** Hashed feature-space size (buckets) for the DSIR importance model. */
+  private val DsirBuckets = 8192L
+
+  /** Number of raw documents the importance rank selects. */
+  private val DsirTopK = 100
+
+  /** q202: DSIR SELECTION — data selection via importance resampling
+    * (Xie 2023: pick raw-corpus documents whose hashed-n-gram feature
+    * distribution looks like a curated target): word bigrams hash into
+    * [[DsirBuckets]] buckets ([[graft.functions.PolyHash]], the
+    * engine-portable family); per bucket, target and raw occurrence
+    * counts give an integer log-likelihood-ratio surrogate
+    * `floorlog2(ct+1) − floorlog2(cr+1)`; a raw document's importance
+    * is the sum of its features' ratios, and the top-[[DsirTopK]] by
+    * (importance, doc_id) are selected. Target slice: source id % 4 = 0
+    * (the "curated" stand-in).
+    *
+    * Scale: the feature space is FIXED ([[DsirBuckets]] rows), so the
+    * ratio table broadcasts — scoring is one corpus scan with a
+    * map-side hash join, no shuffle on the corpus; the result is a
+    * TakeOrderedAndProject top-K, never a global sort.
+    */
+  def q202Dsir(s: SparkSession, d: String): DataFrame = {
+    val isTarget = pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) === 0
+    val feats = documents(s, d)
+      .select(col("doc_id"), isTarget.as("is_target"),
+        split(trim(lower(col("text"))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), col("is_target"), explode(expr(
+        "transform(sequence(2, size(a)), i -> concat(a[i-2], ' ', a[i-1]))")).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(VectorExpressions.hornerHash(col("g")), lit(DsirBuckets)).as("b"))
+    val ratios = feats
+      .groupBy("b")
+      .agg(count_if(col("is_target")).as("ct"),
+        count_if(!col("is_target")).as("cr"))
+      .withColumn("lr",
+        (length(bin(col("ct") + 1)) - length(bin(col("cr") + 1))).cast("long"))
+      .select("b", "lr")
+    feats.filter(!col("is_target"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  val q202Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS INT) % 4 = 0 AS is_target,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, is_target,
+       |    ${PolyHash.hornerSql("a[i-1] || ' ' || a[i]")} % $DsirBuckets AS b
+       |  FROM d, unnest(generate_series(2, len(a))) AS s(i)
+       |  WHERE len(a) >= 2),
+       |r AS (
+       |  SELECT b,
+       |    CAST(length(bin(count(*) FILTER (is_target) + 1))
+       |       - length(bin(count(*) FILTER (NOT is_target) + 1)) AS BIGINT) AS lr
+       |  FROM f GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_feats, CAST(sum(lr) AS BIGINT) AS importance
+       |FROM f JOIN r USING (b)
+       |WHERE NOT is_target
+       |GROUP BY 1
+       |ORDER BY importance DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
 }
