@@ -64,4 +64,57 @@ object Connectors {
        |  CAST(min(item.value) AS DOUBLE) AS min_value,
        |  CAST(max(item.value) AS DOUBLE) AS max_value
        |FROM pages GROUP BY page ORDER BY page""".stripMargin
+
+  /** q203: REST PUSHDOWN PLANNING — the connector's page-predicate
+    * pruning and envelope COUNT pushdown under the driver gate: a
+    * `page BETWEEN 1 AND 3` predicate is claimed fully (pages 0 and 4
+    * are never planned — REST partition pruning), the row-scanned
+    * per-page aggregate rides the pruned scan, and `envelope_n` comes
+    * from the COUNT(*) GROUP BY page scan that fetches ZERO pages
+    * (envelope `total`/`page_size` arithmetic — the X-Total-Count
+    * path). The join certifies envelope-vs-bytes consistency: every
+    * page's served item count must equal its envelope count.
+    * Plan shape (pruned partitions, no residual Filter, pushed
+    * aggregate) is pinned in ConnectorsSpec.
+    */
+  def q203RestPushdown(s: SparkSession, d: String): DataFrame = {
+    def src = s.read.format("graft-rest")
+      .option("pages", RestCatalogDir)
+      .option("pagesPerPartition", 2)
+      .option("strict", true)
+      .load()
+      .filter(col("page") >= 1 && col("page") <= 3)
+    val rowsAgg = src
+      .groupBy(col("page").cast("long").as("page"))
+      .agg(count(lit(1)).as("n_items"), sum(col("id")).as("sum_id"))
+    val envCount = src.groupBy("page").count()
+      .select(col("page").cast("long").as("page"),
+        col("count").as("envelope_n"))
+    rowsAgg.join(envCount, Seq("page")).orderBy("page")
+  }
+
+  /** The oracle rebuilds `envelope_n` from the ENVELOPE fields (not by
+    * counting items), so the cross-engine hash certifies the
+    * connector's page-size arithmetic against the published metadata.
+    */
+  val q203Oracle: String =
+    s"""WITH env AS (
+       |  SELECT CAST(total AS BIGINT) AS t, CAST(page_size AS BIGINT) AS ps
+       |  FROM read_json_auto('$RestCatalogDir/page-0.json')),
+       |sizes AS (
+       |  SELECT p AS page,
+       |    CASE WHEN p = (t + ps - 1) // ps - 1
+       |      THEN t - ((t + ps - 1) // ps - 1) * ps ELSE ps END AS envelope_n
+       |  FROM env, unnest(generate_series(0, (t + ps - 1) // ps - 1)) AS g(p)
+       |  WHERE p BETWEEN 1 AND 3),
+       |items AS (
+       |  SELECT CAST(regexp_extract(filename, 'page-(\\d+)', 1) AS BIGINT)
+       |      AS page,
+       |    unnest(items) AS item
+       |  FROM read_json_auto('$RestCatalogDir/page-*.json', filename=true)),
+       |agg AS (
+       |  SELECT page, count(*) AS n_items, CAST(sum(item.id) AS BIGINT) AS sum_id
+       |  FROM items WHERE page BETWEEN 1 AND 3 GROUP BY page)
+       |SELECT agg.page, n_items, sum_id, envelope_n
+       |FROM agg JOIN sizes USING (page) ORDER BY page""".stripMargin
 }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -39,6 +40,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): a 2-column
   *     projection materializes 2 fields per item, same contract as the
   *     parquet scans.
+  *   - PAGE-PREDICATE PUSHDOWN ([[SupportsPushDownFilters]]): `page`
+  *     range/IN predicates prune PAGES at planning — the REST analogue
+  *     of partition pruning — and are claimed fully (`page` is attached
+  *     from the page index, so the predicate holds by construction).
+  *   - COUNT PUSHDOWN ([[SupportsPushDownAggregates]]): COUNT(*),
+  *     optionally GROUP BY page and under pushed page predicates, is
+  *     answered from the envelope's `total`/`page_size` arithmetic —
+  *     the `X-Total-Count` a live API serves — fetching ZERO pages.
   *   - PER-PAGE FAILURE ISOLATION: a missing/malformed page logs and
   *     contributes zero rows under `strict=false` (the [[WeatherV2]]
   *     per-market discipline); `strict=true` fails the scan for
@@ -103,50 +112,198 @@ final class PagedRestTable(options: CaseInsensitiveStringMap)
     new PagedRestWriteBuilder(options, info)
 }
 
+/** Intersection of pushed `page` predicates: a closed [lo, hi] range
+  * plus an optional explicit page set (from IN). */
+final case class PageBounds(
+    lo: Long = 0L, hi: Long = Long.MaxValue, inSet: Option[Set[Long]] = None) {
+  def and(other: PageBounds): PageBounds = PageBounds(
+    math.max(lo, other.lo), math.min(hi, other.hi),
+    (inSet, other.inSet) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    })
+  def isAll: Boolean = lo == 0L && hi == Long.MaxValue && inSet.isEmpty
+}
+
+/** Aggregate shapes the envelope can answer without reading a page. */
+private[v2] sealed trait PagedRestAgg
+private[v2] case object CountAll extends PagedRestAgg
+private[v2] case object CountByPage extends PagedRestAgg
+
 final class PagedRestScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = PagedRestV2.Schema
   private var limit: Option[Int] = None
+  private var bounds: PageBounds = PageBounds()
+  private var accepted: Array[Filter] = Array.empty
+  private var agg: Option[PagedRestAgg] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
   override def pushLimit(l: Int): Boolean = {
-    limit = Some(l)
+    // a limit ABOVE a pushed aggregate must not shrink the page math
+    if (agg.isEmpty) limit = Some(l)
     false // PARTIAL pushdown: fewer pages planned, Spark still trims rows
   }
+
+  /** `page` predicates prune PAGES at planning — the REST analogue of
+    * partition pruning. They are claimed FULLY (not re-evaluated by
+    * Spark): `page` is attached by the reader from the page index, so
+    * `page = i ⇔ row came from page-i` holds by construction. Anything
+    * else stays Spark-side.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def long(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    val (ours, residual) = filters.partition {
+      case EqualTo("page", v) => long(v).isDefined
+      case GreaterThan("page", v) => long(v).isDefined
+      case GreaterThanOrEqual("page", v) => long(v).isDefined
+      case LessThan("page", v) => long(v).isDefined
+      case LessThanOrEqual("page", v) => long(v).isDefined
+      case In("page", vs) => vs.forall(long(_).isDefined)
+      case IsNotNull("page") => true // page is never null
+      case _ => false
+    }
+    ours.foreach {
+      case EqualTo(_, v) =>
+        bounds = bounds.and(PageBounds(long(v).get, long(v).get))
+      case GreaterThan(_, v) => bounds = bounds.and(PageBounds(lo = long(v).get + 1))
+      case GreaterThanOrEqual(_, v) => bounds = bounds.and(PageBounds(lo = long(v).get))
+      case LessThan(_, v) => bounds = bounds.and(PageBounds(hi = long(v).get - 1))
+      case LessThanOrEqual(_, v) => bounds = bounds.and(PageBounds(hi = long(v).get))
+      case In(_, vs) =>
+        bounds = bounds.and(PageBounds(inSet = Some(vs.flatMap(long).toSet)))
+      case IsNotNull(_) => ()
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    accepted = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  /** COUNT(*) — optionally grouped by `page` — is answered from the
+    * ENVELOPE (`total` + `page_size` give every page's exact item
+    * count), the way a live API answers `X-Total-Count` without
+    * serving a single item: ZERO pages are fetched. Complete pushdown;
+    * composes with pushed page filters (the count of a page range is
+    * envelope arithmetic too).
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    classify(aggregation).isDefined
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    agg = classify(aggregation)
+    agg.isDefined
+  }
+  private def classify(a: Aggregation): Option[PagedRestAgg] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val countsOnly = a.aggregateExpressions.length == 1 &&
+      a.aggregateExpressions.forall(_.isInstanceOf[CountStar]) && limit.isEmpty
+    a.groupByExpressions match {
+      case Array() if countsOnly => Some(CountAll)
+      case Array(r: NamedReference)
+          if countsOnly && r.fieldNames.sameElements(Array("page")) =>
+        Some(CountByPage)
+      case _ => None
+    }
+  }
+
   override def build(): Scan = {
     val pagesDir = Option(options.get("pages")).getOrElse(
       throw new IllegalArgumentException(
         "graft-rest requires option 'pages' (directory of page-<i>.json)"))
     new PagedRestScan(pagesDir,
       options.getInt("pagesPerPartition", 4),
-      options.getBoolean("strict", false), required, limit)
+      options.getBoolean("strict", false), required, limit, bounds, agg)
   }
 }
 
 final class PagedRestScan(
     pagesDir: String, pagesPerPartition: Int, strict: Boolean,
-    required: StructType, limit: Option[Int]) extends Scan with Batch {
+    required: StructType, limit: Option[Int], bounds: PageBounds,
+    agg: Option[PagedRestAgg]) extends Scan with Batch {
   require(pagesPerPartition > 0, "pagesPerPartition must be positive")
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg match {
+    case Some(CountAll) => StructType(Seq(
+      StructField("count(*)", LongType, nullable = false)))
+    case Some(CountByPage) => StructType(Seq(
+      StructField("page", IntegerType, nullable = false),
+      StructField("count(*)", LongType, nullable = false)))
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-rest pages=$pagesDir limit=${limit.getOrElse(-1)}"
+    s"graft-rest pages=$pagesDir limit=${limit.getOrElse(-1)}" +
+      (if (bounds.isAll) "" else {
+        val in = bounds.inSet.map(s => s.toSeq.sorted.mkString("{", ",", "}"))
+        s" pushedPages=[${bounds.lo}..${bounds.hi}]${in.getOrElse("")}"
+      }) +
+      agg.map(a => s" pushedAggregate=$a").getOrElse("")
+
+  /** Selected pages under the pushed bounds, as chunked contiguous
+    * runs; O(selected partitions) when no IN set is present. */
+  private def selected(wanted: Long): Array[PagedRestPartition] = {
+    val lo = math.max(0L, bounds.lo)
+    val hi = math.min(wanted - 1, bounds.hi)
+    if (hi < lo) return Array.empty
+    bounds.inSet match {
+      case None =>
+        (lo to hi by pagesPerPartition.toLong).map { first =>
+          PagedRestPartition(pagesDir,
+            first, math.min(first + pagesPerPartition - 1, hi))
+        }.toArray
+      case Some(s) =>
+        val sel = s.filter(p => p >= lo && p <= hi).toArray.sorted
+        // consecutive runs, each chunked to pagesPerPartition
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sel.foreach { p =>
+          runs.lastOption match {
+            case Some((f, l)) if p == l + 1 => runs(runs.length - 1) = (f, p)
+            case _ => runs += ((p, p))
+          }
+        }
+        runs.toArray.flatMap { case (f, l) =>
+          (f to l by pagesPerPartition.toLong).map { first =>
+            PagedRestPartition(pagesDir,
+              first, math.min(first + pagesPerPartition - 1, l))
+          }
+        }
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (total, pageSize) = PagedRestV2.probe(pagesDir)
     val nPages = math.max(1L, (total + pageSize - 1) / pageSize)
-    // limit n needs only the first ceil(n / pageSize) pages (rows are
-    // dense within pages by the envelope contract)
-    val wanted = limit match {
-      case Some(n) => math.min(nPages,
-        math.max(1L, (n.toLong + pageSize - 1) / pageSize))
-      case None => nPages
+    agg match {
+      case Some(shape) =>
+        // envelope arithmetic — no page is ever fetched: every page
+        // holds page_size items except the last (total - rest)
+        def size(p: Long): Long =
+          if (p == nPages - 1) total - (nPages - 1) * pageSize else pageSize
+        val pages = selected(nPages).flatMap(pt => pt.firstPage to pt.lastPage)
+        val rows: Array[Array[Long]] = shape match {
+          case CountAll => Array(Array(pages.map(size).sum))
+          case CountByPage => pages.map(p => Array(p, size(p)))
+        }
+        Array(PagedRestAggPartition(rows, shape == CountByPage))
+      case None =>
+        // limit n needs only the first ceil(n / pageSize) pages (rows
+        // are dense within pages by the envelope contract)
+        val wanted = limit match {
+          case Some(n) => math.min(nPages,
+            math.max(1L, (n.toLong + pageSize - 1) / pageSize))
+          case None => nPages
+        }
+        selected(wanted).asInstanceOf[Array[InputPartition]]
     }
-    (0L until wanted by pagesPerPartition.toLong).map { first =>
-      PagedRestPartition(pagesDir,
-        first, math.min(first + pagesPerPartition, wanted) - 1)
-    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -156,11 +313,29 @@ final class PagedRestScan(
 final case class PagedRestPartition(pagesDir: String, firstPage: Long, lastPage: Long)
     extends InputPartition
 
+/** Driver-precomputed aggregate rows (envelope arithmetic) — the
+  * "scan" that fetches nothing. */
+final case class PagedRestAggPartition(rows: Array[Array[Long]], byPage: Boolean)
+    extends InputPartition
+
 final class PagedRestReaderFactory(strict: Boolean, fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagedRestPartitionReader(
-      partition.asInstanceOf[PagedRestPartition], strict, fields)
+    partition match {
+      case a: PagedRestAggPartition => new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < a.rows.length }
+        override def get(): InternalRow = {
+          val r = a.rows(i)
+          if (a.byPage)
+            new GenericInternalRow(Array[Any](Int.box(r(0).toInt), Long.box(r(1))))
+          else new GenericInternalRow(Array[Any](Long.box(r(0))))
+        }
+        override def close(): Unit = {}
+      }
+      case p: PagedRestPartition =>
+        new PagedRestPartitionReader(p, strict, fields)
+    }
 }
 
 /** Executor-side reader: fetches this partition's page range one page at

@@ -45,6 +45,26 @@ class ConnectorsSpec extends SparkSpec {
     assert(rows(4L) == ((2L, 2L, 33L, 8.25)))
   }
 
+  test("q203's certified plan prunes pages and pushes the envelope count") {
+    val df = Connectors.q203RestPushdown(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.length == 2, "one pruned row scan + one envelope-count scan")
+    val descs = scans.map(_.scan.description())
+    assert(descs.forall(_.contains("pushedPages=[1..3]")),
+      s"both scans must carry the pruned page range: $descs")
+    assert(descs.exists(_.contains("pushedAggregate=CountByPage")),
+      s"the envelope-count branch must push the aggregate: $descs")
+    // pages 1-3 at pagesPerPartition=2 -> 2 partitions on the row scan;
+    // the aggregate scan is the single driver-computed partition
+    assert(scans.map(_.inputRDD.getNumPartitions).sorted.toSeq == Seq(1, 2))
+    // fully-claimed page predicates: no Spark-side Filter survives
+    assert(df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty, "page predicates must not leave a residual Filter")
+  }
+
   test("q197's registered plan carries the rewrite: no Window, a pre-agg join") {
     val df = Relational.q197WindowRewrite(spark, sf)
     val plan = df.queryExecution.optimizedPlan

@@ -51,7 +51,8 @@ class PagedRestV2Spec extends SparkSpec {
   test("planning packs pages into pagesPerPartition-sized partitions") {
     val dir = writePages(total = 23, pageSize = 5) // 5 pages
     def plan(ppp: Int, limit: Option[Int]) =
-      new PagedRestScan(dir, ppp, strict = true, PagedRestV2.Schema, limit)
+      new PagedRestScan(dir, ppp, strict = true, PagedRestV2.Schema, limit,
+          graft.sources.v2.PageBounds(), None)
         .planInputPartitions().map(_.asInstanceOf[PagedRestPartition])
     val p2 = plan(2, None)
     assert(p2.map(p => (p.firstPage, p.lastPage)).toSeq ==
@@ -62,7 +63,8 @@ class PagedRestV2Spec extends SparkSpec {
   test("limit pushdown plans only the needed page prefix") {
     val dir = writePages(total = 23, pageSize = 5)
     def pages(limit: Int) =
-      new PagedRestScan(dir, 1, strict = true, PagedRestV2.Schema, Some(limit))
+      new PagedRestScan(dir, 1, strict = true, PagedRestV2.Schema, Some(limit),
+          graft.sources.v2.PageBounds(), None)
         .planInputPartitions().length
     assert(pages(7) == 2, "limit 7 at page_size 5 needs 2 pages")
     assert(pages(5) == 1)
@@ -109,5 +111,68 @@ class PagedRestV2Spec extends SparkSpec {
       """{"items": []}""".getBytes("UTF-8"))
     val e = intercept[Exception](read(dir).collect())
     assert(e.getMessage != null)
+  }
+
+  test("page predicates prune pages at planning and are claimed fully") {
+    import org.apache.spark.sql.functions.col
+    // meta.json carries planning; page-0 is CORRUPT and strict=true, so
+    // the test passes only if the pruned scan never touches page 0
+    val dir = writePages(total = 23, pageSize = 5, corrupt = Set(0))
+    Files.write(Paths.get(s"$dir/meta.json"),
+      """{"total": 23, "page_size": 5}""".getBytes("UTF-8"))
+    val df = read(dir, "strict" -> "true")
+      .filter(col("page") >= 1 && col("page") <= 2)
+    assert(df.collect().map(_.getLong(0)).toSet == (5L until 15L).toSet)
+    // fully claimed: no Spark-side Filter remains above the scan
+    assert(df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty, "page predicates must not leave a residual Filter node")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.inputRDD.getNumPartitions == 1, "pages 1-2 pack into one partition")
+  }
+
+  test("IN-set pruning plans gapped page runs") {
+    import org.apache.spark.sql.functions.col
+    val dir = writePages(total = 23, pageSize = 5, corrupt = Set(2))
+    Files.write(Paths.get(s"$dir/meta.json"),
+      """{"total": 23, "page_size": 5}""".getBytes("UTF-8"))
+    val df = read(dir, "strict" -> "true", "pagesPerPartition" -> "2")
+      .filter(col("page").isin(0, 1, 3))
+    // corrupt page 2 is never planned; runs (0,1) and (3,3)
+    assert(df.collect().map(_.getInt(3)).toSet == Set(0, 1, 3))
+    // non-page predicates stay residual alongside the pruning
+    val mixed = read(dir, "strict" -> "true")
+      .filter(col("page").isin(0, 1, 3) && col("id") % 2 === 0)
+    assert(mixed.collect().map(_.getLong(0)).forall(_ % 2 == 0))
+  }
+
+  test("count(*) is answered from the envelope, fetching zero pages") {
+    import org.apache.spark.sql.functions.col
+    // ONLY meta.json exists — any attempt to read a page would throw
+    val dir = Files.createTempDirectory("graft_rest_meta_").toString
+    Files.write(Paths.get(s"$dir/meta.json"),
+      """{"total": 23, "page_size": 5}""".getBytes("UTF-8"))
+    val df = read(dir, "strict" -> "true")
+    assert(df.count() == 23L)
+    // grouped by the pagination key: one exact row per page
+    val perPage = df.groupBy("page").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perPage == Map(0 -> 5L, 1 -> 5L, 2 -> 5L, 3 -> 5L, 4 -> 3L))
+    // composes with pushed page predicates: still pure envelope math
+    assert(df.filter(col("page") >= 3).count() == 8L)
+    // and the plan says so
+    val agg = df.groupBy("page").count()
+    assert(agg.queryExecution.executedPlan.toString.contains("pushedAggregate"),
+      "plan should surface the pushed aggregate")
+  }
+
+  test("non-count aggregates fall back to the row scan") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = writePages(total = 23, pageSize = 5)
+    val got = read(dir, "strict" -> "true")
+      .agg(sum(col("id"))).collect()(0).getLong(0)
+    assert(got == (0 until 23).sum.toLong)
   }
 }
