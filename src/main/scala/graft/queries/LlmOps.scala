@@ -4516,22 +4516,22 @@ object LlmOps {
     * [[AudioMaxBucket]]. Restricted to lang = 'en' for engine
     * char-code parity (q29 discipline).
     */
-  def q200AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+  /** Shared tail of the fingerprint-containment near-dup family
+    * (q200 audio, q204 video): `fps` is a DISTINCT (doc_id, fp) frame.
+    * ONE corpus scan: the per-doc fingerprint count rides a doc_id
+    * window on the fingerprint frame and flows THROUGH the self-join,
+    * so no second scan-and-extract pass attaches it at the end; the fp
+    * exchange carries the windowed bucket-size guard over the
+    * partitioning the self-join needs anyway (ReusedExchange).
+    */
+  private def containmentPairs(fps: DataFrame, maxBucket: Long,
+      minContainPpm: Long, minShared: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val kindIsAudio =
-      pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) === 1
-    // ONE corpus scan: the per-doc fingerprint count rides a doc_id
-    // window on the fingerprint frame and flows THROUGH the self-join,
-    // so no second scan-and-extract pass attaches it at the end
-    val fps = documents(s, d)
-      .filter(kindIsAudio && col("lang") === "en" && length(col("text")) >= 160)
-      .select(col("doc_id"),
-        explode(VectorExpressions.audioLandmarks(col("text"))).as("fp"))
-      .distinct()
+    val counted = fps
       .withColumn("n_fp", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val joinable = fps
+    val joinable = counted
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("bucket_size") > 1 && col("bucket_size") <= AudioMaxBucket)
+      .filter(col("bucket_size") > 1 && col("bucket_size") <= maxBucket)
       .select("doc_id", "fp", "n_fp")
     joinable.as("a")
       .join(joinable.as("b"), Seq("fp"))
@@ -4542,10 +4542,21 @@ object LlmOps {
       .withColumn("contain_ppm",
         expr("n_shared * 1000000 DIV least(n_fp_a, n_fp_b)"))
       .withColumn("near_dup",
-        (col("contain_ppm") >= AudioMinContainPpm &&
-          col("n_shared") >= AudioMinShared).cast("int").cast("long"))
+        (col("contain_ppm") >= minContainPpm &&
+          col("n_shared") >= minShared).cast("int").cast("long"))
       .select("doc_a", "doc_b", "n_shared", "contain_ppm", "near_dup")
       .orderBy("doc_a", "doc_b")
+  }
+
+  def q200AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    val kindIsAudio =
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) === 1
+    val fps = documents(s, d)
+      .filter(kindIsAudio && col("lang") === "en" && length(col("text")) >= 160)
+      .select(col("doc_id"),
+        explode(VectorExpressions.audioLandmarks(col("text"))).as("fp"))
+      .distinct()
+    containmentPairs(fps, AudioMaxBucket, AudioMinContainPpm, AudioMinShared)
   }
 
   /** q200's oracle rebuilds the fingerprints from scratch in integer
@@ -4812,5 +4823,256 @@ object LlmOps {
        |WHERE NOT is_target
        |GROUP BY 1
        |ORDER BY importance DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
+  // --- Maintained IVF index (q205) -----------------------------------------
+
+  /** Index-layout version tag (bump to invalidate published layouts). */
+  private val IvfIdxTag = "v1"
+  /** Cells probed per query. */
+  private val IvfIdxNProbe = 3
+  /** Neighbors returned per query. */
+  private val IvfIdxTopK = 5
+
+  /** q205: MAINTAINED IVF INDEX — similarity search the way a 100 TB
+    * deployment actually runs it: the index is BUILT ONCE as a
+    * maintained physical layout ([[graft.sources.Layouts]] publish
+    * protocol, content-keyed by the fixture's identity token) and every
+    * query PROBES it, instead of the per-query cell scans of q25/q106.
+    * Two published artifacts:
+    *
+    *  - `ivfidx_lists`: the corpus parquet-partitioned BY CELL — the
+    *    literal "inverted file": a probe of 3 cells reads 3 directories
+    *    and Spark's DYNAMIC PARTITION PRUNING derives the file filter
+    *    from the probed-cell join itself (spec-pinned via the plan's
+    *    partition filter);
+    *  - `ivfidx_cents`: per-cell integer-quantized centroid components
+    *    (the q81 2^20 quantization, exact cross-engine), 10 cells ×
+    *    64 dims — broadcast-sized forever (|cells| ≪ corpus).
+    *
+    * The probe ranks cells per query by the exact-integer quantized dot
+    * product against the centroid table, probes the top
+    * [[IvfIdxNProbe]], and returns the exact top-[[IvfIdxTopK]] by
+    * rounded cosine within the probed lists (rank on the ROUNDED value,
+    * vec_id tie-break — cross-engine deterministic).
+    *
+    * Scale: the build is one corpus scan each for lists and centroids
+    * (amortized across every subsequent query by the publish protocol);
+    * a probe touches only nprobe/|cells| of the data, the centroid join
+    * and probed-pair attach ride broadcasts, and the top-K is a bounded
+    * per-query window over probed candidates only.
+    */
+  def q205IvfIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    import org.apache.spark.sql.expressions.Window
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    val qx = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val listsPath = Layouts.ensureDir(s, s"ivfidx_lists_${IvfIdxTag}_$tag") { tmp =>
+      embeddings(s, d).write.partitionBy("label").parquet(tmp)
+    }
+    val centsPath = Layouts.ensureDir(s, s"ivfidx_cents_${IvfIdxTag}_$tag") { tmp =>
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"), qx.as("qx"))
+        .groupBy("label", "pos")
+        // DIV truncates toward zero on both engines (oracle: trunc())
+        .agg(expr("sum(qx) DIV count(1)").as("cq"))
+        .write.parquet(tmp)
+    }
+    val q = embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+        col("vec_id") < lit(RecallQueryMod * RecallMaxQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qq = q.select(col("q_id"), posexplode(col("q_emb")).as(Seq("pos", "x")))
+      .select(col("q_id"), col("pos"), qx.as("qx"))
+    val wCell = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("label").asc)
+    val probed = qq
+      .join(broadcast(s.read.parquet(centsPath)), Seq("pos"))
+      .groupBy("q_id", "label")
+      .agg(sum(col("qx") * col("cq")).as("dot"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= IvfIdxNProbe)
+      .select("q_id", "label")
+      .join(q, Seq("q_id")) // attach q_emb to each probed (query, cell)
+    val wK = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    s.read.parquet(listsPath)
+      .join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorExpressions.cosine(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= IvfIdxTopK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** q205's oracle replays build + probe from the raw table: quantized
+    * centroid means (trunc division — Spark's DIV), exact-integer cell
+    * ranking, probed-cell candidate set, rounded-cosine top-K.
+    */
+  val q205Oracle: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, p,
+       |    CAST(round(CAST(embedding[p] AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(p)),
+       |cents AS (
+       |  SELECT label, p,
+       |    CAST(trunc(CAST(sum(qx) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM ex GROUP BY 1, 2),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % $RecallQueryMod = 0
+       |    AND vec_id < ${RecallQueryMod * RecallMaxQueries}),
+       |qq AS (
+       |  SELECT q_id, p,
+       |    CAST(round(CAST(q_emb[p] AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
+       |  FROM q, unnest(generate_series(1, len(q_emb))) AS g(p)),
+       |cellrank AS (
+       |  SELECT q_id, label,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sum(qx * cq) DESC, label) AS cr
+       |  FROM qq JOIN cents USING (p) GROUP BY q_id, label),
+       |cand AS (
+       |  SELECT pr.q_id, e.vec_id, e.embedding, q.q_emb
+       |  FROM (SELECT q_id, label FROM cellrank WHERE cr <= $IvfIdxNProbe) pr
+       |    JOIN embeddings e ON e.label = pr.label
+       |    JOIN q ON q.q_id = pr.q_id
+       |  WHERE e.vec_id <> pr.q_id),
+       |sims AS (
+       |  SELECT q_id, vec_id,
+       |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS sim
+       |  FROM (SELECT q_id, vec_id, unnest(embedding) AS x, unnest(q_emb) AS y
+       |        FROM cand)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT q_id, vec_id, sim, rank FROM ranked
+       |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
+
+  // --- Video frame-shingle near-dup (q204) ---------------------------------
+
+  /** Characters per stand-in video frame (one pHash thumbnail each). */
+  private val VideoFrameChars = 64
+  /** Frames sampled per video (bounds work per payload). */
+  private val VideoMaxFrames = 16
+  /** Consecutive frames folded into one shingle key. */
+  private val VideoShingle = 3
+  private val VideoMaxBucket = 100L
+  private val VideoMinContainPpm = 500000L
+  private val VideoMinShared = 2L
+
+  /** q204: FRAME-SHINGLE NEAR-DUP — the dedup ring's TEMPORAL-MEDIA
+    * leg, completing the modality square (text q44/q29, image q198,
+    * audio landmarks q200): audio- and video-kind payloads (any medium
+    * with a time axis; images are single-frame and belong to q198) are
+    * frame-sampled ([[VideoMaxFrames]] strides of [[VideoFrameChars]],
+    * the [[graft.multimodal.Multimodal]] frame-sampling discipline),
+    * each frame is perceptually hashed by the SAME
+    * [[graft.functions.VectorExpressions.PHashBands]] kernel q198
+    * certifies — applied INSIDE a higher-order `transform` lambda, so
+    * the native expression runs per frame with no UDF and no
+    * explode-regroup — folded to one sig per frame
+    * ([[graft.functions.PolyHash]] band fold), and runs of
+    * [[VideoShingle]] consecutive sigs become shingle keys (temporal
+    * order matters: reordered scenes ≠ the same video). Candidate
+    * pairs share a shingle; exact shared-shingle containment with a
+    * minimum-evidence flag, the [[containmentPairs]] tail.
+    *
+    * Scale: one corpus scan computes all shingles map-side (payloads
+    * never shuffle — ≤ 14 shingle longs per payload); then the q200
+    * exchange discipline. Restricted to lang = 'en' for engine
+    * char-code parity (q29 discipline).
+    */
+  def q204FrameNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PolyHash
+    val kindIsTemporal =
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) =!= 0
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(PolyHash.BandSeed),
+        (acc, x) => pmod(acc * PolyHash.BandBase + x, lit(PolyHash.Mod)))
+    val nFrames = least(
+      expr(s"CAST(length(text) DIV $VideoFrameChars AS INT)"),
+      lit(VideoMaxFrames))
+    val sigs = transform(sequence(lit(0), nFrames - 1), f =>
+      fold(VectorExpressions.phashBands(
+        col("text").substr(f * VideoFrameChars + 1, lit(VideoFrameChars)))))
+    val shingles = documents(s, d)
+      .filter(kindIsTemporal && col("lang") === "en" &&
+        length(col("text")) >= VideoFrameChars * 4)
+      .select(col("doc_id"), sigs.as("sigs"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("sigs")) - VideoShingle),
+        i => fold(slice(col("sigs"), i + 1, lit(VideoShingle))))).as("fp"))
+      .filter(col("fp").isNotNull)
+      .distinct()
+    containmentPairs(shingles, VideoMaxBucket, VideoMinContainPpm, VideoMinShared)
+  }
+
+  /** q204's oracle rebuilds the per-frame pHash from scratch (the q198
+    * integer block algebra specialized to 64-char frames: one char per
+    * block), folds bands → sig and 3 consecutive sigs → shingle with
+    * the [[graft.functions.PolyHash]] arithmetic, then replays the
+    * q200 guard/pairing/containment tail.
+    */
+  val q204Oracle: String = {
+    import graft.functions.PolyHash.{BandBase, BandSeed, Mod}
+    s"""WITH vids AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE CAST(substr(source, 4) AS INT) % 3 != 0
+       |    AND lang = 'en' AND length(text) >= ${VideoFrameChars * 4}),
+       |frames AS (
+       |  SELECT doc_id, f,
+       |    substr(text, f * $VideoFrameChars + 1, $VideoFrameChars) AS fr
+       |  FROM vids, unnest(generate_series(0,
+       |    least(length(text) // $VideoFrameChars, $VideoMaxFrames) - 1)) AS g(f)),
+       |chars AS (
+       |  SELECT doc_id, f, i, CAST(ord(substr(fr, i, 1)) AS BIGINT) AS cp
+       |  FROM frames, unnest(generate_series(1, $VideoFrameChars)) AS c(i)),
+       |tot AS (SELECT doc_id, f, sum(cp) AS total FROM chars GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT chars.doc_id, chars.f, (i - 1) // 16 AS band,
+       |    CAST(sum(CASE WHEN cp * 64 > total THEN 1 ELSE 0 END
+       |      * (1 << ((i - 1) % 16))) AS BIGINT) AS b
+       |  FROM chars JOIN tot USING (doc_id, f) GROUP BY 1, 2, 3),
+       |sigs AS (
+       |  SELECT doc_id, f,
+       |    list_reduce(list_prepend(CAST($BandSeed AS BIGINT),
+       |      list(b ORDER BY band)),
+       |      (acc, x) -> (acc * $BandBase + x) % $Mod) AS sig
+       |  FROM bands GROUP BY doc_id, f),
+       |sh AS (
+       |  SELECT s0.doc_id,
+       |    ((((($BandSeed * $BandBase + s0.sig) % $Mod)
+       |      * $BandBase + s1.sig) % $Mod)
+       |      * $BandBase + s2.sig) % $Mod AS fp
+       |  FROM sigs s0
+       |    JOIN sigs s1 ON s1.doc_id = s0.doc_id AND s1.f = s0.f + 1
+       |    JOIN sigs s2 ON s2.doc_id = s0.doc_id AND s2.f = s0.f + 2),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM sh),
+       |perdoc AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+       |sizes AS (SELECT fp, count(*) AS n FROM fps GROUP BY 1),
+       |jb AS (SELECT fps.* FROM fps JOIN sizes USING (fp)
+       |       WHERE n > 1 AND n <= $VideoMaxBucket),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM jb a JOIN jb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST(n_shared * 1000000 // least(pa.n_fp, pb.n_fp) AS BIGINT)
+       |    AS contain_ppm,
+       |  CAST(CASE WHEN n_shared * 1000000 // least(pa.n_fp, pb.n_fp)
+       |    >= $VideoMinContainPpm AND n_shared >= $VideoMinShared
+       |    THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+       |FROM shared
+       |  JOIN perdoc pa ON doc_a = pa.doc_id
+       |  JOIN perdoc pb ON doc_b = pb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 }
