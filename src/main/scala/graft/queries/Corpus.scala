@@ -621,10 +621,18 @@ object Corpus {
       .orderBy("query_id", "rank")
   }
 
-  val q84Oracle: String = {
-    val termList = Bm25Queries.flatMap(_._2).distinct
+  val q84Oracle: String = bm25OracleFor(Bm25Queries)
+
+  /** The BM25 oracle parameterized by the query workload — q84 (ad-hoc
+    * scoring) and q206 (maintained postings index) share the exact
+    * integer formula; only the query set differs. The df of a term is
+    * unaffected by restricting tf to the query terms, so the same SQL
+    * certifies both the filtered (q84) and index-wide (q206) builds.
+    */
+  private def bm25OracleFor(queries: Seq[(Long, Seq[String])]): String = {
+    val termList = queries.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
-    val queryRows = Bm25Queries
+    val queryRows = queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
     s"""WITH lens AS (
@@ -654,6 +662,101 @@ object Corpus {
        |  doc_id, CAST(score AS BIGINT) AS score
        |FROM r WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
   }
+
+  // --- Maintained BM25 postings index (q206) -------------------------------
+
+  /** Index-layout version tag. */
+  private val PostIdxTag = "v1"
+  /** Term-hash shards of the postings layout — a probe reads only the
+    * shards its query terms hash into. */
+  private val PostIdxBuckets = 64
+
+  /** q206's workload (disjoint from q84's, so the index path has
+    * independent coverage). */
+  private[queries] val Bm25IdxQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("scan", "filter"),
+    2L -> Seq("vector", "merge"),
+    3L -> Seq("batch", "order", "slow"))
+
+  /** q206: MAINTAINED BM25 POSTINGS INDEX — q84's ranked retrieval the
+    * way a search deployment runs it (the q205 posture for text): the
+    * postings list (term, doc_id, dl, tf, df — df denormalized at
+    * build) is published ONCE as a layout parquet-partitioned by a
+    * 64-way term-hash shard, corpus stats (N, total tokens) as a
+    * second 1-row layout, and a probe reads ONLY the shards its query
+    * terms hash into — a STATIC `bucket IN (...)` partition filter
+    * computed driver-side from the same xxhash64, visible as partition
+    * pruning in the certified plan (spec-pinned). Scoring is q84's
+    * exact-integer BM25 (k1=1.5, b=0.75 in scaled rationals) over the
+    * probed postings only.
+    *
+    * Scale: the build is two corpus scans amortized by the publish
+    * protocol; a probe touches |query-term shards|/64 of the postings
+    * bytes, the workload table is a broadcast, and the top-K rides the
+    * q84 two-stage bucketed-window guard — no corpus-sized sort.
+    */
+  def q206Bm25Index(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "documents")
+    val postPath = Layouts.ensureDir(s, s"bm25post_${PostIdxTag}_$tag") { tmp =>
+      val tf = documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          explode(col("t")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, Seq("term")) // both sides keyed on term — one exchange each
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(PostIdxBuckets)))
+        .write.partitionBy("bucket").parquet(tmp)
+    }
+    val statsPath = Layouts.ensureDir(s, s"bm25stats_${PostIdxTag}_$tag") { tmp =>
+      documents(s, d)
+        .select(size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), sum("dl").as("tt"))
+        .write.parquet(tmp)
+    }
+    // published 1-row stats — the documented bounded-collect pattern
+    val st = s.read.parquet(statsPath).collect()(0)
+    val (n, tt) = (st.getAs[Long]("n"), st.getAs[Long]("tt"))
+    val terms = Bm25IdxQueries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // driver-side shard selection with the SAME hash the build used
+    val qBuckets = Bm25IdxQueries.flatMap(_._2).distinct.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      java.lang.Math.floorMod(h, PostIdxBuckets.toLong)
+    }.distinct
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val ord = Seq(col("score").desc, col("doc_id").asc)
+    val wBucket = Window.partitionBy(col("query_id"), col("__bucket")).orderBy(ord: _*)
+    val wTop = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    s.read.parquet(postPath)
+      .filter(col("bucket").isInCollection(qBuckets)) // static shard pruning
+      .join(broadcast(terms), Seq("term"))
+      .withColumn("num",
+        big(lit(Bm25Scale)) * big(lit(2L * n) - lit(2) * col("df") + lit(1))
+          * big(lit(22)) * big(col("tf")) * big(lit(tt)))
+      .withColumn("den",
+        big(lit(2) * col("df") + lit(1))
+          * (big(lit(10)) * big(lit(tt)) * big(col("tf"))
+            + big(lit(3)) * big(lit(tt))
+            + big(lit(9)) * big(col("dl")) * big(lit(n))))
+      .withColumn("sc", expr("num div den"))
+      .groupBy("query_id", "doc_id").agg(sum("sc").as("score"))
+      .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(Bm25Buckets)))
+      .withColumn("__brank", row_number().over(wBucket))
+      .filter(col("__brank") <= Bm25TopK)
+      .drop("__bucket", "__brank")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q206Oracle: String = bm25OracleFor(Bm25IdxQueries)
 
   /** Misra-Gries capacity for q85: tokens whose corpus share exceeds
     * 1/(HhK+1) ≈ 2.08% are guaranteed-reported. The fixture's 30 common

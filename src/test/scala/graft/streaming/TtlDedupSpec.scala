@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** The transformWithState TTL gate: first arrival admitted with its
+  * same-batch suppression count, repeats suppressed while state lives,
+  * and the event-time timer re-opens the key after the TTL — all
+  * watermark-driven, so the sequence is deterministic.
+  */
+class TtlDedupSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def t(min: Int): Timestamp = new Timestamp(3600_000L + min * 60_000L)
+
+  test("first-seen admission, in-window suppression, TTL re-admission") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedArrival]
+      val gate = TtlDedup.firstSeen(spark, input.toDS(),
+        watermark = "0 seconds", ttlMs = 10 * 60_000L)
+      val q = gate.writeStream.format("memory")
+        .queryName("ttl_gate").outputMode("append").start()
+      try {
+        def emitted(): Seq[(Long, Timestamp, Long)] =
+          spark.table("ttl_gate").as[FirstSeen].collect()
+            .map(f => (f.key, f.first_ts, f.n_suppressed)).toSeq
+
+        // batch 1: key 1 twice (one suppressed in-batch), key 2 once
+        input.addData(KeyedArrival(1, t(0)), KeyedArrival(1, t(1)),
+          KeyedArrival(2, t(0)))
+        q.processAllAvailable()
+        assert(emitted().toSet ==
+          Set((1L, t(0), 1L), (2L, t(0), 0L)))
+
+        // batch 2: key 1 again inside the window -> suppressed; key 3 new
+        input.addData(KeyedArrival(1, t(5)), KeyedArrival(3, t(5)))
+        q.processAllAvailable()
+        assert(emitted().toSet ==
+          Set((1L, t(0), 1L), (2L, t(0), 0L), (3L, t(5), 0L)))
+
+        // advance the watermark past key 1's 10-minute timer (t0+10),
+        // then past the expiry batch so the timer has actually fired
+        input.addData(KeyedArrival(8, t(30)))
+        q.processAllAvailable()
+        input.addData(KeyedArrival(9, t(31)))
+        q.processAllAvailable()
+
+        // key 1 re-arrives after its TTL: admitted as first again
+        input.addData(KeyedArrival(1, t(32)))
+        q.processAllAvailable()
+        assert(emitted().count { case (k, _, _) => k == 1L } == 2,
+          s"key 1 should be re-admitted after TTL: ${emitted()}")
+        assert(emitted().contains((1L, t(32), 0L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
