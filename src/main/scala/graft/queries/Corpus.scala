@@ -758,6 +758,95 @@ object Corpus {
 
   val q206Oracle: String = bm25OracleFor(Bm25IdxQueries)
 
+  // --- Token-budget waterfilling (q207) ------------------------------------
+
+  /** q207: TOKEN-BUDGET WATERFILLING — the mixture-construction
+    * allocator (the step between q69's fixed mixture weights and q93's
+    * per-source caps): given per-source token capacities and a total
+    * training-token budget (40% of the corpus here), find the fair
+    * water level λ such that every source contributes min(capacity, λ)
+    * and the allocations sum EXACTLY to the budget — small sources are
+    * taken whole ("capped"), large ones are cut at λ, and the integer
+    * remainder goes to the first `rem` uncapped sources in
+    * (capacity, source) order, so the result is deterministic to the
+    * token. The capped test `p_{i-1} + cap_i·(n-i+1) ≤ T` over the
+    * capacity-sorted prefix is exact (capped sources form a prefix:
+    * the test value is monotone in i), so no iteration is needed —
+    * one sorted pass replaces the textbook binary search on λ.
+    *
+    * Scale: the corpus contributes ONE keyed token-count aggregate;
+    * everything after runs on the |sources|-sized frame (the
+    * single-partition windows are bounded by the source registry, the
+    * q121 discipline).
+    */
+  def q207TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+      .groupBy("source").agg(sum("dl").as("cap"))
+    val wOrd = Window.orderBy(col("cap").asc, col("source").asc)
+    val wAll = Window.partitionBy()
+    toks
+      .withColumn("budget", expr("sum(cap) OVER () * 2 DIV 5"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("p", sum("cap").over(wOrd))
+      .withColumn("capped",
+        (col("p") - col("cap") + col("cap") * (col("n") - col("i") + 1)
+          <= col("budget")).cast("long"))
+      .withColumn("b", sum("capped").over(wAll))
+      .withColumn("pb",
+        sum(when(col("capped") === 1, col("cap")).otherwise(0L)).over(wAll))
+      .withColumn("lam",
+        expr("IF(n > b, (budget - pb) DIV (n - b), CAST(0 AS BIGINT))"))
+      .withColumn("rem",
+        expr("IF(n > b, (budget - pb) % (n - b), CAST(0 AS BIGINT))"))
+      .withColumn("alloc_tokens", expr(
+        "CASE WHEN capped = 1 THEN cap " +
+        "WHEN i <= b + rem THEN lam + 1 ELSE lam END"))
+      .select(col("source"), col("cap").as("cap_tokens"),
+        col("alloc_tokens"), col("capped"),
+        expr("alloc_tokens * 1000000 DIV budget").as("share_ppm"))
+      .orderBy("source")
+  }
+
+  val q207Oracle: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS cap
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, cap,
+      |    CAST(sum(cap) OVER () * 2 // 5 AS BIGINT) AS budget,
+      |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS n,
+      |    CAST(sum(cap) OVER (ORDER BY cap, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+      |  FROM t),
+      |c AS (
+      |  SELECT *, CASE WHEN p - cap + cap * (n - i + 1) <= budget
+      |    THEN 1 ELSE 0 END AS capped FROM w),
+      |g AS (
+      |  SELECT *, CAST(sum(capped) OVER () AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN capped = 1 THEN cap ELSE 0 END) OVER ()
+      |      AS BIGINT) AS pb FROM c),
+      |a AS (
+      |  SELECT *,
+      |    CASE WHEN n > b THEN (budget - pb) // (n - b) ELSE 0 END AS lam,
+      |    CASE WHEN n > b THEN (budget - pb) % (n - b) ELSE 0 END AS rem
+      |  FROM g),
+      |f AS (
+      |  SELECT source, cap, capped, budget,
+      |    CASE WHEN capped = 1 THEN cap
+      |         WHEN i <= b + rem THEN lam + 1 ELSE lam END AS alloc
+      |  FROM a)
+      |SELECT source, cap AS cap_tokens,
+      |  CAST(alloc AS BIGINT) AS alloc_tokens,
+      |  CAST(capped AS BIGINT) AS capped,
+      |  CAST(alloc * 1000000 // budget AS BIGINT) AS share_ppm
+      |FROM f ORDER BY source""".stripMargin
+
   /** Misra-Gries capacity for q85: tokens whose corpus share exceeds
     * 1/(HhK+1) ≈ 2.08% are guaranteed-reported. The fixture's 30 common
     * tokens sit near 3.3% each (reported); the rare `dup` token is ~0.1%

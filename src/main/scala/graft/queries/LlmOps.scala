@@ -5015,6 +5015,91 @@ object LlmOps {
     containmentPairs(shingles, VideoMaxBucket, VideoMinContainPpm, VideoMinShared)
   }
 
+  // --- Dedup-ring capstone (q208) ------------------------------------------
+
+  /** q208: DEDUP-RING SUMMARY — the capstone over the modality square:
+    * one frame reporting, per dedup leg, how many flagged near-dup
+    * pairs exist and how many documents they touch — exact text
+    * (engine-portable [[graft.functions.PolyHash]] content keys, the
+    * q26 semantics with 8-byte shuffle keys instead of full text),
+    * image ([[q198PhashNearDup]]), audio ([[q200AudioFingerprint]]),
+    * and temporal frame-shingles ([[q204FrameNearDup]]). The leg
+    * builders are INVOKED, not re-implemented, so this certifies the
+    * composed ring end-to-end: the number a curation run would read
+    * ("how much duplicate mass does each modality carry?") comes from
+    * the same plans the per-leg gates certify.
+    *
+    * Scale: each leg keeps its own audited posture; the capstone adds
+    * only 4 constant-width aggregates and a 4-row union.
+    */
+  def q208DedupRing(s: SparkSession, d: String): DataFrame = {
+    def legStats(name: String, pairs: DataFrame): DataFrame = {
+      val flagged = pairs.filter(col("near_dup") === 1)
+      val docs = flagged.select(col("doc_a").as("doc"))
+        .unionAll(flagged.select(col("doc_b").as("doc")))
+      flagged.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(docs.agg(countDistinct(col("doc")).as("n_docs")))
+        .select(lit(name).as("leg"), col("n_pairs"), col("n_docs"))
+    }
+    val exact = documents(s, d)
+      .select(VectorExpressions.hornerHash(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1)
+      .agg(
+        coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)).as("n_pairs"),
+        coalesce(sum(col("m")), lit(0L)).as("n_docs"))
+      .select(lit("text_exact").as("leg"), col("n_pairs"), col("n_docs"))
+    exact
+      .unionAll(legStats("image", q198PhashNearDup(s, d)))
+      .unionAll(legStats("audio", q200AudioFingerprint(s, d)))
+      .unionAll(legStats("temporal", q204FrameNearDup(s, d)))
+      .orderBy("leg")
+  }
+
+  /** q208's oracle wraps the LEG ORACLES — the same SQL the per-leg
+    * gates run, as MATERIALIZED CTEs so each leg executes once — plus
+    * the horner-key exact-text leg, so a drift in any leg shows up
+    * twice (its own gate and the ring).
+    */
+  // lazy: q204Oracle is declared later in the file; an eager val would
+  // capture null at object-init order
+  lazy val q208Oracle: String = {
+    def stats(name: String, cte: String): String =
+      s"""SELECT '$name' AS leg,
+         |  (SELECT count(*) FROM $cte) AS n_pairs,
+         |  (SELECT count(DISTINCT doc) FROM (
+         |     SELECT doc_a AS doc FROM $cte
+         |     UNION ALL SELECT doc_b AS doc FROM $cte)) AS n_docs""".stripMargin
+    val exact =
+      s"""SELECT 'text_exact' AS leg,
+         |  CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(sum(m), 0) AS BIGINT) AS n_docs
+         |FROM (SELECT count(*) AS m FROM (
+         |        SELECT ${graft.functions.PolyHash.hornerSql("text")} AS h
+         |        FROM documents) GROUP BY h)
+         |WHERE m > 1""".stripMargin
+    // leg SQL splices in AFTER stripMargin: a line-leading bitwise `|`
+    // inside an embedded oracle would otherwise be eaten as a margin
+    s"""WITH img_leg AS MATERIALIZED (
+       |  SELECT * FROM (@IMG@) WHERE near_dup = 1),
+       |aud_leg AS MATERIALIZED (
+       |  SELECT * FROM (@AUD@) WHERE near_dup = 1),
+       |tmp_leg AS MATERIALIZED (
+       |  SELECT * FROM (@TMP@) WHERE near_dup = 1)
+       |SELECT * FROM (
+       |$exact
+       |UNION ALL
+       |${stats("image", "img_leg")}
+       |UNION ALL
+       |${stats("audio", "aud_leg")}
+       |UNION ALL
+       |${stats("temporal", "tmp_leg")}
+       |) ORDER BY leg""".stripMargin
+      .replace("@IMG@", q198Oracle)
+      .replace("@AUD@", q200Oracle)
+      .replace("@TMP@", q204Oracle)
+  }
+
   /** q204's oracle rebuilds the per-frame pHash from scratch (the q198
     * integer block algebra specialized to 64-char frames: one char per
     * block), folds bands → sig and 3 consecutive sigs → shingle with
