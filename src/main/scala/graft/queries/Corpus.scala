@@ -594,13 +594,23 @@ object Corpus {
     val n = obs.get("n").asInstanceOf[Long]
     val tt = obs.get("tt").asInstanceOf[Long]
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Rank(tf
+      .join(broadcast(terms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term")), n, tt)
+  }
+
+  /** The ONE copy of the exact-integer BM25 scoring tail (k1 = 1.5,
+    * b = 0.75 in scaled rationals) plus the two-stage bucketed top-K
+    * window guard, shared by q84 (ad-hoc) and q206 (maintained index)
+    * — the Spark-side twin of [[bm25OracleFor]]'s shared SQL. Input
+    * frame: (query_id, doc_id, dl, term, tf, df).
+    */
+  private def bm25Rank(postings: DataFrame, n: Long, tt: Long): DataFrame = {
     def big(c: Column): Column = c.cast("decimal(38,0)")
     val ord = Seq(col("score").desc, col("doc_id").asc)
     val wBucket = Window.partitionBy(col("query_id"), col("__bucket")).orderBy(ord: _*)
     val wTop = Window.partitionBy(col("query_id")).orderBy(ord: _*)
-    tf
-      .join(broadcast(terms), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
+    postings
       .withColumn("num",
         big(lit(Bm25Scale)) * big(lit(2L * n) - lit(2) * col("df") + lit(1))
           * big(lit(22)) * big(col("tf")) * big(lit(tt)))
@@ -729,31 +739,9 @@ object Corpus {
         org.apache.spark.sql.types.StringType, 42L)
       java.lang.Math.floorMod(h, PostIdxBuckets.toLong)
     }.distinct
-    def big(c: Column): Column = c.cast("decimal(38,0)")
-    val ord = Seq(col("score").desc, col("doc_id").asc)
-    val wBucket = Window.partitionBy(col("query_id"), col("__bucket")).orderBy(ord: _*)
-    val wTop = Window.partitionBy(col("query_id")).orderBy(ord: _*)
-    s.read.parquet(postPath)
+    bm25Rank(s.read.parquet(postPath)
       .filter(col("bucket").isInCollection(qBuckets)) // static shard pruning
-      .join(broadcast(terms), Seq("term"))
-      .withColumn("num",
-        big(lit(Bm25Scale)) * big(lit(2L * n) - lit(2) * col("df") + lit(1))
-          * big(lit(22)) * big(col("tf")) * big(lit(tt)))
-      .withColumn("den",
-        big(lit(2) * col("df") + lit(1))
-          * (big(lit(10)) * big(lit(tt)) * big(col("tf"))
-            + big(lit(3)) * big(lit(tt))
-            + big(lit(9)) * big(col("dl")) * big(lit(n))))
-      .withColumn("sc", expr("num div den"))
-      .groupBy("query_id", "doc_id").agg(sum("sc").as("score"))
-      .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(Bm25Buckets)))
-      .withColumn("__brank", row_number().over(wBucket))
-      .filter(col("__brank") <= Bm25TopK)
-      .drop("__bucket", "__brank")
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= Bm25TopK)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-      .orderBy("query_id", "rank")
+      .join(broadcast(terms), Seq("term")), n, tt)
   }
 
   val q206Oracle: String = bm25OracleFor(Bm25IdxQueries)

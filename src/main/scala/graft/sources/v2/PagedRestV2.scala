@@ -48,6 +48,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     optionally GROUP BY page and under pushed page predicates, is
   *     answered from the envelope's `total`/`page_size` arithmetic —
   *     the `X-Total-Count` a live API serves — fetching ZERO pages.
+  *     Strict mode only: lenient per-page isolation can drop rows, and
+  *     count(*) must equal what the scan actually yields.
   *   - PER-PAGE FAILURE ISOLATION: a missing/malformed page logs and
   *     contributes zero rows under `strict=false` (the [[WeatherV2]]
   *     per-market discipline); `strict=true` fails the scan for
@@ -194,7 +196,11 @@ final class PagedRestScanBuilder(options: CaseInsensitiveStringMap)
     * count), the way a live API answers `X-Total-Count` without
     * serving a single item: ZERO pages are fetched. Complete pushdown;
     * composes with pushed page filters (the count of a page range is
-    * envelope arithmetic too).
+    * envelope arithmetic too). STRICT mode only: under `strict=false`
+    * a broken page contributes zero rows to a scan, so an envelope
+    * count could disagree with the rows the same frame serves —
+    * count(*) must observe what the scan yields, so the lenient mode
+    * falls back to counting scanned rows.
     */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     classify(aggregation).isDefined
@@ -206,7 +212,8 @@ final class PagedRestScanBuilder(options: CaseInsensitiveStringMap)
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.CountStar
     val countsOnly = a.aggregateExpressions.length == 1 &&
-      a.aggregateExpressions.forall(_.isInstanceOf[CountStar]) && limit.isEmpty
+      a.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      limit.isEmpty && options.getBoolean("strict", false)
     a.groupByExpressions match {
       case Array() if countsOnly => Some(CountAll)
       case Array(r: NamedReference)
@@ -248,20 +255,27 @@ final class PagedRestScan(
       }) +
       agg.map(a => s" pushedAggregate=$a").getOrElse("")
 
-  /** Selected pages under the pushed bounds, as chunked contiguous
-    * runs; O(selected partitions) when no IN set is present. */
-  private def selected(wanted: Long): Array[PagedRestPartition] = {
+  /** Selected pages under the pushed bounds, truncated to the first
+    * `maxPages` SELECTED pages (a pushed limit needs a prefix of what
+    * the scan would actually read — counting from page 0 would
+    * under-read a bounds-shifted scan), as chunked contiguous runs;
+    * O(selected partitions) when no IN set is present. */
+  private def selected(nPages: Long, maxPages: Long): Array[PagedRestPartition] = {
     val lo = math.max(0L, bounds.lo)
-    val hi = math.min(wanted - 1, bounds.hi)
-    if (hi < lo) return Array.empty
+    val hi0 = math.min(nPages - 1, bounds.hi)
+    if (hi0 < lo) return Array.empty
     bounds.inSet match {
       case None =>
+        // overflow-safe truncation: lo + maxPages can wrap past 2^63
+        val hi = if (maxPages >= hi0 - lo + 1) hi0 else lo + maxPages - 1
+        if (hi < lo) return Array.empty
         (lo to hi by pagesPerPartition.toLong).map { first =>
           PagedRestPartition(pagesDir,
             first, math.min(first + pagesPerPartition - 1, hi))
         }.toArray
       case Some(s) =>
-        val sel = s.filter(p => p >= lo && p <= hi).toArray.sorted
+        val sel = s.filter(p => p >= lo && p <= hi0).toArray.sorted
+          .take(math.min(maxPages, Int.MaxValue.toLong).toInt)
         // consecutive runs, each chunked to pagesPerPartition
         val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         sel.foreach { p =>
@@ -281,28 +295,32 @@ final class PagedRestScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (total, pageSize) = PagedRestV2.probe(pagesDir)
-    val nPages = math.max(1L, (total + pageSize - 1) / pageSize)
     agg match {
       case Some(shape) =>
         // envelope arithmetic — no page is ever fetched: every page
-        // holds page_size items except the last (total - rest)
+        // holds page_size items except the last (total - rest). An
+        // EMPTY collection has zero pages here (the row-scan path keeps
+        // its 1-page floor for the page-0 planning probe): a grouped
+        // count must yield zero groups, not a phantom (page 0, 0) row
+        val nPages = (total + pageSize - 1) / pageSize
         def size(p: Long): Long =
           if (p == nPages - 1) total - (nPages - 1) * pageSize else pageSize
-        val pages = selected(nPages).flatMap(pt => pt.firstPage to pt.lastPage)
+        val pages = selected(nPages, Long.MaxValue)
+          .flatMap(pt => pt.firstPage to pt.lastPage)
         val rows: Array[Array[Long]] = shape match {
           case CountAll => Array(Array(pages.map(size).sum))
           case CountByPage => pages.map(p => Array(p, size(p)))
         }
         Array(PagedRestAggPartition(rows, shape == CountByPage))
       case None =>
-        // limit n needs only the first ceil(n / pageSize) pages (rows
-        // are dense within pages by the envelope contract)
-        val wanted = limit match {
-          case Some(n) => math.min(nPages,
-            math.max(1L, (n.toLong + pageSize - 1) / pageSize))
-          case None => nPages
+        // limit n needs only the first ceil(n / pageSize) SELECTED
+        // pages (rows are dense within pages by the envelope contract)
+        val nPages = math.max(1L, (total + pageSize - 1) / pageSize)
+        val maxPages = limit match {
+          case Some(n) => math.max(1L, (n.toLong + pageSize - 1) / pageSize)
+          case None => Long.MaxValue
         }
-        selected(wanted).asInstanceOf[Array[InputPartition]]
+        selected(nPages, maxPages).asInstanceOf[Array[InputPartition]]
     }
   }
 

@@ -13,49 +13,77 @@ final case class FirstSeen(key: Long, first_ts: Timestamp, n_suppressed: Long)
 
 /** TTL first-seen gate on the `transformWithState` API (Spark 4's
   * arbitrary-stateful-processing v2, RocksDB-backed): a key's FIRST
-  * arrival is admitted (with the count of same-batch repeats it
-  * suppressed), later arrivals are suppressed while the key's state
-  * lives, and an event-time TIMER at `first_ts + ttl` clears the state
-  * when the watermark passes it — so a re-arrival after the TTL is
-  * admitted again. This is the continual-ingest "seen this content hash
-  * recently?" gate: q26's exact dedup as a stream whose state is
-  * BOUNDED by the TTL window instead of growing with the corpus (the
-  * complementary posture to [[IncrementalIndex]]'s monotone index).
-  *
-  * Event-time timers (not `TTLConfig`'s processing-time TTL) keep
-  * expiry DETERMINISTIC: the watermark — derived from the data — is the
-  * clock, so replays and tests observe identical admissions.
+  * arrival is admitted (with the count of same-batch arrivals its
+  * window suppresses) and the key's EXPIRY (`first_ts + ttl`) is
+  * stored in state; arrivals before the expiry are suppressed, an
+  * arrival at or after it is admitted as "first" again. Admission is decided by
+  * comparing EVENT TIMES against the stored expiry — never by whether
+  * a timer happened to fire yet — so the admission sequence is a pure
+  * function of the data and survives replays and re-batching. The
+  * event-time timer exists only to CLEAR expired state (bounding the
+  * store); a stale timer from a superseded admission checks the stored
+  * expiry before clearing. This is the continual-ingest "seen this
+  * content hash recently?" gate: q26's exact dedup as a stream whose
+  * state is BOUNDED by the TTL window instead of growing with the
+  * corpus (the complementary posture to [[IncrementalIndex]]'s
+  * monotone index).
   *
   * Scale: state is per-key-in-window (RocksDB spills beyond memory);
   * each micro-batch shuffles only its own keys — the 1000-executor
-  * posture is the state store's, not a join's.
+  * posture is the state store's, not a join's. Per-key batch handling
+  * is one iterator pass, no materialization.
   */
 final class TtlDedupProcessor(ttlMs: Long)
     extends StatefulProcessor[Long, KeyedArrival, FirstSeen] {
 
-  @transient private var seen: ValueState[Long] = _
+  /** Stored value: the live admission's expiry (first_ts + ttl). */
+  @transient private var expiry: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+    expiry = getHandle.getValueState[Long]("expiry", Encoders.scalaLong,
       org.apache.spark.sql.streaming.TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[KeyedArrival],
       timers: TimerValues): Iterator[FirstSeen] = {
-    val batch = rows.toSeq
-    if (seen.exists()) {
-      Iterator.empty // suppressed: key is live in the window
-    } else {
-      val first = batch.minBy(_.ts.getTime)
-      seen.update(1L)
-      getHandle.registerTimer(first.ts.getTime + ttlMs)
-      Iterator.single(
-        FirstSeen(key, first.ts, batch.length - 1L))
+    val live = if (expiry.exists()) expiry.get() else Long.MinValue
+    // one pass keeping only candidates at/after the live expiry —
+    // arrivals inside the live window are suppressed by the previous
+    // admission and need no buffering (the common hot-key path)
+    val cand = scala.collection.mutable.ArrayBuilder.make[Long]
+    rows.foreach { r =>
+      val t = r.ts.getTime
+      if (t >= live) cand += t
     }
+    val cs = cand.result()
+    if (cs.isEmpty) return Iterator.empty
+    // greedy admission chain over the sorted candidates, so the result
+    // is identical however arrivals are sliced into micro-batches; a
+    // batch spanning more than one TTL admits once per window.
+    // n_suppressed = same-batch arrivals inside that admission's window
+    java.util.Arrays.sort(cs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FirstSeen]
+    var exp = Long.MinValue
+    var admitTs = 0L
+    var supp = 0L
+    cs.foreach { t =>
+      if (t >= exp) {
+        if (exp != Long.MinValue)
+          out += FirstSeen(key, new Timestamp(admitTs), supp)
+        admitTs = t; exp = t + ttlMs; supp = 0L
+      } else supp += 1L
+    }
+    out += FirstSeen(key, new Timestamp(admitTs), supp)
+    expiry.update(exp)
+    getHandle.registerTimer(exp) // state-cleanup only
+    out.iterator
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[FirstSeen] = {
-    seen.clear() // TTL elapsed: the next arrival is "first" again
+    // clear only if this timer belongs to the CURRENT admission — a
+    // stale timer from a superseded admission must not re-open the key
+    if (expiry.exists() && expiry.get() <= expired.getExpiryTimeInMs())
+      expiry.clear()
     Iterator.empty
   }
 }

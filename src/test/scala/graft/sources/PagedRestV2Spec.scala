@@ -168,6 +168,40 @@ class PagedRestV2Spec extends SparkSpec {
       "plan should surface the pushed aggregate")
   }
 
+  test("a pushed limit counts pages from the SELECTED range, not page 0") {
+    import org.apache.spark.sql.functions.col
+    val dir = writePages(total = 23, pageSize = 5)
+    // pages 1.. selected; limit 7 needs pages 1-2, limit 3 needs page 1
+    val base = read(dir, "strict" -> "true").filter(col("page") >= 1)
+    assert(base.limit(3).collect().length == 3)
+    assert(base.limit(7).collect().length == 7)
+    assert(base.limit(1000).collect().map(_.getInt(3)).toSet == Set(1, 2, 3, 4))
+    // IN-set variant: limit truncates the selected page list
+    val gapped = read(dir, "strict" -> "true").filter(col("page").isin(0, 3))
+    assert(gapped.limit(6).collect().length == 6)
+  }
+
+  test("lenient mode refuses the envelope count: count equals served rows") {
+    import org.apache.spark.sql.functions.col
+    val dir = writePages(total = 23, pageSize = 5, corrupt = Set(2))
+    val df = read(dir) // strict = false: page 2 drops its rows
+    assert(df.collect().length == 18)
+    assert(df.count() == 18L,
+      "non-strict count(*) must observe the isolation contract, not the envelope")
+    assert(!df.groupBy("page").count().queryExecution.executedPlan.toString
+      .contains("pushedAggregate"))
+  }
+
+  test("an empty collection counts to zero with zero groups") {
+    val dir = Files.createTempDirectory("graft_rest_empty_").toString
+    Files.write(Paths.get(s"$dir/meta.json"),
+      """{"total": 0, "page_size": 5}""".getBytes("UTF-8"))
+    val df = read(dir, "strict" -> "true")
+    assert(df.count() == 0L)
+    assert(df.groupBy("page").count().collect().isEmpty,
+      "GROUP BY over zero rows must return zero groups, not a phantom page")
+  }
+
   test("non-count aggregates fall back to the row scan") {
     import org.apache.spark.sql.functions.{col, sum}
     val dir = writePages(total = 23, pageSize = 5)

@@ -53,12 +53,24 @@ class TtlDedupSpec extends SparkSpec {
         input.addData(KeyedArrival(9, t(31)))
         q.processAllAvailable()
 
-        // key 1 re-arrives after its TTL: admitted as first again
+        // key 1 re-arrives after its TTL: admitted as first again —
+        // WITHOUT a separate watermark-advancing batch first (admission
+        // compares event time against the stored expiry, never "did the
+        // cleanup timer fire yet", so batching cannot change the answer)
         input.addData(KeyedArrival(1, t(32)))
         q.processAllAvailable()
         assert(emitted().count { case (k, _, _) => k == 1L } == 2,
           s"key 1 should be re-admitted after TTL: ${emitted()}")
         assert(emitted().contains((1L, t(32), 0L)))
+
+        // a single batch spanning two TTL windows admits once per
+        // window (greedy chain): key 7 at t40, t45, t51 with ttl 10min
+        input.addData(KeyedArrival(7, t(40)), KeyedArrival(7, t(45)),
+          KeyedArrival(7, t(51)))
+        q.processAllAvailable()
+        assert(emitted().filter(_._1 == 7L).toSet ==
+          Set((7L, t(40), 1L), (7L, t(51), 0L)),
+          s"multi-window batch: ${emitted().filter(_._1 == 7L)}")
       } finally q.stop()
     } finally {
       prev match {
