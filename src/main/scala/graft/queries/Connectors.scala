@@ -16,8 +16,17 @@ object Connectors {
     * quotes, non-ASCII text, a short last page. No `meta.json`, so the
     * scan exercises the page-0 planning probe (the live-API path),
     * not the writer's published envelope.
+    *
+    * Resolved at runtime against the working directory (the repo root
+    * under sbt and the driver alike) — NOT a hardcoded absolute path —
+    * so the queries and their oracles (which interpolate this same
+    * value when the oracle SQL is dumped) survive a checkout anywhere.
+    * The `d` fixture-dir parameter is deliberately unused: these two
+    * queries certify the connector over its own checked-in envelope
+    * fixture, not the scale-factor parquet tables.
     */
-  val RestCatalogDir = "/root/repo/fixtures/rest_catalog"
+  val RestCatalogDir: String =
+    new java.io.File("fixtures/rest_catalog").getAbsolutePath
 
   /** q196: REST COLLECTION SCAN — `spark.read.format("graft-rest")`
     * under the driver gate (the reference's HTTP ingest surface,

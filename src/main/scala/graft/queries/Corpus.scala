@@ -599,8 +599,10 @@ object Corpus {
       .join(broadcast(dfreq), Seq("term")), n, tt)
   }
 
-  /** The ONE copy of the exact-integer BM25 scoring tail (k1 = 1.5,
-    * b = 0.75 in scaled rationals) plus the two-stage bucketed top-K
+  /** The ONE copy of the exact-integer BM25 scoring tail (k1 = 1.2,
+    * b = 0.75 in scaled rationals — the 22/10/3/9 coefficients below
+    * encode k1 = 6/5 with denominators cleared, matching the shared
+    * oracle) plus the two-stage bucketed top-K
     * window guard, shared by q84 (ad-hoc) and q206 (maintained index)
     * — the Spark-side twin of [[bm25OracleFor]]'s shared SQL. Input
     * frame: (query_id, doc_id, dl, term, tf, df).
@@ -697,7 +699,7 @@ object Corpus {
     * terms hash into — a STATIC `bucket IN (...)` partition filter
     * computed driver-side from the same xxhash64, visible as partition
     * pruning in the certified plan (spec-pinned). Scoring is q84's
-    * exact-integer BM25 (k1=1.5, b=0.75 in scaled rationals) over the
+    * exact-integer BM25 (k1=1.2, b=0.75 in scaled rationals) over the
     * probed postings only.
     *
     * Scale: the build is two corpus scans amortized by the publish

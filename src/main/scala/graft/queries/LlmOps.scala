@@ -4992,6 +4992,8 @@ object LlmOps {
     */
   def q204FrameNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.PolyHash
+    // non-ANSI cast nulls out an unparseable source suffix (filtered by
+    // =!=), matching the oracle's TRY_CAST — robust to free-form ids
     val kindIsTemporal =
       pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) =!= 0
     def fold(arr: Column): Column =
@@ -5110,7 +5112,10 @@ object LlmOps {
     import graft.functions.PolyHash.{BandBase, BandSeed, Mod}
     s"""WITH vids AS (
        |  SELECT doc_id, text FROM documents
-       |  WHERE CAST(substr(source, 4) AS INT) % 3 != 0
+       |  -- TRY_CAST: a non-numeric source suffix nulls out (filtered by
+       |  -- the != predicate) exactly like Spark's non-ANSI cast, instead
+       |  -- of erroring the whole oracle on a free-form source id
+       |  WHERE TRY_CAST(substr(source, 4) AS INT) % 3 != 0
        |    AND lang = 'en' AND length(text) >= ${VideoFrameChars * 4}),
        |frames AS (
        |  SELECT doc_id, f,

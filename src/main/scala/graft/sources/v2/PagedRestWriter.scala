@@ -121,9 +121,12 @@ final class PagedRestBatchWrite(
       s"""{"total": $total, "page_size": $pageSize}"""
         .getBytes(StandardCharsets.UTF_8))
     // publish: rename the OLD collection aside, move the new one into
-    // place, delete the old dir last — at every instant the target path
-    // is either the complete old collection or the complete new one
-    // (never missing/torn, which delete-then-rename would expose)
+    // place, delete the old dir last — a reader observes either the
+    // complete old collection or the complete new one, never a TORN
+    // one. There IS a brief not-found window between the two
+    // ATOMIC_MOVEs (target→retired, committing→target); readers that
+    // hit it should retry on a missing dir. Delete-then-rename would
+    // widen that window to the whole new-collection move.
     val target = Paths.get(pagesDir)
     val retired = Paths.get(s"$pagesDir.old-$queryId")
     deleteTree(retired)

@@ -18,8 +18,18 @@ final case class FirstSeen(key: Long, first_ts: Timestamp, n_suppressed: Long)
   * stored in state; arrivals before the expiry are suppressed, an
   * arrival at or after it is admitted as "first" again. Admission is decided by
   * comparing EVENT TIMES against the stored expiry — never by whether
-  * a timer happened to fire yet — so the admission sequence is a pure
-  * function of the data and survives replays and re-batching. The
+  * a timer happened to fire yet — so for PER-KEY IN-ORDER arrival the
+  * admission sequence is a pure function of the data and survives
+  * replays and re-batching. For out-of-order data within the watermark
+  * the sequence is slicing-dependent: a late arrival landing in a
+  * LATER micro-batch than a larger same-key timestamp may pick a
+  * different admitted representative / suppression count than
+  * single-batch slicing would (a batch-local sort cannot see
+  * cross-batch order) — no duplicates or losses arise, but exact
+  * invariance under re-batching requires in-order keys (or buffering
+  * candidates until the watermark; see the batch twin
+  * [[graft.queries.LlmOps]] q209, which IS the watermark-complete
+  * answer). The
   * event-time timer exists only to CLEAR expired state (bounding the
   * store); a stale timer from a superseded admission checks the stored
   * expiry before clearing. This is the continual-ingest "seen this
