@@ -836,6 +836,95 @@ object LlmOps {
       |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** q209's TTL window (24 h in epoch-µs). Chosen against the fixture's
+    * inter-arrival profile (median per-user gap ≈ 7 h) so both branches
+    * of the admission chain — suppression AND re-admission — carry real
+    * mass at every scale factor. */
+  private val TtlBatchUs = 24L * 3600L * 1000000L
+
+  /** The greedy TTL admission chain over a (key, ts) frame — the batch
+    * core shared by [[q209TtlDedupBatch]] and `TtlDedupSpec`'s
+    * stream/batch parity assert. Per key, arrivals sorted by event
+    * time; the first is ADMITTED and opens a window `[t, t+ttl)`;
+    * arrivals inside are SUPPRESSED (counted); the first arrival at or
+    * after the expiry is admitted again. Exactly
+    * [[graft.streaming.TtlDedupProcessor]]'s candidate chain with the
+    * whole corpus as one batch — i.e. the watermark-complete answer the
+    * stream converges to under per-key in-order arrival.
+    *
+    * Shape: one key-hash aggregate collects each key's sorted arrival
+    * µs array, then a higher-order `aggregate` fold walks the chain
+    * map-side (no UDF, no per-key window sort, no recursion). The
+    * per-key array is bounded by the gate's own premise — a TTL dedup
+    * gate only ever holds arrivals inside the retention horizon; a key
+    * hot enough to overflow an array here would also overflow the
+    * streaming gate's state row.
+    */
+  private[graft] def ttlAdmissions(arrivals: DataFrame, ttlUs: Long): DataFrame = {
+    val emptyAdm = array().cast("array<struct<t:bigint,supp:bigint>>")
+    val zero = struct(
+      emptyAdm.as("adm"), lit(Long.MinValue).as("cur"),
+      lit(Long.MinValue).as("exp"), lit(0L).as("supp"))
+    // close the open admission into the output array (no-op before the
+    // first arrival, when exp still carries the MinValue sentinel)
+    def close(acc: Column): Column =
+      when(acc("exp") === Long.MinValue, acc("adm"))
+        .otherwise(concat(acc("adm"),
+          array(struct(acc("cur").as("t"), acc("supp").as("supp")))))
+    val step = (acc: Column, t: Column) =>
+      when(t >= acc("exp"),
+        struct(close(acc).as("adm"), t.as("cur"),
+          (t + lit(ttlUs)).as("exp"), lit(0L).as("supp")))
+        .otherwise(struct(acc("adm").as("adm"), acc("cur").as("cur"),
+          acc("exp").as("exp"), (acc("supp") + lit(1L)).as("supp")))
+    arrivals
+      .select(col("key"), unix_micros(col("ts")).as("t"))
+      .groupBy("key").agg(sort_array(collect_list(col("t"))).as("ts_sorted"))
+      .select(col("key"),
+        explode(aggregate(col("ts_sorted"), zero, step, close)).as("a"))
+      .select(col("key"), timestamp_micros(col("a")("t")).as("first_ts"),
+        col("a")("supp").as("n_suppressed"))
+  }
+
+  /** q209: TTL DEDUP GATE, BATCH TWIN — the exact semantics
+    * [[graft.streaming.TtlDedup]]'s transformWithState gate applies to
+    * continual ingest ("seen this key in the last TTL?"), registered as
+    * an oracled batch query over the events fixture so the gate's
+    * admission chain sits under the driver's cross-engine hash gate
+    * (the q170/q33 discipline: every streaming component has an oracled
+    * batch twin). Output: one row per ADMISSION (user key, admitted
+    * event time, arrivals suppressed by that admission's 24 h window);
+    * admissions + suppressions conserve the event count.
+    *
+    * Scale: one user-keyed exchange; everything after is per-key
+    * map-side fold. The oracle walks the same chain with a row-number
+    * recursive CTE carrying the admission start — linear in the
+    * deepest key, fine for an oracle, which is exactly why the Spark
+    * side uses the fold instead.
+    */
+  def q209TtlDedupBatch(s: SparkSession, d: String): DataFrame =
+    ttlAdmissions(
+      events(s, d).select(col("user_id").as("key"), col("ts")),
+      TtlBatchUs)
+      .orderBy("key", "first_ts")
+
+  val q209Oracle: String =
+    """WITH RECURSIVE arr AS (
+      |  SELECT user_id AS key, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events),
+      |chain AS (
+      |  SELECT key, rn, ts, ts AS admit_ts FROM arr WHERE rn = 1
+      |  UNION ALL
+      |  SELECT a.key, a.rn, a.ts,
+      |    CASE WHEN a.ts >= c.admit_ts + INTERVAL 24 HOUR
+      |      THEN a.ts ELSE c.admit_ts END
+      |  FROM chain c JOIN arr a ON a.key = c.key AND a.rn = c.rn + 1)
+      |SELECT key, admit_ts AS first_ts,
+      |  CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+      |FROM chain GROUP BY key, admit_ts
+      |ORDER BY key, first_ts""".stripMargin
+
   /** Multimodal binary-column statistics: documents cast to opaque BINARY
     * payloads with a kind derived from the source id — real byte-length
     * arithmetic on BinaryType (the fake-decode surface lives in

@@ -81,4 +81,79 @@ class TtlDedupSpec extends SparkSpec {
       }
     }
   }
+
+  /** Stream/batch parity, the q170 discipline: the transformWithState
+    * gate fed the whole dataset in ONE batch must equal the q209 batch
+    * twin exactly (admissions AND suppression counts); fed the same
+    * data in-order across SEVERAL batches, the ADMISSION SEQUENCE
+    * (key, first_ts) must still be identical — only cross-batch
+    * suppression counts go silent (each emitted row counts same-batch
+    * suppressions; a later batch's in-window arrival is dropped without
+    * amending the already-emitted row), so the emitted total is a lower
+    * bound of the batch twin's.
+    */
+  test("stream/batch parity with the q209 admission chain") {
+    val ttlMs = 10 * 60_000L
+    val arrivals = Seq(
+      // key 1: admit t0 (suppress t1,t5), re-admit t12 (suppress t15)
+      KeyedArrival(1, t(0)), KeyedArrival(1, t(1)), KeyedArrival(1, t(5)),
+      KeyedArrival(1, t(12)), KeyedArrival(1, t(15)),
+      // key 2: single arrival
+      KeyedArrival(2, t(3)),
+      // key 3: batch spanning two windows back-to-back
+      KeyedArrival(3, t(0)), KeyedArrival(3, t(9)), KeyedArrival(3, t(10)),
+      KeyedArrival(3, t(22)))
+
+    def batchTwin(): Set[(Long, Timestamp, Long)] = {
+      val df = spark.createDataset(arrivals).toDF()
+        .select($"key", $"ts")
+      graft.queries.LlmOps.ttlAdmissions(df, ttlMs * 1000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    }
+
+    def streamed(slices: Seq[Seq[KeyedArrival]], name: String)
+        : Seq[(Long, Timestamp, Long)] = {
+      val input = MemoryStream[KeyedArrival]
+      val gate = TtlDedup.firstSeen(spark, input.toDS(),
+        watermark = "0 seconds", ttlMs = ttlMs)
+      val q = gate.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        slices.foreach { s => input.addData(s); q.processAllAvailable() }
+        spark.table(name).as[FirstSeen].collect()
+          .map(f => (f.key, f.first_ts, f.n_suppressed)).toSeq
+      } finally q.stop()
+    }
+
+    val twin = batchTwin()
+    assert(twin == Set(
+      (1L, t(0), 2L), (1L, t(12), 1L), (2L, t(3), 0L),
+      (3L, t(0), 1L), (3L, t(10), 0L), (3L, t(22), 0L)))
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // single batch: full equality, counts included
+      assert(streamed(Seq(arrivals), "ttl_parity_one").toSet == twin)
+
+      // in-order multi-batch slicing: identical admission sequence;
+      // emitted suppression total is a lower bound (cross-batch
+      // suppressions are silent by design)
+      val sliced = streamed(
+        arrivals.sortBy(_.ts.getTime).grouped(3).toSeq, "ttl_parity_many")
+      assert(sliced.map(a => (a._1, a._2)).toSet ==
+        twin.map(a => (a._1, a._2)),
+        s"admission sequence diverged under re-batching: $sliced")
+      assert(sliced.map(_._3).sum <= twin.toSeq.map(_._3).sum)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
