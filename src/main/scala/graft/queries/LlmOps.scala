@@ -5045,6 +5045,194 @@ object LlmOps {
        |SELECT q_id, vec_id, sim, rank FROM ranked
        |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
 
+  // --- Product-quantization ADC (q210) --------------------------------------
+
+  /** Subspaces the 64-dim vector splits into (8 dims each). */
+  private val PqM = 8
+  /** Dimensions per subspace. */
+  private val PqSub = 8
+  /** Codebook entries per subspace — one 4-bit code each, so a vector
+    * compresses to 8 codes = 4 bytes against 256 embedding bytes. */
+  private val PqK = 16L
+
+  /** q210: PRODUCT-QUANTIZATION ADC — the third mainstream ANN
+    * architecture beside exact scoring (q24) and IVF cell probing
+    * (q25/q205): each vector splits into [[PqM]] subvectors, every
+    * subvector is replaced by the id of its nearest entry in a
+    * per-subspace [[PqK]]-entry codebook, and a query is answered by
+    * ASYMMETRIC DISTANCE COMPUTATION — one lookup table of
+    * query-to-centroid distances per subspace (|Q|·[[PqM]]·[[PqK]]
+    * entries, kilobytes), candidate distance = Σ_m LUT[m, code_m].
+    * Output is the q106-style recall@[[RecallK]] histogram of ADC
+    * top-K vs exact top-K, on the SAME doubly-bounded query panel —
+    * zero-overlap queries kept on the panel spine (the q195 lesson).
+    *
+    * Exactness: components quantize to ·2^20 longs (the q81 rounding),
+    * codebooks are ONE Lloyd step from a deterministic affine-hash
+    * init ((vec_id·37 + m·11) mod K) with floored integer means
+    * (sign-factored division — Spark `div` truncates toward zero,
+    * DuckDB `//` floors; they agree only after factoring the sign),
+    * and every distance is an exact integer sum of squared longs, so
+    * codes, LUTs, and both rankings are bit-identical cross-engine.
+    * Ranking ties break on vec_id; code-assignment ties on code id.
+    *
+    * Scale: the codebook is [[PqM]]·[[PqK]] = 128 rows (broadcast both
+    * at train-apply and LUT build); the CODE TABLE — 8 small ints per
+    * vector — is the layout ADC scans, never the vectors (that
+    * bandwidth cut is why PQ exists: 64× fewer bytes per candidate
+    * here); per-query rank windows sit behind the (q_id, bucket)
+    * top-K prefilter; the exact leg is the audit's ground truth and
+    * rides the bounded panel broadcast exactly like q106. At 100 TB
+    * the codebook trains on a sample and publishes as a maintained
+    * layout (the q205 protocol) — here it trains in-plan so the gate
+    * certifies the training arithmetic too.
+    */
+  def q210PqAdc(s: SparkSession, d: String): DataFrame =
+    pqRecallAudit(embeddings(s, d))
+
+  /** The q210 chain over any (vec_id, embedding) frame — separated so
+    * specs can drive it with crafted vector layouts. */
+  private[graft] def pqRecallAudit(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * lit(KmQScale.toDouble)).cast("long"))
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val isQuery = pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+      col("vec_id") < lit(RecallQueryMod * RecallMaxQueries)
+
+    // (vec_id, m, sv): quantized 8-dim subvectors
+    val sv = e.select(col("vec_id"), quant(col("embedding")).as("qe"))
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(PqM - 1)),
+        m => struct(m.as("m"),
+          slice(col("qe"), m * PqSub + 1, lit(PqSub)).as("sv")))).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+    // codebook: one Lloyd step from the deterministic hash init —
+    // floored integer member means, sign-factored for engine parity
+    val cents = sv
+      .withColumn("k", pmod(col("vec_id") * 37 + col("m") * 11, lit(PqK)))
+      .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("m", "k", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("c",
+        expr("CASE WHEN sx < 0 THEN -((-sx) div cnt) ELSE sx div cnt END"))
+      .groupBy("m", "k")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p("c")).as("cv"))
+
+    // codes: argmin exact integer squared distance, ties to smallest k
+    val codes = sv.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"),
+        sqdist(col("sv"), col("cv")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"))
+
+    // ADC lookup table: query-subvector → centroid exact distances
+    val lut = sv.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(cents), Seq("m"))
+      .select(col("q_id"), col("m"), col("k").as("code"),
+        sqdist(col("qsv"), col("cv")).as("qd"))
+
+    def topK(scored: DataFrame, d: String): DataFrame = {
+      val ord = Seq(col(d).asc, col("vec_id").asc)
+      val wB = Window.partitionBy(col("q_id"), col("__b")).orderBy(ord: _*)
+      val wA = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+      scored
+        .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(RecallBuckets)))
+        .withColumn("__br", row_number().over(wB))
+        .filter(col("__br") <= RecallK).drop("__b", "__br")
+        .withColumn("__rn", row_number().over(wA))
+        .filter(col("__rn") <= RecallK)
+        .select("q_id", "vec_id")
+    }
+
+    // ADC leg scans the CODE table (8 ints/vector), never the vectors
+    val adcTop = topK(codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("qd").as("adc")), "adc")
+
+    // exact leg: full quantized vectors against the panel broadcast
+    val full = e.select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val panel = full.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val exactTop = topK(full.crossJoin(broadcast(panel))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        sqdist(col("qe"), col("qq")).as("dist")), "dist")
+
+    // zero-overlap queries stay on the spine (q195 lesson)
+    panel.select("q_id")
+      .join(adcTop.join(exactTop, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("ov")), Seq("q_id"), "left")
+      .select(coalesce(col("ov"), lit(0L)).as("n_overlap"))
+      .groupBy("n_overlap").agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("n_overlap").desc)
+  }
+
+  /** The oracle replays quantization, the hash init, the floored
+    * integer Lloyd step, code argmin, LUT build, ADC scoring, both
+    * top-K rankings, and the spine-kept overlap histogram in SQL. */
+  val q210Oracle: String =
+    s"""WITH qe AS (
+       |  SELECT vec_id, pos,
+       |    CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS pos
+       |        FROM embeddings)),
+       |sv AS (SELECT vec_id, (pos - 1) // $PqSub AS m, pos, qx FROM qe),
+       |cent AS (
+       |  SELECT m, (vec_id * 37 + m * 11) % $PqK AS k, pos,
+       |    CASE WHEN sum(qx) < 0 THEN -((-sum(qx)) // count(*))
+       |         ELSE sum(qx) // count(*) END AS c
+       |  FROM sv GROUP BY 1, 2, 3),
+       |vd AS (
+       |  SELECT s.vec_id, s.m, c.k, sum((s.qx - c.c) * (s.qx - c.c)) AS dist
+       |  FROM sv s JOIN cent c ON s.m = c.m AND s.pos = c.pos
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |    FROM vd) WHERE rn = 1),
+       |qids AS (SELECT vec_id AS q_id FROM embeddings
+       |         WHERE vec_id % $RecallQueryMod = 0
+       |           AND vec_id < ${RecallQueryMod * RecallMaxQueries}),
+       |lut AS (
+       |  SELECT q.q_id, s.m, c.k, sum((s.qx - c.c) * (s.qx - c.c)) AS qd
+       |  FROM qids q JOIN sv s ON s.vec_id = q.q_id
+       |    JOIN cent c ON c.m = s.m AND c.pos = s.pos
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT l.q_id, cd.vec_id, sum(l.qd) AS adc
+       |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
+       |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2),
+       |atop AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |    FROM adc) WHERE rn <= $RecallK),
+       |ex AS (
+       |  SELECT q.q_id, s.vec_id, sum((s.qx - t.qx) * (s.qx - t.qx)) AS dist
+       |  FROM qids q
+       |    JOIN sv t ON t.vec_id = q.q_id
+       |    JOIN sv s ON s.pos = t.pos AND s.vec_id <> q.q_id
+       |  GROUP BY 1, 2),
+       |etop AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+       |    FROM ex) WHERE rn <= $RecallK),
+       |ov AS (
+       |  SELECT q_id, count(*) AS n FROM (
+       |    SELECT * FROM atop INTERSECT SELECT * FROM etop)
+       |  GROUP BY 1)
+       |SELECT n_overlap, count(*) AS n_queries FROM (
+       |  SELECT q.q_id, CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap
+       |  FROM qids q LEFT JOIN ov o ON o.q_id = q.q_id)
+       |GROUP BY 1 ORDER BY 1 DESC""".stripMargin
+
   // --- Video frame-shingle near-dup (q204) ---------------------------------
 
   /** Characters per stand-in video frame (one pHash thumbnail each). */
