@@ -748,6 +748,129 @@ object Corpus {
 
   val q206Oracle: String = bm25OracleFor(Bm25IdxQueries)
 
+  // --- Incremental BM25 postings maintenance (q211) -------------------------
+
+  /** q211's workload (disjoint tuples from q84/q206, so the incremental
+    * path has independent coverage). */
+  private[queries] val Bm25IncQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("stream", "group"),
+    2L -> Seq("join", "sort", "hash"),
+    3L -> Seq("merge", "scan"))
+
+  /** The base/delta snapshot split (deterministic, engine-portable):
+    * 80% of docs are the base build, every 5th doc is the "newly
+    * ingested" delta. */
+  private def incIsBase: Column = pmod(col("doc_id"), lit(5)) =!= 0
+
+  /** Append ONE snapshot's contribution to the decomposed BM25 index at
+    * `dir` — the [[graft.streaming.IncrementalIndex]] batch_id protocol
+    * applied to text retrieval. Unlike q206's build, df is NOT
+    * denormalized into the postings rows (a new doc changes the df of
+    * every term it shares with old docs — denormalization is exactly
+    * what forbids appends); instead the layout is DECOMPOSED into three
+    * batch_id-partitioned pieces that merge decomposably (the q131 MV
+    * discipline):
+    *
+    *   - `postings/batch_id=N/bucket=B`: (term, doc_id, dl, tf) of this
+    *     snapshot's docs only, term-hash sharded like q206;
+    *   - `df/batch_id=N`: this snapshot's per-term doc counts (merge: +);
+    *   - `stats/batch_id=N`: this snapshot's (n, tt) (merge: +).
+    *
+    * The append SCANS ONLY ITS OWN SNAPSHOT — cost grows with the delta,
+    * never the corpus — and writes only its own batch partitions in
+    * overwrite mode, so a crashed-and-replayed append rewrites its own
+    * files instead of duplicating rows (replay idempotence, spec-pinned).
+    */
+  private[graft] def appendPostingsBatch(s: SparkSession, docs: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    val tf = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(PostIdxBuckets)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/postings/batch_id=$batchId")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df/batch_id=$batchId")
+    docs.select(size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("tt"))
+      .write.mode("overwrite").parquet(s"$dir/stats/batch_id=$batchId")
+  }
+
+  /** Probe the decomposed index: corpus stats and query-term df are
+    * MERGED across batch partitions by + (both frames tiny: stats is
+    * |batches| rows; df is filtered to the query terms BEFORE the merge,
+    * with the filter pushed into the parquet scan), postings read under
+    * the same driver-side static shard pruning as q206, scoring through
+    * the ONE shared exact-integer tail. A probe is entirely
+    * batch-count-agnostic — ingesting more snapshots changes nothing
+    * here, which is the point.
+    */
+  private[graft] def probeBm25Index(s: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    import s.implicits._
+    val termSet = queries.flatMap(_._2).distinct
+    val st = s.read.parquet(s"$dir/stats")
+      .agg(sum("n").as("n"), sum("tt").as("tt")).collect()(0)
+    val (n, tt) = (st.getAs[Long]("n"), st.getAs[Long]("tt"))
+    val dfm = s.read.parquet(s"$dir/df")
+      .filter(col("term").isInCollection(termSet))
+      .groupBy("term").agg(sum("df").as("df"))
+    val terms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qBuckets = termSet.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      java.lang.Math.floorMod(h, PostIdxBuckets.toLong)
+    }.distinct
+    bm25Rank(s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isInCollection(qBuckets))
+      .join(broadcast(terms), Seq("term"))
+      .join(broadcast(dfm), Seq("term")), n, tt)
+  }
+
+  /** q211: INCREMENTAL BM25 INDEX MAINTENANCE — what's missing from
+    * q206's build-once layout on a live corpus: a new snapshot arrives
+    * and the index must absorb it WITHOUT a rebuild. The layout is
+    * decomposed (see [[appendPostingsBatch]]) so an ingest appends only
+    * its own postings/df/stats deltas; the probe merges the decomposable
+    * pieces and scores identically. The registered query builds the
+    * index in two appends (80% base snapshot, then the 20% delta —
+    * the second append scans ONLY the delta docs) and probes it; the
+    * DuckDB oracle recomputes the SAME ranking from scratch over all
+    * documents, so the gate passing IS the incremental == rebuild proof
+    * at every scale factor (the q131 self-certification pattern).
+    *
+    * Scale: an ingest costs O(|delta|) scan + one vocabulary-sized df
+    * delta; the probe touches |query-term shards|/64 of postings bytes
+    * across all batch partitions plus two tiny merge frames. Batch
+    * partitions per shard accumulate as snapshots land — a deployment
+    * compacts old batches periodically (the q137/q123 maintained-layout
+    * hygiene), which this layout supports by construction: compaction
+    * is just re-appending merged partitions.
+    */
+  def q211IncrementalBm25(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "documents")
+    val dir = Layouts.ensureDir(s, s"bm25inc_${PostIdxTag}_$tag") { tmp =>
+      appendPostingsBatch(s, documents(s, d).filter(incIsBase), tmp, 0L)
+      appendPostingsBatch(s, documents(s, d).filter(!incIsBase), tmp, 1L)
+      // multi-subtree layout: the appends complete three write jobs each
+      // (nested markers only); stamp the ROOT marker the publish
+      // protocol requires, strictly after every sub-write succeeded
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    probeBm25Index(s, dir, Bm25IncQueries)
+  }
+
+  /** The rebuild-from-scratch formulation — passing it certifies
+    * incremental == rebuild. */
+  val q211Oracle: String = bm25OracleFor(Bm25IncQueries)
+
   // --- Token-budget waterfilling (q207) ------------------------------------
 
   /** q207: TOKEN-BUDGET WATERFILLING — the mixture-construction
