@@ -21,6 +21,10 @@ object TimeOne {
       // the repo regardless of the invoking working directory
       .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
       .config("spark.ui.enabled", "false")
+      // the Bench session's production-shape switches — TimeOne exists
+      // to attribute BENCH numbers, so it must time the same plans
+      .config("spark.graft.q59.verifyExact", "false")
+      .config("spark.graft.q130.verifyExact", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.queries.filter(q => names(q._1)).toSeq.sortBy(_._1)
