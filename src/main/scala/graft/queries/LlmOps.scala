@@ -2694,6 +2694,160 @@ object LlmOps {
        |    AS ndcg_ppm
        |FROM g ORDER BY label""".stripMargin
 
+  // --- Cross-modal retrieval evaluation (q212) ------------------------------
+
+  /** q212's query-panel rate (denser than q106's — the image-kind
+    * filter already thins the panel by ~3×). */
+  private val XModalQueryMod = 20L
+
+  /** q212: CROSS-MODAL RETRIEVAL EVALUATION — q194's ranking-metric
+    * panel over a cross-modal protocol: queries are IMAGE-kind
+    * payloads' embeddings, the candidate pool is the OTHER modalities
+    * (audio/video kinds — the q38 source-id kind rule), relevance =
+    * shared label across the modality boundary. This is the
+    * text↔image/audio alignment scorecard a multimodal training run
+    * tracks (CLIP-style: does the shared embedding space place an
+    * image's neighbors among the RIGHT other-modality items?): q194
+    * says the space ranks well within itself, q212 says whether that
+    * survives crossing modalities — the number that decides if
+    * cross-modal retrieval/dedup (q198/q200/q204's semantic
+    * complement) can be trusted.
+    *
+    * Differences from q194, both forced by the protocol: the ideal-DCG
+    * pool is the relevant count IN THE CANDIDATE MODALITIES (no self
+    * exclusion — a query is never in the pool, the modalities are
+    * disjoint), and a label with no candidate-pool members degrades to
+    * NULL ndcg via a LEFT join (never drops the query row).
+    *
+    * Scale: the q106 skeleton — kind attaches by one id-keyed join
+    * (shuffle-free off id-bucketed layouts), the doubly-bounded query
+    * panel broadcasts, ONE candidate-pool pass scores every pair, rank
+    * windows sit behind the (q_id, bucket) top-K prefilter, metrics are
+    * exact integers (2520/r reciprocal ranks, literal NDCG weights).
+    */
+  def q212CrossModalMetrics(s: SparkSession, d: String): DataFrame = {
+    val kind = pmod(substring(col("source"), 4, 10).cast("int"), lit(3))
+    crossModalMetrics(embeddings(s, d)
+      .join(documents(s, d).select(col("doc_id"), kind.as("kind")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("kind")))
+  }
+
+  /** The q212 chain over any (vec_id, label, embedding, kind) frame —
+    * separated so specs can drive it with crafted vector layouts. */
+  private[graft] def crossModalMetrics(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = ev.filter(col("kind") === 0 &&
+        pmod(col("vec_id"), lit(XModalQueryMod)) === 0 &&
+        col("vec_id") < lit(XModalQueryMod * RecallMaxQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val cand = ev.filter(col("kind") =!= 0)
+    val labelCnt = cand.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("lc"))
+    val ord = Seq(col("sim").desc, col("vec_id").asc)
+    val wBucket = Window.partitionBy("q_id", "__b").orderBy(ord: _*)
+    val wAll = Window.partitionBy("q_id").orderBy(ord: _*)
+    val perQ = cand.crossJoin(broadcast(q))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        (col("label") === col("q_label")).as("rel"),
+        VectorExpressions.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(RecallBuckets)))
+      .withColumn("__br", row_number().over(wBucket))
+      .filter(col("__br") <= RecallK)
+      .drop("__b", "__br")
+      .withColumn("rnk", row_number().over(wAll))
+      .filter(col("rnk") <= RecallK)
+      .groupBy("q_id", "q_label")
+      .agg(
+        min(when(col("rel"), col("rnk"))).as("first_rel"),
+        count_if(col("rel") && col("rnk") === 1).as("rel1"),
+        count_if(col("rel") && col("rnk") <= 5).as("rel5"),
+        count_if(col("rel")).as("relk"),
+        coalesce(sum(when(col("rel"),
+          expr(ndcgWeightCase("rnk")))), lit(0L)).as("dcg"))
+      .join(labelCnt, Seq("q_label"), "left")
+      .withColumn("idcg",
+        expr(idcgCase(s"least(coalesce(lc, 0), $RecallK)")))
+    perQ.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(expr(s"$RrLcm DIV first_rel")), lit(0L)).as("rr_sum"),
+        count_if(col("rel1") > 0).as("h1"),
+        count_if(col("rel5") > 0).as("h5"),
+        count_if(col("relk") > 0).as("hk"),
+        sum(col("dcg")).as("dcg_sum"),
+        sum(col("idcg")).as("idcg_sum"))
+      .select(col("label").cast("long").as("label"), col("n_queries"),
+        expr(s"rr_sum * 1000000 DIV ($RrLcm * n_queries)").as("mrr_ppm"),
+        expr("h1 * 1000000 DIV n_queries").as("hit1_ppm"),
+        expr("h5 * 1000000 DIV n_queries").as("hit5_ppm"),
+        expr("hk * 1000000 DIV n_queries").as(s"hit${RecallK}_ppm"),
+        expr("CASE WHEN idcg_sum > 0 THEN " +
+          "CAST(dcg_sum AS DECIMAL(38,0)) * 1000000 DIV idcg_sum END")
+          .cast("long").as("ndcg_ppm"))
+      .orderBy("label")
+  }
+
+  val q212Oracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, TRY_CAST(substr(source, 4) AS INT) % 3 AS kind
+       |  FROM documents),
+       |ev AS (
+       |  SELECT e.vec_id, e.label, e.embedding, k.kind
+       |  FROM embeddings e JOIN k ON k.doc_id = e.vec_id),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |  FROM ev WHERE kind = 0 AND vec_id % $XModalQueryMod = 0
+       |    AND vec_id < ${XModalQueryMod * RecallMaxQueries}),
+       |cand AS (SELECT * FROM ev WHERE kind <> 0),
+       |lc AS (SELECT label AS q_label, count(*) AS lc FROM cand GROUP BY 1),
+       |ex AS (
+       |  SELECT q.q_id, q.q_label, e.vec_id,
+       |    e.label = q.q_label AS rel,
+       |    unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+       |  FROM cand e CROSS JOIN q),
+       |sims AS (
+       |  SELECT q_id, any_value(q_label) AS q_label, vec_id,
+       |    any_value(rel) AS rel,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+       |  FROM ex GROUP BY q_id, vec_id),
+       |r AS (
+       |  SELECT q_id, q_label, rel,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims),
+       |pq AS (
+       |  SELECT q_id, any_value(r.q_label) AS q_label,
+       |    min(rnk) FILTER (WHERE rel) AS first_rel,
+       |    count(*) FILTER (WHERE rel AND rnk = 1) AS rel1,
+       |    count(*) FILTER (WHERE rel AND rnk <= 5) AS rel5,
+       |    count(*) FILTER (WHERE rel) AS relk,
+       |    coalesce(sum(${ndcgWeightCase("rnk")}) FILTER (WHERE rel), 0)
+       |      AS dcg,
+       |    any_value(${idcgCase(s"least(coalesce(lc.lc, 0), $RecallK)")})
+       |      AS idcg
+       |  FROM r LEFT JOIN lc USING (q_label) WHERE rnk <= $RecallK
+       |  GROUP BY q_id),
+       |g AS (
+       |  SELECT q_label AS label, count(*) AS n,
+       |    coalesce(sum($RrLcm // first_rel), 0) AS rr_sum,
+       |    count(*) FILTER (WHERE rel1 > 0) AS h1,
+       |    count(*) FILTER (WHERE rel5 > 0) AS h5,
+       |    count(*) FILTER (WHERE relk > 0) AS hk,
+       |    sum(dcg) AS dcg_sum, sum(idcg) AS idcg_sum
+       |  FROM pq GROUP BY 1)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_queries,
+       |  CAST(rr_sum * 1000000 // ($RrLcm * n) AS BIGINT) AS mrr_ppm,
+       |  CAST(h1 * 1000000 // n AS BIGINT) AS hit1_ppm,
+       |  CAST(h5 * 1000000 // n AS BIGINT) AS hit5_ppm,
+       |  CAST(hk * 1000000 // n AS BIGINT) AS hit${RecallK}_ppm,
+       |  CAST(CASE WHEN idcg_sum > 0 THEN
+       |    CAST(dcg_sum AS HUGEINT) * 1000000 // idcg_sum END AS BIGINT)
+       |    AS ndcg_ppm
+       |FROM g ORDER BY label""".stripMargin
+
   // --- IVF probe-width sweep (q195) ----------------------------------------
 
   /** Widest probe the sweep evaluates (nprobe = 1..[[SweepMaxProbe]]). */
