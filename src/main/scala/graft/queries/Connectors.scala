@@ -102,6 +102,75 @@ object Connectors {
     rowsAgg.join(envCount, Seq("page")).orderBy("page")
   }
 
+  /** q213: SQL MERGE INTO THROUGH THE CONNECTOR — q67's CDC apply
+    * semantics lifted to the SQL layer: the paged-REST table, resolved
+    * through [[graft.sources.v2.PagedRestCatalog]], is the target of a
+    * real `MERGE INTO` with matched-delete, matched-update and
+    * not-matched-insert clauses (the group-based
+    * `SupportsRowLevelOperations` surface —
+    * [[graft.sources.v2.PagedRestRowLevelOperation]]). The registered
+    * query seeds the collection with a 25% customer slice, merges a
+    * 50% slice as the change stream (negative-balance matches delete,
+    * other matches update with a +100.0 adjustment, novel keys insert),
+    * and returns the post-merge state; the DuckDB oracle rebuilds the
+    * same state from scratch with a FULL OUTER JOIN over the original
+    * parquet, so the gate certifies the whole chain — catalog
+    * resolution, Spark's ReplaceData rewrite, the connector's
+    * truncate-replace publish, and the JSON round-trip of every value
+    * (Double.toString is shortest-roundtrip; both engines land on the
+    * identical binary64).
+    *
+    * Scale posture: a row-level command on this connector is a full
+    * collection rewrite by design (see the operation's scaladoc) — the
+    * SQL MERGE surface is for the REST-collection state tables the
+    * connector models; a 100 TB fact table keeps q67's keyed MERGE.
+    * Each invocation re-seeds, so the query is deterministic and
+    * idempotent across runs.
+    */
+  def q213SqlMerge(s: SparkSession, d: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/graft_rest_merge"
+    s.conf.set("spark.sql.catalog.graft_mrg",
+      classOf[graft.sources.v2.PagedRestCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mrg.root", root)
+    def slice(m: Int) = graft.Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(m)) === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("value"))
+    slice(4).write.format("graft-rest")
+      .option("pages", s"$root/state").option("pageSize", 200)
+      .mode("overwrite").save()
+    slice(2).createOrReplaceTempView("q213_delta")
+    s.sql(
+      """MERGE INTO graft_mrg.state t USING q213_delta s ON t.id = s.id
+        |WHEN MATCHED AND s.value < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET name = s.name, value = s.value + 100.0
+        |WHEN NOT MATCHED THEN
+        |  INSERT (id, name, value, page) VALUES (s.id, s.name, s.value, 0)
+        |""".stripMargin)
+    s.table("graft_mrg.state").select("id", "name", "value").orderBy("id")
+  }
+
+  /** The oracle rebuilds the post-merge state from scratch: base ⟗
+    * delta on the key, first-matching-clause semantics replayed as a
+    * CASE ladder, matched-and-negative rows filtered out. */
+  val q213Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |src AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 2 = 0)
+      |SELECT coalesce(b.id, s.id) AS id,
+      |  CASE WHEN b.id IS NOT NULL AND s.id IS NOT NULL THEN s.name
+      |       WHEN b.id IS NOT NULL THEN b.name ELSE s.name END AS name,
+      |  CAST(CASE WHEN b.id IS NOT NULL AND s.id IS NOT NULL
+      |         THEN s.value + 100.0
+      |       WHEN b.id IS NOT NULL THEN b.value ELSE s.value END
+      |    AS DOUBLE) AS value
+      |FROM base b FULL OUTER JOIN src s ON b.id = s.id
+      |WHERE NOT (b.id IS NOT NULL AND s.id IS NOT NULL AND s.value < 0)
+      |ORDER BY id""".stripMargin
+
   /** The oracle rebuilds `envelope_n` from the ENVELOPE fields (not by
     * counting items), so the cross-engine hash certifies the
     * connector's page-size arithmetic against the published metadata.

@@ -100,7 +100,8 @@ class PagedRestTableProvider extends TableProvider with DataSourceRegister {
 
 final class PagedRestTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-rest(${options.get("pages")})"
   override def schema(): StructType = PagedRestV2.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -112,6 +113,69 @@ final class PagedRestTable(options: CaseInsensitiveStringMap)
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new PagedRestWriteBuilder(options, info)
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new PagedRestRowLevelOperation(options, info.command())
+    }
+}
+
+/** GROUP-BASED row-level operation (SQL `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` against a catalog-resolved paged collection — see
+  * [[PagedRestCatalog]]): Spark's rewrite rules read the table through
+  * [[newScanBuilder]], compute the complete post-operation rows, and
+  * write them back through [[newWriteBuilder]]; the "group" here is the
+  * WHOLE collection, so the write is the existing atomic
+  * truncate-replace (readers observe the old collection or the new one,
+  * never a torn mix — [[PagedRestBatchWrite]]'s publish protocol, which
+  * is also what makes a failed MERGE leave the table untouched).
+  *
+  * The operation's scan builder is deliberately PUSHDOWN-FREE (no
+  * filter/limit/aggregate/pruning interfaces): with whole-collection
+  * replace, every surviving row must flow through the plan — a scan
+  * that pruned pages under a pushed predicate would silently DROP the
+  * pruned pages at write-back. Finer-than-collection replace granularity
+  * needs scan↔write group coordination (file-level tracking), which an
+  * offset-paged API fundamentally cannot offer: page numbers are
+  * renumbered by any replace. Cost posture: a row-level command is a
+  * full collection rewrite — correct for the REST-collection sizes this
+  * connector models (pages fan out on read, the write is the bounded
+  * two-phase commit); a 100 TB fact table wants q67's keyed MERGE or a
+  * delta-based DSv2 instead.
+  */
+final class PagedRestRowLevelOperation(
+    options: CaseInsensitiveStringMap,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new PagedRestScan(
+        Option(options.get("pages")).getOrElse(throw new IllegalArgumentException(
+          "graft-rest requires option 'pages' (collection directory)")),
+        options.getInt("pagesPerPartition", 4),
+        options.getBoolean("strict", false),
+        PagedRestV2.Schema, None, PageBounds(), None)
+    }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // Spark's group-based rewrite (ReplaceData) declares only the table
+    // columns in LogicalWriteInfo, but — with no metadata columns in
+    // play — its DataWritingSparkTask hands the writer the RAW rewrite
+    // rows, which carry a prepended `__row_operation` int (the
+    // carried/modified marker the runtime group-filtering machinery
+    // uses). Hand the writer that actual physical layout so its by-name
+    // ordinals line up; the writer's per-row field-count guard fails
+    // loudly if a future Spark starts projecting the marker away.
+    val rowLayout = StructType(
+      StructField("__row_operation", IntegerType) +: info.schema().fields)
+    val b = new PagedRestWriteBuilder(options, info, Some(rowLayout))
+    b.truncate() // replace-the-group semantics, group = collection
+    b
+  }
 }
 
 /** Intersection of pushed `page` predicates: a closed [lo, hi] range

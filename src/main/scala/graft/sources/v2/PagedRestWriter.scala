@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * readers, exactly what the atomic-replace protocol exists to avoid.
   */
 final class PagedRestWriteBuilder(
-    options: CaseInsensitiveStringMap, info: LogicalWriteInfo)
+    options: CaseInsensitiveStringMap, info: LogicalWriteInfo,
+    rowLayout: Option[StructType] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -55,8 +56,12 @@ final class PagedRestWriteBuilder(
         "graft-rest requires option 'pages' (collection directory)"))
     val pageSize = options.getInt("pageSize", 100)
     require(pageSize > 0, "graft-rest: pageSize must be positive")
+    // rowLayout: the PHYSICAL layout of the rows the writer will
+    // receive when it differs from the declared write schema — see
+    // PagedRestRowLevelOperation (group-based rewrites prepend an
+    // operation column that LogicalWriteInfo does not declare)
     new PagedRestWrite(pagesDir, pageSize, doTruncate,
-      info.queryId(), info.schema())
+      info.queryId(), rowLayout.getOrElse(info.schema()))
   }
 }
 
@@ -190,6 +195,14 @@ final class PagedRestDataWriter(
     }
 
   override def write(row: InternalRow): Unit = {
+    // layout guard: the by-name ordinals above are only valid when the
+    // physical row carries exactly the declared fields — a drifted
+    // Spark write path (e.g. the row-level rewrite starting to project
+    // its operation column away) must fail loudly, not garble items
+    require(row.numFields == schema.length,
+      s"graft-rest writer: row has ${row.numFields} fields but the " +
+        s"declared write layout has ${schema.length} " +
+        s"(${schema.fieldNames.mkString(", ")})")
     val id = if (row.isNullAt(idIdx)) "null" else row.getLong(idIdx).toString
     val name = if (row.isNullAt(nameIdx)) "null"
       else "\"" + esc(row.getUTF8String(nameIdx).toString) + "\""
