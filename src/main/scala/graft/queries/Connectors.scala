@@ -128,7 +128,11 @@ object Connectors {
     * idempotent across runs.
     */
   def q213SqlMerge(s: SparkSession, d: String): DataFrame = {
-    val root = s.conf.get("spark.sql.warehouse.dir") + "/graft_rest_merge"
+    // warehouse.dir may be a file: URI (test sessions) — the connector
+    // and catalog speak filesystem paths, so strip the scheme first
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = s"$wh/graft_rest_merge"
     s.conf.set("spark.sql.catalog.graft_mrg",
       classOf[graft.sources.v2.PagedRestCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_mrg.root", root)

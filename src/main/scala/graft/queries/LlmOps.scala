@@ -5256,8 +5256,16 @@ object LlmOps {
     val isQuery = pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
       col("vec_id") < lit(RecallQueryMod * RecallMaxQueries)
 
+    // ONE corpus scan: the quantized-vector frame materializes once
+    // (eager localCheckpoint, the q84 discipline) and feeds all five
+    // consumers — codebook build, code assignment, LUT, the exact leg,
+    // and the panel spine. Without it the plan re-reads the vector
+    // column SEVEN times (ReuseCheck scans=1 pinned in PqAdcSpec).
+    val full = e.select(col("vec_id"), quant(col("embedding")).as("qe"))
+      .localCheckpoint(true)
+
     // (vec_id, m, sv): quantized 8-dim subvectors
-    val sv = e.select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val sv = full
       .select(col("vec_id"), explode(transform(sequence(lit(0), lit(PqM - 1)),
         m => struct(m.as("m"),
           slice(col("qe"), m * PqSub + 1, lit(PqSub)).as("sv")))).as("s"))
@@ -5310,7 +5318,7 @@ object LlmOps {
       .groupBy("q_id", "vec_id").agg(sum("qd").as("adc")), "adc")
 
     // exact leg: full quantized vectors against the panel broadcast
-    val full = e.select(col("vec_id"), quant(col("embedding")).as("qe"))
+    // (both frames read the checkpointed quantized corpus, not the scan)
     val panel = full.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
     val exactTop = topK(full.crossJoin(broadcast(panel))

@@ -47,4 +47,16 @@ class PqAdcSpec extends SparkSpec {
     // integer arithmetic end-to-end: a second run is bit-identical
     assert(hist(LlmOps.pqRecallAudit(e)) == h1)
   }
+
+  test("one corpus scan: the quantized frame is checkpointed and shared") {
+    val df = LlmOps.pqRecallAudit(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 0 && finalPlan.contains("ExistingRDD"),
+      s"all five consumers must read the one checkpointed quantized " +
+        s"frame, not re-scan the vector column (scans=$scans)")
+  }
 }
