@@ -175,6 +175,77 @@ object Connectors {
       |WHERE NOT (b.id IS NOT NULL AND s.id IS NOT NULL AND s.value < 0)
       |ORDER BY id""".stripMargin
 
+  /** q214: DELTA-BASED SQL MERGE (merge-on-read) — the OTHER row-level
+    * architecture beside q213's group replace: the `graft-kv` keyed
+    * table ([[graft.sources.v2.KvTable]], `SupportsDelta` with
+    * rowId = id) logs ONLY the touched rows per command and the scan
+    * folds the log last-wins per key. The registered query layers
+    * THREE commits — a seed (25% customer slice), the q213 MERGE wave
+    * (delete negatives / update matches +100 / insert novel keys), and an
+    * UPDATE wave (+0.5 on id % 3 = 0) — then reads the folded state;
+    * the DuckDB oracle recomputes the same three-wave composition from
+    * the original parquet, so the gate certifies catalog resolution,
+    * Spark's WriteDelta rewrite, the typed delta callbacks, the
+    * commit-marker protocol, and the merge-on-read fold.
+    *
+    * Scale posture: ingest cost is O(|touched rows|) per command (the
+    * whole point vs q213's full rewrite); scan state is bounded per
+    * bucket, the deployment knob. KvMergeSpec pins the architectural
+    * claim directly: the MERGE commit's logs contain exactly the
+    * touched rows.
+    */
+  def q214KvDelta(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = s"$wh/graft_kv_delta"
+    s.conf.set("spark.sql.catalog.graft_kv",
+      classOf[graft.sources.v2.KvCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_kv.root", root)
+    def slice(m: Int) = graft.Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(m)) === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("value"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/state"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/state/_kv"), Array.emptyByteArray)
+    slice(4).write.format("graft-kv")
+      .option("path", s"$root/state").option("buckets", 8)
+      .mode("overwrite").save()
+    slice(2).createOrReplaceTempView("q214_delta")
+    s.sql(
+      """MERGE INTO graft_kv.state t USING q214_delta s ON t.id = s.id
+        |WHEN MATCHED AND s.value < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET name = s.name, value = s.value + 100.0
+        |WHEN NOT MATCHED THEN
+        |  INSERT (id, name, value) VALUES (s.id, s.name, s.value)
+        |""".stripMargin)
+    s.sql("UPDATE graft_kv.state SET value = value + 0.5 WHERE id % 3 = 0")
+    s.table("graft_kv.state").select("id", "name", "value").orderBy("id")
+  }
+
+  /** Three-wave recomposition from scratch: base ⟗ delta with q213's
+    * clause ladder, then the update wave on the survivors. */
+  val q214Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |src AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |merged AS (
+      |  SELECT coalesce(b.id, s.id) AS id,
+      |    CASE WHEN b.id IS NOT NULL AND s.id IS NOT NULL THEN s.name
+      |         WHEN b.id IS NOT NULL THEN b.name ELSE s.name END AS name,
+      |    CASE WHEN b.id IS NOT NULL AND s.id IS NOT NULL
+      |           THEN s.value + 100.0
+      |         WHEN b.id IS NOT NULL THEN b.value ELSE s.value END AS v
+      |  FROM base b FULL OUTER JOIN src s ON b.id = s.id
+      |  WHERE NOT (b.id IS NOT NULL AND s.id IS NOT NULL AND s.value < 0))
+      |SELECT id, name,
+      |  CAST(CASE WHEN id % 3 = 0 THEN v + 0.5 ELSE v END AS DOUBLE) AS value
+      |FROM merged ORDER BY id""".stripMargin
+
   /** The oracle rebuilds `envelope_n` from the ENVELOPE fields (not by
     * counting items), so the cross-engine hash certifies the
     * connector's page-size arithmetic against the published metadata.

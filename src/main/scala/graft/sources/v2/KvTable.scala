@@ -1,0 +1,503 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-kv`: a KEYED table with DELTA-BASED row-level operations —
+  * the other half of the DSv2 row-level spectrum beside the paged-REST
+  * connector's group-based replace (q213):
+  *
+  *   - group-based (`graft-rest`): a MERGE rewrites the WHOLE affected
+  *     group (there, the collection) — write cost is the table size,
+  *     read cost is a plain scan;
+  *   - delta-based (`graft-kv`, this file): a MERGE writes ONLY the
+  *     touched rows as operation records (`SupportsDelta` — Spark hands
+  *     the writer per-row insert/update/delete callbacks keyed by the
+  *     declared `rowId`), and the SCAN merges base + deltas on read —
+  *     MERGE-ON-READ, the Iceberg-MoR/Hudi/Paimon shape, miniaturized.
+  *
+  * Layout under the table dir:
+  *   - `bucket=B/log-<seq>-<task>.jsonl` — JSON-lines operation records
+  *     `{"op": "I"|"U"|"D", "id": …, "name": …, "value": …}`, hash-
+  *     bucketed by key so every key's history lives in ONE bucket;
+  *   - `commit-<seq>.json` — the commit marker, written LAST: readers
+  *     apply only log files whose sequence number has a marker, so a
+  *     torn commit is invisible (a mini transaction log on plain files).
+  *
+  * State of a bucket = fold of its committed log files in (seq, task)
+  * order, LAST WRITE WINS per key, `D` removes. Within one commit the
+  * per-key order is immaterial: Spark's row-level rewrites touch each
+  * target row at most once per command, so a single commit is key-unique
+  * by construction.
+  *
+  * Scale posture: the scan plans ONE partition per bucket and folds that
+  * bucket's logs in memory — bucket count is the knob that bounds
+  * per-task state (a deployment sizes buckets so state fits, exactly
+  * like a streaming state store); ingest cost is O(|touched rows|),
+  * never the table; compaction (folding a bucket's logs back to one
+  * file) is a rewrite of that bucket only, by construction. JSON lines
+  * keep the oracle able to read the same bytes; a production twin swaps
+  * the record codec, nothing else.
+  */
+object KvTable {
+  // id is the rowId of the delta operation — Spark refuses a nullable
+  // rowId attribute (NULLABLE_ROW_ID_ATTRIBUTES), and a keyed table
+  // has no business holding keyless rows anyway
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("value", DoubleType)))
+
+  def bucketOf(id: Long, buckets: Int): Int =
+    java.lang.Math.floorMod(id, buckets)
+
+  private[v2] def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Committed sequence numbers under `dir` (ascending). */
+  private[sources] def committedSeqs(dir: Path): Seq[Long] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val listing = Files.list(dir)
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("commit-") && n.endsWith(".json"))
+        .map(_.stripPrefix("commit-").stripSuffix(".json").toLong)
+        .toSeq.sorted
+      finally listing.close()
+    }
+
+  /** Committed log files of one bucket in apply order (seq, task). */
+  private[sources] def bucketLogs(dir: Path, bucket: Int): Seq[Path] = {
+    val committed = committedSeqs(dir).toSet
+    val bd = dir.resolve(s"bucket=$bucket")
+    if (!Files.isDirectory(bd)) Seq.empty
+    else {
+      val listing = Files.list(bd)
+      try listing.iterator().asScala
+        .map(p => p.getFileName.toString -> p)
+        .collect { case (n, p) if n.startsWith("log-") && n.endsWith(".jsonl") =>
+          val parts = n.stripPrefix("log-").stripSuffix(".jsonl").split("-")
+          (parts(0).toLong, parts(1).toInt, p)
+        }
+        .filter { case (seq, _, _) => committed(seq) }
+        .toSeq.sortBy { case (seq, task, _) => (seq, task) }
+        .map(_._3)
+      finally listing.close()
+    }
+  }
+
+  /** Fold one bucket's committed logs: last-wins per key, D removes.
+    * Returns survivors ordered by key (deterministic scan output). */
+  private[v2] def foldBucket(dir: Path, bucket: Int)
+      : Seq[(Long, Option[String], Option[Double])] = {
+    val m = new ObjectMapper()
+    val state = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Option[String], Option[Double])]
+    bucketLogs(dir, bucket).foreach { p =>
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = m.readTree(line)
+          val id = n.path("id").asLong()
+          n.path("op").asText() match {
+            case "D" => state.remove(id)
+            case _ =>
+              val name = Option(n.get("name")).filterNot(_.isNull).map(_.asText())
+              val value = Option(n.get("value")).filterNot(_.isNull).map(_.asDouble())
+              state.update(id, (name, value))
+          }
+        }
+    }
+    state.toSeq.sortBy(_._1).map { case (id, (nm, v)) => (id, nm, v) }
+  }
+}
+
+class KvTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KvSparkTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class KvSparkTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations {
+  private[v2] def dir: String = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-kv requires option 'path'"))
+  private[v2] def buckets: Int = options.getInt("buckets", 8)
+
+  override def name(): String = s"graft-kv($dir)"
+  override def schema(): StructType = KvTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KvScan(dir, buckets)
+    }
+
+  /** Plain writes: append = INSERT records; truncate = drop every
+    * committed log, then the new records form commit 0. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new KvWrite(dir, buckets, info, doTruncate)
+    }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new KvRowLevelOperation(dir, buckets, info.command())
+    }
+}
+
+/** DELTA-BASED row-level operation: `rowId` = the key column, so
+  * Spark's WriteDelta rewrite sends the writer only the TOUCHED rows
+  * as typed callbacks — the ingest cost a MERGE should have on a keyed
+  * table. The scan is the same merge-on-read scan queries use.
+  */
+final class KvRowLevelOperation(dir: String, buckets: Int,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def rowId(): Array[NamedReference] = Array(Expressions.column("id"))
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KvScan(dir, buckets)
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new KvDeltaWrite(dir, buckets, info)
+    }
+}
+
+// --- scan (merge-on-read) ----------------------------------------------------
+
+final case class KvBucketPartition(dir: String, bucket: Int) extends InputPartition
+
+final class KvScan(dir: String, buckets: Int) extends Scan with Batch {
+  override def readSchema(): StructType = KvTable.Schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-kv path=$dir buckets=$buckets"
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until buckets).map(b => KvBucketPartition(dir, b): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val kp = p.asInstanceOf[KvBucketPartition]
+        val rows = KvTable.foldBucket(Paths.get(kp.dir), kp.bucket).iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!rows.hasNext) false
+            else {
+              val (id, name, value) = rows.next()
+              cur = new GenericInternalRow(Array[Any](
+                id, name.map(UTF8String.fromString).orNull,
+                value.map(java.lang.Double.valueOf).orNull))
+              true
+            }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+// --- commit machinery shared by plain and delta writes -----------------------
+
+final case class KvCommit(partitionId: Int,
+    files: Seq[(Int, String)], nOps: Long) extends WriterCommitMessage
+
+/** Two-phase commit: tasks stage per-bucket JSONL files; the driver
+  * assigns the next sequence number, moves the staged files into their
+  * bucket dirs, and writes the `commit-<seq>.json` marker LAST — a
+  * reader never applies a log whose marker is missing, so a crash
+  * between moves leaves invisible garbage, never a torn table. */
+private[v2] object KvCommitter {
+  def commit(dir: String, queryId: String,
+      messages: Array[WriterCommitMessage], truncate: Boolean): Unit = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    if (truncate) {
+      // drop every committed log + commit marker — but NOT the
+      // catalog's `_kv` existence marker: truncate empties the table,
+      // it does not drop it (atomic enough for the single-writer
+      // seeding path truncate exists for)
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .filter(p => p != root && p.getFileName.toString != "_kv")
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+      Files.createDirectories(root)
+    }
+    val seq = KvTable.committedSeqs(root).lastOption.getOrElse(-1L) + 1L
+    val commits = messages.map(_.asInstanceOf[KvCommit]).sortBy(_.partitionId)
+    commits.foreach { c =>
+      c.files.foreach { case (bucket, staged) =>
+        val bd = root.resolve(s"bucket=$bucket")
+        Files.createDirectories(bd)
+        Files.move(Paths.get(staged),
+          bd.resolve(s"log-$seq-${c.partitionId}.jsonl"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    val nOps = commits.map(_.nOps).sum
+    Files.write(root.resolve(s"commit-$seq.json"),
+      s"""{"seq": $seq, "ops": $nOps, "query": "$queryId"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    deleteTree(Paths.get(s"$dir.staging-$queryId"))
+  }
+
+  def abort(dir: String, queryId: String): Unit =
+    deleteTree(Paths.get(s"$dir.staging-$queryId"))
+
+  def staging(dir: String, queryId: String): Path = {
+    val p = Paths.get(s"$dir.staging-$queryId")
+    Files.createDirectories(p)
+    p
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverseIterator
+      .foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+}
+
+/** Task-side op buffer: renders JSONL per bucket, stages on commit. */
+private[v2] final class KvOpBuffer(stagingDir: String, buckets: Int,
+    partitionId: Int, taskId: Long) {
+  private val bufs = scala.collection.mutable.Map.empty[Int, StringBuilder]
+  private var n = 0L
+
+  def add(op: String, id: Long, name: Option[String], value: Option[Double]): Unit = {
+    val b = bufs.getOrElseUpdate(KvTable.bucketOf(id, buckets),
+      new StringBuilder)
+    val nm = name.map(s => "\"" + KvTable.esc(s) + "\"").getOrElse("null")
+    val v = value.map { d =>
+      if (java.lang.Double.isFinite(d)) d.toString else "null"
+    }.getOrElse("null")
+    b.append(s"""{"op": "$op", "id": $id, "name": $nm, "value": $v}""")
+      .append('\n')
+    n += 1L
+  }
+
+  def stage(): KvCommit = {
+    val files = bufs.toSeq.sortBy(_._1).map { case (bucket, sb) =>
+      val p = Paths.get(stagingDir, s"task-$partitionId-$taskId-b$bucket.jsonl")
+      Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
+      bucket -> p.toString
+    }
+    KvCommit(partitionId, files, n)
+  }
+
+  def abort(): Unit =
+    bufs.keys.foreach { bucket =>
+      Files.deleteIfExists(
+        Paths.get(stagingDir, s"task-$partitionId-$taskId-b$bucket.jsonl"))
+    }
+}
+
+// --- plain write (INSERT INTO / seeding) -------------------------------------
+
+final class KvWrite(dir: String, buckets: Int, info: LogicalWriteInfo,
+    truncate: Boolean) extends Write {
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
+      val staging = KvCommitter.staging(dir, info.queryId()).toString
+      val schema = info.schema()
+      val bk = buckets
+      new DataWriterFactory {
+        override def createWriter(pid: Int, tid: Long): DataWriter[InternalRow] =
+          new DataWriter[InternalRow] {
+            private val idIdx = schema.fieldNames.indexOf("id")
+            private val nameIdx = schema.fieldNames.indexOf("name")
+            private val valueIdx = schema.fieldNames.indexOf("value")
+            require(idIdx >= 0 && nameIdx >= 0 && valueIdx >= 0,
+              s"graft-kv write needs id, name, value; got " +
+                schema.fieldNames.mkString(", "))
+            private val buf = new KvOpBuffer(staging, bk, pid, tid)
+            override def write(row: InternalRow): Unit = {
+              require(!row.isNullAt(idIdx), "graft-kv: id must not be null")
+              buf.add("I", row.getLong(idIdx),
+                if (row.isNullAt(nameIdx)) None
+                else Some(row.getUTF8String(nameIdx).toString),
+                if (row.isNullAt(valueIdx)) None
+                else Some(row.getDouble(valueIdx)))
+            }
+            override def commit(): WriterCommitMessage = buf.stage()
+            override def abort(): Unit = buf.abort()
+            override def close(): Unit = ()
+          }
+      }
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      KvCommitter.commit(dir, info.queryId(), messages, truncate)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      KvCommitter.abort(dir, info.queryId())
+  }
+}
+
+// --- delta write (MERGE / UPDATE / DELETE) -----------------------------------
+
+final class KvDeltaWrite(dir: String, buckets: Int, info: LogicalWriteInfo)
+    extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    override def createBatchWriterFactory(p: PhysicalWriteInfo): DeltaWriterFactory = {
+      val staging = KvCommitter.staging(dir, info.queryId()).toString
+      val schema = info.schema()
+      val idSchema = info.rowIdSchema().orElse(
+        StructType(Seq(StructField("id", LongType))))
+      val bk = buckets
+      new DeltaWriterFactory {
+        override def createWriter(pid: Int, tid: Long): DeltaWriter[InternalRow] =
+          new DeltaWriter[InternalRow] {
+            private val idIdx = schema.fieldNames.indexOf("id")
+            private val nameIdx = schema.fieldNames.indexOf("name")
+            private val valueIdx = schema.fieldNames.indexOf("value")
+            private val ridIdx = idSchema.fieldNames.indexOf("id")
+            // a pure DELETE carries NO data rows — info.schema() is
+            // empty and only the rowId schema matters; the data
+            // ordinals are validated lazily on the first data op
+            require(ridIdx >= 0,
+              s"graft-kv delta write: rowId must carry id, got " +
+                idSchema.fieldNames.mkString(","))
+            private val buf = new KvOpBuffer(staging, bk, pid, tid)
+            private def dataOp(op: String, row: InternalRow): Unit = {
+              require(idIdx >= 0 && nameIdx >= 0 && valueIdx >= 0,
+                s"graft-kv delta write needs id, name, value data " +
+                  s"columns; got ${schema.fieldNames.mkString(",")}")
+              buf.add(op, row.getLong(idIdx),
+                if (row.isNullAt(nameIdx)) None
+                else Some(row.getUTF8String(nameIdx).toString),
+                if (row.isNullAt(valueIdx)) None
+                else Some(row.getDouble(valueIdx)))
+            }
+            override def insert(row: InternalRow): Unit = dataOp("I", row)
+            override def update(meta: InternalRow, rid: InternalRow,
+                row: InternalRow): Unit = dataOp("U", row)
+            override def delete(meta: InternalRow, rid: InternalRow): Unit =
+              buf.add("D", rid.getLong(ridIdx), None, None)
+            override def commit(): WriterCommitMessage = buf.stage()
+            override def abort(): Unit = buf.abort()
+            override def close(): Unit = ()
+          }
+      }
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      KvCommitter.commit(dir, info.queryId(), messages, truncate = false)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      KvCommitter.abort(dir, info.queryId())
+  }
+}
+
+// --- catalog -----------------------------------------------------------------
+
+/** Minimal V2 catalog over a directory of kv tables — the
+  * [[PagedRestCatalog]] layout discipline for the delta connector:
+  * `<root>/<ns…>/<table>` IS the table, existence marked by `_kv`. */
+class KvCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+  private var buckets: Int = 8
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog $name requires option 'root'"))
+    buckets = options.getInt("buckets", 8)
+  }
+  override def name(): String = catalogName
+
+  private def dirFor(ident: Identifier): Path =
+    Paths.get((root +: ident.namespace.toSeq :+ ident.name()).mkString("/"))
+
+  private def tableOpts(ident: Identifier): CaseInsensitiveStringMap =
+    new CaseInsensitiveStringMap(Map(
+      "path" -> dirFor(ident).toString, "buckets" -> buckets.toString).asJava)
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(dirFor(ident).resolve("_kv"))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new KvSparkTable(tableOpts(ident))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = Paths.get((root +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(ns)) Array.empty
+    else {
+      val listing = Files.list(ns)
+      try listing.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_kv")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally listing.close()
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "graft-kv tables are hash-bucketed internally")
+    require(schema.isEmpty ||
+      schema.fieldNames.sorted.sameElements(KvTable.Schema.fieldNames.sorted),
+      s"graft-kv tables carry the fixed schema ${KvTable.Schema.simpleString}; " +
+        s"got ${schema.simpleString}")
+    val d = dirFor(ident)
+    Files.createDirectories(d)
+    Files.write(d.resolve("_kv"), Array.emptyByteArray)
+    new KvSparkTable(tableOpts(ident))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-kv tables carry a fixed schema; ALTER is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val d = dirFor(ident)
+    val walk = Files.walk(d)
+    try walk.iterator().asScala.toSeq.reverseIterator
+      .foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(dirFor(newIdent).getParent)
+    Files.move(dirFor(oldIdent), dirFor(newIdent))
+  }
+}
