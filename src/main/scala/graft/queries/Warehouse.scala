@@ -694,6 +694,93 @@ object Warehouse {
        |FROM t GROUP BY tile ORDER BY tile""".stripMargin
   }
 
+  /** q215: HILBERT vs Z-ORDER LOCALITY AUDIT — the measurement that
+    * justifies choosing between the two clustering curves q74 takes as
+    * given: on the SAME min/max-quantized (l_partkey, l_suppkey) grid,
+    * both curve keys are computed (native codegen'd
+    * [[graft.functions.ZOrder.HilbertCode]] beside MortonCode), the
+    * distinct grid points are walked IN KEY ORDER per curve, and each
+    * curve reports its total / maximum / unit-step-count consecutive
+    * Manhattan movement — the locality a clustered write inherits:
+    * every jump is a place where a contiguous file run stops being a
+    * compact 2-D tile. On the full grid Hilbert is continuous (every
+    * step = 1) while the Z curve takes power-of-two diagonal leaps;
+    * on the fixture's occupied subset the totals quantify how much of
+    * that survives sparsity.
+    *
+    * Scale: the walked frame is the DISTINCT QUANTIZED GRID — at most
+    * 4^[[ZQBits]] rows at any corpus size — so the two single-partition
+    * rank walks are domain-bounded (the q100/q68 argument), and the
+    * corpus-sized work is exactly q74's distinct + quantize pass. The
+    * oracle replays the Hilbert walk from the SAME generated SQL
+    * ([[graft.functions.ZOrder.hilbertSqlCtes]] — one `* REPLACE` CTE
+    * per level), so engine and oracle trace identical trajectories.
+    */
+  def q215HilbertAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ZOrder
+    val qmax = (1 << ZQBits) - 1
+    val li = bucketedLineitem(s, d)
+    val ext = li.agg(
+      min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
+    val (pLo, pHi, sLo, sHi) = (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
+    require(pHi - pLo <= Long.MaxValue / qmax && sHi - sLo <= Long.MaxValue / qmax,
+      s"q215 key range exceeds the exact-quantization envelope (2^63/$qmax)")
+    def quant(c: String, lo: Long, hi: Long): Column =
+      expr(s"(($c - ${lo}L) * ${qmax}L) DIV ${math.max(hi - lo, 1L)}L")
+    val pts = li
+      .select(quant("l_partkey", pLo, pHi).cast("long").as("qx"),
+        quant("l_suppkey", sLo, sHi).cast("long").as("qy"))
+      .distinct()
+      .select(col("qx"), col("qy"),
+        ZOrder.morton(col("qx"), col("qy"), ZQBits).as("zkey"),
+        ZOrder.hilbertCol(col("qx"), col("qy"), ZQBits).as("hkey"))
+      .localCheckpoint(true) // grid-bounded; both walks read it once
+    def walk(curve: String, key: String): DataFrame = {
+      val w = Window.orderBy(col(key))
+      pts
+        .withColumn("step",
+          abs(col("qx") - lag("qx", 1).over(w)) +
+            abs(col("qy") - lag("qy", 1).over(w)))
+        .agg(count(lit(1)).as("n_points"),
+          coalesce(sum("step"), lit(0L)).as("total_jump"),
+          count_if(col("step") === 1).as("n_unit_steps"),
+          max("step").as("max_jump"))
+        .select(lit(curve).as("curve"), col("n_points"), col("total_jump"),
+          col("n_unit_steps"), col("max_jump"))
+    }
+    walk("hilbert", "hkey").unionAll(walk("morton", "zkey")).orderBy("curve")
+  }
+
+  val q215Oracle: String = {
+    import graft.functions.ZOrder
+    val qmax = (1 << ZQBits) - 1
+    val z = ZOrder.mortonSql("qx", "qy", ZQBits)
+    val hCtes = ZOrder.hilbertSqlCtes("pts", "qx", "qy", ZQBits, "hpts", "hkey")
+    def walkSql(curve: String, src: String, key: String): String =
+      s"""SELECT '$curve' AS curve, count(*) AS n_points,
+         |  CAST(coalesce(sum(step), 0) AS BIGINT) AS total_jump,
+         |  CAST(count(*) FILTER (WHERE step = 1) AS BIGINT) AS n_unit_steps,
+         |  CAST(max(step) AS BIGINT) AS max_jump
+         |FROM (SELECT abs(qx - lag(qx) OVER (ORDER BY $key))
+         |        + abs(qy - lag(qy) OVER (ORDER BY $key)) AS step
+         |      FROM $src)""".stripMargin
+    s"""WITH ext AS (
+       |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+       |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+       |  FROM lineitem),
+       |pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |pts AS (SELECT DISTINCT
+       |        (l_partkey - plo) * $qmax // greatest(phi - plo, 1) AS qx,
+       |        (l_suppkey - slo) * $qmax // greatest(shi - slo, 1) AS qy
+       |      FROM pairs, ext),
+       |$hCtes,
+       |zpts AS (SELECT qx, qy, $z AS zkey FROM pts)
+       |${walkSql("hilbert", "hpts", "hkey")}
+       |UNION ALL
+       |${walkSql("morton", "zpts", "zkey")}
+       |ORDER BY curve""".stripMargin
+  }
+
   /** q67: CDC compaction via [[graft.ops.Upsert.merge]] — the events log
     * split at a cutoff into base snapshot + change feed, merged back with
     * keep-latest-per-user semantics and `event_type = 'error'` rows acting
