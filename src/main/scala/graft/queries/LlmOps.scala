@@ -1305,6 +1305,102 @@ object LlmOps {
        |FROM ms JOIN sq ON ms.cell_id = sq.cell_id AND ms.pos = sq.pos
        |GROUP BY 1 ORDER BY cell_id""".stripMargin
 
+  // --- Cluster-balanced diversity sampling (q216) ---------------------------
+
+  /** Per-cell keep budget = [[DivCoef]]·⌊√n⌋ (whole cell if smaller). */
+  private val DivCoef = 4L
+  private val DivBuckets = 16L
+
+  /** q216: CLUSTER-BALANCED DIVERSITY SAMPLING — the D4-style
+    * de-clustering step after semantic clustering: web-scale corpora
+    * concentrate near-duplicate boilerplate into a few MEGA-CLUSTERS,
+    * and uniform sampling inherits that skew. Each cell keeps
+    * min(n, [[DivCoef]]·⌊√n⌋) members — sublinear in cell size, so a
+    * 10⁶-member boilerplate cluster contributes ~4000 docs while a
+    * 100-member niche cluster keeps ~40 — selected deterministically
+    * by the PORTABLE content-hash order (the q62/q127 discipline:
+    * membership is a pure function of vec_id, reproducible across
+    * runs, engines, layouts and snapshots; no RNG state).
+    *
+    * Exact-integer discipline: ⌊√n⌋ from a float seed CORRECTED
+    * exactly (s s.t. s² ≤ n < (s+1)²), so a last-ulp sqrt cannot
+    * misquota a cell on either engine. The output carries an
+    * order-independent membership checksum (sum + bit_xor of kept
+    * ids, the q140 discipline), so the oracle certifies the SELECTED
+    * SET, not just its size.
+    *
+    * Scale: assignment is the broadcast-centroid argmax (shared
+    * [[assignCells]]); cell stats are |cells| rows (broadcast back);
+    * the per-cell selection rank sits behind the (cell, bucket)
+    * prefilter, so a mega-cell never sorts on one task.
+    */
+  def q216DiversitySample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id").between(1, SemDedupK))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val assigned = assignCells(e, cents).select("vec_id", "cell_id")
+    val stats = assigned.groupBy("cell_id")
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("s0",
+        floor(sqrt(col("n_members").cast("double"))).cast("long"))
+      .withColumn("isq", expr(
+        "CASE WHEN (s0+1)*(s0+1) <= n_members THEN s0+1 " +
+          "WHEN s0*s0 > n_members THEN s0-1 ELSE s0 END"))
+      .withColumn("quota",
+        least(col("n_members"), lit(DivCoef) * col("isq")))
+    val ord = Seq(col("__h").asc, col("vec_id").asc)
+    val wB = Window.partitionBy(col("cell_id"), col("__b")).orderBy(ord: _*)
+    val wT = Window.partitionBy(col("cell_id")).orderBy(ord: _*)
+    val kept = assigned
+      .join(broadcast(stats.select("cell_id", "quota")), Seq("cell_id"))
+      .withColumn("__h",
+        VectorExpressions.hornerHash(col("vec_id").cast("string")))
+      .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(DivBuckets)))
+      .withColumn("__br", row_number().over(wB))
+      .filter(col("__br") <= col("quota"))
+      .drop("__b", "__br")
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= col("quota"))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("vec_id").as("kept_sum"),
+        expr("bit_xor(vec_id)").as("kept_xor"))
+    stats.join(kept, Seq("cell_id"))
+      .select(col("cell_id").cast("long").as("cell_id"), col("n_members"),
+        col("quota"), col("n_kept"), col("kept_sum"), col("kept_xor"))
+      .orderBy("cell_id")
+  }
+
+  /** Assignment CTEs shared with q77/q81; isqrt correction, quota,
+    * portable-hash rank selection and the membership checksum replayed
+    * in SQL. */
+  val q216Oracle: String = {
+    val h = graft.functions.PolyHash.hornerSql("CAST(a.vec_id AS VARCHAR)")
+    s"""WITH $cellAssignCtes,
+       |stats AS (SELECT cell_id, count(*) AS n_members
+       |          FROM assigned GROUP BY 1),
+       |st2 AS (SELECT cell_id, n_members,
+       |    CAST(floor(sqrt(CAST(n_members AS DOUBLE))) AS BIGINT) AS s0
+       |  FROM stats),
+       |st4 AS (SELECT cell_id, n_members,
+       |    least(n_members, $DivCoef * (
+       |      CASE WHEN (s0+1)*(s0+1) <= n_members THEN s0+1
+       |           WHEN s0*s0 > n_members THEN s0-1 ELSE s0 END)) AS quota
+       |  FROM st2),
+       |r AS (SELECT a.cell_id, a.vec_id, st4.quota,
+       |    row_number() OVER (PARTITION BY a.cell_id
+       |                       ORDER BY $h, a.vec_id) AS rank
+       |  FROM assigned a JOIN st4 USING (cell_id)),
+       |kept AS (SELECT cell_id, count(*) AS n_kept,
+       |    CAST(sum(vec_id) AS BIGINT) AS kept_sum,
+       |    CAST(bit_xor(vec_id) AS BIGINT) AS kept_xor
+       |  FROM r WHERE rank <= quota GROUP BY 1)
+       |SELECT CAST(cell_id AS BIGINT) AS cell_id, n_members, quota,
+       |  n_kept, kept_sum, kept_xor
+       |FROM st4 JOIN kept USING (cell_id) ORDER BY cell_id""".stripMargin
+  }
+
   // --- Quality-classifier scoring (q78) -----------------------------------
 
   private val QcBuckets = 1024L // hashing-trick feature dimension

@@ -29,7 +29,8 @@ class PlanGuardSpec extends SparkSpec {
     "q201_bigram_lm" -> "broadcast of the single-row train-token total (q85 discipline)",
     "q208_dedup_ring" -> "1-row aggregate pair attach per leg (capstone union of bounded stats)",
     "q210_pq_adc" -> "broadcast of the query sample (same doubly-bounded q106 panel; exact ground-truth leg)",
-    "q212_xmodal_metrics" -> "broadcast of the query sample (doubly-bounded image-kind panel)")
+    "q212_xmodal_metrics" -> "broadcast of the query sample (doubly-bounded image-kind panel)",
+    "q216_diversity_sample" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)")
   // q63 does not appear although it embeds a q28-shaped jaccard arm: its
   // query function RUNS the iterative component loop, so the returned
   // frame's plan reads the checkpointed labels — the edge-generation
