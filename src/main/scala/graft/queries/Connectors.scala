@@ -194,13 +194,21 @@ object Connectors {
     * claim directly: the MERGE commit's logs contain exactly the
     * touched rows.
     */
-  def q214KvDelta(s: SparkSession, d: String): DataFrame = {
+  /** The three-wave CDC scenario shared by q214 (reads the folded
+    * state) and q217 (reads the changelog): seed a kv table from the
+    * 25% customer slice, MERGE the 50% slice (delete negatives, update
+    * matches +100, insert novel keys), UPDATE +0.5 on id % 3 = 0.
+    * Returns the table's path. Each call re-seeds (truncate), so both
+    * queries are deterministic and idempotent across runs.
+    */
+  private def kvThreeWaves(s: SparkSession, d: String,
+      cat: String, rootName: String): String = {
     val wh = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-    val root = s"$wh/graft_kv_delta"
-    s.conf.set("spark.sql.catalog.graft_kv",
+    val root = s"$wh/$rootName"
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.v2.KvCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft_kv.root", root)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
     def slice(m: Int) = graft.Tables.customer(s, d)
       .filter(pmod(col("c_custkey"), lit(m)) === 0)
       .select(col("c_custkey").as("id"), col("c_name").as("name"),
@@ -212,17 +220,72 @@ object Connectors {
     slice(4).write.format("graft-kv")
       .option("path", s"$root/state").option("buckets", 8)
       .mode("overwrite").save()
-    slice(2).createOrReplaceTempView("q214_delta")
+    slice(2).createOrReplaceTempView(s"${cat}_delta")
     s.sql(
-      """MERGE INTO graft_kv.state t USING q214_delta s ON t.id = s.id
-        |WHEN MATCHED AND s.value < 0 THEN DELETE
-        |WHEN MATCHED THEN UPDATE SET name = s.name, value = s.value + 100.0
-        |WHEN NOT MATCHED THEN
-        |  INSERT (id, name, value) VALUES (s.id, s.name, s.value)
-        |""".stripMargin)
-    s.sql("UPDATE graft_kv.state SET value = value + 0.5 WHERE id % 3 = 0")
+      s"""MERGE INTO $cat.state t USING ${cat}_delta s ON t.id = s.id
+         |WHEN MATCHED AND s.value < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET name = s.name, value = s.value + 100.0
+         |WHEN NOT MATCHED THEN
+         |  INSERT (id, name, value) VALUES (s.id, s.name, s.value)
+         |""".stripMargin)
+    s.sql(s"UPDATE $cat.state SET value = value + 0.5 WHERE id % 3 = 0")
+    s"$root/state"
+  }
+
+  def q214KvDelta(s: SparkSession, d: String): DataFrame = {
+    kvThreeWaves(s, d, "graft_kv", "graft_kv_delta")
     s.table("graft_kv.state").select("id", "name", "value").orderBy("id")
   }
+
+  /** q217: CHANGELOG READ OF THE KV TABLE — the CDC stream a
+    * downstream incremental consumer (a q131-style MV, a search-index
+    * delta feed, an IncrementalIndex probe) reads instead of diffing
+    * snapshots: `option("changelog", true)` exposes the committed
+    * operation log as rows (seq, op, id, name, value). The registered
+    * query replays the SAME three waves as q214 on an isolated root
+    * and reports per-(commit, op) record counts; the DuckDB oracle
+    * derives every wave's expected touch set from the original parquet
+    * (seed inserts = the base slice; merge deletes/updates/inserts =
+    * the FULL OUTER JOIN classification; update wave = post-merge
+    * survivors on id % 3) — so the gate certifies that the changelog
+    * carries EXACTLY the operations each SQL command performed, no
+    * phantoms, no losses.
+    */
+  def q217KvChangelog(s: SparkSession, d: String): DataFrame = {
+    val path = kvThreeWaves(s, d, "graft_kvcl", "graft_kv_changelog")
+    s.read.format("graft-kv")
+      .option("path", path).option("buckets", 8)
+      .option("changelog", true).load()
+      .groupBy("seq", "op").agg(count(lit(1)).as("n"))
+      .orderBy("seq", "op")
+  }
+
+  val q217Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |src AS (
+      |  SELECT c_custkey AS id, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |m AS (SELECT b.id AS bid, s.id AS sid, s.value AS sv
+      |      FROM base b FULL OUTER JOIN src s ON b.id = s.id),
+      |surv AS (SELECT coalesce(bid, sid) AS id FROM m
+      |         WHERE NOT (bid IS NOT NULL AND sid IS NOT NULL AND sv < 0)),
+      |waves AS (
+      |  SELECT 0 AS seq, 'I' AS op,
+      |    (SELECT count(*) FROM base) AS n
+      |  UNION ALL SELECT 1, 'D',
+      |    (SELECT count(*) FROM m
+      |     WHERE bid IS NOT NULL AND sid IS NOT NULL AND sv < 0)
+      |  UNION ALL SELECT 1, 'I',
+      |    (SELECT count(*) FROM m WHERE bid IS NULL)
+      |  UNION ALL SELECT 1, 'U',
+      |    (SELECT count(*) FROM m
+      |     WHERE bid IS NOT NULL AND sid IS NOT NULL AND sv >= 0)
+      |  UNION ALL SELECT 2, 'U',
+      |    (SELECT count(*) FROM surv WHERE id % 3 = 0))
+      |SELECT CAST(seq AS BIGINT) AS seq, op, CAST(n AS BIGINT) AS n
+      |FROM waves WHERE n > 0 ORDER BY seq, op""".stripMargin
 
   /** Three-wave recomposition from scratch: base ⟗ delta with q213's
     * clause ladder, then the update wave on the survivors. */

@@ -68,6 +68,30 @@ object KvTable {
   def bucketOf(id: Long, buckets: Int): Int =
     java.lang.Math.floorMod(id, buckets)
 
+  val ChangelogSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("value", DoubleType)))
+
+  /** One bucket's committed operation records in apply order. */
+  private[v2] def changelog(dir: Path, bucket: Int)
+      : Seq[(Long, String, Long, Option[String], Option[Double])] = {
+    val m = new ObjectMapper()
+    bucketLogs(dir, bucket).flatMap { p =>
+      val seq = p.getFileName.toString
+        .stripPrefix("log-").stripSuffix(".jsonl").split("-")(0).toLong
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).map { line =>
+          val n = m.readTree(line)
+          (seq, n.path("op").asText(), n.path("id").asLong(),
+            Option(n.get("name")).filterNot(_.isNull).map(_.asText()),
+            Option(n.get("value")).filterNot(_.isNull).map(_.asDouble()))
+        }
+    }
+  }
+
   private[v2] def esc(s: String): String =
     s.flatMap {
       case '"'  => "\\\""
@@ -137,10 +161,70 @@ object KvTable {
 class KvTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KvTable.Schema
+    if (options.getBoolean("changelog", false)) KvTable.ChangelogSchema
+    else KvTable.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new KvSparkTable(new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.getBoolean("changelog", false)) new KvChangelogTable(opts)
+    else new KvSparkTable(opts)
+  }
+}
+
+/** CHANGELOG view of a kv table —
+  * `spark.read.format("graft-kv").option("changelog", true)`: the
+  * committed operation log itself as rows (seq, op, id, name, value),
+  * the CDC stream every downstream incremental consumer (a q131-style
+  * MV, a search-index delta feed, an IncrementalIndex probe) reads
+  * instead of diffing snapshots. Emission order inside a bucket is the
+  * fold's apply order, so replaying the changelog last-wins per key
+  * reconstructs the snapshot EXACTLY — q217 puts that law under the
+  * cross-engine gate. Same per-bucket partitioning as the state scan.
+  */
+final class KvChangelogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private def dir: String = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-kv requires option 'path'"))
+  private def buckets: Int = options.getInt("buckets", 8)
+  override def name(): String = s"graft-kv-changelog($dir)"
+  override def schema(): StructType = KvTable.ChangelogSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KvChangelogScan(dir, buckets)
+    }
+}
+
+final class KvChangelogScan(dir: String, buckets: Int) extends Scan with Batch {
+  override def readSchema(): StructType = KvTable.ChangelogSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-kv-changelog path=$dir buckets=$buckets"
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until buckets).map(b => KvBucketPartition(dir, b): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val kp = p.asInstanceOf[KvBucketPartition]
+        val rows = KvTable.changelog(Paths.get(kp.dir), kp.bucket).iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!rows.hasNext) false
+            else {
+              val (seq, op, id, name, value) = rows.next()
+              cur = new GenericInternalRow(Array[Any](
+                seq, UTF8String.fromString(op), id,
+                name.map(UTF8String.fromString).orNull,
+                value.map(java.lang.Double.valueOf).orNull))
+              true
+            }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 final class KvSparkTable(options: CaseInsensitiveStringMap)

@@ -95,4 +95,27 @@ class KvMergeSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $Cat.i1 VALUES (2L, 'b', 2.0)")
     assert(state("i1") == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0)))
   }
+
+  test("changelog replay reconstructs the snapshot exactly") {
+    seed("c2", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    spark.sql(s"DELETE FROM $Cat.c2 WHERE id = 2")
+    spark.sql(s"UPDATE $Cat.c2 SET value = value * 2 WHERE id = 3")
+    val log = spark.read.format("graft-kv")
+      .option("path", s"$root/c2").option("buckets", 4)
+      .option("changelog", true).load()
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    // exactly the operations the three commands performed
+    assert(log.count(_._2 == "I") == 3 && log.count(_._2 == "D") == 1 &&
+      log.count(_._2 == "U") == 1, s"ops: ${log.toSeq}")
+    // fold the changelog in seq order last-wins -> must equal the scan
+    val folded = log.sortBy(e => (e._1, e._3))
+      .foldLeft(Map.empty[Long, (String, Double)]) {
+        case (m, (_, "D", id, _, _)) => m - id
+        case (m, (_, _, id, nm, v)) => m.updated(id, (nm, v))
+      }
+    assert(folded == state("c2"))
+  }
 }
