@@ -925,6 +925,113 @@ object LlmOps {
       |FROM chain GROUP BY key, admit_ts
       |ORDER BY key, first_ts""".stripMargin
 
+  /** q218's bucket: 3-token burst capacity, 1 token per DAY — chosen
+    * against the fixture's ~2.2 arrivals/user/day so BOTH branches
+    * carry real mass (sustained excess drops, bursts ≤ 3 pass). */
+  private val RlCapacity = 3L
+  private val RlRefillPeriodUs = 24L * 3600L * 1000000L
+  private val RlMu = 1000000L
+  private val RlHorizonUs = RlCapacity * RlRefillPeriodUs // full refill
+  private val RlMod = 1000000007L
+
+  /** The token-bucket recurrence over a (key, ts) frame — the batch
+    * core shared by [[q218RateLimit]] and `RateLimitSpec`'s
+    * stream/batch parity assert; exactly
+    * [[graft.streaming.RateLimitProcessor]]'s per-arrival fold with
+    * the whole corpus as one batch. Per key (sorted by event µs):
+    * start full (C·10⁶ µtokens); refill min(Δ, H)·10⁶ DIV P per gap;
+    * admit iff ≥ 10⁶ µtokens (spend one token). Unlike the TTL gate,
+    * the ENTIRE decision state (µtokens, t_prev) carries across
+    * batches, so stream and batch agree exactly under any in-order
+    * slicing. Output per key: arrivals, admissions, drops, and a
+    * mod-p checksum of the admitted event times (q140 discipline — the
+    * oracle certifies WHICH arrivals passed, not just how many).
+    *
+    * Shape: one key-hash aggregate + map-side higher-order fold, the
+    * [[ttlAdmissions]] posture.
+    */
+  private[graft] def rateLimitStats(arrivals: DataFrame): DataFrame = {
+    // exact integral division inside the lambda (Column has no `div`;
+    // a double `/` would be a float hazard at refill granularity)
+    def idiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    val cMu = RlCapacity * RlMu
+    val zero = struct(
+      lit(cMu).as("mutok"), lit(Long.MinValue).as("tprev"),
+      lit(0L).as("nadm"), lit(0L).as("asum"))
+    val step = (acc: Column, t: Column) => {
+      val m1 = when(acc("tprev") === Long.MinValue, acc("mutok"))
+        .otherwise(least(lit(cMu),
+          acc("mutok") + idiv(least(t - acc("tprev"), lit(RlHorizonUs))
+            * lit(RlMu), lit(RlRefillPeriodUs))))
+      val admitted = m1 >= RlMu
+      struct(
+        when(admitted, m1 - RlMu).otherwise(m1).as("mutok"),
+        t.as("tprev"),
+        (acc("nadm") + when(admitted, 1L).otherwise(0L)).as("nadm"),
+        when(admitted, pmod(acc("asum") + pmod(t, lit(RlMod)), lit(RlMod)))
+          .otherwise(acc("asum")).as("asum"))
+    }
+    arrivals
+      .select(col("key"), unix_micros(col("ts")).as("t"))
+      .groupBy("key").agg(sort_array(collect_list(col("t"))).as("ts_sorted"))
+      .select(col("key"), size(col("ts_sorted")).cast("long").as("n_arrivals"),
+        aggregate(col("ts_sorted"), zero, step).as("a"))
+      .select(col("key"), col("n_arrivals"),
+        col("a")("nadm").as("n_admitted"),
+        (col("n_arrivals") - col("a")("nadm")).as("n_dropped"),
+        col("a")("asum").as("adm_checksum"))
+  }
+
+  /** q218: TOKEN-BUCKET RATE LIMITER, BATCH TWIN — the second
+    * continual-ingest gate ([[graft.streaming.RateLimit]]) under the
+    * driver's cross-engine gate, the q209 discipline: per-user
+    * admission control (3-token burst capacity, 1 token/hour refill)
+    * over the events fixture. The DuckDB oracle walks the identical
+    * integer recurrence with a row-number recursive CTE carrying
+    * (µtokens, t_prev, admissions, checksum).
+    */
+  def q218RateLimit(s: SparkSession, d: String): DataFrame =
+    rateLimitStats(
+      events(s, d).select(col("user_id").as("key"), col("ts")))
+      .orderBy("key")
+
+  val q218Oracle: String = {
+    val cMu = RlCapacity * RlMu
+    s"""WITH RECURSIVE arr AS (
+       |  SELECT user_id AS key, epoch_us(ts) AS t,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |  FROM events),
+       |chain AS (
+       |  SELECT key, rn, t,
+       |    CASE WHEN $cMu >= $RlMu THEN $cMu - $RlMu ELSE $cMu END AS mutok,
+       |    CASE WHEN $cMu >= $RlMu THEN 1 ELSE 0 END AS nadm,
+       |    CASE WHEN $cMu >= $RlMu THEN t % $RlMod ELSE 0 END AS asum
+       |  FROM arr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT a.key, a.rn, a.t,
+       |    CASE WHEN m1 >= $RlMu THEN m1 - $RlMu ELSE m1 END,
+       |    c.nadm + CASE WHEN m1 >= $RlMu THEN 1 ELSE 0 END,
+       |    CASE WHEN m1 >= $RlMu
+       |      THEN (c.asum + a.t % $RlMod) % $RlMod ELSE c.asum END
+       |  FROM chain c JOIN arr a ON a.key = c.key AND a.rn = c.rn + 1,
+       |    LATERAL (SELECT least($cMu, c.mutok +
+       |        least(a.t - c.t, $RlHorizonUs) * $RlMu // $RlRefillPeriodUs)
+       |      AS m1) x),
+       |fin AS (
+       |  SELECT key, rn, nadm, asum,
+       |    row_number() OVER (PARTITION BY key ORDER BY rn DESC) AS rr
+       |  FROM chain)
+       |SELECT key, CAST(rn AS BIGINT) AS n_arrivals,
+       |  CAST(nadm AS BIGINT) AS n_admitted,
+       |  CAST(rn - nadm AS BIGINT) AS n_dropped,
+       |  CAST(asum AS BIGINT) AS adm_checksum
+       |FROM fin WHERE rr = 1 ORDER BY key""".stripMargin
+  }
+
   /** Multimodal binary-column statistics: documents cast to opaque BINARY
     * payloads with a kind derived from the source id — real byte-length
     * arithmetic on BinaryType (the fake-decode surface lives in
