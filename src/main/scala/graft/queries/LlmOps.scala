@@ -5199,6 +5199,143 @@ object LlmOps {
        |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS milli_bits
        |FROM sb GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // --- Curation A/B by held-out LM bits (q219) ------------------------------
+
+  /** q219: CURATION A/B EVALUATION — the downstream-proxy metric that
+    * decides whether a curation step EARNED its place: train the q201
+    * bigram LM on two variants of the train slice — (a) as-is, (b)
+    * QUALITY-FILTERED by the q78 classifier (logit ≥ 0, the SHARED
+    * [[qualityLogits]] definition, so the evaluated filter can never
+    * drift from the deployed one) — and score the SAME held-out slice
+    * under each. If filtering improved the corpus, the held-out
+    * milli-bits drop; this is the cheap stand-in for "train a model
+    * and compare eval loss" that real curation loops run between full
+    * training jobs (the CCNet / Gopher ablation discipline). All
+    * arithmetic is q201's exact integer bits, so the A/B delta is
+    * hash-stable cross-engine.
+    *
+    * Scale: per variant, ONE train scan into the fused (kind, k1, k2)
+    * count aggregate (q201's discipline); the held-out slice collapses
+    * to distinct bigram TYPES with global multiplicities before
+    * pricing, so scoring joins are vocabulary-sized; output is one row
+    * per variant. The filtered variant's extra cost is the q78 logit
+    * pass over the train slice — exactly what the filter itself
+    * charges.
+    */
+  def q219CurationAb(s: SparkSession, d: String): DataFrame = {
+    val raw = documents(s, d)
+    val toks = raw
+      .select(col("doc_id"), col("text"),
+        split(trim(lower(col("text"))), "\\s+").as("a"))
+    val heldout = toks.filter(col("doc_id") % 5 === 0)
+    val trainFull = toks.filter(col("doc_id") % 5 =!= 0)
+    val keepIds = qualityLogits(raw.filter(col("doc_id") % 5 =!= 0))
+      .filter(col("logit") >= 0).select("doc_id")
+    val trainFiltered = trainFull.join(keepIds, Seq("doc_id"))
+    def variantRow(name: String, train: DataFrame): DataFrame = {
+      val counts = train.select(explode(expr(
+          "concat(" +
+          "  transform(a, w -> struct(0L AS kind, w AS k1, '' AS k2))," +
+          "  CASE WHEN size(a) >= 2 THEN" +
+          "    transform(sequence(2, size(a))," +
+          "      i -> struct(1L AS kind, a[i-2] AS k1, a[i-1] AS k2))" +
+          "  ELSE array() END)")).as("t"))
+        .filter(col("t.k1").isNotNull && col("t.k2").isNotNull)
+        .groupBy(col("t.kind").as("kind"), col("t.k1").as("k1"),
+          col("t.k2").as("k2"))
+        .agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(when(col("kind") === 0, col("c"))).as("t"))
+      def fb(c: Column): Column = length(bin(c)).cast("long")
+      // held-out bigram TYPES with global multiplicity
+      val bgm = heldout
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(2, size(a)), i -> struct(a[i-2] AS w1, a[i-1] AS w2))")).as("bg"))
+        .filter(col("bg.w1").isNotNull && col("bg.w2").isNotNull)
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("m"))
+      val priced = bgm
+        .select(col("w1"), col("w2"), col("m"), explode(array(
+          struct(lit(1L).as("kind"), col("w1").as("k1"), col("w2").as("k2"),
+            lit(0).as("look")),
+          struct(lit(0L).as("kind"), col("w1").as("k1"), lit("").as("k2"),
+            lit(1).as("look")),
+          struct(lit(0L).as("kind"), col("w2").as("k1"), lit("").as("k2"),
+            lit(2).as("look")))).as("l"))
+        .select(col("w1"), col("w2"), col("m"), col("l.kind").as("kind"),
+          col("l.k1").as("k1"), col("l.k2").as("k2"), col("l.look").as("look"))
+        .join(counts, Seq("kind", "k1", "k2"), "left")
+        .groupBy("w1", "w2", "m")
+        .agg(max(when(col("look") === 0, col("c"))).as("cb"),
+          max(when(col("look") === 1, col("c"))).as("cu1"),
+          max(when(col("look") === 2, col("c"))).as("cu2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("bits", when(col("cb").isNotNull,
+            greatest(lit(0L), fb(col("cu1")) - fb(col("cb"))))
+          .otherwise(lit(LmBackoffBits) + fb(col("t")) -
+            fb(coalesce(col("cu2"), lit(1L)))))
+      priced
+        .agg(sum("m").as("n_bigrams"),
+          sum(col("bits") * col("m")).as("sum_bits"))
+        .crossJoin(broadcast(tot.select(col("t").as("train_tokens"))))
+        .select(lit(name).as("variant"), col("train_tokens"),
+          col("n_bigrams"), col("sum_bits"),
+          expr("sum_bits * 1000 DIV n_bigrams").as("milli_bits"))
+    }
+    variantRow("filtered", trainFiltered)
+      .unionAll(variantRow("full", trainFull))
+      .orderBy("variant")
+  }
+
+  val q219Oracle: String = {
+    def variantSql(name: String, trainCte: String): String =
+      s"""SELECT '$name' AS variant,
+         |  (SELECT CAST(sum(c) AS BIGINT) FROM cu_$name) AS train_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+         |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS milli_bits
+         |FROM (
+         |  SELECT CASE WHEN cb.c IS NOT NULL
+         |      THEN greatest(0, length(bin(cu1.c)) - length(bin(cb.c)))
+         |      ELSE $LmBackoffBits + length(bin(tot_$name.t))
+         |           - length(bin(coalesce(cu2.c, 1))) END AS bits
+         |  FROM bg
+         |    LEFT JOIN cb_$name cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+         |    LEFT JOIN cu_$name cu1 ON bg.w1 = cu1.w
+         |    LEFT JOIN cu_$name cu2 ON bg.w2 = cu2.w, tot_$name)""".stripMargin
+    def countsSql(name: String, trainCte: String): String =
+      s"""cu_$name AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(a) AS w FROM $trainCte) GROUP BY 1),
+         |tot_$name AS (SELECT sum(c) AS t FROM cu_$name),
+         |cb_$name AS (SELECT w1, w2, count(*) AS c FROM (
+         |    SELECT a[i-1] AS w1, a[i] AS w2
+         |    FROM $trainCte, unnest(generate_series(2, len(a))) AS s(i))
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+       |  FROM documents),
+       |ho AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+       |trf AS (SELECT * FROM d WHERE doc_id % 5 != 0),
+       |keep AS (SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(sum(
+       |      ((${graft.functions.PolyHash.hornerSql("token")} % $QcBuckets)
+       |        * 37 + 11) % $QcWMod - 10) AS BIGINT) AS logit
+       |    FROM (SELECT doc_id,
+       |            unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |          FROM trf)
+       |    GROUP BY doc_id) WHERE logit >= 0),
+       |trq AS (SELECT trf.* FROM trf JOIN keep USING (doc_id)),
+       |bg AS (SELECT a[i-1] AS w1, a[i] AS w2
+       |       FROM ho, unnest(generate_series(2, len(a))) AS s(i)),
+       |${countsSql("full", "trf")},
+       |${countsSql("filtered", "trq")}
+       |${variantSql("filtered", "trq")}
+       |UNION ALL
+       |${variantSql("full", "trf")}
+       |ORDER BY variant""".stripMargin
+  }
+
   // --- DSIR importance selection (q202) ------------------------------------
 
   /** Hashed feature-space size (buckets) for the DSIR importance model. */

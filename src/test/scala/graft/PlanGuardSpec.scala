@@ -30,7 +30,8 @@ class PlanGuardSpec extends SparkSpec {
     "q208_dedup_ring" -> "1-row aggregate pair attach per leg (capstone union of bounded stats)",
     "q210_pq_adc" -> "broadcast of the query sample (same doubly-bounded q106 panel; exact ground-truth leg)",
     "q212_xmodal_metrics" -> "broadcast of the query sample (doubly-bounded image-kind panel)",
-    "q216_diversity_sample" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)")
+    "q216_diversity_sample" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",
+    "q219_curation_ab" -> "broadcast of the single-row train-token totals, one per variant (q85/q201 discipline)")
   // q63 does not appear although it embeds a q28-shaped jaccard arm: its
   // query function RUNS the iterative component loop, so the returned
   // frame's plan reads the checkpointed labels — the edge-generation
