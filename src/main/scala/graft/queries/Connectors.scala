@@ -287,6 +287,84 @@ object Connectors {
       |SELECT CAST(seq AS BIGINT) AS seq, op, CAST(n AS BIGINT) AS n
       |FROM waves WHERE n > 0 ORDER BY seq, op""".stripMargin
 
+  /** q220: COMPACTION PRESERVES THE TABLE — the q214 three waves, then
+    * [[graft.sources.v2.KvTable.compact]] (distributed per-bucket fold
+    * into a fresh commit, marker-last, superseded logs retired), then
+    * the folded state — against the SAME from-scratch oracle as q214.
+    * The gate passing IS the proof that compaction is a pure layout
+    * transformation: identical bytes-out before and after, with the
+    * log history collapsed to one file per bucket.
+    */
+  def q220KvCompact(s: SparkSession, d: String): DataFrame = {
+    val path = kvThreeWaves(s, d, "graft_kvcp", "graft_kv_compact")
+    graft.sources.v2.KvTable.compact(s, path, buckets = 8)
+    s.table("graft_kvcp.state").select("id", "name", "value").orderBy("id")
+  }
+
+  /** Identical to [[q214Oracle]] — same scenario, same expected state;
+    * what changed (and what the gate certifies) is the layout. */
+  val q220Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |src AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |merged AS (
+      |  SELECT coalesce(b.id, s.id) AS id,
+      |    CASE WHEN b.id IS NOT NULL AND s.id IS NOT NULL THEN s.name
+      |         WHEN b.id IS NOT NULL THEN b.name ELSE s.name END AS name,
+      |    CASE WHEN b.id IS NOT NULL AND s.id IS NOT NULL
+      |           THEN s.value + 100.0
+      |         WHEN b.id IS NOT NULL THEN b.value ELSE s.value END AS v
+      |  FROM base b FULL OUTER JOIN src s ON b.id = s.id
+      |  WHERE NOT (b.id IS NOT NULL AND s.id IS NOT NULL AND s.value < 0))
+      |SELECT id, name,
+      |  CAST(CASE WHEN id % 3 = 0 THEN v + 0.5 ELSE v END AS DOUBLE) AS value
+      |FROM merged ORDER BY id""".stripMargin
+
+  /** q221: TIME TRAVEL — SQL `VERSION AS OF` against the kv table's
+    * commit log: the q214 three waves (seed=0, merge=1, update=2), then
+    * `SELECT … FROM state VERSION AS OF 1` reads the POST-MERGE,
+    * PRE-UPDATE snapshot by folding only commits ≤ 1 — resolved through
+    * [[graft.sources.v2.KvCatalog.loadTable(ident,version)]], same
+    * surface Delta/Iceberg expose. The read is still one partition per
+    * bucket (time travel adds a seq filter to the fold, not a shuffle),
+    * and UNSERVABLE versions fail at plan time: a seq that never
+    * committed, or one whose history a compaction collapsed (the
+    * validation [[graft.sources.v2.KvTable.validateAsOf]] pins —
+    * `KvMergeSpec` covers both error paths and the read-only property).
+    * The oracle recomputes the merge wave from the original parquet and
+    * stops there — the gate certifies the snapshot is exactly the
+    * state the table had the instant commit 1 landed.
+    */
+  def q221KvTimeTravel(s: SparkSession, d: String): DataFrame = {
+    kvThreeWaves(s, d, "graft_kvtt", "graft_kv_timetravel")
+    s.sql("""SELECT id, name, value FROM graft_kvtt.state VERSION AS OF 1
+            |ORDER BY id""".stripMargin)
+  }
+
+  /** The q214 scenario truncated after the merge wave: base ⟗ delta
+    * with q213's clause ladder, NO update wave. */
+  val q221Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |src AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |merged AS (
+      |  SELECT coalesce(b.id, s.id) AS id,
+      |    CASE WHEN b.id IS NOT NULL AND s.id IS NOT NULL THEN s.name
+      |         WHEN b.id IS NOT NULL THEN b.name ELSE s.name END AS name,
+      |    CASE WHEN b.id IS NOT NULL AND s.id IS NOT NULL
+      |           THEN s.value + 100.0
+      |         WHEN b.id IS NOT NULL THEN b.value ELSE s.value END AS v
+      |  FROM base b FULL OUTER JOIN src s ON b.id = s.id
+      |  WHERE NOT (b.id IS NOT NULL AND s.id IS NOT NULL AND s.value < 0))
+      |SELECT id, name, CAST(v AS DOUBLE) AS value
+      |FROM merged ORDER BY id""".stripMargin
+
   /** Three-wave recomposition from scratch: base ⟗ delta with q213's
     * clause ladder, then the update wave on the survivors. */
   val q214Oracle: String =

@@ -75,11 +75,13 @@ object KvTable {
     StructField("name", StringType),
     StructField("value", DoubleType)))
 
-  /** One bucket's committed operation records in apply order. */
-  private[v2] def changelog(dir: Path, bucket: Int)
+  /** One bucket's committed operation records in apply order,
+    * optionally truncated at `asOf` (inclusive). */
+  private[v2] def changelog(dir: Path, bucket: Int,
+      asOf: Option[Long] = None)
       : Seq[(Long, String, Long, Option[String], Option[Double])] = {
     val m = new ObjectMapper()
-    bucketLogs(dir, bucket).flatMap { p =>
+    bucketLogs(dir, bucket, asOf).flatMap { p =>
       val seq = p.getFileName.toString
         .stripPrefix("log-").stripSuffix(".jsonl").split("-")(0).toLong
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
@@ -113,9 +115,41 @@ object KvTable {
       finally listing.close()
     }
 
-  /** Committed log files of one bucket in apply order (seq, task). */
-  private[sources] def bucketLogs(dir: Path, bucket: Int): Seq[Path] = {
-    val committed = committedSeqs(dir).toSet
+  /** Highest compaction commit sequence, or -1 if never compacted —
+    * the TIME-TRAVEL FLOOR: [[compact]] retires the logs of every
+    * commit it folds, so snapshots strictly before the compaction
+    * commit are no longer reconstructable (the Delta-VACUUM retention
+    * tradeoff, surfaced as a hard validation error instead of a wrong
+    * answer). */
+  private[sources] def compactionFloor(dir: Path): Long = {
+    val m = new ObjectMapper()
+    committedSeqs(dir).filter { seq =>
+      m.readTree(Files.readAllBytes(dir.resolve(s"commit-$seq.json")))
+        .path("query").asText() == "compact"
+    }.lastOption.getOrElse(-1L)
+  }
+
+  /** Reject an unservable as-of sequence LOUDLY at plan time (driver
+    * side, before any task runs): a version that never committed, or
+    * one whose history compaction already collapsed. */
+  private[v2] def validateAsOf(dir: Path, asOf: Long): Unit = {
+    val seqs = committedSeqs(dir)
+    require(seqs.nonEmpty && asOf >= 0 && asOf <= seqs.last,
+      s"graft-kv: asOfSeq $asOf does not exist; committed sequences " +
+        s"are ${seqs.mkString("[", ", ", "]")}")
+    val floor = compactionFloor(dir)
+    require(asOf >= floor,
+      s"graft-kv: asOfSeq $asOf predates the compaction at seq $floor " +
+        "— compaction collapses history; schedule it against the " +
+        "retention your time-travel readers need")
+  }
+
+  /** Committed log files of one bucket in apply order (seq, task),
+    * optionally truncated at `asOf` (inclusive). */
+  private[sources] def bucketLogs(dir: Path, bucket: Int,
+      asOf: Option[Long] = None): Seq[Path] = {
+    val committed = committedSeqs(dir)
+      .filter(s => asOf.forall(s <= _)).toSet
     val bd = dir.resolve(s"bucket=$bucket")
     if (!Files.isDirectory(bd)) Seq.empty
     else {
@@ -133,14 +167,75 @@ object KvTable {
     }
   }
 
+  /** COMPACTION — the maintenance op the layout was designed for: each
+    * bucket's committed history folds into one `I`-record file under a
+    * fresh commit sequence, then the superseded log files retire. The
+    * fold runs DISTRIBUTED (one task per bucket — at scale this is the
+    * whole point: compaction cost is per-bucket, embarrassingly
+    * parallel, never a table-wide shuffle); the new commit's marker is
+    * written only after every bucket's compacted file exists, and old
+    * files are deleted only after the marker — so a reader at ANY
+    * instant sees either (old logs), (old logs + compacted commit:
+    * identical fold, the compacted records re-assert the fold's own
+    * result), or (compacted only). Single-maintainer assumption, like
+    * every maintained layout here. Changelog note: compaction
+    * COLLAPSES history (the changelog afterwards starts from the
+    * compacted `I` records) — the Delta-VACUUM retention tradeoff,
+    * chosen explicitly by whoever schedules compaction.
+    */
+  def compact(s: org.apache.spark.sql.SparkSession, dir: String,
+      buckets: Int): Unit = {
+    val root = Paths.get(dir)
+    val seqs = committedSeqs(root)
+    if (seqs.isEmpty) return
+    val newSeq = seqs.last + 1L
+    val d = dir
+    val nKept = s.sparkContext.parallelize(0 until buckets, buckets)
+      .map { b =>
+        val rootP = Paths.get(d)
+        if (bucketLogs(rootP, b).isEmpty) 0L
+        else {
+          val survivors = foldBucket(rootP, b)
+          if (survivors.nonEmpty) {
+            val sb = new StringBuilder
+            survivors.foreach { case (id, nm, v) =>
+              val nmJ = nm.map(x => "\"" + esc(x) + "\"").getOrElse("null")
+              val vJ = v.map { x =>
+                if (java.lang.Double.isFinite(x)) x.toString else "null"
+              }.getOrElse("null")
+              sb.append(s"""{"op": "I", "id": $id, "name": $nmJ, "value": $vJ}""")
+                .append('\n')
+            }
+            Files.write(rootP.resolve(s"bucket=$b")
+              .resolve(s"log-$newSeq-0.jsonl"),
+              sb.toString.getBytes(StandardCharsets.UTF_8))
+          }
+          survivors.size.toLong
+        }
+      }.sum().toLong
+    Files.write(root.resolve(s"commit-$newSeq.json"),
+      s"""{"seq": $newSeq, "ops": $nKept, "query": "compact"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    // retire everything the compacted commit supersedes
+    (0 until buckets).foreach { b =>
+      bucketLogs(root, b)
+        .filter(_.getFileName.toString.stripPrefix("log-")
+          .split("-")(0).toLong < newSeq)
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** Fold one bucket's committed logs: last-wins per key, D removes.
-    * Returns survivors ordered by key (deterministic scan output). */
-  private[v2] def foldBucket(dir: Path, bucket: Int)
+    * Returns survivors ordered by key (deterministic scan output).
+    * With `asOf`, folds only commits ≤ that sequence — the TIME-TRAVEL
+    * read (caller must have [[validateAsOf]]-checked it is servable). */
+  private[v2] def foldBucket(dir: Path, bucket: Int,
+      asOf: Option[Long] = None)
       : Seq[(Long, Option[String], Option[Double])] = {
     val m = new ObjectMapper()
     val state = scala.collection.mutable.LinkedHashMap
       .empty[Long, (Option[String], Option[Double])]
-    bucketLogs(dir, bucket).foreach { p =>
+    bucketLogs(dir, bucket, asOf).foreach { p =>
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).foreach { line =>
           val n = m.readTree(line)
@@ -186,28 +281,36 @@ final class KvChangelogTable(options: CaseInsensitiveStringMap)
   private def dir: String = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("graft-kv requires option 'path'"))
   private def buckets: Int = options.getInt("buckets", 8)
+  private def asOf: Option[Long] =
+    Option(options.get("asOfSeq")).map(_.toLong)
   override def name(): String = s"graft-kv-changelog($dir)"
   override def schema(): StructType = KvTable.ChangelogSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new KvChangelogScan(dir, buckets)
+      override def build(): Scan = {
+        asOf.foreach(KvTable.validateAsOf(Paths.get(dir), _))
+        new KvChangelogScan(dir, buckets, asOf)
+      }
     }
 }
 
-final class KvChangelogScan(dir: String, buckets: Int) extends Scan with Batch {
+final class KvChangelogScan(dir: String, buckets: Int,
+    asOf: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = KvTable.ChangelogSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-kv-changelog path=$dir buckets=$buckets"
+    s"graft-kv-changelog path=$dir buckets=$buckets" +
+      asOf.map(v => s" asOfSeq=$v").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until buckets).map(b => KvBucketPartition(dir, b): InputPartition).toArray
+    (0 until buckets).map(b =>
+      KvBucketPartition(dir, b, asOf): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val kp = p.asInstanceOf[KvBucketPartition]
-        val rows = KvTable.changelog(Paths.get(kp.dir), kp.bucket).iterator
+        val rows = KvTable.changelog(Paths.get(kp.dir), kp.bucket, kp.asOf).iterator
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
           override def next(): Boolean =
@@ -233,33 +336,47 @@ final class KvSparkTable(options: CaseInsensitiveStringMap)
   private[v2] def dir: String = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("graft-kv requires option 'path'"))
   private[v2] def buckets: Int = options.getInt("buckets", 8)
+  /** TIME TRAVEL: `option("asOfSeq", k)` (or SQL `VERSION AS OF k` via
+    * [[KvCatalog.loadTable]]) folds only commits ≤ k — an as-of table
+    * is READ-ONLY (writes against history would fork it). */
+  private[v2] def asOf: Option[Long] =
+    Option(options.get("asOfSeq")).map(_.toLong)
 
-  override def name(): String = s"graft-kv($dir)"
+  override def name(): String =
+    s"graft-kv($dir)" + asOf.map(v => s"@$v").getOrElse("")
   override def schema(): StructType = KvTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    if (asOf.isDefined) Set(TableCapability.BATCH_READ).asJava
+    else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new KvScan(dir, buckets)
+      override def build(): Scan = {
+        asOf.foreach(KvTable.validateAsOf(Paths.get(dir), _))
+        new KvScan(dir, buckets, asOf)
+      }
     }
 
   /** Plain writes: append = INSERT records; truncate = drop every
     * committed log, then the new records form commit 0. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, "graft-kv: an asOfSeq read is read-only")
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new KvWrite(dir, buckets, info, doTruncate)
     }
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(asOf.isEmpty, "graft-kv: an asOfSeq read is read-only")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new KvRowLevelOperation(dir, buckets, info.command())
     }
+  }
 }
 
 /** DELTA-BASED row-level operation: `rowId` = the key column, so
@@ -284,19 +401,24 @@ final class KvRowLevelOperation(dir: String, buckets: Int,
 
 // --- scan (merge-on-read) ----------------------------------------------------
 
-final case class KvBucketPartition(dir: String, bucket: Int) extends InputPartition
+final case class KvBucketPartition(dir: String, bucket: Int,
+    asOf: Option[Long] = None) extends InputPartition
 
-final class KvScan(dir: String, buckets: Int) extends Scan with Batch {
+final class KvScan(dir: String, buckets: Int,
+    asOf: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = KvTable.Schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-kv path=$dir buckets=$buckets"
+  override def description(): String =
+    s"graft-kv path=$dir buckets=$buckets" +
+      asOf.map(v => s" asOfSeq=$v").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until buckets).map(b => KvBucketPartition(dir, b): InputPartition).toArray
+    (0 until buckets).map(b =>
+      KvBucketPartition(dir, b, asOf): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val kp = p.asInstanceOf[KvBucketPartition]
-        val rows = KvTable.foldBucket(Paths.get(kp.dir), kp.bucket).iterator
+        val rows = KvTable.foldBucket(Paths.get(kp.dir), kp.bucket, kp.asOf).iterator
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
           override def next(): Boolean =
@@ -525,9 +647,11 @@ class KvCatalog extends TableCatalog {
   private def dirFor(ident: Identifier): Path =
     Paths.get((root +: ident.namespace.toSeq :+ ident.name()).mkString("/"))
 
-  private def tableOpts(ident: Identifier): CaseInsensitiveStringMap =
-    new CaseInsensitiveStringMap(Map(
-      "path" -> dirFor(ident).toString, "buckets" -> buckets.toString).asJava)
+  private def tableOpts(ident: Identifier,
+      extra: Map[String, String] = Map.empty): CaseInsensitiveStringMap =
+    new CaseInsensitiveStringMap((Map(
+      "path" -> dirFor(ident).toString,
+      "buckets" -> buckets.toString) ++ extra).asJava)
 
   override def tableExists(ident: Identifier): Boolean =
     Files.exists(dirFor(ident).resolve("_kv"))
@@ -535,6 +659,21 @@ class KvCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new KvSparkTable(tableOpts(ident))
+  }
+
+  /** SQL time travel — `SELECT … FROM cat.t VERSION AS OF k` resolves
+    * here; the returned table is the read-only as-of view, validated at
+    * scan build (nonexistent version / compacted-away history both fail
+    * loudly at plan time). `TIMESTAMP AS OF` is deliberately absent:
+    * commit markers carry no wall-clock, and a fabricated one would
+    * make snapshots irreproducible across replays. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val seq = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-kv: VERSION AS OF wants a commit sequence number, got '$version'")
+    }
+    new KvSparkTable(tableOpts(ident, Map("asOfSeq" -> seq.toString)))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

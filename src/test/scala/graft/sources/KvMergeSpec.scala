@@ -96,6 +96,75 @@ class KvMergeSpec extends SparkSpec {
     assert(state("i1") == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0)))
   }
 
+  test("compaction preserves the state and collapses the log") {
+    seed("cp1", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0), (5L, "e", 5.0)))
+    spark.sql(s"DELETE FROM $Cat.cp1 WHERE id = 2")
+    spark.sql(s"UPDATE $Cat.cp1 SET value = value + 0.5 WHERE id >= 4")
+    val before = state("cp1")
+    graft.sources.v2.KvTable.compact(spark, s"$root/cp1", buckets = 4)
+    assert(state("cp1") == before, "compaction must not change the table")
+    // history collapsed: at most one log file per bucket, all at the
+    // compacted sequence, and only I records remain
+    val dir = Paths.get(s"$root/cp1")
+    val seqs = graft.sources.v2.KvTable.committedSeqs(dir)
+    (0 until 4).foreach { b =>
+      val logs = graft.sources.v2.KvTable.bucketLogs(dir, b)
+      assert(logs.size <= 1, s"bucket $b: $logs")
+      logs.foreach { p =>
+        assert(p.getFileName.toString.startsWith(s"log-${seqs.last}-"))
+        Files.readAllLines(p).forEach(l => assert(l.contains("\"op\": \"I\"")))
+      }
+    }
+    // and further commits keep layering normally
+    spark.sql(s"DELETE FROM $Cat.cp1 WHERE id = 5")
+    assert(state("cp1") == before - 5L)
+  }
+
+  test("asOfSeq time travel serves every retained snapshot, read-only") {
+    seed("tt1", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)))
+    val snap0 = state("tt1")
+    spark.sql(s"DELETE FROM $Cat.tt1 WHERE id = 2")
+    val snap1 = state("tt1")
+    spark.sql(s"UPDATE $Cat.tt1 SET value = value * 2 WHERE id >= 3")
+    val snap2 = state("tt1")
+    assert(snap0 != snap1 && snap1 != snap2)
+    def asOf(k: Long): Map[Long, (String, Double)] =
+      spark.read.format("graft-kv").option("path", s"$root/tt1")
+        .option("buckets", 4).option("asOfSeq", k).load().collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(asOf(0) == snap0 && asOf(1) == snap1 && asOf(2) == snap2)
+    // SQL surface resolves through the catalog's versioned loadTable
+    assert(spark.sql(s"SELECT sum(value) FROM $Cat.tt1 VERSION AS OF 1")
+      .head.getDouble(0) == snap1.values.map(_._2).sum)
+    // a version that never committed fails at plan time
+    val e1 = intercept[Exception](asOf(9))
+    assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+    // an as-of table is read-only (capability gate or the builder's
+    // own require — either refusal is plan-time)
+    val e2 = intercept[Exception](
+      Seq((9L, "z", 9.0)).toDF("id", "name", "value").write
+        .format("graft-kv").option("path", s"$root/tt1")
+        .option("buckets", 4).option("asOfSeq", 1)
+        .mode("append").save())
+    assert(e2.getMessage.contains("read-only") ||
+      e2.getMessage.toLowerCase.contains("does not support") ||
+      e2.getMessage.toLowerCase.contains("does not allow"), e2.getMessage)
+    // changelog truncates at asOf too
+    val cl = spark.read.format("graft-kv").option("path", s"$root/tt1")
+      .option("buckets", 4).option("changelog", true)
+      .option("asOfSeq", 1).load().collect()
+    assert(cl.map(_.getLong(0)).forall(_ <= 1L) &&
+      cl.count(_.getString(1) == "D") == 1)
+    // compaction collapses history: earlier versions become unservable,
+    // the compacted version itself (and later commits) keep working
+    graft.sources.v2.KvTable.compact(spark, s"$root/tt1", buckets = 4)
+    val e3 = intercept[Exception](asOf(2))
+    assert(e3.getMessage.contains("compaction"), e3.getMessage)
+    assert(asOf(3) == snap2)
+  }
+
   test("changelog replay reconstructs the snapshot exactly") {
     seed("c2", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
     spark.sql(s"DELETE FROM $Cat.c2 WHERE id = 2")
