@@ -641,7 +641,8 @@ object Corpus {
     * unaffected by restricting tf to the query terms, so the same SQL
     * certifies both the filtered (q84) and index-wide (q206) builds.
     */
-  private def bm25OracleFor(queries: Seq[(Long, Seq[String])]): String = {
+  private def bm25OracleFor(queries: Seq[(Long, Seq[String])],
+      where: String = ""): String = {
     val termList = queries.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
     val queryRows = queries
@@ -651,7 +652,7 @@ object Corpus {
        |  SELECT doc_id,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
        |    regexp_split_to_array(trim(text), '\\s+') AS t
-       |  FROM documents),
+       |  FROM documents $where),
        |stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM lens),
        |tok AS (SELECT doc_id, dl, unnest(t) AS term FROM lens),
        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
@@ -826,8 +827,20 @@ object Corpus {
         org.apache.spark.sql.types.StringType, 42L)
       java.lang.Math.floorMod(h, PostIdxBuckets.toLong)
     }.distinct
-    bm25Rank(s.read.parquet(s"$dir/postings")
+    val postings = s.read.parquet(s"$dir/postings")
       .filter(col("bucket").isInCollection(qBuckets))
+    // forget-set masking (q222): postings rows of tombstoned docs are
+    // still physically present until a vacuum — the probe drops them
+    // with a broadcast anti-join (tombstone count is bounded between
+    // vacuums, the same way delta count is bounded between compactions)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val live =
+      if (tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(tombPath))
+        postings.join(broadcast(s.read.parquet(tombPath.toString)
+          .select("doc_id")), Seq("doc_id"), "left_anti")
+      else postings
+    bm25Rank(live
       .join(broadcast(terms), Seq("term"))
       .join(broadcast(dfm), Seq("term")), n, tt)
   }
@@ -870,6 +883,122 @@ object Corpus {
   /** The rebuild-from-scratch formulation — passing it certifies
     * incremental == rebuild. */
   val q211Oracle: String = bm25OracleFor(Bm25IncQueries)
+
+  // --- Right-to-be-forgotten on the maintained index (q222) ------------------
+
+  /** q222's workload (tuples disjoint from q84/q206/q211, so the
+    * forget path has independent coverage). */
+  private[queries] val Bm25DelQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("scan", "hash"),
+    2L -> Seq("filter", "sort", "stream"),
+    3L -> Seq("group", "batch"))
+
+  /** q222's forget set: every doc with doc_id ≡ 3 (mod 7) — cuts
+    * across BOTH ingest batches, so the tombstones mask rows the
+    * delete batch itself never wrote. */
+  private def delVictims: Column = pmod(col("doc_id"), lit(7)) === 3
+
+  /** Apply a FORGET SET to the decomposed BM25 index — the GDPR /
+    * takedown path a maintained index needs beside q211's appends.
+    * Scans ONLY the forgotten docs (O(|forget set|), never the corpus)
+    * and writes, under its own batch id with the same overwrite-replay
+    * idempotence as [[appendPostingsBatch]]:
+    *
+    *   - `tombstones/batch_id=N`: the forgotten doc_ids — the probe
+    *     anti-joins postings against these until a vacuum;
+    *   - `df/batch_id=N`: NEGATIVE per-term doc counts (the + merge
+    *     absorbs them — df of the retained corpus, no special case);
+    *   - `stats/batch_id=N`: negative (n, tt).
+    *
+    * The postings BYTES of forgotten docs survive until
+    * [[vacuumPostings]] — the logical/physical split every deletion
+    * system has (Delta deletion vectors, Lucene liveDocs): deletes are
+    * cheap and immediate, space is reclaimed on schedule.
+    */
+  private[graft] def deletePostingsBatch(s: SparkSession, docs: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    val tf = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    docs.select("doc_id").write.mode("overwrite")
+      .parquet(s"$dir/tombstones/batch_id=$batchId")
+    tf.groupBy("term").agg((count(lit(1)) * -1L).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df/batch_id=$batchId")
+    docs.select(size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+      .agg((count(lit(1)) * -1L).as("n"), (sum("dl") * -1L).as("tt"))
+      .write.mode("overwrite").parquet(s"$dir/stats/batch_id=$batchId")
+  }
+
+  /** VACUUM — the physical purge behind the logical delete: rewrite
+    * the postings minus tombstoned rows (every shard is potentially
+    * affected — a doc's terms hash anywhere — so this is honestly a
+    * full postings rewrite, the heavy scheduled op, like Delta VACUUM
+    * after deletion vectors), publish by atomic directory swap, then
+    * drop the tombstones. The df/stats negative deltas STAY — they
+    * already describe the retained corpus and keep merging by +.
+    * Probe results are invariant across the vacuum (spec-pinned);
+    * only where the truth lives changes: anti-join before, absent
+    * bytes after.
+    */
+  private[graft] def vacuumPostings(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tomb.getFileSystem(conf)
+    if (!fs.exists(tomb)) return
+    val post = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fresh = new org.apache.hadoop.fs.Path(s"$dir/postings.vacuum")
+    s.read.parquet(post.toString)
+      .join(broadcast(s.read.parquet(tomb.toString).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .write.partitionBy("batch_id", "bucket").mode("overwrite")
+      .parquet(fresh.toString)
+    val retired = new org.apache.hadoop.fs.Path(s"$dir/postings.retired")
+    fs.rename(post, retired)
+    fs.rename(fresh, post)
+    fs.delete(retired, true)
+    fs.delete(tomb, true)
+  }
+
+  /** q222: FORGET-RIGHT EXECUTION ON THE MAINTAINED INDEX — the
+    * operation q187's forget PLAN promises: a takedown/GDPR request
+    * lands against the live decomposed BM25 index and must take effect
+    * IMMEDIATELY without a rebuild. The registered query ingests the
+    * corpus in q211's two snapshots, applies the forget set as a
+    * tombstone batch ([[deletePostingsBatch]] — O(|forget set|), one
+    * scan of the forgotten docs only), and probes: tombstones mask the
+    * dead postings rows via a broadcast anti-join, and the df/stats
+    * negatives merge by the same + as every other batch. The DuckDB
+    * oracle recomputes the SAME ranking from scratch over ONLY the
+    * retained documents, so the gate passing IS the proof that a
+    * logical delete equals a rebuild on the retained corpus — ranks,
+    * scores, AND the df environment (deleting docs changes every
+    * shared term's idf; a tombstone-only design without df
+    * compensation would rank wrong, which is exactly what the oracle
+    * would catch). [[vacuumPostings]] then reclaims the bytes on
+    * schedule; `IncrementalPostingsSpec` pins probe invariance across
+    * the vacuum, physical absence of the forgotten doc_ids, and
+    * replay idempotence of the delete batch.
+    */
+  def q222ForgetIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "documents")
+    val dir = Layouts.ensureDir(s, s"bm25del_${PostIdxTag}_$tag") { tmp =>
+      appendPostingsBatch(s, documents(s, d).filter(incIsBase), tmp, 0L)
+      appendPostingsBatch(s, documents(s, d).filter(!incIsBase), tmp, 1L)
+      deletePostingsBatch(s, documents(s, d).filter(delVictims), tmp, 2L)
+      // multi-subtree layout: stamp the root marker after all sub-writes
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    probeBm25Index(s, dir, Bm25DelQueries)
+  }
+
+  /** Rebuild-from-scratch over the retained corpus only — passing it
+    * certifies logical delete == rebuild, df environment included. */
+  val q222Oracle: String =
+    bm25OracleFor(Bm25DelQueries, "WHERE doc_id % 7 <> 3")
 
   // --- Token-budget waterfilling (q207) ------------------------------------
 

@@ -52,6 +52,39 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(probe(dir) == before)
   }
 
+  test("forget batch masks immediately; vacuum purges bytes; probe invariant") {
+    val dir = Files.createTempDirectory("bm25del_").toString
+    val retainedDir = Files.createTempDirectory("bm25ret_").toString
+    Corpus.appendPostingsBatch(spark, docs.filter("doc_id <= 4"), dir, 0L)
+    Corpus.appendPostingsBatch(spark, docs.filter("doc_id > 4"), dir, 1L)
+    // forget docs 3 and 5 — one from each ingest batch
+    Corpus.deletePostingsBatch(spark,
+      docs.filter("doc_id IN (3, 5)"), dir, 2L)
+    val after = probe(dir)
+    // logical delete == rebuild on the retained corpus (df env included)
+    Corpus.appendPostingsBatch(spark,
+      docs.filter("doc_id NOT IN (3, 5)"), retainedDir, 0L)
+    assert(after.nonEmpty && after == probe(retainedDir))
+    assert(after.forall { case (_, _, doc, _) => doc != 3L && doc != 5L })
+    // replaying the delete batch is a probe-level no-op
+    Corpus.deletePostingsBatch(spark,
+      docs.filter("doc_id IN (3, 5)"), dir, 2L)
+    assert(probe(dir) == after)
+    // the bytes are still there (logical/physical split) …
+    def postedDocs() = spark.read.parquet(s"$dir/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(postedDocs().contains(3L) && postedDocs().contains(5L))
+    // … until the vacuum, which purges them and drops the tombstones,
+    // with the probe EXACTLY invariant across the swap
+    Corpus.vacuumPostings(spark, dir)
+    assert(!postedDocs().contains(3L) && !postedDocs().contains(5L))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/tombstones")))
+    assert(probe(dir) == after)
+    // a vacuum with nothing to do is a no-op
+    Corpus.vacuumPostings(spark, dir)
+    assert(probe(dir) == after)
+  }
+
   test("df and stats pieces merge decomposably across batches") {
     val dir = Files.createTempDirectory("bm25dec_").toString
     Corpus.appendPostingsBatch(spark, docs.filter("doc_id <= 4"), dir, 0L)
