@@ -1687,4 +1687,61 @@ object Relational {
       |    // sum(qty) OVER (PARTITION BY l_orderkey) AS BIGINT)
       |    AS qty_share_ppm
       |FROM l ORDER BY l_orderkey, l_linenumber, qty""".stripMargin
+
+  // --- Recursive CTE (q223) -------------------------------------------------
+
+  /** q223: RECURSIVE CTE — `WITH RECURSIVE` through Spark 4's native
+    * UnionLoop execution (iterated join-until-empty, each level one
+    * distributed join; the recursion is DATA-DEPENDENT so no closed
+    * form exists): every customer walks UP the implicit approval
+    * hierarchy `parent(k) = k div 2` and STOPS at the first ancestor
+    * with a negative account balance (a blocked approver) or at the
+    * root — the escalation-path audit shape (how deep do approval
+    * chains run before hitting a blocked node?). The walk carries
+    * (cur, steps, blocked); a level's WHERE prunes finished walks, so
+    * the iteration's frontier only shrinks. Output: walks per
+    * (stop-depth, blocked) cell.
+    *
+    * Scale shape: level count is log₂(max key) — each iteration is one
+    * shuffled join of the shrinking frontier against the customer dim;
+    * no driver-side looping, the plan IS the loop (UnionLoop), and the
+    * frontier is hash-partitioned like any join. DuckDB runs the
+    * textbook WITH RECURSIVE twin — same fixpoint semantics, so the
+    * gate certifies level-by-level agreement.
+    */
+  def q223RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).select("c_custkey", "c_acctbal")
+      .createOrReplaceTempView("q223_customer")
+    s.sql(
+      """WITH RECURSIVE walk(start_id, cur, steps, blocked) AS (
+        |  SELECT c_custkey, c_custkey, 0, FALSE FROM q223_customer
+        |  UNION ALL
+        |  SELECT w.start_id, p.c_custkey, w.steps + 1, p.c_acctbal < 0
+        |  FROM walk w JOIN q223_customer p ON p.c_custkey = w.cur DIV 2
+        |  WHERE w.cur > 1 AND NOT w.blocked
+        |)
+        |SELECT CAST(steps AS BIGINT) AS stop_depth, blocked,
+        |  count(*) AS n_walks,
+        |  CAST(min(start_id) AS BIGINT) AS min_start,
+        |  CAST(max(start_id) AS BIGINT) AS max_start
+        |FROM walk WHERE blocked OR cur <= 1
+        |GROUP BY steps, blocked
+        |ORDER BY stop_depth, blocked""".stripMargin)
+  }
+
+  val q223Oracle: String =
+    """WITH RECURSIVE walk(start_id, cur, steps, blocked) AS (
+      |  SELECT c_custkey, c_custkey, 0, FALSE FROM customer
+      |  UNION ALL
+      |  SELECT w.start_id, p.c_custkey, w.steps + 1, p.c_acctbal < 0
+      |  FROM walk w JOIN customer p ON p.c_custkey = w.cur // 2
+      |  WHERE w.cur > 1 AND NOT w.blocked
+      |)
+      |SELECT CAST(steps AS BIGINT) AS stop_depth, blocked,
+      |  count(*) AS n_walks,
+      |  CAST(min(start_id) AS BIGINT) AS min_start,
+      |  CAST(max(start_id) AS BIGINT) AS max_start
+      |FROM walk WHERE blocked OR cur <= 1
+      |GROUP BY steps, blocked
+      |ORDER BY stop_depth, blocked""".stripMargin
 }
