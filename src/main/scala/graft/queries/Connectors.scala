@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Queries that put the native DataSourceV2 connectors under the
@@ -322,6 +324,81 @@ object Connectors {
       |SELECT id, name,
       |  CAST(CASE WHEN id % 3 = 0 THEN v + 0.5 ELSE v END AS DOUBLE) AS value
       |FROM merged ORDER BY id""".stripMargin
+
+  /** q224: EXACTLY-ONCE CDC APPLY — a change stream lands in the kv
+    * table through [[graft.streaming.KvCdcSink.cdcUpsertHandler]]
+    * (foreachBatch + SQL MERGE under a txn-tagged commit, the Delta
+    * txnAppId/txnVersion design). The registered query drives the
+    * handler DIRECTLY with three deterministic CDC batches derived
+    * from customer (a handler is just `(DataFrame, Long) => Unit` —
+    * the streaming spec runs the same handler under a real
+    * MemoryStream):
+    *
+    *   - batch 0: inserts for id ≡ 0 (mod 3);
+    *   - batch 1: for id ≡ 0 (mod 2) — D where the balance is
+    *     negative, else upsert value+100 (touches keys batch 0 never
+    *     inserted: the NOT-MATCHED upsert and not-present-D paths);
+    *   - batch 2: upsert value×2 for id ≡ 0 (mod 5) — re-inserts keys
+    *     batch 1 deleted (last-writer-wins across batches);
+    *   - batch 1 REPLAYED: the txn ledger makes the redelivery apply
+    *     ZERO ops — and the ORACLE certifies that: a double-applied
+    *     batch 1 would add another +100 to every even key and the
+    *     hash would mismatch.
+    */
+  def q224KvCdcUpsert(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = s"$wh/graft_kv_cdc"
+    s.conf.set("spark.sql.catalog.graft_kvcdc",
+      classOf[graft.sources.v2.KvCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_kvcdc.root", root)
+    // fresh table per invocation (wipe + existence marker)
+    val dir = java.nio.file.Paths.get(s"$root/state")
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("_kv"), Array.emptyByteArray)
+    val c = graft.Tables.customer(s, d).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_acctbal").as("value"))
+    def cdc(ver: Long, op: Column, value: Column, m: Int): DataFrame =
+      c.filter(pmod(col("id"), lit(m)) === 0)
+        .select(lit(ver).as("ver"), op.as("op"), col("id"), col("name"),
+          value.as("value"))
+    val b0 = cdc(0L, lit("I"), col("value"), 3)
+    val b1 = cdc(1L, when(col("value") < 0, "D").otherwise("U"),
+      col("value") + lit(100.0), 2)
+    val b2 = cdc(2L, lit("U"), col("value") * lit(2), 5)
+    val apply = graft.streaming.KvCdcSink
+      .cdcUpsertHandler("q224", "graft_kvcdc.state", dir.toString) _
+    apply(b0, 0L); apply(b1, 1L); apply(b2, 2L)
+    apply(b1, 1L) // crash-redelivery — must land zero ops
+    s.table("graft_kvcdc.state").select("id", "name", "value").orderBy("id")
+  }
+
+  /** Last-writer-wins recomposition of the three CDC batches. A
+    * double-applied batch 1 (the redelivery the txn ledger suppresses)
+    * would put v+200 on the even keys — this oracle would catch it. */
+  val q224Oracle: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS v
+      |  FROM customer),
+      |fin AS (
+      |  SELECT id, name,
+      |    CASE WHEN id % 5 = 0 THEN v * 2
+      |         WHEN id % 2 = 0 THEN v + 100.0
+      |         ELSE v END AS v,
+      |    CASE WHEN id % 5 = 0 THEN TRUE
+      |         WHEN id % 2 = 0 THEN v >= 0
+      |         WHEN id % 3 = 0 THEN TRUE
+      |         ELSE FALSE END AS present
+      |  FROM c)
+      |SELECT id, name, CAST(v AS DOUBLE) AS value
+      |FROM fin WHERE present ORDER BY id""".stripMargin
 
   /** q221: TIME TRAVEL — SQL `VERSION AS OF` against the kv table's
     * commit log: the q214 three waves (seed=0, merge=1, update=2), then

@@ -102,8 +102,20 @@ object KvTable {
       case c => c.toString
     }
 
+  /** Transaction tags of committed writes (see [[KvCommitter]]'s
+    * `graft.kv.txn` channel) — the Delta txnAppId/txnVersion idempotence
+    * ledger, read by replay-safe writers (the streaming CDC sink) to
+    * decide whether a redelivered batch already landed. */
+  private[graft] def committedTxns(dir: Path): Set[String] = {
+    val m = new ObjectMapper()
+    committedSeqs(dir).flatMap { seq =>
+      Option(m.readTree(Files.readAllBytes(dir.resolve(s"commit-$seq.json")))
+        .get("txn")).filterNot(_.isNull).map(_.asText())
+    }.toSet
+  }
+
   /** Committed sequence numbers under `dir` (ascending). */
-  private[sources] def committedSeqs(dir: Path): Seq[Long] =
+  private[graft] def committedSeqs(dir: Path): Seq[Long] =
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val listing = Files.list(dir)
@@ -476,8 +488,16 @@ private[v2] object KvCommitter {
       }
     }
     val nOps = commits.map(_.nOps).sum
+    // transaction tag for idempotent writers (the streaming CDC sink):
+    // SQL MERGE offers no per-command write options, so the tag rides
+    // the session conf — set around the command, recorded ATOMICALLY in
+    // the commit marker, so "did batch N land?" has a crash-safe answer
+    val txn = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(as => Option(as.conf.get("graft.kv.txn", null)))
+      .filter(_.nonEmpty)
+    val txnJson = txn.map(t => s""", "txn": "${KvTable.esc(t)}"""").getOrElse("")
     Files.write(root.resolve(s"commit-$seq.json"),
-      s"""{"seq": $seq, "ops": $nOps, "query": "$queryId"}"""
+      s"""{"seq": $seq, "ops": $nOps, "query": "$queryId"$txnJson}"""
         .getBytes(StandardCharsets.UTF_8))
     deleteTree(Paths.get(s"$dir.staging-$queryId"))
   }
