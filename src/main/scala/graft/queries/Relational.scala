@@ -1729,6 +1729,48 @@ object Relational {
         |ORDER BY stop_depth, blocked""".stripMargin)
   }
 
+  /** q225: LATERAL correlated subquery — the per-row subquery surface
+    * (`FROM dim, LATERAL (SELECT … WHERE fact.key = dim.key ORDER BY …
+    * LIMIT k)`) certified against DuckDB's identical SQL. The naive
+    * reading is a nested loop (re-run the subquery per outer row);
+    * Spark DECORRELATES it — the correlated LIMIT becomes a
+    * row_number window partitioned by the correlation key, one
+    * shuffled pass over the fact side, then a join back to the dim —
+    * so the declared-per-row semantics execute set-at-a-time (the
+    * reason LATERAL is safe to offer at 100 TB at all; the gate
+    * certifies the rewrite preserved semantics, ties included via the
+    * total (bal DESC, id) order).
+    */
+  def q225Lateral(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+      col("c_acctbal")).createOrReplaceTempView("q225_customer")
+    nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .createOrReplaceTempView("q225_nation")
+    s.sql(
+      """SELECT n.n_name, t.id, t.bal
+        |FROM q225_nation n,
+        |LATERAL (
+        |  SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM q225_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 3
+        |) t
+        |ORDER BY n.n_name, t.bal DESC, t.id""".stripMargin)
+  }
+
+  val q225Oracle: String =
+    """SELECT n.n_name, t.id, t.bal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS bal
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  LIMIT 3
+      |) t
+      |ORDER BY n.n_name, t.bal DESC, t.id""".stripMargin
+
   val q223Oracle: String =
     """WITH RECURSIVE walk(start_id, cur, steps, blocked) AS (
       |  SELECT c_custkey, c_custkey, 0, FALSE FROM customer
