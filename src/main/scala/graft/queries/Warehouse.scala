@@ -4259,4 +4259,61 @@ object Warehouse {
       |    - rev_h1_cents * 1000000 // t1 AS BIGINT) AS delta_ppm,
       |  CAST(r1 AS BIGINT) AS rank_h1, CAST(r2 AS BIGINT) AS rank_h2
       |FROM w ORDER BY p_brand""".stripMargin
+
+  // --- Materialized-view query rewrite (q226) ------------------------------
+
+  /** q226: MV QUERY REWRITE — the second Catalyst rule
+    * ([[graft.rules.AggToMvRewrite]]), certified end-to-end the q197
+    * way: the registered query maintains a rollup MV at
+    * (l_returnflag, l_linestatus) grain (dimension-cardinality-sized:
+    * ≤ 6 rows at ANY corpus size), registers it, and runs a COARSER
+    * aggregate — `GROUP BY l_returnflag` with a dims-only filter —
+    * through the rewrite. The rule answers it from the MV (rollup
+    * subsumption: `sum(qty)` → `sum(mv.sum_qty)`, `count(*)` →
+    * `sum(mv.cnt)`, the filter transfers verbatim), and the query
+    * REQUIRES the rewrite fired: the fact scan must be GONE from the
+    * rewritten plan, so the gate run is genuinely MV-served while the
+    * DuckDB oracle recomputes from raw lineitem — the gate passing IS
+    * the subsumption-correctness proof (MV maintenance + rewrite
+    * validity together).
+    *
+    * Scale: this is THE warehouse lever for repeated dashboard
+    * aggregates — the fact scan (the 100 TB side) is paid once at MV
+    * build/refresh (q131's delta-merge keeps it incremental), and
+    * every subsumed query afterwards reads a few rows.
+    */
+  def q226MvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.rules.AggToMvRewrite
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "lineitem")
+    val mvPath = Layouts.ensureDir(s, s"mv_lineitem_rs_v1_$tag") { tmp =>
+      lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("mv_sum_qty"),
+          count(lit(1)).as("mv_cnt"))
+        .write.parquet(tmp)
+    }
+    AggToMvRewrite.register(AggToMvRewrite.MvDef(
+      factTag = "lineitem_v3",
+      dims = Set("l_returnflag", "l_linestatus"),
+      sums = Map("l_quantity" -> "mv_sum_qty"),
+      cntCol = "mv_cnt", mvPath = mvPath))
+    val q = lineitem(s, d)
+      .filter(col("l_linestatus") =!= "O")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+    val rewritten = AggToMvRewrite.rewrite(s, q.queryExecution.analyzed)
+    require(AggToMvRewrite.scansPath(rewritten, mvPath) &&
+      !AggToMvRewrite.scansPath(rewritten, "lineitem_v3"),
+      "the MV rewrite must fire: fact scan replaced by the rollup MV")
+    org.apache.spark.sql.GraftColumnBridge.ofRows(s, rewritten)
+  }
+
+  val q226Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem WHERE l_linestatus <> 'O'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

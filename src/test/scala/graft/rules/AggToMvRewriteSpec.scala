@@ -1,0 +1,98 @@
+package graft.rules
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The MV query-rewrite rule: subsumed aggregates are answered from
+  * the rollup MV with identical results, every refusal guard holds
+  * (wrong table, non-dim grouping, non-decomposable aggregate,
+  * non-dim filter), and original output ids survive under parents.
+  */
+class AggToMvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a little fact table written to a path carrying the registered tag
+  private lazy val factPath = {
+    val p = Files.createTempDirectory("mvspec_").toString + "/fact_mvspec"
+    Seq(
+      ("A", "x", 1L, 10L), ("A", "x", 2L, 20L), ("A", "y", 3L, 30L),
+      ("B", "x", 4L, 40L), ("B", "y", 5L, 50L), ("B", "y", 6L, 60L))
+      .toDF("flag", "status", "qty", "price")
+      .write.parquet(p)
+    p
+  }
+  private def fact = spark.read.parquet(factPath)
+
+  private lazy val mvPath = {
+    val p = Files.createTempDirectory("mvspec_mv_").toString + "/mv"
+    fact.groupBy("flag", "status")
+      .agg(sum("qty").as("mv_sum_qty"), count(lit(1)).as("mv_cnt"))
+      .write.parquet(p)
+    p
+  }
+
+  private def registered(): Unit =
+    AggToMvRewrite.register(AggToMvRewrite.MvDef(
+      factTag = "fact_mvspec", dims = Set("flag", "status"),
+      sums = Map("qty" -> "mv_sum_qty"), cntCol = "mv_cnt",
+      mvPath = mvPath))
+
+  private def rewrite(df: DataFrame) =
+    AggToMvRewrite.rewrite(spark, df.queryExecution.analyzed)
+
+  private def run(df: DataFrame): Seq[Seq[Any]] = {
+    val out = org.apache.spark.sql.GraftColumnBridge
+      .ofRows(spark, rewrite(df))
+    out.collect().map(_.toSeq.toList).toSeq
+  }
+
+  test("subsumed rollup is answered from the MV, identically") {
+    registered()
+    val q = fact.groupBy("flag")
+      .agg(sum("qty").as("sq"), count(lit(1)).as("n"))
+      .orderBy("flag")
+    val p = rewrite(q)
+    assert(AggToMvRewrite.scansPath(p, mvPath) &&
+      !AggToMvRewrite.scansPath(p, "fact_mvspec"))
+    assert(run(q) == Seq(Seq("A", 6L, 3L), Seq("B", 15L, 3L)))
+    // dims-only filter transfers to the MV
+    val qf = fact.filter(col("status") === "y").groupBy("flag")
+      .agg(count(lit(1)).as("n")).orderBy("flag")
+    assert(AggToMvRewrite.scansPath(rewrite(qf), mvPath))
+    assert(run(qf) == Seq(Seq("A", 1L), Seq("B", 2L)))
+    // exact-grain query works too (no rollup needed, still subsumed)
+    val qg = fact.groupBy("flag", "status").agg(sum("qty").as("sq"))
+      .orderBy("flag", "status")
+    assert(AggToMvRewrite.scansPath(rewrite(qg), mvPath))
+    assert(run(qg) == Seq(Seq("A", "x", 3L), Seq("A", "y", 3L),
+      Seq("B", "x", 4L), Seq("B", "y", 11L)))
+  }
+
+  test("every refusal guard leaves the plan untouched") {
+    registered()
+    def untouched(df: DataFrame): Unit = {
+      val p = rewrite(df)
+      assert(!AggToMvRewrite.scansPath(p, mvPath), p.treeString)
+      assert(AggToMvRewrite.scansPath(p, "fact_mvspec"))
+    }
+    // grouping by a non-dimension
+    untouched(fact.groupBy("qty").agg(count(lit(1)).as("n")))
+    // a measure the MV does not carry
+    untouched(fact.groupBy("flag").agg(sum("price").as("sp")))
+    // a non-decomposable aggregate
+    untouched(fact.groupBy("flag").agg(countDistinct("qty").as("d")))
+    // avg is not offered (caller expresses it as sum/cnt)
+    untouched(fact.groupBy("flag").agg(avg("qty").as("a")))
+    // a filter on a non-dimension column
+    untouched(fact.filter(col("qty") > 1).groupBy("flag")
+      .agg(count(lit(1)).as("n")))
+    // an unregistered table of identical shape
+    val other = fact.limit(6)
+    val p = rewrite(other.groupBy("flag").agg(count(lit(1)).as("n")))
+    assert(!AggToMvRewrite.scansPath(p, mvPath))
+  }
+}
