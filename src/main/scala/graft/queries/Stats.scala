@@ -809,4 +809,79 @@ object Stats {
       |  CAST(CASE WHEN den > 0 THEN sign(num) * (abs(num) * 1000 // den)
       |    END AS BIGINT) AS p90_slope_mcents_per_day
       |FROM f ORDER BY event_type""".stripMargin
+
+  // --- Gap-fill linear interpolation (q227) ---------------------------------
+
+  /** q227: TIME-SERIES GAP FILL — linear interpolation of missing
+    * daily observations, the standard repair step before any
+    * fixed-cadence consumer (forecasting features, q146 autocorrelation,
+    * q157 seasonality all assume a dense grid). The observed series is
+    * the per-(type, day) cents total RESTRICTED to days with
+    * `epoch_day % 5 < 3` — a deterministic sensor-dropout pattern that
+    * guarantees 2-day gaps at every scale factor — and each gap day d
+    * between surviving neighbors (d₀,v₀) → (d₁,v₁) fills with the
+    * exact integer lerp `(v₀·(d₁−d) + v₁·(d−d₀)) div (d₁−d₀)`
+    * (all operands positive — events.value > 0 — so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree; the memory-bank division
+    * rule). Output rows carry `src` obs/interp so consumers can weight
+    * repaired points.
+    *
+    * Scale shape: one corpus aggregate to the (type, day) grid;
+    * everything after (lead window, gap explode, union) rides that
+    * domain-sized frame — grid cells, never events. Endpoints need no
+    * policy: the grid spans observed days only, so every gap is
+    * interior by construction.
+    */
+  def q227GapFill(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+      .cast("long")
+    val obs = events(s, d)
+      .select(col("event_type"), day.as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .filter(pmod(col("day"), lit(5)) < 3)
+      .groupBy("event_type", "day").agg(sum("c").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val gaps = obs
+      .withColumn("nd", lead("day", 1).over(w))
+      .withColumn("nv", lead("cents", 1).over(w))
+      .filter(col("nd") > col("day") + 1)
+      .select(col("event_type"), col("day").as("pd"), col("cents").as("pv"),
+        col("nd"), col("nv"),
+        explode(sequence(col("day") + 1, col("nd") - 1)).as("day2"))
+      .select(col("event_type"), col("day2").as("day"),
+        expr("(pv * (nd - day2) + nv * (day2 - pd)) div (nd - pd)")
+          .as("cents"),
+        lit("interp").as("src"))
+    obs.withColumn("src", lit("obs"))
+      .unionByName(gaps)
+      .orderBy("event_type", "day")
+  }
+
+  val q227Oracle: String =
+    """WITH pts AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |obs AS (
+      |  SELECT event_type, day, sum(c) AS cents
+      |  FROM pts WHERE day % 5 < 3 GROUP BY 1, 2),
+      |nx AS (
+      |  SELECT event_type, day, cents,
+      |    lead(day) OVER (PARTITION BY event_type ORDER BY day) AS nd,
+      |    lead(cents) OVER (PARTITION BY event_type ORDER BY day) AS nv
+      |  FROM obs),
+      |gaps AS (
+      |  SELECT n.event_type, u.d AS day,
+      |    (n.cents * (n.nd - u.d) + n.nv * (u.d - n.day)) // (n.nd - n.day)
+      |      AS cents,
+      |    'interp' AS src
+      |  FROM nx n, LATERAL (
+      |    SELECT unnest(generate_series(n.day + 1, n.nd - 1)) AS d) u
+      |  WHERE n.nd IS NOT NULL AND n.nd > n.day + 1)
+      |SELECT event_type, CAST(day AS BIGINT) AS day,
+      |  CAST(cents AS BIGINT) AS cents, src FROM (
+      |  SELECT event_type, day, cents, 'obs' AS src FROM obs
+      |  UNION ALL SELECT * FROM gaps) t
+      |ORDER BY event_type, day""".stripMargin
 }

@@ -309,4 +309,32 @@ class StatsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.forall(_._6.isDefined), "fixture spans multiple days per type")
   }
+
+  test("q227 gap fill: exact lerp on the dropout grid, interior-only") {
+    val rows = Stats.q227GapFill(spark, d)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (_, rs) =>
+      val days = rs.map(_._2)
+      // dense interior grid: every day between first and last observed
+      assert(days == (days.min to days.max),
+        "gap fill must produce a dense, ordered grid")
+      // observed days follow the dropout pattern; the rest are interp
+      rs.foreach { case (_, day, _, src) =>
+        assert((src == "obs") == (day % 5 < 3), s"day $day tagged $src")
+      }
+      // exact integer lerp between the surrounding observations
+      val obs = rs.filter(_._4 == "obs").map(r => r._2 -> r._3).toMap
+      rs.filter(_._4 == "interp").foreach { case (_, dd, v, _) =>
+        val p = (dd - 1 to dd - 2 by -1).find(obs.contains).get
+        val n = (dd + 1 to dd + 2).find(obs.contains).get
+        val want = (BigInt(obs(p)) * (n - dd) + BigInt(obs(n)) * (dd - p)) /
+          BigInt(n - p)
+        assert(BigInt(v) == want, s"lerp at $dd")
+      }
+    }
+    // the fixture actually exercises interpolation
+    assert(rows.count(_._4 == "interp") > 0)
+  }
 }
