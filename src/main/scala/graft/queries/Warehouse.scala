@@ -4260,6 +4260,40 @@ object Warehouse {
       |  CAST(r1 AS BIGINT) AS rank_h1, CAST(r2 AS BIGINT) AS rank_h2
       |FROM w ORDER BY p_brand""".stripMargin
 
+  // --- UNPIVOT (q228) --------------------------------------------------------
+
+  /** q228: UNPIVOT — the wide→long reshape closing q49's pivot
+    * round-trip, declared through the SQL-standard
+    * `FROM t UNPIVOT (qty FOR flag IN (…))` surface both engines parse
+    * natively. The wide frame is q49's (status × flag) sum grid; the
+    * unpivot re-longifies it (NULL cells dropped, the default both
+    * engines share — asserted by the oracle since a (status, flag)
+    * combination absent from the data must stay absent after the
+    * round-trip, not resurface as a null row). Spark lowers UNPIVOT to
+    * a constant-width Expand — ×3 on a 2-row frame here; at any scale
+    * the cost is rows×columns, no shuffle beyond the pivot's own
+    * aggregate.
+    */
+  def q228Unpivot(s: SparkSession, d: String): DataFrame = {
+    q49Pivot(s, d).createOrReplaceTempView("q228_wide")
+    s.sql(
+      """SELECT l_linestatus, flag, qty
+        |FROM q228_wide
+        |UNPIVOT (qty FOR flag IN (qty_a, qty_n, qty_r))
+        |ORDER BY l_linestatus, flag""".stripMargin)
+  }
+
+  val q228Oracle: String =
+    """WITH wide AS (
+      |  SELECT l_linestatus,
+      |    sum(CAST(l_quantity AS BIGINT)) FILTER (l_returnflag = 'A') AS qty_a,
+      |    sum(CAST(l_quantity AS BIGINT)) FILTER (l_returnflag = 'N') AS qty_n,
+      |    sum(CAST(l_quantity AS BIGINT)) FILTER (l_returnflag = 'R') AS qty_r
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_linestatus, flag, CAST(qty AS BIGINT) AS qty
+      |FROM wide UNPIVOT (qty FOR flag IN (qty_a, qty_n, qty_r))
+      |ORDER BY l_linestatus, flag""".stripMargin
+
   // --- Materialized-view query rewrite (q226) ------------------------------
 
   /** q226: MV QUERY REWRITE — the second Catalyst rule
