@@ -442,6 +442,55 @@ object Connectors {
       |SELECT id, name, CAST(v AS DOUBLE) AS value
       |FROM merged ORDER BY id""".stripMargin
 
+  /** q229: CHANGELOG CATCH-UP RANGE READ — the incremental consumer's
+    * resume: a downstream index applied everything through commit 0 and
+    * reads ONLY commits `[fromSeq, asOfSeq] = [1, 2]` of the q214
+    * scenario (`option("fromSeq", 1).option("asOfSeq", 2)`), never
+    * replaying history it already holds — commit-sequence pruning
+    * happens at the LOG-FILE level (bucketLogs filters by seq before a
+    * byte is parsed), the same partition shape as every kv scan. This
+    * is exactly the slice the [[graft.sources.v2.KvChangelogMicroBatch]]
+    * streaming source reads per trigger (offsets ARE commit seqs; the
+    * stream shares this scan's reader factory, so stream and batch
+    * semantics cannot drift — `KvChangelogStreamSpec` pins the live
+    * stream against this read). The oracle derives waves 1–2's touch
+    * sets from the original parquet, q217's derivation minus wave 0.
+    */
+  def q229ChangelogRange(s: SparkSession, d: String): DataFrame = {
+    val path = kvThreeWaves(s, d, "graft_kvcr", "graft_kv_chrange")
+    s.read.format("graft-kv")
+      .option("path", path).option("buckets", 8)
+      .option("changelog", true)
+      .option("fromSeq", 1).option("asOfSeq", 2).load()
+      .groupBy("seq", "op").agg(count(lit(1)).as("n"))
+      .orderBy("seq", "op")
+  }
+
+  val q229Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |src AS (
+      |  SELECT c_custkey AS id, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |m AS (SELECT b.id AS bid, s.id AS sid, s.value AS sv
+      |      FROM base b FULL OUTER JOIN src s ON b.id = s.id),
+      |surv AS (SELECT coalesce(bid, sid) AS id FROM m
+      |         WHERE NOT (bid IS NOT NULL AND sid IS NOT NULL AND sv < 0)),
+      |waves AS (
+      |  SELECT 1 AS seq, 'D' AS op,
+      |    (SELECT count(*) FROM m
+      |     WHERE bid IS NOT NULL AND sid IS NOT NULL AND sv < 0) AS n
+      |  UNION ALL SELECT 1, 'I',
+      |    (SELECT count(*) FROM m WHERE bid IS NULL)
+      |  UNION ALL SELECT 1, 'U',
+      |    (SELECT count(*) FROM m
+      |     WHERE bid IS NOT NULL AND sid IS NOT NULL AND sv >= 0)
+      |  UNION ALL SELECT 2, 'U',
+      |    (SELECT count(*) FROM surv WHERE id % 3 = 0))
+      |SELECT CAST(seq AS BIGINT) AS seq, op, CAST(n AS BIGINT) AS n
+      |FROM waves WHERE n > 0 ORDER BY seq, op""".stripMargin
+
   /** Three-wave recomposition from scratch: base ⟗ delta with q213's
     * clause ladder, then the update wave on the survivors. */
   val q214Oracle: String =

@@ -76,12 +76,14 @@ object KvTable {
     StructField("value", DoubleType)))
 
   /** One bucket's committed operation records in apply order,
-    * optionally truncated at `asOf` (inclusive). */
+    * optionally bounded to sequences in `[from, asOf]` — the range
+    * read an incremental consumer (and the micro-batch stream) uses
+    * to catch up without replaying history it already applied. */
   private[v2] def changelog(dir: Path, bucket: Int,
-      asOf: Option[Long] = None)
+      asOf: Option[Long] = None, from: Option[Long] = None)
       : Seq[(Long, String, Long, Option[String], Option[Double])] = {
     val m = new ObjectMapper()
-    bucketLogs(dir, bucket, asOf).flatMap { p =>
+    bucketLogs(dir, bucket, asOf, from).flatMap { p =>
       val seq = p.getFileName.toString
         .stripPrefix("log-").stripSuffix(".jsonl").split("-")(0).toLong
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
@@ -157,11 +159,11 @@ object KvTable {
   }
 
   /** Committed log files of one bucket in apply order (seq, task),
-    * optionally truncated at `asOf` (inclusive). */
+    * optionally bounded to sequences in `[from, asOf]`. */
   private[sources] def bucketLogs(dir: Path, bucket: Int,
-      asOf: Option[Long] = None): Seq[Path] = {
+      asOf: Option[Long] = None, from: Option[Long] = None): Seq[Path] = {
     val committed = committedSeqs(dir)
-      .filter(s => asOf.forall(s <= _)).toSet
+      .filter(s => asOf.forall(s <= _) && from.forall(s >= _)).toSet
     val bd = dir.resolve(s"bucket=$bucket")
     if (!Files.isDirectory(bd)) Seq.empty
     else {
@@ -295,34 +297,59 @@ final class KvChangelogTable(options: CaseInsensitiveStringMap)
   private def buckets: Int = options.getInt("buckets", 8)
   private def asOf: Option[Long] =
     Option(options.get("asOfSeq")).map(_.toLong)
+  private def from: Option[Long] =
+    Option(options.get("fromSeq")).map(_.toLong)
   override def name(): String = s"graft-kv-changelog($dir)"
   override def schema(): StructType = KvTable.ChangelogSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
         asOf.foreach(KvTable.validateAsOf(Paths.get(dir), _))
-        new KvChangelogScan(dir, buckets, asOf)
+        new KvChangelogScan(dir, buckets, asOf, from)
       }
     }
 }
 
 final class KvChangelogScan(dir: String, buckets: Int,
-    asOf: Option[Long] = None) extends Scan with Batch {
+    asOf: Option[Long] = None, from: Option[Long] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = KvTable.ChangelogSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv-changelog path=$dir buckets=$buckets" +
-      asOf.map(v => s" asOfSeq=$v").getOrElse("")
+      asOf.map(v => s" asOfSeq=$v").getOrElse("") +
+      from.map(v => s" fromSeq=$v").getOrElse("")
+  /** STREAMING CDC — the changelog as a DSv2 micro-batch source:
+    * offsets ARE commit sequence numbers (a crash-safe, totally-
+    * ordered cursor the table maintains anyway), each micro-batch is
+    * the half-open commit range `(start, end]` read through the SAME
+    * per-bucket range scan as the batch `fromSeq`/`asOfSeq` read — so
+    * a restart from checkpoint resumes EXACTLY after the last commit
+    * it applied, no replay, no loss (spec-pinned). Spark calls
+    * latestOffset each trigger; an unchanged sequence yields no batch.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KvChangelogMicroBatch(dir, buckets)
   override def planInputPartitions(): Array[InputPartition] =
     (0 until buckets).map(b =>
-      KvBucketPartition(dir, b, asOf): InputPartition).toArray
+      KvBucketPartition(dir, b, asOf, from): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
+    KvChangelogScan.readerFactory
+}
+
+object KvChangelogScan {
+  /** Shared by the batch scan and the micro-batch stream: read one
+    * bucket's changelog slice `[from, asOf]`. */
+  private[v2] val readerFactory: PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val kp = p.asInstanceOf[KvBucketPartition]
-        val rows = KvTable.changelog(Paths.get(kp.dir), kp.bucket, kp.asOf).iterator
+        val rows = KvTable.changelog(Paths.get(kp.dir), kp.bucket,
+          kp.asOf, kp.from).iterator
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
           override def next(): Boolean =
@@ -414,7 +441,47 @@ final class KvRowLevelOperation(dir: String, buckets: Int,
 // --- scan (merge-on-read) ----------------------------------------------------
 
 final case class KvBucketPartition(dir: String, bucket: Int,
-    asOf: Option[Long] = None) extends InputPartition
+    asOf: Option[Long] = None, from: Option[Long] = None)
+  extends InputPartition
+
+/** The changelog as a streaming source: the commit sequence number IS
+  * the offset. Micro-batch N covers commits `(startSeq, endSeq]`; the
+  * reader is the same per-bucket range scan as the batch
+  * `fromSeq`/`asOfSeq` read, so stream and batch semantics cannot
+  * drift. Compaction note: a compacted commit re-asserts the fold as
+  * `I` records, so a stream that was BEHIND the compaction floor when
+  * compaction ran resumes onto the compacted commit (it sees a
+  * collapsed history — the same retention contract time travel has).
+  */
+final class KvChangelogMicroBatch(dir: String, buckets: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class SeqOffset(seq: Long) extends Offset {
+    override def json(): String = s"""{"seq": $seq}"""
+  }
+
+  override def initialOffset(): Offset = SeqOffset(-1L)
+  override def latestOffset(): Offset =
+    SeqOffset(KvTable.committedSeqs(Paths.get(dir)).lastOption.getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(new ObjectMapper().readTree(json).path("seq").asLong())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val e = end.asInstanceOf[SeqOffset].seq
+    if (e <= s) Array.empty
+    else (0 until buckets).map(b =>
+      KvBucketPartition(dir, b, asOf = Some(e), from = Some(s + 1L))
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KvChangelogScan.readerFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 final class KvScan(dir: String, buckets: Int,
     asOf: Option[Long] = None) extends Scan with Batch {
