@@ -491,6 +491,56 @@ object Connectors {
       |SELECT CAST(seq AS BIGINT) AS seq, op, CAST(n AS BIGINT) AS n
       |FROM waves WHERE n > 0 ORDER BY seq, op""".stripMargin
 
+  /** q231: KV-TABLE REPLICATION — the read-replica / DR pattern closing
+    * the CDC ring: the SOURCE table's changelog, read in commit-range
+    * slices (q229's scan; in production the
+    * [[graft.sources.v2.KvChangelogMicroBatch]] stream delivers the
+    * same slices), is applied to a REPLICA kv table through the
+    * exactly-once CDC sink (q224) with `ver = seq` as the LSN — so the
+    * replica is the composition of every CDC guarantee this round
+    * built: commit-seq offsets (no replay/loss), txn-tagged apply
+    * (crash-redelivery is a no-op), MERGE apply semantics (D deletes,
+    * I/U upsert, last commit wins). The registered query replicates
+    * the q214 three-wave table slice by slice — including a
+    * REDELIVERED slice — and reads the REPLICA; the oracle is q214's
+    * from-scratch recomposition, so the gate certifies
+    * replica == source state, byte-for-byte, cross-engine.
+    */
+  def q231KvReplica(s: SparkSession, d: String): DataFrame = {
+    val srcPath = kvThreeWaves(s, d, "graft_kvrs", "graft_kv_repl_src")
+    // replica table (fresh per invocation), in its own catalog root
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = s"$wh/graft_kv_repl_dst"
+    s.conf.set("spark.sql.catalog.graft_kvrd",
+      classOf[graft.sources.v2.KvCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_kvrd.root", root)
+    val dst = java.nio.file.Paths.get(s"$root/state")
+    if (java.nio.file.Files.exists(dst)) {
+      val walk = java.nio.file.Files.walk(dst)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.write(dst.resolve("_kv"), Array.emptyByteArray)
+    def slice(seq: Long): DataFrame = s.read.format("graft-kv")
+      .option("path", srcPath).option("buckets", 8)
+      .option("changelog", true)
+      .option("fromSeq", seq).option("asOfSeq", seq).load()
+      .select(col("seq").as("ver"), col("op"), col("id"),
+        col("name"), col("value"))
+    val apply = graft.streaming.KvCdcSink
+      .cdcUpsertHandler("q231", "graft_kvrd.state", dst.toString) _
+    (0L to 2L).foreach(i => apply(slice(i), i))
+    apply(slice(1L), 1L) // redelivered slice — must land zero ops
+    s.table("graft_kvrd.state").select("id", "name", "value").orderBy("id")
+  }
+
+  /** Identical to [[q214Oracle]]: the replica must equal the source's
+    * from-scratch recomposition. */
+  def q231Oracle: String = q214Oracle
+
   /** Three-wave recomposition from scratch: base ⟗ delta with q213's
     * clause ladder, then the update wave on the survivors. */
   val q214Oracle: String =

@@ -5944,4 +5944,54 @@ object LlmOps {
        |  JOIN perdoc pb ON doc_b = pb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // --- Soft deduplication (q230) ---------------------------------------------
+
+  /** q230: SOFT DEDUP — duplicate-aware DOWN-WEIGHTING instead of
+    * dropping (the SoftDeDup training-loss idea applied at the data
+    * layer): each exact-duplicate cluster of size c contributes its
+    * token mass at weight 1/c per copy (the cluster as a whole counts
+    * once), so the corpus keeps every row (provenance, recency and
+    * source mixes survive) while repeated text stops dominating the
+    * token budget. Emitted per source: raw vs effective token mass in
+    * exact milli-tokens (`tok·1000 div c`, positive operands — the
+    * div/`//` agreement rule) and the down-weighted duplicate mass,
+    * the numbers a q207-style budget allocator consumes instead of the
+    * post-drop counts q26/q72 produce.
+    *
+    * Scale shape: clusters are exact-hash groups — the window
+    * partitions on the 64-bit hash AFTER projecting text away (the
+    * shuffle carries (source, hash, tok), never text), high-cardinality
+    * key so it spreads; then one source-keyed aggregate. The oracle
+    * clusters on raw text equality — same clusters, assuming no 64-bit
+    * collisions (the q26 contract, which countDistinct-vs-text already
+    * certifies on these fixtures).
+    */
+  def q230SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val wC = Window.partitionBy(col("h"))
+    documents(s, d)
+      .select(col("source"), xxhash64(col("text")).as("h"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      .withColumn("c", count(lit(1)).over(wC))
+      .select(col("source"), col("tok"),
+        expr("tok * 1000 div c").as("eff_milli"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
+        sum("eff_milli").as("eff_tokens_milli"))
+      .withColumn("dup_tokens_milli",
+        col("tokens") * 1000 - col("eff_tokens_milli"))
+      .orderBy("source")
+  }
+
+  val q230Oracle: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+      |    count(*) OVER (PARTITION BY text) AS c
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens,
+      |  CAST(sum(tok * 1000 // c) AS BIGINT) AS eff_tokens_milli,
+      |  CAST(sum(tok) * 1000 - sum(tok * 1000 // c) AS BIGINT)
+      |    AS dup_tokens_milli
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
 }

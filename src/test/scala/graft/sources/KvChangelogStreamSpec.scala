@@ -83,4 +83,45 @@ class KvChangelogStreamSpec extends SparkSpec {
       Seq((0L, "I", 1L), (0L, "I", 2L), (0L, "I", 3L),
         (1L, "D", 2L), (2L, "U", 3L)))
   }
+
+  test("live replication: changelog stream + CDC sink mirror the source") {
+    val r = root
+    def state(t: String): Map[Long, (String, Double)] =
+      spark.table(s"$Cat.$t").collect()
+        .map(x => x.getLong(0) -> ((x.getString(1), x.getDouble(2)))).toMap
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $Cat.rsrc " +
+      "(id BIGINT, name STRING, value DOUBLE)")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $Cat.rdst " +
+      "(id BIGINT, name STRING, value DOUBLE)")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("id", "name", "value").write.format("graft-kv")
+      .option("path", s"$root/rsrc").option("buckets", 4)
+      .mode("overwrite").save()
+    val ckpt = Files.createTempDirectory("kv_repl_ck_").toString
+    val handler = graft.streaming.KvCdcSink
+      .cdcUpsertHandler("repl", s"$Cat.rdst", s"$root/rdst") _
+    def start() = spark.readStream.format("graft-kv")
+      .option("path", s"$root/rsrc").option("buckets", 4)
+      .option("changelog", true).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        handler(df.selectExpr("seq AS ver", "op", "id", "name", "value"), bid)
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(state("rdst") == state("rsrc"))
+      spark.sql(s"DELETE FROM $Cat.rsrc WHERE id % 2 = 0")
+      q1.processAllAvailable()
+      assert(state("rdst") == state("rsrc"))
+    } finally q1.stop()
+    // writes landing while the replica stream is down catch up on restart
+    spark.sql(s"UPDATE $Cat.rsrc SET value = value * 3 WHERE id = 1")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(state("rdst") == state("rsrc"))
+      assert(state("rdst") == Map(1L -> ("a", 3.0), 3L -> ("c", 3.0)))
+    } finally q2.stop()
+  }
 }
