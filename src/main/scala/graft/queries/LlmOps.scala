@@ -5945,6 +5945,53 @@ object LlmOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --- Multilingual temperature sampling (q232) -------------------------------
+
+  /** q232: TEMPERATURE-SCALED LANGUAGE SAMPLING — the multilingual
+    * mixture step (mT5 / XLM-R α-smoothing): raw language shares
+    * p_l = tokens_l / T make high-resource languages drown the rest,
+    * so the sampler draws from q_l ∝ p_l^α instead. α = 1/2 here,
+    * which keeps the whole computation cross-engine exact-or-IEEE:
+    * p^(1/2) is `sqrt`, CORRECTLY ROUNDED by IEEE-754 in both engines
+    * (a general pow(p, α) is library-dependent — the reason α is not a
+    * free parameter in the gate), shares divide two doubles built from
+    * exact integer token counts, and the final `round(x, 6)` absorbs
+    * the ≤1e-13 association noise of the |langs|-sized sum (the q10
+    * discipline). Raw shares ride exact integer ppm.
+    *
+    * Scale shape: ONE corpus token aggregate down to the |langs| frame;
+    * the normalizing sum is a single-partition window over that
+    * domain-bounded frame only (the q121 rule).
+    */
+  def q232LangTemperature(s: SparkSession, d: String): DataFrame = {
+    val perLang = documents(s, d)
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      .groupBy("lang").agg(sum("tok").as("tokens"))
+    val wAll = Window.partitionBy()
+    perLang
+      .withColumn("t_total", sum("tokens").over(wAll))
+      .withColumn("w", sqrt(col("tokens").cast("double")))
+      .withColumn("w_total", sum("w").over(wAll))
+      .select(col("lang"), col("tokens"),
+        expr("tokens * 1000000 div t_total").as("raw_share_ppm"),
+        round(col("w") / col("w_total"), 6).as("temp_share"))
+      .orderBy("lang")
+  }
+
+  val q232Oracle: String =
+    """WITH l AS (
+      |  SELECT lang,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+      |      AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(tokens) AS tt,
+      |        sum(sqrt(CAST(tokens AS DOUBLE))) AS wt FROM l)
+      |SELECT lang, tokens,
+      |  CAST(tokens * 1000000 // tt AS BIGINT) AS raw_share_ppm,
+      |  round(sqrt(CAST(tokens AS DOUBLE)) / wt, 6) AS temp_share
+      |FROM l, t ORDER BY lang""".stripMargin
+
   // --- Soft deduplication (q230) ---------------------------------------------
 
   /** q230: SOFT DEDUP — duplicate-aware DOWN-WEIGHTING instead of

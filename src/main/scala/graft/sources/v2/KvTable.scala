@@ -198,11 +198,16 @@ object KvTable {
     * chosen explicitly by whoever schedules compaction.
     */
   def compact(s: org.apache.spark.sql.SparkSession, dir: String,
-      buckets: Int): Unit = {
+      buckets: Int): Unit = KvCommitter.withCommitLock(
+      Paths.get(dir), "compact") {
     val root = Paths.get(dir)
     val seqs = committedSeqs(root)
-    if (seqs.isEmpty) return
-    val newSeq = seqs.last + 1L
+    if (seqs.nonEmpty) compactCommitted(s, dir, buckets, seqs.last + 1L)
+  }
+
+  private def compactCommitted(s: org.apache.spark.sql.SparkSession,
+      dir: String, buckets: Int, newSeq: Long): Unit = {
+    val root = Paths.get(dir)
     val d = dir
     val nKept = s.sparkContext.parallelize(0 until buckets, buckets)
       .map { b =>
@@ -527,7 +532,42 @@ final case class KvCommit(partitionId: Int,
   * reader never applies a log whose marker is missing, so a crash
   * between moves leaves invisible garbage, never a torn table. */
 private[v2] object KvCommitter {
+
+  /** SINGLE-WRITER, ENFORCED: the whole commit (seq assignment → log
+    * moves → marker) runs under an atomically-created `_commit.lock`,
+    * so a second concurrent writer FAILS LOUDLY instead of silently
+    * racing the sequence number (two writers computing the same seq
+    * would interleave log files under one marker — a lost update worth
+    * an exception, not an assumption). The lock records who holds it;
+    * a crash between lock and release leaves a stale lock that blocks
+    * further commits until an operator removes it — deliberate: the
+    * crashed commit's staged state needs a human eye before writes
+    * resume.
+    */
+  private[v2] def withCommitLock[T](root: Path, who: String)(body: => T): T = {
+    Files.createDirectories(root)
+    val lock = root.resolve("_commit.lock")
+    try Files.write(lock, who.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val holder = new String(Files.readAllBytes(lock),
+          StandardCharsets.UTF_8)
+        throw new IllegalStateException(
+          s"graft-kv: concurrent commit on $root (lock held by " +
+            s"'$holder') — writers must be serialized; remove the " +
+            "stale lock only after confirming its writer is dead")
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   def commit(dir: String, queryId: String,
+      messages: Array[WriterCommitMessage], truncate: Boolean): Unit =
+    withCommitLock(Paths.get(dir), queryId) {
+      commitLocked(dir, queryId, messages, truncate)
+    }
+
+  private def commitLocked(dir: String, queryId: String,
       messages: Array[WriterCommitMessage], truncate: Boolean): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
@@ -538,7 +578,8 @@ private[v2] object KvCommitter {
       // seeding path truncate exists for)
       val walk = Files.walk(root)
       try walk.iterator().asScala.toSeq.reverseIterator
-        .filter(p => p != root && p.getFileName.toString != "_kv")
+        .filter(p => p != root && p.getFileName.toString != "_kv" &&
+          p.getFileName.toString != "_commit.lock")
         .foreach(Files.deleteIfExists(_))
       finally walk.close()
       Files.createDirectories(root)

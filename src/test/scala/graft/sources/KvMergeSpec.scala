@@ -165,6 +165,25 @@ class KvMergeSpec extends SparkSpec {
     assert(asOf(3) == snap2)
   }
 
+  test("a held commit lock makes a concurrent writer fail loudly") {
+    seed("lk1", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val lock = Paths.get(s"$root/lk1/_commit.lock")
+    Files.write(lock, "other-writer".getBytes)
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $Cat.lk1 WHERE id = 1"))
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("concurrent commit") && msg.contains("other-writer"),
+      s"got: $msg")
+    // nothing committed, table unchanged
+    assert(state("lk1") == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0)))
+    // lock released → writes resume; the lock itself is gone afterwards
+    Files.delete(lock)
+    spark.sql(s"DELETE FROM $Cat.lk1 WHERE id = 1")
+    assert(state("lk1") == Map(2L -> ("b", 2.0)))
+    assert(!Files.exists(lock), "commit must release its lock")
+  }
+
   test("changelog replay reconstructs the snapshot exactly") {
     seed("c2", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
     spark.sql(s"DELETE FROM $Cat.c2 WHERE id = 2")
