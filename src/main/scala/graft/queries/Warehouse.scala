@@ -4260,6 +4260,48 @@ object Warehouse {
       |  CAST(r1 AS BIGINT) AS rank_h1, CAST(r2 AS BIGINT) AS rank_h2
       |FROM w ORDER BY p_brand""".stripMargin
 
+  // --- ORC round-trip (q233) --------------------------------------------------
+
+  /** q233: ORC SINK/SOURCE — the second columnar format beside parquet
+    * (S7), exercised as a full round-trip under the cross-engine gate:
+    * lineitem is published ONCE as an ORC layout (snappy, the same
+    * splittable-file discipline as every maintained layout;
+    * `sortWithinPartitions(l_orderkey)` gives ORC's row-group stats a
+    * clustered key so predicate pushdown has something to prune on),
+    * re-read through the native ORC source with a pushed filter, and
+    * aggregated. DuckDB cannot read ORC, so the oracle recomputes from
+    * the original parquet — the gate passing certifies the ORC write →
+    * read round-trip preserved every value (types, nulls, decimals-as-
+    * doubles) bit-exactly, which is precisely what a format swap must
+    * prove before a deployment trusts it.
+    */
+  def q233OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "lineitem")
+    val orcPath = Layouts.ensureDir(s, s"lineitem_orc_v1_$tag") { tmp =>
+      graft.Tables.lineitem(s, d)
+        .repartition(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.option("compression", "snappy").orc(tmp)
+    }
+    s.read.orc(orcPath)
+      .filter(col("l_quantity") >= 25) // pushed into the ORC scan
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("revenue_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val q233Oracle: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem WHERE l_quantity >= 25
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --- UNPIVOT (q228) --------------------------------------------------------
 
   /** q228: UNPIVOT — the wide→long reshape closing q49's pivot
