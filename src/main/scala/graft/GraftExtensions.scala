@@ -23,8 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(extensions: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(extensions.injectFunction)
     // optimizer surface: config-gated (default OFF), so injection is
-    // inert until spark.graft.windowToAggJoin.enabled=true
+    // inert until spark.graft.windowToAggJoin.enabled=true /
+    // spark.graft.mvRewrite.enabled=true (+ a registered MV)
     extensions.injectOptimizerRule(_ => graft.rules.WindowToAggJoin)
+    extensions.injectOptimizerRule(_ => graft.rules.AggToMvRewrite.Installed)
   }
 }
 

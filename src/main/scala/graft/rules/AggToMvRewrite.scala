@@ -62,6 +62,22 @@ object AggToMvRewrite {
   }
   def clear(): Unit = synchronized { registry = Seq.empty }
 
+  val ConfKey = "spark.graft.mvRewrite.enabled"
+
+  /** Config-gated `Rule` form (default OFF) for session-wide
+    * installation — `spark.experimental.extraOptimizations` or the
+    * [[graft.GraftExtensions]] injection — mirroring
+    * [[WindowToAggJoin]]'s lever: inert until
+    * `spark.graft.mvRewrite.enabled=true` AND an MV is registered.
+    */
+  object Installed
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty ||
+          !conf.getConfString(ConfKey, "false").toBoolean) plan
+      else rewrite(SparkSession.active, plan)
+  }
+
   /** Does any file-source leaf of `plan` read a location containing
     * `substr`? (Plan-shape assertion for rewrite certification.) */
   def scansPath(plan: LogicalPlan, substr: String): Boolean =

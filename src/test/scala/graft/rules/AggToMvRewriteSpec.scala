@@ -72,6 +72,30 @@ class AggToMvRewriteSpec extends SparkSpec {
       Seq("B", "x", 4L), Seq("B", "y", 11L)))
   }
 
+  test("installed session-wide, the config-gated rule fires transparently") {
+    registered()
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ AggToMvRewrite.Installed
+    spark.conf.set(AggToMvRewrite.ConfKey, "true")
+    try {
+      // query executions cache their optimized plan, so build afresh
+      // for each gate setting
+      def q = fact.groupBy("flag")
+        .agg(sum("qty").as("sq"), count(lit(1)).as("n")).orderBy("flag")
+      // no explicit rewrite() call — the optimizer applies it
+      val on = q
+      assert(AggToMvRewrite.scansPath(on.queryExecution.optimizedPlan, mvPath))
+      assert(on.collect().map(_.toSeq.toList).toSeq ==
+        Seq(Seq("A", 6L, 3L), Seq("B", 15L, 3L)))
+      // gate off → untouched
+      spark.conf.set(AggToMvRewrite.ConfKey, "false")
+      assert(!AggToMvRewrite.scansPath(q.queryExecution.optimizedPlan, mvPath))
+    } finally {
+      spark.conf.unset(AggToMvRewrite.ConfKey)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("every refusal guard leaves the plan untouched") {
     registered()
     def untouched(df: DataFrame): Unit = {
