@@ -4392,4 +4392,59 @@ object Warehouse {
       |  count(*) AS n_rows
       |FROM lineitem WHERE l_linestatus <> 'O'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q234: MV INCREMENTAL REFRESH → REWRITE — the freshness story
+    * q226 defers to "the registrar's contract", closed end-to-end: the
+    * rollup MV is built from the PRE-CUTOFF fact slice, then REFRESHED
+    * with the post-cutoff delta by decomposable merge (union → re-sum,
+    * the q131 discipline — in a deployment the refresh scans ONLY the
+    * delta, never the history), registered, and a subsumed query over
+    * the FULL fact runs through the rewrite. The oracle recomputes
+    * from ALL of raw lineitem, so the gate certifies base build +
+    * delta merge + rollup subsumption in one pass — a stale or
+    * mis-merged MV would hash-mismatch immediately. Registration is
+    * per-query-invocation (each MV query registers its own layout
+    * right before rewriting), so q226 and q234 coexist in one session.
+    */
+  def q234MvRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.rules.AggToMvRewrite
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "lineitem")
+    val mvPath = Layouts.ensureDir(s, s"mv_lineitem_rsr_v1_$tag") { tmp =>
+      val cut = to_date(lit("1996-01-01"))
+      def rollup(df: DataFrame) = df
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("mv_sum_qty"),
+          count(lit(1)).as("mv_cnt"))
+      val base = rollup(lineitem(s, d).filter(col("l_shipdate") < cut))
+      val delta = rollup(lineitem(s, d).filter(col("l_shipdate") >= cut))
+      base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("mv_sum_qty").as("mv_sum_qty"),
+          sum("mv_cnt").as("mv_cnt"))
+        .write.parquet(tmp)
+    }
+    AggToMvRewrite.register(AggToMvRewrite.MvDef(
+      factTag = "lineitem_v3",
+      dims = Set("l_returnflag", "l_linestatus"),
+      sums = Map("l_quantity" -> "mv_sum_qty"),
+      cntCol = "mv_cnt", mvPath = mvPath))
+    val q = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+    val rewritten = AggToMvRewrite.rewrite(s, q.queryExecution.analyzed)
+    require(AggToMvRewrite.scansPath(rewritten, mvPath) &&
+      !AggToMvRewrite.scansPath(rewritten, "lineitem_v3"),
+      "the refreshed-MV rewrite must fire")
+    org.apache.spark.sql.GraftColumnBridge.ofRows(s, rewritten)
+  }
+
+  val q234Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
