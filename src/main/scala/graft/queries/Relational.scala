@@ -1771,6 +1771,54 @@ object Relational {
       |) t
       |ORDER BY n.n_name, t.bal DESC, t.id""".stripMargin
 
+  /** q235: CORRELATED SUBQUERIES — the three remaining SQL subquery
+    * forms beside q225's LATERAL, in one certified statement: a
+    * correlated SCALAR subquery in the SELECT list (per-customer order
+    * count), a correlated EXISTS predicate (has a high-value order),
+    * and a correlated NOT EXISTS (never cancelled an urgent order).
+    * Spark DECORRELATES all three — the scalar becomes an aggregate +
+    * left outer join, EXISTS a left semi join, NOT EXISTS a left anti
+    * join — so the declared-per-row semantics execute as three
+    * set-at-a-time joins over ONE orders table (no per-row re-
+    * execution anywhere; the same argument as q225, for predicate and
+    * scalar positions). COUNT-over-empty must surface as 0, not NULL —
+    * the classic COUNT-bug of naive decorrelation, which the
+    * cross-engine gate would expose on every order-less customer.
+    */
+  def q235Subqueries(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).select("c_custkey", "c_acctbal")
+      .createOrReplaceTempView("q235_customer")
+    orders(s, d).select("o_custkey", "o_totalprice", "o_orderstatus",
+      "o_orderpriority").createOrReplaceTempView("q235_orders")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM q235_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM q235_customer c
+        |WHERE EXISTS (SELECT 1 FROM q235_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM q235_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q235Oracle: String =
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 200000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F'
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
   val q223Oracle: String =
     """WITH RECURSIVE walk(start_id, cur, steps, blocked) AS (
       |  SELECT c_custkey, c_custkey, 0, FALSE FROM customer
