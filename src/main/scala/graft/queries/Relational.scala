@@ -1819,6 +1819,55 @@ object Relational {
       |                    AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** q236: IN / NOT IN SUBQUERY NULL SEMANTICS — the classic
+    * three-valued-logic trap, certified cross-engine in one row:
+    * `x NOT IN (subquery)` is `NOT(x = a OR x = b OR …)`, so a single
+    * NULL in the subquery makes every comparison UNKNOWN and the
+    * predicate filters EVERYTHING — the silent-empty-result bug that
+    * has burned every SQL user once. The registered row carries four
+    * counts: IN, NOT IN against a null-free list, NOT IN against the
+    * SAME list with NULLs injected (must be 0 in BOTH engines — an
+    * engine "helpfully" ignoring the NULLs would mismatch here), and
+    * the customer total (so `n_in + n_not_in_clean = n_customers` is
+    * visible in the data). Spark plans IN as a left semi join and the
+    * null-aware NOT IN as the special null-aware anti join — the
+    * reason NOT IN on a possibly-null column is a scale hazard worth
+    * certifying, not just documenting.
+    */
+  def q236NotInNull(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).select("c_custkey")
+      .createOrReplaceTempView("q236_customer")
+    orders(s, d).select("o_custkey", "o_totalprice")
+      .createOrReplaceTempView("q236_orders")
+    s.sql(
+      """SELECT
+        |  (SELECT count(*) FROM q236_customer WHERE c_custkey IN
+        |    (SELECT o_custkey FROM q236_orders WHERE o_totalprice > 100000))
+        |    AS n_in,
+        |  (SELECT count(*) FROM q236_customer WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM q236_orders WHERE o_totalprice > 100000))
+        |    AS n_not_in_clean,
+        |  (SELECT count(*) FROM q236_customer WHERE c_custkey NOT IN
+        |    (SELECT CASE WHEN o_totalprice > 100000 THEN o_custkey END
+        |     FROM q236_orders))
+        |    AS n_not_in_poisoned,
+        |  (SELECT count(*) FROM q236_customer) AS n_customers""".stripMargin)
+  }
+
+  val q236Oracle: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer WHERE c_custkey IN
+      |    (SELECT o_custkey FROM orders WHERE o_totalprice > 100000))
+      |    AS n_in,
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+      |    (SELECT o_custkey FROM orders WHERE o_totalprice > 100000))
+      |    AS n_not_in_clean,
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+      |    (SELECT CASE WHEN o_totalprice > 100000 THEN o_custkey END
+      |     FROM orders))
+      |    AS n_not_in_poisoned,
+      |  (SELECT count(*) FROM customer) AS n_customers""".stripMargin
+
   val q223Oracle: String =
     """WITH RECURSIVE walk(start_id, cur, steps, blocked) AS (
       |  SELECT c_custkey, c_custkey, 0, FALSE FROM customer
