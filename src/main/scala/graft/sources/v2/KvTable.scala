@@ -455,8 +455,13 @@ final case class KvBucketPartition(dir: String, bucket: Int,
   * `fromSeq`/`asOfSeq` read, so stream and batch semantics cannot
   * drift. Compaction note: a compacted commit re-asserts the fold as
   * `I` records, so a stream that was BEHIND the compaction floor when
-  * compaction ran resumes onto the compacted commit (it sees a
-  * collapsed history — the same retention contract time travel has).
+  * compaction ran resumes onto the compacted commit — a collapsed
+  * history in which intermediate DELETES are gone. Such a consumer
+  * MUST treat the compacted batch as a SNAPSHOT RESET (discard local
+  * state, apply the batch whole): merely layering it onto
+  * pre-compaction state resurrects collapsed deletes (spec-pinned in
+  * KvChangelogStreamSpec) — the same retention contract time travel
+  * has, surfacing on the streaming side.
   */
 final class KvChangelogMicroBatch(dir: String, buckets: Int)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {

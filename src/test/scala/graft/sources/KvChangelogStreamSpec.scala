@@ -84,6 +84,59 @@ class KvChangelogStreamSpec extends SparkSpec {
         (1L, "D", 2L), (2L, "U", 3L)))
   }
 
+  test("a stream behind the compaction floor resumes onto collapsed history") {
+    val r = root
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $Cat.cf1 " +
+      "(id BIGINT, name STRING, value DOUBLE)")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "value").write.format("graft-kv")
+      .option("path", s"$root/cf1").option("buckets", 4)
+      .mode("overwrite").save()                       // commit 0
+    val ckpt = Files.createTempDirectory("kv_cf_ck_").toString
+    val seen = mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def start() = spark.readStream.format("graft-kv")
+      .option("path", s"$root/cf1").option("buckets", 4)
+      .option("changelog", true).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.collect().map(x =>
+            (x.getLong(0), x.getString(1), x.getLong(2)))
+        }
+        ()
+      }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.size == 3 && seen.forall(_._1 == 0L))
+    // while the stream is DOWN: two more commits, then compaction
+    // retires their logs (seq 1, 2 gone; seq 3 = the compacted fold)
+    spark.sql(s"DELETE FROM $Cat.cf1 WHERE id = 2")   // commit 1
+    spark.sql(s"UPDATE $Cat.cf1 SET value = value * 2 WHERE id = 3") // 2
+    graft.sources.v2.KvTable.compact(spark, s"$root/cf1", buckets = 4)
+    val before = seen.size
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val fresh = seen.drop(before)
+    // the retention contract: the stream sees the COLLAPSED history —
+    // only the compacted commit's I records (seqs 1-2 are gone)
+    assert(fresh.nonEmpty && fresh.forall(x => x._1 == 3L && x._2 == "I"),
+      s"expected only compacted I records, got $fresh")
+    // and those records are BY THEMSELVES the full current snapshot …
+    assert(fresh.map(_._3).toSet ==
+      spark.table(s"$Cat.cf1").collect().map(_.getLong(0)).toSet)
+    // … while merely LAYERING them onto pre-compaction state is WRONG:
+    // the collapsed delete of id 2 never reaches a consumer that was
+    // behind the floor — the reason a compacted resume must be treated
+    // as a snapshot RESET (discard local state, apply the batch whole),
+    // exactly the Delta-VACUUM retention tradeoff the scaladoc states
+    val layered = (seen.take(before) ++ fresh)
+      .foldLeft(Map.empty[Long, Long]) { case (m, (_, op, id)) =>
+        if (op == "D") m - id else m + (id -> id)
+      }
+    assert(layered.keySet.contains(2L),
+      "collapsed deletes are invisible to layering — the hazard is real")
+  }
+
   test("live replication: changelog stream + CDC sink mirror the source") {
     val r = root
     def state(t: String): Map[Long, (String, Double)] =
