@@ -19,16 +19,29 @@ object Connectors {
     * scan exercises the page-0 planning probe (the live-API path),
     * not the writer's published envelope.
     *
-    * Resolved at runtime against the working directory (the repo root
-    * under sbt and the driver alike) — NOT a hardcoded absolute path —
-    * so the queries and their oracles (which interpolate this same
-    * value when the oracle SQL is dumped) survive a checkout anywhere.
-    * The `d` fixture-dir parameter is deliberately unused: these two
-    * queries certify the connector over its own checked-in envelope
-    * fixture, not the scale-factor parquet tables.
+    * Resolved at runtime — NOT a hardcoded absolute path — so the
+    * queries and their oracles (which interpolate this same value when
+    * the oracle SQL is dumped) survive a checkout anywhere. Anchor
+    * order: `-Dgraft.fixtures.dir=<dir>` if set, else
+    * `fixtures/rest_catalog` under the working directory (the repo
+    * root under sbt and the driver alike). A process launched from
+    * elsewhere without the property fails LOUDLY here, naming both the
+    * missed location and the override — not with an empty-scan wrong
+    * answer. Lazy so only the two REST queries pay (or trip) the
+    * check. The `d` fixture-dir parameter is deliberately unused:
+    * these two queries certify the connector over its own checked-in
+    * envelope fixture, not the scale-factor parquet tables.
     */
-  val RestCatalogDir: String =
-    new java.io.File("fixtures/rest_catalog").getAbsolutePath
+  lazy val RestCatalogDir: String = {
+    val anchored = sys.props.get("graft.fixtures.dir")
+      .map(new java.io.File(_, "rest_catalog"))
+      .getOrElse(new java.io.File("fixtures/rest_catalog"))
+      .getAbsoluteFile
+    require(anchored.isDirectory,
+      s"rest_catalog fixture not found at $anchored — launch from the " +
+        "repo root or pass -Dgraft.fixtures.dir=<repo>/fixtures")
+    anchored.getPath
+  }
 
   /** q196: REST COLLECTION SCAN — `spark.read.format("graft-rest")`
     * under the driver gate (the reference's HTTP ingest surface,

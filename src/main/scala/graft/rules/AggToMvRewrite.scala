@@ -143,8 +143,14 @@ object AggToMvRewrite {
       case al @ Alias(AggregateExpression(Sum(e, _), Complete, false, None, _), _) =>
         val m = summedMeasure(e).filter(mv.sums.contains).getOrElse(return None)
         al -> SumOf(mv.sums(m))
+      // non-null literals only: count(NULL) is 0 per group, not the
+      // group row count — answering it from mv.cnt would be WRONG, and
+      // this rule's contract is refusal-over-wrong-answer
       case al @ Alias(AggregateExpression(Count(args), Complete, false, None, _), _)
-          if args.forall(_.isInstanceOf[Literal]) =>
+          if args.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } =>
         al -> SumOf(mv.cntCol)
       case _ => return None
     }

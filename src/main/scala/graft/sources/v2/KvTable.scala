@@ -199,14 +199,15 @@ object KvTable {
     */
   def compact(s: org.apache.spark.sql.SparkSession, dir: String,
       buckets: Int): Unit = KvCommitter.withCommitLock(
-      Paths.get(dir), "compact") {
+      Paths.get(dir), "compact") { token =>
     val root = Paths.get(dir)
     val seqs = committedSeqs(root)
-    if (seqs.nonEmpty) compactCommitted(s, dir, buckets, seqs.last + 1L)
+    if (seqs.nonEmpty) compactCommitted(s, dir, buckets, seqs.last + 1L, token)
   }
 
   private def compactCommitted(s: org.apache.spark.sql.SparkSession,
-      dir: String, buckets: Int, newSeq: Long): Unit = {
+      dir: String, buckets: Int, newSeq: Long,
+      token: KvCommitter.LockToken): Unit = {
     val root = Paths.get(dir)
     val d = dir
     val nKept = s.sparkContext.parallelize(0 until buckets, buckets)
@@ -232,9 +233,10 @@ object KvTable {
           survivors.size.toLong
         }
       }.sum().toLong
+    KvCommitter.assertHeld(root, token)
     Files.write(root.resolve(s"commit-$newSeq.json"),
-      s"""{"seq": $newSeq, "ops": $nKept, "query": "compact"}"""
-        .getBytes(StandardCharsets.UTF_8))
+      (s"""{"seq": $newSeq, "ops": $nKept, "query": "compact", """ +
+        s""""fence": ${token.fence}}""").getBytes(StandardCharsets.UTF_8))
     // retire everything the compacted commit supersedes
     (0 until buckets).foreach { b =>
       bucketLogs(root, b)
@@ -538,42 +540,160 @@ final case class KvCommit(partitionId: Int,
   * between moves leaves invisible garbage, never a torn table. */
 private[v2] object KvCommitter {
 
-  /** SINGLE-WRITER, ENFORCED: the whole commit (seq assignment → log
-    * moves → marker) runs under an atomically-created `_commit.lock`,
-    * so a second concurrent writer FAILS LOUDLY instead of silently
-    * racing the sequence number (two writers computing the same seq
-    * would interleave log files under one marker — a lost update worth
-    * an exception, not an assumption). The lock records who holds it;
-    * a crash between lock and release leaves a stale lock that blocks
-    * further commits until an operator removes it — deliberate: the
-    * crashed commit's staged state needs a human eye before writes
-    * resume.
+  /** What a writer holds while committing: the exact lock-file bytes it
+    * wrote (byte-equality is the held-check) and its fencing token. */
+  private[v2] final case class LockToken(content: String, fence: Long)
+
+  /** Default commit lease: generous for a local two-phase commit (log
+    * moves + one marker write), short enough that a dead writer stops
+    * blocking the table within a minute. */
+  private[v2] val DefaultLeaseMs = 60000L
+
+  /** SINGLE-WRITER, ENFORCED — now with a BOUNDED LEASE and FENCING
+    * instead of operator-confirmed stale-lock removal. The whole commit
+    * (seq assignment → log moves → marker) runs under `_commit.lock`,
+    * created atomically (`CREATE_NEW`), so a second concurrent writer
+    * FAILS LOUDLY instead of silently racing the sequence number (two
+    * writers computing the same seq would interleave log files under
+    * one marker — a lost update worth an exception, not an assumption).
+    *
+    * The lock records `{holder, nonce, deadlineMs, fence}`:
+    *   - a live lock (deadline in the future) still fails a second
+    *     writer loudly — serialization is the contract, the lease only
+    *     bounds how long a CRASHED writer can block it;
+    *   - an EXPIRED lock may be taken over without a human: the new
+    *     writer bumps the fencing token past both the expired holder's
+    *     and the `_fence` high-water file, atomically replaces the lock
+    *     (temp file + `ATOMIC_MOVE`), and re-reads it to confirm it won
+    *     the replacement race;
+    *   - the stale holder is FENCED OFF at the only point that matters:
+    *     [[assertHeld]] re-reads the lock immediately before every
+    *     commit-marker write and aborts if the bytes are not its own —
+    *     so a late commit from a not-actually-dead writer dies BEFORE
+    *     its marker, leaving only uncommitted-seq log files, which are
+    *     garbage by the protocol's own definition and purged below.
+    *
+    * CRASH HYGIENE: on taking the lock the writer first purges orphan
+    * `log-<seq>-*.jsonl` files whose seq exceeds the last committed
+    * marker — the debris of any commit (or compaction) that crashed or
+    * was fenced after moving files but before its marker. Without the
+    * purge, the next commit would reuse that seq and its marker would
+    * make the orphans visible inside an unrelated commit.
     */
-  private[v2] def withCommitLock[T](root: Path, who: String)(body: => T): T = {
+  private[v2] def withCommitLock[T](root: Path, who: String,
+      leaseMs: Long = DefaultLeaseMs)(body: LockToken => T): T = {
     Files.createDirectories(root)
     val lock = root.resolve("_commit.lock")
-    try Files.write(lock, who.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val holder = new String(Files.readAllBytes(lock),
-          StandardCharsets.UTF_8)
-        throw new IllegalStateException(
-          s"graft-kv: concurrent commit on $root (lock held by " +
-            s"'$holder') — writers must be serialized; remove the " +
-            "stale lock only after confirming its writer is dead")
+    val fenceFile = root.resolve("_fence")
+    def fenceFloor: Long =
+      if (Files.exists(fenceFile))
+        new String(Files.readAllBytes(fenceFile), StandardCharsets.UTF_8)
+          .trim.toLong
+      else 0L
+    def render(fence: Long): String = {
+      val deadline = System.currentTimeMillis() + leaseMs
+      s"""{"holder": "${KvTable.esc(who)}", "nonce": ${System.nanoTime()}, """ +
+        s""""deadlineMs": $deadline, "fence": $fence}"""
     }
-    try body finally Files.deleteIfExists(lock)
+    val token: LockToken = {
+      val fresh = render(fenceFloor + 1L)
+      try {
+        Files.write(lock, fresh.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        LockToken(fresh, fenceFloor + 1L)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val raw = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+          // an unparseable lock (hand-placed, or a pre-lease writer's)
+          // never expires — operator intervention, the legacy posture
+          val (holder, deadline, heldFence) =
+            try {
+              val held = new ObjectMapper().readTree(raw)
+              (held.path("holder").asText(raw),
+                held.path("deadlineMs").asLong(Long.MaxValue),
+                held.path("fence").asLong(0L))
+            } catch { case _: Exception => (raw, Long.MaxValue, 0L) }
+          if (deadline >= System.currentTimeMillis())
+            throw new IllegalStateException(
+              s"graft-kv: concurrent commit on $root (lock held by " +
+                s"'$holder', lease expires at $deadline) — writers must " +
+                "be serialized; a dead writer's lock may be taken over " +
+                "after its lease expires (fencing protects the log)")
+          // lease expired: take over with a strictly higher fence
+          val fence = math.max(heldFence, fenceFloor) + 1L
+          val mine = render(fence)
+          val tmp = root.resolve(s"_commit.lock.takeover-${System.nanoTime()}")
+          Files.write(tmp, mine.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, lock, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          // confirm we won any concurrent-takeover replacement race
+          if (new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) != mine)
+            throw new IllegalStateException(
+              s"graft-kv: lost the takeover race on $root — another " +
+                "writer replaced the expired lock first")
+          LockToken(mine, fence)
+      }
+    }
+    Files.write(fenceFile,
+      token.fence.toString.getBytes(StandardCharsets.UTF_8))
+    purgeUncommitted(root)
+    try body(token)
+    finally {
+      // release only OUR lock — a post-expiry takeover's lock stays
+      if (Files.exists(lock) &&
+          new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+            == token.content)
+        Files.deleteIfExists(lock)
+    }
+  }
+
+  /** The fencing check: re-read the lock and abort unless it still
+    * holds OUR bytes. Called immediately before every commit-marker
+    * write — a stale holder (lease expired, lock taken over) dies here,
+    * its moved-but-unmarked log files left as purgeable orphans. */
+  private[v2] def assertHeld(root: Path, token: LockToken): Unit = {
+    val lock = root.resolve("_commit.lock")
+    val stillMine = Files.exists(lock) &&
+      new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) ==
+        token.content
+    if (!stillMine) throw new IllegalStateException(
+      s"graft-kv: FENCED on $root — the commit lease expired and the " +
+        "lock was taken over; aborting before the marker write (any " +
+        "files already moved sit at an uncommitted sequence and will " +
+        "be purged by the next writer)")
+  }
+
+  /** Delete orphan log files at sequences PAST the last committed
+    * marker — debris of torn or fenced commits; garbage by protocol. */
+  private def purgeUncommitted(root: Path): Unit = {
+    val last = KvTable.committedSeqs(root).lastOption.getOrElse(-1L)
+    val listing = Files.list(root)
+    try listing.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bucket="))
+      .foreach { bd =>
+        val logs = Files.list(bd)
+        try logs.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("log-") && n.endsWith(".jsonl") &&
+              n.stripPrefix("log-").split("-")(0).toLong > last
+          }
+          .toSeq.foreach(Files.deleteIfExists(_))
+        finally logs.close()
+      }
+    finally listing.close()
   }
 
   def commit(dir: String, queryId: String,
       messages: Array[WriterCommitMessage], truncate: Boolean): Unit =
-    withCommitLock(Paths.get(dir), queryId) {
-      commitLocked(dir, queryId, messages, truncate)
+    withCommitLock(Paths.get(dir), queryId) { token =>
+      commitLocked(dir, queryId, messages, truncate, token)
     }
 
   private def commitLocked(dir: String, queryId: String,
-      messages: Array[WriterCommitMessage], truncate: Boolean): Unit = {
+      messages: Array[WriterCommitMessage], truncate: Boolean,
+      token: LockToken): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     if (truncate) {
@@ -584,7 +704,8 @@ private[v2] object KvCommitter {
       val walk = Files.walk(root)
       try walk.iterator().asScala.toSeq.reverseIterator
         .filter(p => p != root && p.getFileName.toString != "_kv" &&
-          p.getFileName.toString != "_commit.lock")
+          p.getFileName.toString != "_commit.lock" &&
+          p.getFileName.toString != "_fence")
         .foreach(Files.deleteIfExists(_))
       finally walk.close()
       Files.createDirectories(root)
@@ -609,8 +730,10 @@ private[v2] object KvCommitter {
       .flatMap(as => Option(as.conf.get("graft.kv.txn", null)))
       .filter(_.nonEmpty)
     val txnJson = txn.map(t => s""", "txn": "${KvTable.esc(t)}"""").getOrElse("")
+    assertHeld(root, token)
     Files.write(root.resolve(s"commit-$seq.json"),
-      s"""{"seq": $seq, "ops": $nOps, "query": "$queryId"$txnJson}"""
+      (s"""{"seq": $seq, "ops": $nOps, "query": "$queryId", """ +
+        s""""fence": ${token.fence}$txnJson}""")
         .getBytes(StandardCharsets.UTF_8))
     deleteTree(Paths.get(s"$dir.staging-$queryId"))
   }

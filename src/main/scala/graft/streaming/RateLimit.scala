@@ -24,9 +24,14 @@ final case class Admitted(key: Long, ts: Timestamp)
   *
   * EXACT INTEGER arithmetic end-to-end (micro-tokens): the refill for
   * an inter-arrival gap Δµs is `min(Δ, H)·10⁶·R DIV P` with
-  * H = C·P DIV R the full-refill horizon — clamping Δ at H first never
-  * changes the result (refill saturates at capacity) and bounds the
-  * product at C·P·10⁶ ≲ 10¹⁶, far inside long range for any real
+  * H = ⌈C·P / R⌉ the full-refill horizon — the CEILING matters: with a
+  * floored H, any (C, P, R) where R ∤ C·P under-refills a fully idle
+  * bucket (e.g. C=5, R=3, P=1s floors H to 1666666 µs and an idle key
+  * refills to 4999998 < 5·10⁶ µtokens, admitting only 4 of a 5-burst).
+  * With the ceiling, H·R ≥ C·P so a gap ≥ H floors to ≥ C·10⁶ and the
+  * `min(capacity·10⁶, ·)` cap lands exactly full, while sub-horizon
+  * gaps are unclamped and therefore unchanged. The product is bounded
+  * at ~C·P·10⁶ ≲ 10¹⁶, far inside long range for any real
   * configuration. Admission compares EVENT TIMES only, never
   * processing time, so — unlike [[TtlDedup]]'s same-batch suppression
   * counts — the decision SEQUENCE is carried fully in state
@@ -43,7 +48,8 @@ final class RateLimitProcessor(capacity: Long, refillTokens: Long,
     extends StatefulProcessor[Long, KeyedArrival, Admitted] {
 
   private val Mu = 1000000L
-  private val horizonUs = capacity * refillPeriodUs / refillTokens
+  private val horizonUs =
+    (capacity * refillPeriodUs + refillTokens - 1) / refillTokens
 
   @transient private var state: ValueState[BucketState] = _
 

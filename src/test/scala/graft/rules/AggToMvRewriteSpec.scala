@@ -114,6 +114,10 @@ class AggToMvRewriteSpec extends SparkSpec {
     // a filter on a non-dimension column
     untouched(fact.filter(col("qty") > 1).groupBy("flag")
       .agg(count(lit(1)).as("n")))
+    // count(NULL) is 0 per group, NOT the group row count — the
+    // mv.cnt rewrite would be a wrong answer, so the guard refuses
+    untouched(fact.groupBy("flag")
+      .agg(count(lit(null).cast("int")).as("n")))
     // an unregistered table of identical shape
     val other = fact.limit(6)
     val p = rewrite(other.groupBy("flag").agg(count(lit(1)).as("n")))

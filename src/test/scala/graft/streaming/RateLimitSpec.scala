@@ -70,6 +70,51 @@ class RateLimitSpec extends SparkSpec {
     assert(sliced == expectedAdmitted)
   }
 
+  test("ceiling horizon: refillTokens>1 with R ∤ C·P refills an idle bucket to FULL") {
+    // C=5, R=3, P=1s (R ∤ C·P·10⁶? — what matters is R ∤ C·P in µs:
+    // 5·10⁶/3 is not integral). H must be ⌈5·10⁶/3⌉ = 1666667 µs; a
+    // floored horizon (1666666) refills a DRAINED key to 4999998 µtok
+    // and admits only 4 of a 5-burst. Drain exactly to 0 with five
+    // same-µs arrivals (gap 0 → refill 0), idle ≥ H, then a 6-burst:
+    // the first five must pass (bucket back at FULL), the sixth drops.
+    val Sec = 1000000L
+    // ms-granularity arrivals (Timestamp(ms)); the 6-burst spaces 1 ms
+    // apart — each gap refills only 3000 µtok, far below one token
+    def ts(us: Long): Timestamp = new Timestamp(us / 1000L)
+    val burst = Seq.fill(5)(KeyedArrival(7, ts(10 * Sec))) ++
+      (0L until 6L).map(i => KeyedArrival(7, ts(100 * Sec + i * 1000L)))
+    val input = MemoryStream[KeyedArrival]
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gate = RateLimit.admit(spark, input.toDS(), "0 seconds",
+        capacity = 5L, refillTokens = 3L, refillPeriodUs = Sec)
+      val q = gate.writeStream.format("memory")
+        .queryName("rl_ceil").outputMode("append").start()
+      try {
+        input.addData(burst); q.processAllAvailable()
+        val times = spark.table("rl_ceil").as[Admitted].collect()
+          .filter(_.key == 7L)
+          .map(a => a.ts.getTime * 1000L + (a.ts.getNanos / 1000L) % 1000L)
+          .sorted
+        // five t=10s admissions drain to 0 µtok; idle 90s ≥ H refills
+        // to FULL 5 (floored horizon stops at 4999998 → 9 admissions);
+        // the first five of the 6-burst admit, the sixth drops.
+        assert(times.length == 10,
+          s"expected 10 admissions (drained 5 + refilled 5), got ${times.length}")
+        assert(times.last == 100 * Sec + 4000L)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch twin agrees arrival-for-arrival (counts + admitted-time checksum)") {
     // the q218 core at the spec's (2, 1/hour) configuration via a
     // direct fold replay of the same recurrence
