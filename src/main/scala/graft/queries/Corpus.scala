@@ -208,7 +208,7 @@ object Corpus {
        |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin
   }
 
-  private val PackBudget = 256L
+  private[queries] val PackBudget = 256L
 
   /** q65: SEQUENCE PACKING — assign documents to fixed-token-budget
     * training bins (greedy, contiguous, in deterministic doc_id order
@@ -232,10 +232,20 @@ object Corpus {
     */
   def q65Pack(s: SparkSession, d: String): DataFrame = {
     val t = split(trim(col("text")), "\\s+")
+    packedBins(documents(s, d)
+        .select(col("source"), col("doc_id"), size(t).cast("long").as("tok")))
+      .orderBy("source", "bin")
+  }
+
+  /** The q65 packing core over an arbitrary (source, doc_id, tok) frame —
+    * ONE definition shared by the oracled q65 gate and the q237 curation
+    * capstone (which packs the post-curation survivors), so the packing
+    * policy cannot drift between the leg and the composed pipeline.
+    * Returns one row per (source, bin): doc count, token sum, overflow. */
+  private[queries] def packedBins(perDoc: DataFrame): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
-      .select(col("source"), col("doc_id"), size(t).cast("long").as("tok"))
+    perDoc
       .withColumn("cum", sum("tok").over(w))
       // integral DIV (Column./ is double division); matches the oracle's //
       .select(col("source"), expr(s"(cum - tok) DIV $PackBudget").as("bin"),
@@ -245,7 +255,6 @@ object Corpus {
         count(lit(1)).as("n_docs"),
         sum("tok").as("n_tokens"),
         (sum("tok") > PackBudget).as("overflow"))
-      .orderBy("source", "bin")
   }
 
   /** (lang, keep-numerator, keep-denominator) — the target mixture. */
@@ -263,28 +272,44 @@ object Corpus {
     * cannot drift. Map-only filter + one tiny (lang) agg shuffle; rates
     * are approximate at ±O(1/sqrt(n)) like any hash-bucket sampler.
     */
+  // Distinct ELSE branches per column (num→0, den→1), mirroring the
+  // oracle's CASE defaults: a lang outside MixRates must select NOTHING
+  // (0/1 keeps no rows), not divide by zero — Spark 4 runs ANSI-on, so
+  // a shared 0 default made `h % den` a runtime error on any corpus
+  // snapshot with an unlisted language (round-6 advice, medium).
+  private def mixLadder(lang: Column, f: ((String, Int, Int)) => Int,
+      dflt: Int): Column =
+    MixRates.tail.foldLeft(
+        when(lang === MixRates.head._1, f(MixRates.head))) {
+      case (acc, r) => acc.when(lang === r._1, f(r))
+    }.otherwise(dflt)
+
+  /** The q69 keep rule as a per-row predicate over (lang, content hash)
+    * — ONE definition shared by the oracled q69 gate and the q237
+    * curation capstone, so the mixture policy cannot drift between the
+    * leg and the composed pipeline. */
+  private[queries] def mixtureKeepExpr(lang: Column, h: Column): Column =
+    h % mixLadder(lang, _._3, 1) < mixLadder(lang, _._2, 0)
+
+  /** The same rule as oracle SQL (generated from the SAME MixRates). */
+  private[queries] def mixtureKeepSqlExpr(langCol: String, hCol: String): String = {
+    def c(f: ((String, Int, Int)) => Int, dflt: Int): String =
+      s"CASE $langCol " + MixRates.map(r => s"WHEN '${r._1}' THEN ${f(r)}")
+        .mkString(" ") + s" ELSE $dflt END"
+    s"($hCol % ${c(_._3, 1)} < ${c(_._2, 0)})"
+  }
+
   /** The q69 transform on an arbitrary documents-shaped frame (public so
     * tests can prove layout-invariance on a repartitioned input). */
   def mixtureCounts(docs: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions
-    // Distinct ELSE branches per column (num→0, den→1), mirroring the
-    // oracle's CASE defaults: a lang outside MixRates must select NOTHING
-    // (0/1 keeps no rows), not divide by zero — Spark 4 runs ANSI-on, so
-    // a shared 0 default made `h % den` a runtime error on any corpus
-    // snapshot with an unlisted language (round-6 advice, medium).
-    def ladder(f: ((String, Int, Int)) => Int, dflt: Int): Column =
-      MixRates.tail.foldLeft(
-          when(col("lang") === MixRates.head._1, f(MixRates.head))) {
-        case (acc, r) => acc.when(col("lang") === r._1, f(r))
-      }.otherwise(dflt)
     docs
       .select(col("lang"),
-        VectorExpressions.hornerHash(col("text")).as("h"),
-        ladder(_._2, 0).as("num"), ladder(_._3, 1).as("den"))
+        VectorExpressions.hornerHash(col("text")).as("h"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("h") % col("den") < col("num"), 1L).otherwise(0L))
+        sum(when(mixtureKeepExpr(col("lang"), col("h")), 1L).otherwise(0L))
           .as("n_selected"))
       .orderBy("lang")
   }
@@ -294,16 +319,12 @@ object Corpus {
 
   val q69Oracle: String = {
     import graft.functions.PolyHash
-    def sqlCase(f: ((String, Int, Int)) => Int, dflt: Int): String =
-      "CASE lang " + MixRates.map(r => s"WHEN '${r._1}' THEN ${f(r)}")
-        .mkString(" ") + s" ELSE $dflt END"
     s"""WITH h AS (
-       |  SELECT lang, ${PolyHash.hornerSql("text")} AS h FROM documents),
-       |sel AS (SELECT lang, h, ${sqlCase(_._2, 0)} AS num,
-       |               ${sqlCase(_._3, 1)} AS den FROM h)
+       |  SELECT lang, ${PolyHash.hornerSql("text")} AS h FROM documents)
        |SELECT lang, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN h % den < num THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
-       |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
+       |  CAST(sum(CASE WHEN ${mixtureKeepSqlExpr("lang", "h")}
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+       |FROM h GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   private val VocabTopK = 50

@@ -5881,6 +5881,165 @@ object LlmOps {
       .replace("@TMP@", q204Oracle)
   }
 
+  // --- Text-curation capstone (q237) ----------------------------------------
+
+  /** q237: TEXT-CURATION CAPSTONE — the north-star workload END-TO-END
+    * under one gate: the certified legs composed as the funnel a real
+    * curation run executes, emitting the per-source before/after LEDGER
+    * a data engineer actually reads. Stages, in pipeline order, each
+    * INVOKING the leg's own certified builder (the q208 discipline —
+    * nothing re-implemented, so a leg drifting breaks two gates):
+    *
+    *   1. EXACT DEDUP (q26 semantics): keep the min-doc_id
+    *      representative per identical content (engine-portable
+    *      [[graft.functions.PolyHash]] key — 8-byte shuffle, never text);
+    *   2. NEAR-DUP PURGE (q44/q63/q72): min-label survivorship over the
+    *      [[dedupEdges]] cluster graph (banded LSH + bounded Jaccard,
+    *      [[graft.ops.ConnectedComponents]]);
+    *   3. QUALITY FILTER (q78): keep iff the shared [[qualityLogits]]
+    *      classifier logit ≥ 0;
+    *   4. MIXTURE (q69): keep iff the shared
+    *      [[Corpus.mixtureKeepExpr]] content-hash rate rule admits the
+    *      doc's language;
+    *   5. PACKING (q65): the survivors bin-pack per source through the
+    *      shared [[Corpus.packedBins]] core (budget 256).
+    *
+    * FUNNEL ACCOUNTING: each stage's removal is counted over the
+    * PREVIOUS stage's survivors (n_docs = rm_exact + rm_near +
+    * rm_quality + rm_mixture + n_kept per source — the identity
+    * TextCurationSpec pins), so the ledger answers "what did each stage
+    * cost me, in documents, in the order I ran them?" — not four
+    * overlapping full-corpus counts. Stage-2 note: the cluster graph is
+    * built by the leg builder on the full corpus (its certified shape);
+    * a cluster member that was already dropped as an exact duplicate is
+    * billed to stage 1 — attribution follows pipeline order.
+    *
+    * Scale shape: every leg keeps its own audited posture (banded pair
+    * generation, two-level integer logit aggregation, map-only hash
+    * rules, per-source packing windows). The capstone adds ONE doc-level
+    * decision frame (doc_id, source, lang, h, ntok + four booleans —
+    * never text), eagerly materialized once (localCheckpoint, the
+    * q84/q210 discipline) because both the ledger aggregate and the
+    * packing window consume it; at 100 TB that decision frame IS the
+    * curation audit artifact a deployment persists anyway.
+    */
+  def q237TextCuration(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // one corpus scan carries the content hash + token count
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      VectorExpressions.hornerHash(col("text")).as("h"),
+      size(toks(col("text"))).cast("long").as("ntok"))
+    val removed = graft.ops.ConnectedComponents
+      .assign(dedupEdges(s, d), "id_a", "id_b")
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"), lit(1).as("__rm"))
+    val lg = qualityLogits(docs).select(col("doc_id"), col("logit"))
+    val flags = base
+      .withColumn("keep_exact",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+      .join(removed, Seq("doc_id"), "left")
+      .join(lg, Seq("doc_id"), "left")
+      .withColumn("keep_near", col("__rm").isNull)
+      .withColumn("keep_qual", coalesce(col("logit"), lit(0L)) >= 0)
+      .withColumn("keep_mix",
+        Corpus.mixtureKeepExpr(col("lang"), col("h")))
+      .withColumn("s2", col("keep_exact") && col("keep_near"))
+      .withColumn("s3", col("s2") && col("keep_qual"))
+      .withColumn("s4", col("s3") && col("keep_mix"))
+      .localCheckpoint(true)
+    val ledger = flags.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      count_if(!col("keep_exact")).as("n_rm_exact"),
+      count_if(col("keep_exact") && !col("keep_near")).as("n_rm_near"),
+      count_if(col("s2") && !col("keep_qual")).as("n_rm_quality"),
+      count_if(col("s3") && !col("keep_mix")).as("n_rm_mixture"),
+      count_if(col("s4")).as("n_kept"))
+    val packed = Corpus.packedBins(flags.filter(col("s4"))
+        .select(col("source"), col("doc_id"), col("ntok").as("tok")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_bins"),
+        sum("n_tokens").as("n_tokens_kept"),
+        count_if(col("overflow")).as("n_overflow_bins"))
+    ledger.join(packed, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_rm_exact"),
+        col("n_rm_near"), col("n_rm_quality"), col("n_rm_mixture"),
+        col("n_kept"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("n_overflow_bins"), lit(0L)).as("n_overflow_bins"))
+      .orderBy("source")
+  }
+
+  /** q237's oracle wraps the LEG ORACLE CHAINS — the identical SQL the
+    * per-leg gates run (the q63/q72 recursive cluster chain, the q78
+    * logit chain, the q69 rule via [[Corpus.mixtureKeepSqlExpr]], the
+    * q65 packing window over [[Corpus.PackBudget]]) — composed with the
+    * same funnel accounting, so any leg drifting breaks both its own
+    * gate and this one. Lazy: splices [[dedupClusterChainSql]] and
+    * constants declared across this object. */
+  lazy val q237Oracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH RECURSIVE $dedupClusterChainSql,
+       |rmn AS MATERIALIZED (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+       |hx AS (SELECT doc_id, source, lang,
+       |    ${PolyHash.hornerSql("text")} AS h,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |ek AS (SELECT doc_id, source, lang, h, ntok,
+       |    doc_id = min(doc_id) OVER (PARTITION BY h) AS keep_exact
+       |  FROM hx),
+       |tq AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |fq AS (SELECT doc_id,
+       |    ((${PolyHash.hornerSql("token")} % $QcBuckets) * 37 + 11) % $QcWMod - 10 AS w
+       |  FROM tq),
+       |dl AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit
+       |       FROM fq GROUP BY doc_id),
+       |fun AS MATERIALIZED (
+       |  SELECT ek.source, ek.doc_id, ek.ntok, ek.keep_exact,
+       |    r.doc_id IS NULL AS keep_near,
+       |    coalesce(dl.logit, 0) >= 0 AS keep_qual,
+       |    ${Corpus.mixtureKeepSqlExpr("ek.lang", "ek.h")} AS keep_mix,
+       |    ek.keep_exact AND r.doc_id IS NULL AS s2,
+       |    ek.keep_exact AND r.doc_id IS NULL
+       |      AND coalesce(dl.logit, 0) >= 0 AS s3,
+       |    ek.keep_exact AND r.doc_id IS NULL
+       |      AND coalesce(dl.logit, 0) >= 0
+       |      AND ${Corpus.mixtureKeepSqlExpr("ek.lang", "ek.h")} AS s4
+       |  FROM ek LEFT JOIN rmn r ON ek.doc_id = r.doc_id
+       |          LEFT JOIN dl ON ek.doc_id = dl.doc_id),
+       |led AS (SELECT source, count(*) AS n_docs,
+       |    count_if(NOT keep_exact) AS n_rm_exact,
+       |    count_if(keep_exact AND NOT keep_near) AS n_rm_near,
+       |    count_if(s2 AND NOT keep_qual) AS n_rm_quality,
+       |    count_if(s3 AND NOT keep_mix) AS n_rm_mixture,
+       |    count_if(s4) AS n_kept
+       |  FROM fun GROUP BY source),
+       |cums AS (SELECT source, ntok,
+       |    sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM fun WHERE s4),
+       |pagg AS (SELECT source, (cum - ntok) // ${Corpus.PackBudget} AS bin,
+       |    sum(ntok) AS btok
+       |  FROM cums GROUP BY source, bin),
+       |pst AS (SELECT source, count(*) AS n_bins,
+       |    sum(btok) AS n_tokens_kept,
+       |    count_if(btok > ${Corpus.PackBudget}) AS n_overflow_bins
+       |  FROM pagg GROUP BY source)
+       |SELECT led.source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_rm_exact AS BIGINT) AS n_rm_exact,
+       |  CAST(n_rm_near AS BIGINT) AS n_rm_near,
+       |  CAST(n_rm_quality AS BIGINT) AS n_rm_quality,
+       |  CAST(n_rm_mixture AS BIGINT) AS n_rm_mixture,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(coalesce(n_bins, 0) AS BIGINT) AS n_bins,
+       |  CAST(coalesce(n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       |  CAST(coalesce(n_overflow_bins, 0) AS BIGINT) AS n_overflow_bins
+       |FROM led LEFT JOIN pst ON led.source = pst.source
+       |ORDER BY led.source""".stripMargin
+  }
+
   /** q204's oracle rebuilds the per-frame pHash from scratch (the q198
     * integer block algebra specialized to 64-char frames: one char per
     * block), folds bands → sig and 3 consecutive sigs → shingle with
