@@ -5539,6 +5539,207 @@ object LlmOps {
        |SELECT q_id, vec_id, sim, rank FROM ranked
        |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
 
+  // --- Incremental IVF index maintenance (q238) ------------------------------
+
+  /** The base/delta snapshot split for the incremental IVF ring — the
+    * q211 protocol's 80/20 rule applied to vectors: every 5th vector is
+    * the "newly ingested" delta. */
+  private val IvfIncMod = 5L
+
+  /** Build the BASE generation of the incremental IVF layout at `dir`:
+    * `cents/` (per-cell quantized centroid components, q205 arithmetic,
+    * FROM THE BASE SNAPSHOT ONLY — centroids freeze at build; drift is
+    * remeasured by the recall audit, re-centering is a rebuild) and
+    * `lists/batch_id=0/cell=C` (the base vectors, cell := label, the
+    * q205 discipline). */
+  private[graft] def ivfBuildBase(s: SparkSession, base: DataFrame,
+      dir: String): Unit = {
+    val qx = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    base
+      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"), qx.as("qx"))
+      .groupBy("cell", "pos")
+      .agg(expr("sum(qx) DIV count(1)").as("cq"))
+      .write.mode("overwrite").parquet(s"$dir/cents")
+    base.select(col("vec_id"), col("embedding"), col("label").as("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/lists/batch_id=0")
+  }
+
+  /** Append ONE delta snapshot to the incremental IVF layout: each new
+    * vector is assigned to the nearest PUBLISHED centroid (argmax exact-
+    * integer quantized dot, cell-asc tie-break) — the append scans only
+    * the delta and the broadcast-sized centroid table, NEVER the corpus
+    * or the existing lists, and writes only its own
+    * `lists/batch_id=N/cell=C` partitions in overwrite mode, so a
+    * crashed-and-replayed append rewrites its own files instead of
+    * duplicating vectors (replay idempotence, spec-pinned — the q211
+    * contract verbatim). */
+  private[graft] def ivfAppendDelta(s: SparkSession, delta: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val qx = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val cents = s.read.parquet(s"$dir/cents")
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("dot").desc, col("cell").asc)
+    val assigned = delta
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), qx.as("qx"))
+      .join(broadcast(cents), Seq("pos"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("qx") * col("cq")).as("dot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    delta.select(col("vec_id"), col("embedding"))
+      .join(assigned, Seq("vec_id"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/lists/batch_id=$batchId")
+  }
+
+  /** Probe the incremental IVF layout: rank cells per query against the
+    * published centroids, probe the top [[IvfIdxNProbe]], score the
+    * UNION OF BATCH GENERATIONS (one partitioned read over `lists/` —
+    * batch_id and cell are partition columns, so the probed-cell filter
+    * prunes directories across every generation at once), exact rounded
+    * cosine top-[[IvfIdxTopK]]. Batch-count-agnostic by construction —
+    * ingesting more snapshots changes nothing here. */
+  private[graft] def ivfProbe(s: SparkSession, d: String, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qx = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val q = embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+        col("vec_id") < lit(RecallQueryMod * RecallMaxQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("cell").asc)
+    val probed = q
+      .select(col("q_id"), posexplode(col("q_emb")).as(Seq("pos", "x")))
+      .select(col("q_id"), col("pos"), qx.as("qx"))
+      .join(broadcast(s.read.parquet(s"$dir/cents")), Seq("pos"))
+      .groupBy("q_id", "cell")
+      .agg(sum(col("qx") * col("cq")).as("dot"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= IvfIdxNProbe)
+      .select("q_id", "cell")
+      .join(q, Seq("q_id"))
+    val wK = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    s.read.parquet(s"$dir/lists")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorExpressions.cosine(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= IvfIdxTopK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** q238: INCREMENTAL IVF INDEX MAINTENANCE — the round-13 gap closed:
+    * q205's maintained ANN layout gains the batch_id protocol already
+    * proven on MinHash (q79) and BM25 (q211), so a live embedding
+    * corpus absorbs a snapshot WITHOUT republishing the index. The
+    * layout decomposes into the frozen centroid table plus
+    * batch_id-partitioned inverted lists; an ingest assigns ONLY its
+    * new vectors against the published centroids (O(|delta|·cells)
+    * integer dots + one delta-sized write); probes union batch
+    * generations through one partition-pruned read. The registered
+    * query builds base (80%), appends the delta (20%), and probes; the
+    * DuckDB oracle recomputes the SAME semantics from the raw table
+    * (base-only centroid means, argmax delta assignment, probed-cell
+    * candidates, rounded-cosine top-K), so the gate passing IS the
+    * incremental == rebuild proof at every scale factor.
+    *
+    * Scale: ingest cost grows with the delta, never the corpus; the
+    * centroid table is broadcast-sized forever; a probe touches
+    * nprobe/|cells| of every generation's bytes under DPP. Generations
+    * accumulate → periodic compaction is just re-appending merged
+    * partitions (the q211 hygiene note, verbatim by design).
+    */
+  def q238IvfIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    val dir = Layouts.ensureDir(s, s"ivfinc_${IvfIdxTag}_$tag") { tmp =>
+      val e = embeddings(s, d)
+      ivfBuildBase(s, e.filter(pmod(col("vec_id"), lit(IvfIncMod)) =!= 0), tmp)
+      ivfAppendDelta(s, e.filter(pmod(col("vec_id"), lit(IvfIncMod)) === 0),
+        tmp, 1L)
+      // multi-subtree layout: stamp the root marker the publish
+      // protocol requires, strictly after every sub-write succeeded
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    ivfProbe(s, d, dir)
+  }
+
+  /** The rebuild-from-scratch formulation of the SAME semantics —
+    * passing it certifies incremental == rebuild (the q211/q131
+    * self-certification pattern). */
+  val q238Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  WHERE vec_id % $IvfIncMod <> 0),
+       |bex AS (
+       |  SELECT vec_id, label, p,
+       |    CAST(round(CAST(embedding[p] AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
+       |  FROM base, unnest(generate_series(1, len(embedding))) AS g(p)),
+       |cents AS (
+       |  SELECT label AS cell, p,
+       |    CAST(trunc(CAST(sum(qx) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM bex GROUP BY 1, 2),
+       |delta AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % $IvfIncMod = 0),
+       |dex AS (
+       |  SELECT vec_id, p,
+       |    CAST(round(CAST(embedding[p] AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
+       |  FROM delta, unnest(generate_series(1, len(embedding))) AS g(p)),
+       |dasg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sum(qx * cq) DESC, cell) AS rn
+       |    FROM dex JOIN cents USING (p) GROUP BY vec_id, cell)
+       |  WHERE rn = 1),
+       |cells AS (
+       |  SELECT vec_id, label AS cell FROM base
+       |  UNION ALL SELECT vec_id, cell FROM dasg),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % $RecallQueryMod = 0
+       |    AND vec_id < ${RecallQueryMod * RecallMaxQueries}),
+       |qq AS (
+       |  SELECT q_id, p,
+       |    CAST(round(CAST(q_emb[p] AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
+       |  FROM q, unnest(generate_series(1, len(q_emb))) AS g(p)),
+       |cellrank AS (
+       |  SELECT q_id, cell,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sum(qx * cq) DESC, cell) AS cr
+       |  FROM qq JOIN cents USING (p) GROUP BY q_id, cell),
+       |cand AS (
+       |  SELECT pr.q_id, c.vec_id, e.embedding, q.q_emb
+       |  FROM (SELECT q_id, cell FROM cellrank WHERE cr <= $IvfIdxNProbe) pr
+       |    JOIN cells c ON c.cell = pr.cell
+       |    JOIN embeddings e ON e.vec_id = c.vec_id
+       |    JOIN q ON q.q_id = pr.q_id
+       |  WHERE c.vec_id <> pr.q_id),
+       |sims AS (
+       |  SELECT q_id, vec_id,
+       |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS sim
+       |  FROM (SELECT q_id, vec_id, unnest(embedding) AS x, unnest(q_emb) AS y
+       |        FROM cand)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT q_id, vec_id, sim, rank FROM ranked
+       |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
+
   // --- Product-quantization ADC (q210) --------------------------------------
 
   /** Subspaces the 64-dim vector splits into (8 dims each). */
