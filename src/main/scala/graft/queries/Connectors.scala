@@ -600,4 +600,95 @@ object Connectors {
        |  FROM items WHERE page BETWEEN 1 AND 3 GROUP BY page)
        |SELECT agg.page, n_items, sum_id, envelope_n
        |FROM agg JOIN sizes USING (page) ORDER BY page""".stripMargin
+
+  /** q239: ADD COLUMN SCHEMA EVOLUTION ON THE KV TABLE — the one
+    * lakehouse schema semantic the log format absorbs cheaply, under
+    * the cross-engine gate: two PRE-evolution commits (seed insert +
+    * MERGE upsert), a metadata-only `ALTER TABLE … ADD COLUMN tier
+    * STRING`, then a POST-evolution MERGE that both updates matched
+    * rows (setting the new column) and inserts new rows carrying it.
+    * The final read mixes pre- and post-evolution commits in one scan:
+    * rows last written before the ALTER surface `tier` as NULL (the
+    * backfill), rows the post-evolution wave touched carry real
+    * values. The DuckDB oracle recomposes the expected widened state
+    * from the raw customer table, so the gate certifies null backfill
+    * AND the evolved write path in one hash. Time travel to a
+    * pre-ALTER version returning the OLD schema is spec-pinned
+    * (KvEvolutionSpec) — a schema difference cannot ride a
+    * same-schema oracle row.
+    *
+    * Waves: insert id%4=0 (commit 0); MERGE id%2=0 — matched +100.0,
+    * else insert (commit 1); ALTER ADD COLUMN tier (sinceSeq 2); MERGE
+    * id%3=0 with tier = even/odd — matched +0.5 & set tier, else
+    * insert with tier (commit 2).
+    */
+  def q239KvEvolution(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = s"$wh/graft_kv_evo"
+    s.conf.set("spark.sql.catalog.graft_kvevo",
+      classOf[graft.sources.v2.KvCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_kvevo.root", root)
+    // fresh table per invocation (wipe + existence marker): the
+    // evolution metadata must reset too, so a truncate — which
+    // deliberately KEEPS _schema.json — is not enough here
+    val dir = java.nio.file.Paths.get(s"$root/state")
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("_kv"), Array.emptyByteArray)
+    def slice(m: Int) = graft.Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(m)) === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("value"))
+    // commit 0 + 1: the pre-evolution history
+    slice(4).write.format("graft-kv")
+      .option("path", s"$root/state").option("buckets", 8)
+      .mode("append").save()
+    slice(2).createOrReplaceTempView("kvevo_delta2")
+    s.sql(
+      """MERGE INTO graft_kvevo.state t USING kvevo_delta2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET name = s.name, value = s.value + 100.0
+        |WHEN NOT MATCHED THEN
+        |  INSERT (id, name, value) VALUES (s.id, s.name, s.value)
+        |""".stripMargin)
+    // THE EVOLUTION — metadata-only, no log commit
+    s.sql("ALTER TABLE graft_kvevo.state ADD COLUMN tier STRING")
+    // commit 2: the post-evolution wave writes the new column
+    slice(3)
+      .withColumn("tier",
+        when(pmod(col("id"), lit(2)) === 0, "even").otherwise("odd"))
+      .createOrReplaceTempView("kvevo_delta3")
+    s.sql(
+      """MERGE INTO graft_kvevo.state t USING kvevo_delta3 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET value = t.value + 0.5, tier = s.tier
+        |WHEN NOT MATCHED THEN
+        |  INSERT (id, name, value, tier) VALUES (s.id, s.name, s.value, s.tier)
+        |""".stripMargin)
+    s.table("graft_kvevo.state")
+      .select("id", "name", "value", "tier").orderBy("id")
+  }
+
+  /** Widened-state recomposition from scratch: every id%2=0 row went
+    * through waves 1+2 (tier NULL unless wave 3 touched it — matched
+    * rows are all even, so their tier is 'even'); id%3=0 odd rows are
+    * wave-3 inserts with 'odd'. */
+  val q239Oracle: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+      |  FROM customer),
+      |ev AS (
+      |  SELECT id, name,
+      |    CAST(bal + CASE WHEN id % 4 = 0 THEN 100.0 ELSE 0 END
+      |             + CASE WHEN id % 3 = 0 THEN 0.5 ELSE 0 END AS DOUBLE) AS value,
+      |    CASE WHEN id % 3 = 0 THEN 'even' END AS tier
+      |  FROM c WHERE id % 2 = 0
+      |  UNION ALL
+      |  SELECT id, name, CAST(bal AS DOUBLE) AS value, 'odd' AS tier
+      |  FROM c WHERE id % 3 = 0 AND id % 2 <> 0)
+      |SELECT id, name, value, tier FROM ev ORDER BY id""".stripMargin
 }

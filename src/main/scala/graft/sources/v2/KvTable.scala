@@ -116,6 +116,81 @@ object KvTable {
     }.toSet
   }
 
+  // --- schema evolution (ADD COLUMN, null backfill) ---------------------------
+
+  /** An evolved (post-creation) column: name, type tag, and the commit
+    * sequence it becomes visible at — `sinceSeq` = the first FUTURE
+    * commit at ALTER time, so a time travel to any earlier version
+    * returns the pre-evolution schema. The type tag is a string so the
+    * definition ships to executors without dragging DataType through
+    * task closures. */
+  final case class ExtraCol(name: String, tpe: String, sinceSeq: Long) {
+    def dataType: DataType = ExtraCol.typeOf(tpe)
+  }
+
+  object ExtraCol {
+    /** The supported ADD COLUMN types — the three the JSONL record codec
+      * can carry losslessly. */
+    def tagOf(dt: DataType): String = dt match {
+      case LongType   => "long"
+      case DoubleType => "double"
+      case StringType => "string"
+      case other => throw new UnsupportedOperationException(
+        s"graft-kv: ADD COLUMN supports BIGINT, DOUBLE, STRING; got $other")
+    }
+    def typeOf(tag: String): DataType = tag match {
+      case "long" => LongType; case "double" => DoubleType
+      case "string" => StringType
+      case other => throw new IllegalStateException(
+        s"graft-kv: corrupt _schema.json type tag '$other'")
+    }
+  }
+
+  /** The table's evolved columns in ALTER order (empty when the table
+    * never evolved — every pre-evolution table reads exactly as
+    * before). */
+  private[graft] def extraColumns(dir: Path): Seq[ExtraCol] = {
+    val f = dir.resolve("_schema.json")
+    if (!Files.exists(f)) Seq.empty
+    else {
+      val n = new ObjectMapper().readTree(Files.readAllBytes(f))
+      n.path("extras").elements().asScala.map { e =>
+        ExtraCol(e.path("name").asText(), e.path("type").asText(),
+          e.path("sinceSeq").asLong())
+      }.toSeq
+    }
+  }
+
+  /** The schema a reader at `asOf` sees: base + the extras whose
+    * `sinceSeq` the version has reached. A head read (asOf=None) sees
+    * everything. */
+  private[graft] def schemaAt(dir: Path, asOf: Option[Long]): StructType =
+    visibleExtras(dir, asOf).foldLeft(Schema) { (s, c) =>
+      s.add(StructField(c.name, c.dataType, nullable = true))
+    }
+
+  private[v2] def visibleExtras(dir: Path, asOf: Option[Long]): Seq[ExtraCol] =
+    extraColumns(dir).filter(c => asOf.forall(c.sinceSeq <= _))
+
+  /** Record an ADD COLUMN: append to `_schema.json` with
+    * `sinceSeq` = the next commit sequence. Metadata-only — no log
+    * commit; old records read as NULL for the new column (null
+    * backfill), and compaction rewrites survivors under the widened
+    * schema. */
+  private[graft] def addColumn(dir: Path, name: String, dt: DataType): Unit = {
+    val tag = ExtraCol.tagOf(dt) // validates the type FIRST
+    val existing = extraColumns(dir)
+    require(!Schema.fieldNames.contains(name) && !existing.exists(_.name == name),
+      s"graft-kv: column '$name' already exists")
+    val since = committedSeqs(dir).lastOption.getOrElse(-1L) + 1L
+    val all = existing :+ ExtraCol(name, tag, since)
+    val json = all.map(c =>
+        s"""{"name": "${esc(c.name)}", "type": "${c.tpe}", "sinceSeq": ${c.sinceSeq}}""")
+      .mkString("""{"extras": [""", ", ", "]}")
+    Files.write(dir.resolve("_schema.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Committed sequence numbers under `dir` (ascending). */
   private[graft] def committedSeqs(dir: Path): Seq[Long] =
     if (!Files.isDirectory(dir)) Seq.empty
@@ -210,21 +285,26 @@ object KvTable {
       token: KvCommitter.LockToken): Unit = {
     val root = Paths.get(dir)
     val d = dir
+    // driver-side: the widened schema rides the task closure, so the
+    // compacted I-records re-assert every evolved column's value
+    val extras = extraColumns(root)
     val nKept = s.sparkContext.parallelize(0 until buckets, buckets)
       .map { b =>
         val rootP = Paths.get(d)
         if (bucketLogs(rootP, b).isEmpty) 0L
         else {
-          val survivors = foldBucket(rootP, b)
+          val survivors = foldBucket(rootP, b, extras = extras)
           if (survivors.nonEmpty) {
             val sb = new StringBuilder
-            survivors.foreach { case (id, nm, v) =>
+            survivors.foreach { case (id, nm, v, ex) =>
               val nmJ = nm.map(x => "\"" + esc(x) + "\"").getOrElse("null")
               val vJ = v.map { x =>
                 if (java.lang.Double.isFinite(x)) x.toString else "null"
               }.getOrElse("null")
-              sb.append(s"""{"op": "I", "id": $id, "name": $nmJ, "value": $vJ}""")
-                .append('\n')
+              sb.append(s"""{"op": "I", "id": $id, "name": $nmJ, "value": $vJ""")
+              KvOpBuffer.renderExt(sb,
+                extras.map(_.name).zip(ex))
+              sb.append('}').append('\n')
             }
             Files.write(rootP.resolve(s"bucket=$b")
               .resolve(s"log-$newSeq-0.jsonl"),
@@ -249,13 +329,19 @@ object KvTable {
   /** Fold one bucket's committed logs: last-wins per key, D removes.
     * Returns survivors ordered by key (deterministic scan output).
     * With `asOf`, folds only commits ≤ that sequence — the TIME-TRAVEL
-    * read (caller must have [[validateAsOf]]-checked it is servable). */
+    * read (caller must have [[validateAsOf]]-checked it is servable).
+    * `extras` are the evolved columns visible to this read: their
+    * values ride the record's `ext` object; records written before the
+    * evolution carry no `ext` and read as NULL (the backfill). A `U`
+    * replaces the whole row, extras included — same last-write-wins the
+    * base columns have. Extra values come back as raw JVM values
+    * (Long/Double/String boxed; null when absent). */
   private[v2] def foldBucket(dir: Path, bucket: Int,
-      asOf: Option[Long] = None)
-      : Seq[(Long, Option[String], Option[Double])] = {
+      asOf: Option[Long] = None, extras: Seq[ExtraCol] = Seq.empty)
+      : Seq[(Long, Option[String], Option[Double], Array[Any])] = {
     val m = new ObjectMapper()
     val state = scala.collection.mutable.LinkedHashMap
-      .empty[Long, (Option[String], Option[Double])]
+      .empty[Long, (Option[String], Option[Double], Array[Any])]
     bucketLogs(dir, bucket, asOf).foreach { p =>
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).foreach { line =>
@@ -266,11 +352,21 @@ object KvTable {
             case _ =>
               val name = Option(n.get("name")).filterNot(_.isNull).map(_.asText())
               val value = Option(n.get("value")).filterNot(_.isNull).map(_.asDouble())
-              state.update(id, (name, value))
+              val ext = n.get("ext")
+              val ex: Array[Any] = extras.map { c =>
+                val v = if (ext == null || ext.isNull) null else ext.get(c.name)
+                if (v == null || v.isNull) null
+                else c.tpe match {
+                  case "long"   => java.lang.Long.valueOf(v.asLong())
+                  case "double" => java.lang.Double.valueOf(v.asDouble())
+                  case _        => v.asText()
+                }
+              }.toArray
+              state.update(id, (name, value, ex))
           }
         }
     }
-    state.toSeq.sortBy(_._1).map { case (id, (nm, v)) => (id, nm, v) }
+    state.toSeq.sortBy(_._1).map { case (id, (nm, v, ex)) => (id, nm, v, ex) }
   }
 }
 
@@ -278,7 +374,10 @@ class KvTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.getBoolean("changelog", false)) KvTable.ChangelogSchema
-    else KvTable.Schema
+    else Option(options.get("path"))
+      .map(p => KvTable.schemaAt(Paths.get(p),
+        Option(options.get("asOfSeq")).map(_.toLong)))
+      .getOrElse(KvTable.Schema)
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
@@ -390,7 +489,10 @@ final class KvSparkTable(options: CaseInsensitiveStringMap)
 
   override def name(): String =
     s"graft-kv($dir)" + asOf.map(v => s"@$v").getOrElse("")
-  override def schema(): StructType = KvTable.Schema
+  // version-aware (schema evolution): a time travel to a pre-ALTER
+  // sequence returns the pre-evolution schema
+  override def schema(): StructType =
+    KvTable.schemaAt(Paths.get(dir), asOf)
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -497,7 +599,11 @@ final class KvChangelogMicroBatch(dir: String, buckets: Int)
 
 final class KvScan(dir: String, buckets: Int,
     asOf: Option[Long] = None) extends Scan with Batch {
-  override def readSchema(): StructType = KvTable.Schema
+  // resolved at plan time on the driver; the tiny definition list ships
+  // in the reader-factory closure (schema evolution, ADD COLUMN)
+  private val extras = KvTable.visibleExtras(Paths.get(dir), asOf)
+  override def readSchema(): StructType =
+    KvTable.schemaAt(Paths.get(dir), asOf)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv path=$dir buckets=$buckets" +
@@ -505,20 +611,28 @@ final class KvScan(dir: String, buckets: Int,
   override def planInputPartitions(): Array[InputPartition] =
     (0 until buckets).map(b =>
       KvBucketPartition(dir, b, asOf): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val extraDefs = extras
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val kp = p.asInstanceOf[KvBucketPartition]
-        val rows = KvTable.foldBucket(Paths.get(kp.dir), kp.bucket, kp.asOf).iterator
+        val rows = KvTable.foldBucket(Paths.get(kp.dir), kp.bucket, kp.asOf,
+          extraDefs).iterator
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
           override def next(): Boolean =
             if (!rows.hasNext) false
             else {
-              val (id, name, value) = rows.next()
+              val (id, name, value, ex) = rows.next()
+              val extVals: Array[Any] = extraDefs.indices.map { i =>
+                ex(i) match {
+                  case s: String => UTF8String.fromString(s)
+                  case other => other
+                }
+              }.toArray
               cur = new GenericInternalRow(Array[Any](
                 id, name.map(UTF8String.fromString).orNull,
-                value.map(java.lang.Double.valueOf).orNull))
+                value.map(java.lang.Double.valueOf).orNull) ++ extVals)
               true
             }
           override def get(): InternalRow = cur
@@ -526,6 +640,7 @@ final class KvScan(dir: String, buckets: Int,
         }
       }
     }
+  }
 }
 
 // --- commit machinery shared by plain and delta writes -----------------------
@@ -705,7 +820,8 @@ private[v2] object KvCommitter {
       try walk.iterator().asScala.toSeq.reverseIterator
         .filter(p => p != root && p.getFileName.toString != "_kv" &&
           p.getFileName.toString != "_commit.lock" &&
-          p.getFileName.toString != "_fence")
+          p.getFileName.toString != "_fence" &&
+          p.getFileName.toString != "_schema.json")
         .foreach(Files.deleteIfExists(_))
       finally walk.close()
       Files.createDirectories(root)
@@ -761,15 +877,17 @@ private[v2] final class KvOpBuffer(stagingDir: String, buckets: Int,
   private val bufs = scala.collection.mutable.Map.empty[Int, StringBuilder]
   private var n = 0L
 
-  def add(op: String, id: Long, name: Option[String], value: Option[Double]): Unit = {
+  def add(op: String, id: Long, name: Option[String], value: Option[Double],
+      ext: Seq[(String, Any)] = Nil): Unit = {
     val b = bufs.getOrElseUpdate(KvTable.bucketOf(id, buckets),
       new StringBuilder)
     val nm = name.map(s => "\"" + KvTable.esc(s) + "\"").getOrElse("null")
     val v = value.map { d =>
       if (java.lang.Double.isFinite(d)) d.toString else "null"
     }.getOrElse("null")
-    b.append(s"""{"op": "$op", "id": $id, "name": $nm, "value": $v}""")
-      .append('\n')
+    b.append(s"""{"op": "$op", "id": $id, "name": $nm, "value": $v""")
+    KvOpBuffer.renderExt(b, ext)
+    b.append('}').append('\n')
     n += 1L
   }
 
@@ -789,6 +907,46 @@ private[v2] final class KvOpBuffer(stagingDir: String, buckets: Int,
     }
 }
 
+private[v2] object KvOpBuffer {
+  /** Render the evolved-column values as the record's `ext` object —
+    * omitted entirely when every extra is null (so pre-evolution and
+    * all-null records are byte-identical, and old readers ignore it). */
+  def renderExt(b: StringBuilder, ext: Seq[(String, Any)]): Unit = {
+    val present = ext.filter(_._2 != null)
+    if (present.isEmpty) return
+    b.append(""", "ext": {""")
+    b.append(present.map {
+      case (nm, s: String) => s""""${KvTable.esc(nm)}": "${KvTable.esc(s)}""""
+      case (nm, d: java.lang.Double) =>
+        val v = if (java.lang.Double.isFinite(d)) d.toString else "null"
+        s""""${KvTable.esc(nm)}": $v"""
+      case (nm, other) => s""""${KvTable.esc(nm)}": $other"""
+    }.mkString(", "))
+    b.append('}')
+  }
+
+  /** Resolve the write schema's evolved-column ordinals against the
+    * table's registered extras (by name); columns the write does not
+    * carry are simply absent (read back as null). */
+  def extOrdinals(tableExtras: Seq[KvTable.ExtraCol],
+      schema: StructType): Seq[(String, String, Int)] =
+    tableExtras.map(c => (c.name, c.tpe, schema.fieldNames.indexOf(c.name)))
+      .filter(_._3 >= 0)
+
+  /** Pull the evolved-column values out of a row by the resolved
+    * ordinals, boxed for [[renderExt]]. */
+  def extValues(ords: Seq[(String, String, Int)], row: InternalRow)
+      : Seq[(String, Any)] =
+    ords.map { case (nm, tp, i) =>
+      nm -> (if (row.isNullAt(i)) null
+      else tp match {
+        case "long"   => java.lang.Long.valueOf(row.getLong(i))
+        case "double" => java.lang.Double.valueOf(row.getDouble(i))
+        case _        => row.getUTF8String(i).toString
+      })
+    }
+}
+
 // --- plain write (INSERT INTO / seeding) -------------------------------------
 
 final class KvWrite(dir: String, buckets: Int, info: LogicalWriteInfo,
@@ -798,6 +956,9 @@ final class KvWrite(dir: String, buckets: Int, info: LogicalWriteInfo,
       val staging = KvCommitter.staging(dir, info.queryId()).toString
       val schema = info.schema()
       val bk = buckets
+      // driver-side: the evolved-column definitions ride the closure
+      val extOrds = KvOpBuffer.extOrdinals(
+        KvTable.extraColumns(Paths.get(dir)), schema)
       new DataWriterFactory {
         override def createWriter(pid: Int, tid: Long): DataWriter[InternalRow] =
           new DataWriter[InternalRow] {
@@ -814,7 +975,8 @@ final class KvWrite(dir: String, buckets: Int, info: LogicalWriteInfo,
                 if (row.isNullAt(nameIdx)) None
                 else Some(row.getUTF8String(nameIdx).toString),
                 if (row.isNullAt(valueIdx)) None
-                else Some(row.getDouble(valueIdx)))
+                else Some(row.getDouble(valueIdx)),
+                KvOpBuffer.extValues(extOrds, row))
             }
             override def commit(): WriterCommitMessage = buf.stage()
             override def abort(): Unit = buf.abort()
@@ -840,6 +1002,8 @@ final class KvDeltaWrite(dir: String, buckets: Int, info: LogicalWriteInfo)
       val idSchema = info.rowIdSchema().orElse(
         StructType(Seq(StructField("id", LongType))))
       val bk = buckets
+      val extOrds = KvOpBuffer.extOrdinals(
+        KvTable.extraColumns(Paths.get(dir)), schema)
       new DeltaWriterFactory {
         override def createWriter(pid: Int, tid: Long): DeltaWriter[InternalRow] =
           new DeltaWriter[InternalRow] {
@@ -862,7 +1026,8 @@ final class KvDeltaWrite(dir: String, buckets: Int, info: LogicalWriteInfo)
                 if (row.isNullAt(nameIdx)) None
                 else Some(row.getUTF8String(nameIdx).toString),
                 if (row.isNullAt(valueIdx)) None
-                else Some(row.getDouble(valueIdx)))
+                else Some(row.getDouble(valueIdx)),
+                KvOpBuffer.extValues(extOrds, row))
             }
             override def insert(row: InternalRow): Unit = dataOp("I", row)
             override def update(meta: InternalRow, rid: InternalRow,
@@ -959,9 +1124,32 @@ class KvCatalog extends TableCatalog {
     new KvSparkTable(tableOpts(ident))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-kv tables carry a fixed schema; ALTER is not supported")
+  /** SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN` (nullable, null
+    * backfill) is the ONE lakehouse schema semantic the log format
+    * absorbs cheaply: the ALTER is metadata-only (`_schema.json` with
+    * the next commit sequence as the column's visibility floor), old
+    * records read as NULL for the new column, subsequent writes carry
+    * it in the record's `ext` object, compaction rewrites survivors
+    * under the widened schema, and a `VERSION AS OF` at a pre-ALTER
+    * sequence returns the pre-evolution schema. Everything else (drop,
+    * rename, type change, position, base columns) is refused loudly —
+    * a rewrite-requiring evolution on a log-structured table is a
+    * migration, not an ALTER. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft-kv: only top-level ADD COLUMN is supported")
+        require(add.isNullable,
+          "graft-kv: added columns must be nullable (old rows backfill as NULL)")
+        KvTable.addColumn(dirFor(ident), add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"graft-kv: unsupported ALTER ${other.getClass.getSimpleName} — " +
+          "only ADD COLUMN (nullable, top-level) is supported")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

@@ -20,16 +20,15 @@ final case class FirstSeen(key: Long, first_ts: Timestamp, n_suppressed: Long)
   * comparing EVENT TIMES against the stored expiry — never by whether
   * a timer happened to fire yet — so for PER-KEY IN-ORDER arrival the
   * admission sequence is a pure function of the data and survives
-  * replays and re-batching. For out-of-order data within the watermark
-  * the sequence is slicing-dependent: a late arrival landing in a
-  * LATER micro-batch than a larger same-key timestamp may pick a
-  * different admitted representative / suppression count than
-  * single-batch slicing would (a batch-local sort cannot see
-  * cross-batch order) — no duplicates or losses arise, but exact
-  * invariance under re-batching requires in-order keys (or buffering
-  * candidates until the watermark; see the batch twin
-  * [[graft.queries.LlmOps]] q209, which IS the watermark-complete
-  * answer). The
+  * replays and re-batching. This is the LOW-LATENCY EAGER gate: it
+  * emits in the batch the arrival lands in; for out-of-order keys the
+  * admitted representative is therefore slicing-dependent (an emitted
+  * row cannot be recalled when an earlier-timestamped late arrival
+  * shows up in a later batch). When exact re-batching invariance for
+  * out-of-order-within-watermark data is required, use the
+  * WATERMARK-BUFFERED twin [[TtlDedupBufferedProcessor]] ([[TtlDedup.firstSeenBuffered]]),
+  * which holds candidates until their window closes under the
+  * watermark and emits exactly the q209 batch-twin chain. The
   * event-time timer exists only to CLEAR expired state (bounding the
   * store); a stale timer from a superseded admission checks the stored
   * expiry before clearing. This is the continual-ingest "seen this
@@ -98,6 +97,89 @@ final class TtlDedupProcessor(ttlMs: Long)
   }
 }
 
+/** WATERMARK-BUFFERED TTL first-seen gate — the slicing-INDEPENDENT
+  * twin of [[TtlDedupProcessor]]: candidates buffer per key until the
+  * watermark passes their admission window's END, then the greedy
+  * admission chain finalizes with the EVENT-TIME-MINIMUM representative
+  * and the COMPLETE suppression count — so the output is EXACTLY the
+  * q209 batch twin's chain over every closed window, identical under
+  * ANY slicing of the same keyed arrivals into micro-batches, in-order
+  * or not (within the watermark). The price is latency: an admission
+  * emits when `admit_ts + ttl ≤ watermark`, not in the batch it arrived
+  * in — the standard windowed-aggregate trade, chosen here explicitly.
+  *
+  * Mechanics: pending candidate timestamps live in a ListState (only
+  * arrivals ≥ the last FINALIZED window's expiry are buffered — an
+  * arrival below it would be later than the watermark that closed that
+  * window, which event-time semantics already dropped). Finalization
+  * walks the sorted pending chain and emits every window whose end the
+  * watermark has passed; the first still-open window and everything
+  * after it stay buffered (its suppression count may still grow). An
+  * event-time timer at `min(pending) + ttl` — which IS the next
+  * window's close, since pending restarts the chain — guarantees idle
+  * keys finalize without new arrivals; spurious timers from superseded
+  * registrations are harmless because finalization is idempotent.
+  *
+  * Scale: state is the open windows' candidates only (bounded by TTL ×
+  * per-key arrival rate, RocksDB-backed); each batch shuffles only its
+  * own keys; finalization is one sorted pass per touched key.
+  */
+final class TtlDedupBufferedProcessor(ttlMs: Long)
+    extends StatefulProcessor[Long, KeyedArrival, FirstSeen] {
+
+  @transient private var pending: org.apache.spark.sql.streaming.ListState[Long] = _
+  /** Expiry of the last FINALIZED (emitted) admission. */
+  @transient private var chainExpiry: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pending = getHandle.getListState[Long]("pending", Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    chainExpiry = getHandle.getValueState[Long]("chainExpiry",
+      Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  private def finalizeClosed(key: Long, wm: Long): Iterator[FirstSeen] = {
+    val cs = pending.get().toArray
+    if (cs.isEmpty) return Iterator.empty
+    java.util.Arrays.sort(cs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FirstSeen]
+    var exp = if (chainExpiry.exists()) chainExpiry.get() else Long.MinValue
+    var i = 0
+    // finalize full windows the watermark has closed
+    while (i < cs.length && cs(i) + ttlMs <= wm) {
+      val admit = cs(i)
+      val end = admit + ttlMs
+      var supp = 0L
+      i += 1
+      while (i < cs.length && cs(i) < end) { supp += 1L; i += 1 }
+      out += FirstSeen(key, new Timestamp(admit), supp)
+      exp = end
+    }
+    if (out.nonEmpty) {
+      chainExpiry.update(exp)
+      val rest = cs.drop(i)
+      if (rest.isEmpty) pending.clear()
+      else pending.put(rest)
+    }
+    if (i < cs.length) getHandle.registerTimer(cs(i) + ttlMs)
+    out.iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedArrival],
+      timers: TimerValues): Iterator[FirstSeen] = {
+    val exp0 = if (chainExpiry.exists()) chainExpiry.get() else Long.MinValue
+    rows.foreach { r =>
+      val t = r.ts.getTime
+      if (t >= exp0) pending.appendValue(t)
+    }
+    finalizeClosed(key, timers.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[FirstSeen] =
+    finalizeClosed(key, timers.getCurrentWatermarkInMs())
+}
+
 object TtlDedup {
   /** Wire the gate over a watermarked arrival stream. `ttl` is a
     * calendar string ("10 minutes"). */
@@ -108,6 +190,18 @@ object TtlDedup {
       .withWatermark("ts", watermark)
       .groupByKey(_.key)
       .transformWithState(new TtlDedupProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Wire the watermark-buffered (slicing-independent) gate — see
+    * [[TtlDedupBufferedProcessor]] for the latency/invariance trade. */
+  def firstSeenBuffered(s: SparkSession, arrivals: Dataset[KeyedArrival],
+      watermark: String, ttlMs: Long): Dataset[FirstSeen] = {
+    import s.implicits._
+    arrivals
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .transformWithState(new TtlDedupBufferedProcessor(ttlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

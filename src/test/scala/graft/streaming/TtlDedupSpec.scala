@@ -156,4 +156,76 @@ class TtlDedupSpec extends SparkSpec {
       }
     }
   }
+
+  /** The watermark-buffered gate: identical keyed arrivals delivered in
+    * two different batch slicings — one with a LATE (out-of-order but
+    * within-watermark) arrival in a later batch — must produce
+    * IDENTICAL admissions, equal to the q209 batch twin (event-time-
+    * minimum representative, complete suppression counts). The eager
+    * gate on the same adversarial slicing picks the other
+    * representative — the documented trade the buffered twin closes.
+    */
+  test("buffered gate: slicing-independent admissions for out-of-order keys") {
+    val ttlMs = 10 * 60_000L
+    // key 1 event-time order 3,5,8 → one window: admit t3, suppress 2
+    // key 2: two windows
+    val arrivals = Seq(
+      KeyedArrival(1, t(5)), KeyedArrival(1, t(3)), KeyedArrival(1, t(8)),
+      KeyedArrival(2, t(0)), KeyedArrival(2, t(20)))
+    val twin = {
+      val df = spark.createDataset(arrivals).toDF().select($"key", $"ts")
+      graft.queries.LlmOps.ttlAdmissions(df, ttlMs * 1000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    }
+    assert(twin == Set((1L, t(3), 2L), (2L, t(0), 0L), (2L, t(20), 0L)))
+
+    val flush = Seq(Seq(KeyedArrival(99, t(1000))), Seq(KeyedArrival(99, t(1001))),
+      Seq(KeyedArrival(99, t(1002))))
+    def streamed(buffered: Boolean, slices: Seq[Seq[KeyedArrival]],
+        name: String): Set[(Long, Timestamp, Long)] = {
+      val input = MemoryStream[KeyedArrival]
+      val gate =
+        if (buffered) TtlDedup.firstSeenBuffered(spark, input.toDS(),
+          watermark = "30 minutes", ttlMs = ttlMs)
+        else TtlDedup.firstSeen(spark, input.toDS(),
+          watermark = "30 minutes", ttlMs = ttlMs)
+      val q = gate.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        (slices ++ flush).foreach { s => input.addData(s); q.processAllAvailable() }
+        spark.table(name).as[FirstSeen].collect()
+          .filter(_.key < 99L)
+          .map(f => (f.key, f.first_ts, f.n_suppressed)).toSet
+      } finally q.stop()
+    }
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // adversarial slicing: the late t(3) lands one batch AFTER t(5)
+      val adversarial = Seq(
+        Seq(KeyedArrival(1, t(5)), KeyedArrival(2, t(0))),
+        Seq(KeyedArrival(1, t(3)), KeyedArrival(2, t(20))),
+        Seq(KeyedArrival(1, t(8))))
+      val one = streamed(buffered = true, Seq(arrivals), "ttlb_one")
+      val adv = streamed(buffered = true, adversarial, "ttlb_adv")
+      assert(one == twin, s"single-batch buffered must equal the twin: $one")
+      assert(adv == twin, s"adversarial slicing must equal the twin: $adv")
+
+      // the eager gate on the same adversarial slicing picks t(5) —
+      // the divergence the buffered twin exists to remove
+      val eager = streamed(buffered = false, adversarial, "ttle_adv")
+      assert(eager.contains((1L, t(5), 0L)) && !eager.contains((1L, t(3), 2L)),
+        s"eager gate unexpectedly slicing-independent here: $eager")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
