@@ -691,4 +691,48 @@ object Connectors {
       |  SELECT id, name, CAST(bal AS DOUBLE) AS value, 'odd' AS tier
       |  FROM c WHERE id % 3 = 0 AND id % 2 <> 0)
       |SELECT id, name, value, tier FROM ev ORDER BY id""".stripMargin
+
+  /** q240: DESCRIBE HISTORY ON THE KV COMMIT LOG — the audit surface
+    * over the markers (`option("history", true)`): one row per commit
+    * with its operation count and compaction flag. The registered
+    * query replays the q214/q217 three waves on an isolated root, runs
+    * a compaction, and reads the history; the DuckDB oracle derives
+    * every commit's expected op count from the raw customer table (the
+    * q217 wave-classification arithmetic, plus the compacted commit =
+    * the survivor count), so the gate certifies the markers record
+    * EXACTLY what each command did — including that compaction's
+    * marker carries the folded survivor count, not the history it
+    * collapsed. Non-deterministic marker fields (query id, fence, txn)
+    * are surfaced by the connector but projected out here.
+    */
+  def q240KvHistory(s: SparkSession, d: String): DataFrame = {
+    val path = kvThreeWaves(s, d, "graft_kvh", "graft_kv_history")
+    graft.sources.v2.KvTable.compact(s, path, buckets = 8)
+    s.read.format("graft-kv")
+      .option("path", path).option("buckets", 8)
+      .option("history", true).load()
+      .select(col("seq"), col("ops"), col("compaction"))
+      .orderBy("seq")
+  }
+
+  /** Wave-classification arithmetic (q217's) extended with the
+    * compaction commit: ops = the three-wave survivor count. */
+  val q240Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |src AS (
+      |  SELECT c_custkey AS id, c_acctbal AS value
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |m AS (SELECT b.id AS bid, s.id AS sid, s.value AS sv
+      |      FROM base b FULL OUTER JOIN src s ON b.id = s.id),
+      |surv AS (SELECT coalesce(bid, sid) AS id FROM m
+      |         WHERE NOT (bid IS NOT NULL AND sid IS NOT NULL AND sv < 0)),
+      |hist AS (
+      |  SELECT 0 AS seq, (SELECT count(*) FROM base) AS ops, FALSE AS compaction
+      |  UNION ALL SELECT 1, (SELECT count(*) FROM m), FALSE
+      |  UNION ALL SELECT 2, (SELECT count(*) FROM surv WHERE id % 3 = 0), FALSE
+      |  UNION ALL SELECT 3, (SELECT count(*) FROM surv), TRUE)
+      |SELECT CAST(seq AS BIGINT) AS seq, CAST(ops AS BIGINT) AS ops, compaction
+      |FROM hist ORDER BY seq""".stripMargin
 }

@@ -75,6 +75,34 @@ object KvTable {
     StructField("name", StringType),
     StructField("value", DoubleType)))
 
+  /** One row per commit marker — the Delta `DESCRIBE HISTORY` surface
+    * over the mini transaction log. */
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("ops", LongType, nullable = false),
+    StructField("query", StringType, nullable = false),
+    StructField("fence", LongType),
+    StructField("txn", StringType),
+    StructField("compaction", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+
+  /** The commit history, one tuple per marker in sequence order:
+    * (seq, ops, query, fence, txn, isCompaction). Driver-side tiny —
+    * |commits| rows of marker metadata. */
+  private[v2] def history(dir: Path)
+      : Seq[(Long, Long, String, Option[Long], Option[String], Boolean)] = {
+    val m = new ObjectMapper()
+    committedSeqs(dir).map { seq =>
+      val n = m.readTree(Files.readAllBytes(dir.resolve(s"commit-$seq.json")))
+      val query = n.path("query").asText("")
+      (seq, n.path("ops").asLong(),
+        query,
+        Option(n.get("fence")).filterNot(_.isNull).map(_.asLong()),
+        Option(n.get("txn")).filterNot(_.isNull).map(_.asText()),
+        query == "compact")
+    }
+  }
+
   /** One bucket's committed operation records in apply order,
     * optionally bounded to sequences in `[from, asOf]` — the range
     * read an incremental consumer (and the micro-batch stream) uses
@@ -374,6 +402,7 @@ class KvTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.getBoolean("changelog", false)) KvTable.ChangelogSchema
+    else if (options.getBoolean("history", false)) KvTable.HistorySchema
     else Option(options.get("path"))
       .map(p => KvTable.schemaAt(Paths.get(p),
         Option(options.get("asOfSeq")).map(_.toLong)))
@@ -382,8 +411,64 @@ class KvTableProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     if (opts.getBoolean("changelog", false)) new KvChangelogTable(opts)
+    else if (opts.getBoolean("history", false)) new KvHistoryTable(opts)
     else new KvSparkTable(opts)
   }
+}
+
+/** `DESCRIBE HISTORY` for the kv table —
+  * `spark.read.format("graft-kv").option("history", true)`: one row per
+  * commit marker (seq, ops, query, fence, txn, compaction), the audit
+  * surface an operator reads to answer "what landed, when, under which
+  * fencing token, and did batch N's txn commit?" without touching data
+  * files. Metadata-only and |commits|-sized, so the scan is one
+  * driver-planned partition of marker JSON — never a data read.
+  */
+final class KvHistoryTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private def dir: String = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-kv requires option 'path'"))
+  override def name(): String = s"graft-kv-history($dir)"
+  override def schema(): StructType = KvTable.HistorySchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KvHistoryScan(dir)
+    }
+}
+
+final case class KvHistoryPartition(dir: String) extends InputPartition
+
+final class KvHistoryScan(dir: String) extends Scan with Batch {
+  override def readSchema(): StructType = KvTable.HistorySchema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-kv-history path=$dir"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvHistoryPartition(dir))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rows = KvTable.history(
+          Paths.get(p.asInstanceOf[KvHistoryPartition].dir)).iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!rows.hasNext) false
+            else {
+              val (seq, ops, query, fence, txn, compaction) = rows.next()
+              cur = new GenericInternalRow(Array[Any](
+                seq, ops, UTF8String.fromString(query),
+                fence.map(java.lang.Long.valueOf).orNull,
+                txn.map(UTF8String.fromString).orNull,
+                compaction))
+              true
+            }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 /** CHANGELOG view of a kv table —
