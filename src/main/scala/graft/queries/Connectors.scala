@@ -622,13 +622,17 @@ object Connectors {
     * id%3=0 with tier = even/odd — matched +0.5 & set tier, else
     * insert with tier (commit 2).
     */
-  def q239KvEvolution(s: SparkSession, d: String): DataFrame = {
+  /** The q239/q241 evolution scenario on an isolated root: two
+    * pre-evolution commits, ALTER ADD COLUMN tier, one post-evolution
+    * MERGE carrying it. Returns the table path. */
+  private def kvEvolutionWaves(s: SparkSession, d: String,
+      cat: String, rootName: String): String = {
     val wh = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-    val root = s"$wh/graft_kv_evo"
-    s.conf.set("spark.sql.catalog.graft_kvevo",
+    val root = s"$wh/$rootName"
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.v2.KvCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft_kvevo.root", root)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
     // fresh table per invocation (wipe + existence marker): the
     // evolution metadata must reset too, so a truncate — which
     // deliberately KEEPS _schema.json — is not enough here
@@ -649,26 +653,31 @@ object Connectors {
     slice(4).write.format("graft-kv")
       .option("path", s"$root/state").option("buckets", 8)
       .mode("append").save()
-    slice(2).createOrReplaceTempView("kvevo_delta2")
+    slice(2).createOrReplaceTempView(s"${cat}_delta2")
     s.sql(
-      """MERGE INTO graft_kvevo.state t USING kvevo_delta2 s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET name = s.name, value = s.value + 100.0
-        |WHEN NOT MATCHED THEN
-        |  INSERT (id, name, value) VALUES (s.id, s.name, s.value)
-        |""".stripMargin)
+      s"""MERGE INTO $cat.state t USING ${cat}_delta2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET name = s.name, value = s.value + 100.0
+         |WHEN NOT MATCHED THEN
+         |  INSERT (id, name, value) VALUES (s.id, s.name, s.value)
+         |""".stripMargin)
     // THE EVOLUTION — metadata-only, no log commit
-    s.sql("ALTER TABLE graft_kvevo.state ADD COLUMN tier STRING")
+    s.sql(s"ALTER TABLE $cat.state ADD COLUMN tier STRING")
     // commit 2: the post-evolution wave writes the new column
     slice(3)
       .withColumn("tier",
         when(pmod(col("id"), lit(2)) === 0, "even").otherwise("odd"))
-      .createOrReplaceTempView("kvevo_delta3")
+      .createOrReplaceTempView(s"${cat}_delta3")
     s.sql(
-      """MERGE INTO graft_kvevo.state t USING kvevo_delta3 s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET value = t.value + 0.5, tier = s.tier
-        |WHEN NOT MATCHED THEN
-        |  INSERT (id, name, value, tier) VALUES (s.id, s.name, s.value, s.tier)
-        |""".stripMargin)
+      s"""MERGE INTO $cat.state t USING ${cat}_delta3 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET value = t.value + 0.5, tier = s.tier
+         |WHEN NOT MATCHED THEN
+         |  INSERT (id, name, value, tier) VALUES (s.id, s.name, s.value, s.tier)
+         |""".stripMargin)
+    s"$root/state"
+  }
+
+  def q239KvEvolution(s: SparkSession, d: String): DataFrame = {
+    kvEvolutionWaves(s, d, "graft_kvevo", "graft_kv_evo")
     s.table("graft_kvevo.state")
       .select("id", "name", "value", "tier").orderBy("id")
   }
@@ -691,6 +700,39 @@ object Connectors {
       |  SELECT id, name, CAST(bal AS DOUBLE) AS value, 'odd' AS tier
       |  FROM c WHERE id % 3 = 0 AND id % 2 <> 0)
       |SELECT id, name, value, tier FROM ev ORDER BY id""".stripMargin
+
+  /** q241: EVOLVED-COLUMN CDC — the gap q239 would otherwise open: the
+    * classic five-column changelog replays an EVOLVED table to its
+    * BASE state, silently dropping every evolved column. With
+    * `option("withExt", true)` the changelog widens with the table's
+    * evolved columns, TYPED (null on pre-evolution records), so an
+    * incremental consumer keeps the full row. The registered query
+    * replays the q239 scenario on an isolated root, reads the widened
+    * changelog, and folds it last-wins per key (max commit seq —
+    * commits are key-unique by construction, D removes): the replay
+    * must reconstruct EXACTLY the widened table state, which is why
+    * its oracle IS q239's — replay == state == from-scratch
+    * recomposition, all three pinned by one gate.
+    *
+    * Scale: the changelog scan stays per-bucket partitioned; the
+    * replay fold is one (id) window over touched rows only.
+    */
+  def q241EvolvedChangelog(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = kvEvolutionWaves(s, d, "graft_kvec", "graft_kv_evo_cl")
+    val w = Window.partitionBy("id").orderBy(col("seq").desc)
+    s.read.format("graft-kv")
+      .option("path", path).option("buckets", 8)
+      .option("changelog", true).option("withExt", true).load()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select("id", "name", "value", "tier")
+      .orderBy("id")
+  }
+
+  /** Identical to [[q239Oracle]]: the widened changelog replay must
+    * equal the widened table state. */
+  def q241Oracle: String = q239Oracle
 
   /** q240: DESCRIBE HISTORY ON THE KV COMMIT LOG — the audit surface
     * over the markers (`option("history", true)`): one row per commit

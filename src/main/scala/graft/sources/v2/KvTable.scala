@@ -106,10 +106,15 @@ object KvTable {
   /** One bucket's committed operation records in apply order,
     * optionally bounded to sequences in `[from, asOf]` — the range
     * read an incremental consumer (and the micro-batch stream) uses
-    * to catch up without replaying history it already applied. */
+    * to catch up without replaying history it already applied.
+    * `extras` (schema evolution): evolved-column values ride each
+    * record's `ext` object; records written pre-evolution (or D rows)
+    * surface null — so a CDC consumer of an evolved table sees the
+    * evolved columns TYPED instead of silently losing them. */
   private[v2] def changelog(dir: Path, bucket: Int,
-      asOf: Option[Long] = None, from: Option[Long] = None)
-      : Seq[(Long, String, Long, Option[String], Option[Double])] = {
+      asOf: Option[Long] = None, from: Option[Long] = None,
+      extras: Seq[ExtraCol] = Seq.empty)
+      : Seq[(Long, String, Long, Option[String], Option[Double], Array[Any])] = {
     val m = new ObjectMapper()
     bucketLogs(dir, bucket, asOf, from).flatMap { p =>
       val seq = p.getFileName.toString
@@ -117,9 +122,20 @@ object KvTable {
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).map { line =>
           val n = m.readTree(line)
+          val ext = n.get("ext")
+          val ex: Array[Any] = extras.map { c =>
+            val v = if (ext == null || ext.isNull) null else ext.get(c.name)
+            if (v == null || v.isNull) null
+            else c.tpe match {
+              case "long"   => java.lang.Long.valueOf(v.asLong())
+              case "double" => java.lang.Double.valueOf(v.asDouble())
+              case _        => v.asText()
+            }
+          }.toArray
           (seq, n.path("op").asText(), n.path("id").asLong(),
             Option(n.get("name")).filterNot(_.isNull).map(_.asText()),
-            Option(n.get("value")).filterNot(_.isNull).map(_.asDouble()))
+            Option(n.get("value")).filterNot(_.isNull).map(_.asDouble()),
+            ex)
         }
     }
   }
@@ -490,8 +506,22 @@ final class KvChangelogTable(options: CaseInsensitiveStringMap)
     Option(options.get("asOfSeq")).map(_.toLong)
   private def from: Option[Long] =
     Option(options.get("fromSeq")).map(_.toLong)
+  /** `option("withExt", true)` — EVOLVED-COLUMN CDC: the changelog
+    * schema widens with the table's evolved columns, TYPED; each
+    * record surfaces the values it carried in its `ext` object (null
+    * for pre-evolution records and D rows). Without the option the
+    * classic five-column changelog is byte-identical to before — a
+    * consumer opts into the widened feed, it is never broken into it.
+    * A CDC consumer of an evolved table NEEDS this: the base changelog
+    * replays to the base state, silently dropping evolved columns. */
+  private def withExt: Boolean = options.getBoolean("withExt", false)
+  private def extras: Seq[KvTable.ExtraCol] =
+    if (withExt) KvTable.visibleExtras(Paths.get(dir), asOf) else Seq.empty
   override def name(): String = s"graft-kv-changelog($dir)"
-  override def schema(): StructType = KvTable.ChangelogSchema
+  override def schema(): StructType =
+    extras.foldLeft(KvTable.ChangelogSchema) { (s, c) =>
+      s.add(StructField(c.name, c.dataType, nullable = true))
+    }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ).asJava
@@ -499,15 +529,19 @@ final class KvChangelogTable(options: CaseInsensitiveStringMap)
     new ScanBuilder {
       override def build(): Scan = {
         asOf.foreach(KvTable.validateAsOf(Paths.get(dir), _))
-        new KvChangelogScan(dir, buckets, asOf, from)
+        new KvChangelogScan(dir, buckets, asOf, from, extras)
       }
     }
 }
 
 final class KvChangelogScan(dir: String, buckets: Int,
-    asOf: Option[Long] = None, from: Option[Long] = None)
+    asOf: Option[Long] = None, from: Option[Long] = None,
+    extras: Seq[KvTable.ExtraCol] = Seq.empty)
     extends Scan with Batch {
-  override def readSchema(): StructType = KvTable.ChangelogSchema
+  override def readSchema(): StructType =
+    extras.foldLeft(KvTable.ChangelogSchema) { (s, c) =>
+      s.add(StructField(c.name, c.dataType, nullable = true))
+    }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv-changelog path=$dir buckets=$buckets" +
@@ -524,10 +558,10 @@ final class KvChangelogScan(dir: String, buckets: Int,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KvChangelogMicroBatch(dir, buckets)
+    new KvChangelogMicroBatch(dir, buckets, extras)
   override def planInputPartitions(): Array[InputPartition] =
     (0 until buckets).map(b =>
-      KvBucketPartition(dir, b, asOf, from): InputPartition).toArray
+      KvBucketPartition(dir, b, asOf, from, extras): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     KvChangelogScan.readerFactory
 }
@@ -540,17 +574,21 @@ object KvChangelogScan {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val kp = p.asInstanceOf[KvBucketPartition]
         val rows = KvTable.changelog(Paths.get(kp.dir), kp.bucket,
-          kp.asOf, kp.from).iterator
+          kp.asOf, kp.from, kp.extras).iterator
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
           override def next(): Boolean =
             if (!rows.hasNext) false
             else {
-              val (seq, op, id, name, value) = rows.next()
+              val (seq, op, id, name, value, ex) = rows.next()
+              val extVals: Array[Any] = ex.map {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              }
               cur = new GenericInternalRow(Array[Any](
                 seq, UTF8String.fromString(op), id,
                 name.map(UTF8String.fromString).orNull,
-                value.map(java.lang.Double.valueOf).orNull))
+                value.map(java.lang.Double.valueOf).orNull) ++ extVals)
               true
             }
           override def get(): InternalRow = cur
@@ -635,7 +673,8 @@ final class KvRowLevelOperation(dir: String, buckets: Int,
 // --- scan (merge-on-read) ----------------------------------------------------
 
 final case class KvBucketPartition(dir: String, bucket: Int,
-    asOf: Option[Long] = None, from: Option[Long] = None)
+    asOf: Option[Long] = None, from: Option[Long] = None,
+    extras: Seq[KvTable.ExtraCol] = Seq.empty)
   extends InputPartition
 
 /** The changelog as a streaming source: the commit sequence number IS
@@ -652,7 +691,8 @@ final case class KvBucketPartition(dir: String, bucket: Int,
   * KvChangelogStreamSpec) — the same retention contract time travel
   * has, surfacing on the streaming side.
   */
-final class KvChangelogMicroBatch(dir: String, buckets: Int)
+final class KvChangelogMicroBatch(dir: String, buckets: Int,
+    extras: Seq[KvTable.ExtraCol] = Seq.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -671,7 +711,7 @@ final class KvChangelogMicroBatch(dir: String, buckets: Int)
     val e = end.asInstanceOf[SeqOffset].seq
     if (e <= s) Array.empty
     else (0 until buckets).map(b =>
-      KvBucketPartition(dir, b, asOf = Some(e), from = Some(s + 1L))
+      KvBucketPartition(dir, b, asOf = Some(e), from = Some(s + 1L), extras)
         : InputPartition).toArray
   }
 

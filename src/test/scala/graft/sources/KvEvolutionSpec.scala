@@ -99,6 +99,26 @@ class KvEvolutionSpec extends SparkSpec {
       "overwrite must empty the table but keep the widened schema")
   }
 
+  test("withExt changelog carries evolved columns typed; base changelog unchanged") {
+    evolve("e6")
+    val base = spark.read.format("graft-kv")
+      .option("path", s"$root/e6").option("buckets", 4)
+      .option("changelog", true).load()
+    assert(base.columns.toSeq == Seq("seq", "op", "id", "name", "value"),
+      "the classic changelog must stay byte-identical (opt-in widening)")
+    val ext = spark.read.format("graft-kv")
+      .option("path", s"$root/e6").option("buckets", 4)
+      .option("changelog", true).option("withExt", true).load()
+    assert(ext.columns.toSeq == Seq("seq", "op", "id", "name", "value", "tier"))
+    val rows = ext.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(5)) null else r.getString(5)))
+    // pre-evolution commit 0: tier null; post-evolution commit 1
+    // carries gold/silver on its U/I records
+    assert(rows.filter(_._1 == 0L).forall(_._4 == null))
+    assert(rows.filter(_._1 == 1L).map(r => (r._3, r._4)).toSet ==
+      Set((2L, "gold"), (4L, "silver")), rows.toSeq.mkString(","))
+  }
+
   test("every other ALTER shape is refused loudly") {
     evolve("e5")
     def refused(sql: String, frag: String): Unit = {
