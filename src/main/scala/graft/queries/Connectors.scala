@@ -734,6 +734,65 @@ object Connectors {
     * equal the widened table state. */
   def q241Oracle: String = q239Oracle
 
+  /** q242: SCHEMA-EVOLVING REPLICATION — the full ring composed: a
+    * replica follows an EVOLVING source table through its widened CDC
+    * feed (q241's `withExt`) and the exactly-once txn-tagged apply
+    * (q224's handler, now generalized over the feed's data columns).
+    * The evolution point is DISCOVERABLE from the feed itself: a
+    * pre-ALTER commit range reads as the five-column changelog, the
+    * first post-ALTER range arrives WIDENED — and the replicator
+    * ALTERs the replica to match before applying it (the out-of-band
+    * schema-registry step, derived from the feed instead). A
+    * redelivered pre-evolution slice still lands zero ops against the
+    * already-evolved replica (the txn ledger is schema-agnostic).
+    * Oracle = q239's widened recomposition: replica == evolved source
+    * state, byte-for-byte, cross-engine.
+    */
+  def q242EvolvedReplica(s: SparkSession, d: String): DataFrame = {
+    val srcPath = kvEvolutionWaves(s, d, "graft_kvers", "graft_kv_evo_repl_src")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = s"$wh/graft_kv_evo_repl_dst"
+    s.conf.set("spark.sql.catalog.graft_kverd",
+      classOf[graft.sources.v2.KvCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_kverd.root", root)
+    val dst = java.nio.file.Paths.get(s"$root/state")
+    if (java.nio.file.Files.exists(dst)) {
+      val walk = java.nio.file.Files.walk(dst)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.write(dst.resolve("_kv"), Array.emptyByteArray)
+    def slice(seq: Long): DataFrame = s.read.format("graft-kv")
+      .option("path", srcPath).option("buckets", 8)
+      .option("changelog", true).option("withExt", true)
+      .option("fromSeq", seq).option("asOfSeq", seq).load()
+      .withColumnRenamed("seq", "ver")
+    val apply = graft.streaming.KvCdcSink
+      .cdcUpsertHandler("q242", "graft_kverd.state", dst.toString) _
+    (0L to 2L).foreach { i =>
+      val b = slice(i)
+      // the feed widened → evolve the replica to match BEFORE applying
+      val have = s.table("graft_kverd.state").columns.toSet
+      b.columns
+        .filterNot(c => Seq("ver", "op", "id", "name", "value").contains(c))
+        .filterNot(have).foreach { c =>
+          val dt = b.schema(c).dataType.sql
+          s.sql(s"ALTER TABLE graft_kverd.state ADD COLUMN $c $dt")
+        }
+      apply(b, i)
+    }
+    apply(slice(1L), 1L) // redelivered pre-evolution slice — zero ops
+    s.table("graft_kverd.state")
+      .select("id", "name", "value", "tier").orderBy("id")
+  }
+
+  /** Identical to [[q239Oracle]]: the replica must equal the evolved
+    * source's from-scratch widened recomposition. */
+  def q242Oracle: String = q239Oracle
+
   /** q240: DESCRIBE HISTORY ON THE KV COMMIT LOG — the audit surface
     * over the markers (`option("history", true)`): one row per commit
     * with its operation count and compaction flag. The registered

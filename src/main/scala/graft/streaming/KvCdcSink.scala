@@ -29,8 +29,14 @@ import org.apache.spark.sql.functions._
   *     `ver` before the merge (CDC logs are LSN-ordered; MERGE itself
   *     refuses duplicate source keys), deterministically;
   *   - apply semantics per collapsed record: `D` deletes if present
-  *     (no-op otherwise), anything else upserts (name, value) —
-  *     standard CDC apply, last writer wins across batches.
+  *     (no-op otherwise), anything else upserts EVERY data column the
+  *     batch carries beyond (ver, op, id) — so an evolved table's
+  *     widened CDC feed (q241's `withExt`) replicates its evolved
+  *     columns too; a classic five-column feed upserts (name, value)
+  *     exactly as before. Standard CDC apply, last writer wins across
+  *     batches. The target must already carry every data column the
+  *     batch does (the replicator ALTERs the replica when the feed
+  *     widens — q242).
   */
 object KvCdcSink {
 
@@ -63,13 +69,18 @@ object KvCdcSink {
       .agg(max(struct(payload.map(col): _*)).as("__p"))
       .select(col("id") +: payload.map(c => col(s"__p.$c").as(c)): _*)
       .createOrReplaceTempView(view)
+    // every data column the batch carries (name, value, and any
+    // evolved columns riding a widened q241 feed) upserts
+    val dataCols = payload.filterNot(c => c == "ver" || c == "op")
     s.conf.set("graft.kv.txn", txn)
     try s.sql(
       s"""MERGE INTO $target t USING $view s ON t.id = s.id
          |WHEN MATCHED AND s.op = 'D' THEN DELETE
-         |WHEN MATCHED THEN UPDATE SET name = s.name, value = s.value
+         |WHEN MATCHED THEN UPDATE SET
+         |  ${dataCols.map(c => s"$c = s.$c").mkString(", ")}
          |WHEN NOT MATCHED AND s.op <> 'D' THEN
-         |  INSERT (id, name, value) VALUES (s.id, s.name, s.value)
+         |  INSERT (id, ${dataCols.mkString(", ")})
+         |  VALUES (s.id, ${dataCols.map("s." + _).mkString(", ")})
          |""".stripMargin)
     finally s.conf.unset("graft.kv.txn")
   }
