@@ -5636,6 +5636,32 @@ object LlmOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Compact the incremental layout's accumulated generations back to
+    * ONE (`batch_id=0`) — the maintenance hygiene the q211/q137
+    * maintained layouts prescribe, made concrete for IVF: vectors are
+    * immutable and their cell assignments final once written, so
+    * compaction is a PURE FILE-LAYOUT merge per cell — no
+    * re-assignment arithmetic, the centroid table untouched, and a
+    * probe before and after is bit-identical (spec-pinned). Cost is
+    * one read+write of the lists bytes, amortized across every
+    * subsequent probe's file-listing and footer overhead.
+    * Single-maintainer assumption, like every maintained layout here.
+    */
+  private[graft] def ivfCompactGenerations(s: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/lists.compacting"
+    s.read.parquet(s"$dir/lists")
+      .select("vec_id", "embedding", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    // swap: retire every generation, republish the merge as batch_id=0
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    fs.delete(lists, true)
+    fs.mkdirs(lists)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/lists/batch_id=0"))
+  }
+
   /** q238: INCREMENTAL IVF INDEX MAINTENANCE — the round-13 gap closed:
     * q205's maintained ANN layout gains the batch_id protocol already
     * proven on MinHash (q79) and BM25 (q211), so a live embedding

@@ -52,6 +52,24 @@ class IvfIncSpec extends SparkSpec {
     assert(deltaIds.nonEmpty && deltaIds.forall(_ % 5 == 0))
   }
 
+  test("generation compaction is probe-invariant and collapses to one generation") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfinc_compact_").toString
+    // base + TWO disjoint delta generations, so compaction folds three
+    val e = Tables.embeddings(spark, sf)
+    LlmOps.ivfBuildBase(spark, e.filter(pmod(col("vec_id"), lit(5)) =!= 0), dir)
+    LlmOps.ivfAppendDelta(spark,
+      e.filter(pmod(col("vec_id"), lit(10)) === 0), dir, 1L)
+    LlmOps.ivfAppendDelta(spark,
+      e.filter(pmod(col("vec_id"), lit(10)) === 5), dir, 2L)
+    val before = LlmOps.ivfProbe(spark, sf, dir).collect().toSeq
+    LlmOps.ivfCompactGenerations(spark, dir)
+    val after = LlmOps.ivfProbe(spark, sf, dir).collect().toSeq
+    assert(before == after, "compaction must be bit-invariant to the probe")
+    val gens = spark.read.parquet(s"$dir/lists")
+      .select("batch_id").distinct().as[Long].collect().toSeq
+    assert(gens == Seq(0L), s"one generation after compaction: $gens")
+  }
+
   test("the probe prunes the generation read to the probed cells") {
     val df = LlmOps.q238IvfIncremental(spark, sf)
     val scans = df.queryExecution.sparkPlan.collect {

@@ -177,4 +177,45 @@ class KvChangelogStreamSpec extends SparkSpec {
       assert(state("rdst") == Map(1L -> ("a", 3.0), 3L -> ("c", 3.0)))
     } finally q2.stop()
   }
+
+  test("withExt streaming: the widened feed carries evolved columns per trigger") {
+    val r = root
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $Cat.we " +
+      "(id BIGINT, name STRING, value DOUBLE)")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "name", "value").write.format("graft-kv")
+      .option("path", s"$root/we").option("buckets", 4)
+      .mode("overwrite").save()                       // commit 0, pre-ALTER
+    spark.sql(s"ALTER TABLE $Cat.we ADD COLUMN tier STRING")
+    Seq((3L, "c", 3.0, "gold")).toDF("id", "name", "value", "tier")
+      .createOrReplaceTempView("we_src")
+    spark.sql(
+      s"""MERGE INTO $Cat.we t USING we_src s ON t.id = s.id
+         |WHEN NOT MATCHED THEN
+         |  INSERT (id, name, value, tier) VALUES (s.id, s.name, s.value, s.tier)
+         |""".stripMargin)                            // commit 1, widened
+    val seen = mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = spark.readStream.format("graft-kv")
+      .option("path", s"$root/we").option("buckets", 4)
+      .option("changelog", true).option("withExt", true).load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("kv_we_ck_").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        assert(df.columns.toSeq ==
+          Seq("seq", "op", "id", "name", "value", "tier"))
+        seen.synchronized {
+          seen ++= df.collect().map(x =>
+            (x.getLong(0), x.getLong(2),
+              if (x.isNullAt(5)) null else x.getString(5)))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sortBy(x => (x._1, x._2)) == Seq(
+        (0L, 1L, null), (0L, 2L, null), (1L, 3L, "gold")),
+        s"widened stream rows: $seen")
+    } finally q.stop()
+  }
 }
