@@ -793,6 +793,27 @@ object Connectors {
     * source's from-scratch widened recomposition. */
   def q242Oracle: String = q239Oracle
 
+  /** q243: KV POINT LOOKUP UNDER BUCKET PRUNING — the keyed table's
+    * partition pruning certified: an id IN-list hashes to its buckets
+    * and the scan plans ONLY those (KvPushdownSpec pins the partition
+    * count; the pruning is coarse, so Spark re-evaluates the filter
+    * post-scan — correctness never rides the prune). At scale this is
+    * a state-store point read: fold 1/buckets of the table instead of
+    * all of it. Oracle = the q214 recomposition filtered to the same
+    * keys, so the gate certifies pruned-read == full-read == rebuilt.
+    */
+  def q243KvPointLookup(s: SparkSession, d: String): DataFrame = {
+    kvThreeWaves(s, d, "graft_kvpl", "graft_kv_pointlookup")
+    s.table("graft_kvpl.state")
+      .filter(col("id").isin(4L, 6L, 12L, 9998L))
+      .select("id", "name", "value").orderBy("id")
+  }
+
+  def q243Oracle: String =
+    s"""SELECT id, name, value FROM (
+       |$q214Oracle
+       |) WHERE id IN (4, 6, 12, 9998) ORDER BY id""".stripMargin
+
   /** q240: DESCRIBE HISTORY ON THE KV COMMIT LOG — the audit surface
     * over the markers (`option("history", true)`): one row per commit
     * with its operation count and compaction flag. The registered

@@ -621,11 +621,47 @@ final class KvSparkTable(options: CaseInsensitiveStringMap)
     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** BUCKET PRUNING — the keyed table's partition pruning: an
+    * id-equality filter (point lookup, IN-list, or MERGE's join
+    * probing specific keys) hashes to its bucket, so the scan plans
+    * ONLY the buckets that can hold the requested keys — 1/buckets of
+    * the fold work for a point read, the difference between "fold one
+    * state-store shard" and "fold the table" at scale. The pruning is
+    * COARSE (a bucket holds other keys too), so every filter is
+    * returned for Spark to re-evaluate post-scan — the source never
+    * claims exact handling it does not do; `pushedFilters` reports the
+    * equalities used for pruning so the plan shows the decision. */
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+      private var pruneIds: Option[Set[Long]] = None
+      private var used: Array[Filter] = Array.empty
+      private def asLong(v: Any): Option[Long] = v match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case l: java.lang.Long => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case _ => None
+      }
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val eqs = filters.flatMap {
+          case f @ EqualTo("id", v) => asLong(v).map(l => (f: Filter, Set(l)))
+          case f @ In("id", vs) =>
+            val ls = vs.flatMap(asLong)
+            if (ls.length == vs.length) Some((f: Filter, ls.toSet)) else None
+          case _ => None
+        }
+        if (eqs.nonEmpty) {
+          pruneIds = Some(eqs.map(_._2).reduce(_ intersect _))
+          used = eqs.map(_._1)
+        }
+        filters // coarse pruning only — Spark re-evaluates everything
+      }
+      override def pushedFilters(): Array[Filter] = used
       override def build(): Scan = {
         asOf.foreach(KvTable.validateAsOf(Paths.get(dir), _))
-        new KvScan(dir, buckets, asOf)
+        new KvScan(dir, buckets, asOf,
+          pruneIds.map(_.map(KvTable.bucketOf(_, buckets))))
       }
     }
 
@@ -723,7 +759,8 @@ final class KvChangelogMicroBatch(dir: String, buckets: Int,
 }
 
 final class KvScan(dir: String, buckets: Int,
-    asOf: Option[Long] = None) extends Scan with Batch {
+    asOf: Option[Long] = None,
+    bucketFilter: Option[Set[Int]] = None) extends Scan with Batch {
   // resolved at plan time on the driver; the tiny definition list ships
   // in the reader-factory closure (schema evolution, ADD COLUMN)
   private val extras = KvTable.visibleExtras(Paths.get(dir), asOf)
@@ -732,10 +769,13 @@ final class KvScan(dir: String, buckets: Int,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv path=$dir buckets=$buckets" +
-      asOf.map(v => s" asOfSeq=$v").getOrElse("")
+      asOf.map(v => s" asOfSeq=$v").getOrElse("") +
+      bucketFilter.map(bs =>
+        s" prunedBuckets=${bs.toSeq.sorted.mkString("[", ",", "]")}").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until buckets).map(b =>
-      KvBucketPartition(dir, b, asOf): InputPartition).toArray
+    (0 until buckets)
+      .filter(b => bucketFilter.forall(_.contains(b)))
+      .map(b => KvBucketPartition(dir, b, asOf): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val extraDefs = extras
     new PartitionReaderFactory {
