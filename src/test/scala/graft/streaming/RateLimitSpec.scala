@@ -115,6 +115,62 @@ class RateLimitSpec extends SparkSpec {
     }
   }
 
+  test("live fixture parity: MemoryStream vs the q218 batch core over events") {
+    // the q218 configuration (3-token burst, 1 token/day) over the real
+    // sf0.001 events fixture, streamed in-order across 7 micro-batches —
+    // per-key admission counts AND the mod-p admitted-time checksum must
+    // equal the registered batch core's (which the DuckDB oracle gates)
+    val d = "/root/testdata/sf0.001"
+    val Day = 24L * 3600L * 1000000L
+    val Mod = 1000000007L
+    val arrivals = graft.Tables.events(spark, d)
+      .select(org.apache.spark.sql.functions.col("user_id").as("key"),
+        org.apache.spark.sql.functions.col("ts"))
+      .as[KeyedArrival].collect().toSeq
+      .sortBy(a => (a.ts.getTime, a.ts.getNanos))
+    val expect = graft.queries.LlmOps.rateLimitStats(
+        graft.Tables.events(spark, d).select(
+          org.apache.spark.sql.functions.col("user_id").as("key"),
+          org.apache.spark.sql.functions.col("ts")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedArrival]
+      val gate = RateLimit.admit(spark, input.toDS(), "0 seconds",
+        capacity = 3L, refillTokens = 1L, refillPeriodUs = Day)
+      val q = gate.writeStream.format("memory")
+        .queryName("rl_fixture").outputMode("append").start()
+      try {
+        arrivals.grouped(math.max(1, arrivals.size / 7)).foreach { s =>
+          input.addData(s); q.processAllAvailable()
+        }
+        val got = spark.table("rl_fixture").as[Admitted].collect()
+          .groupBy(_.key).view.mapValues { as =>
+            val n = as.length.toLong
+            val cksum = as.foldLeft(0L) { (acc, a) =>
+              val us = a.ts.getTime * 1000L + (a.ts.getNanos / 1000L) % 1000L
+              (acc + java.lang.Math.floorMod(us, Mod)) % Mod
+            }
+            (n, cksum)
+          }.toMap
+        assert(got == expect,
+          s"streamed admissions diverge from the oracled batch core on " +
+            s"${got.keySet.union(expect.keySet).count(k => got.get(k) != expect.get(k))} keys")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch twin agrees arrival-for-arrival (counts + admitted-time checksum)") {
     // the q218 core at the spec's (2, 1/hour) configuration via a
     // direct fold replay of the same recurrence
