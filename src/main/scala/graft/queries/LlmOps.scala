@@ -5813,13 +5813,48 @@ object LlmOps {
 
   /** The q210 chain over any (vec_id, embedding) frame — separated so
     * specs can drive it with crafted vector layouts. */
+  // The PQ training/assignment builders — ONE definition shared by the
+  // in-plan-certified q210 audit and the q244 maintained-layout probe,
+  // so the deployment artifact can never drift from the gated arithmetic.
+
+  private def pqQuant(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(KmQScale.toDouble)).cast("long"))
+
+  private def pqSqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, m, sv): quantized 8-dim subvectors of a quantized frame. */
+  private def pqSubvectors(full: DataFrame): DataFrame = full
+    .select(col("vec_id"), explode(transform(sequence(lit(0), lit(PqM - 1)),
+      m => struct(m.as("m"),
+        slice(col("qe"), m * PqSub + 1, lit(PqSub)).as("sv")))).as("s"))
+    .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Codebook: one Lloyd step from the deterministic hash init —
+    * floored integer member means, sign-factored for engine parity. */
+  private def pqCodebook(sv: DataFrame): DataFrame = sv
+    .withColumn("k", pmod(col("vec_id") * 37 + col("m") * 11, lit(PqK)))
+    .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
+    .groupBy("m", "k", "pos")
+    .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+    .withColumn("c",
+      expr("CASE WHEN sx < 0 THEN -((-sx) div cnt) ELSE sx div cnt END"))
+    .groupBy("m", "k")
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+      p => p("c")).as("cv"))
+
+  /** Codes: argmin exact integer squared distance, ties to smallest k. */
+  private def pqCodes(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"),
+        pqSqdist(col("sv"), col("cv")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"))
+
   private[graft] def pqRecallAudit(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * lit(KmQScale.toDouble)).cast("long"))
-    def sqdist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
+    def sqdist(a: Column, b: Column): Column = pqSqdist(a, b)
     val isQuery = pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
       col("vec_id") < lit(RecallQueryMod * RecallMaxQueries)
 
@@ -5828,35 +5863,12 @@ object LlmOps {
     // consumers — codebook build, code assignment, LUT, the exact leg,
     // and the panel spine. Without it the plan re-reads the vector
     // column SEVEN times (ReuseCheck scans=1 pinned in PqAdcSpec).
-    val full = e.select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val full = e.select(col("vec_id"), pqQuant(col("embedding")).as("qe"))
       .localCheckpoint(true)
 
-    // (vec_id, m, sv): quantized 8-dim subvectors
-    val sv = full
-      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(PqM - 1)),
-        m => struct(m.as("m"),
-          slice(col("qe"), m * PqSub + 1, lit(PqSub)).as("sv")))).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-
-    // codebook: one Lloyd step from the deterministic hash init —
-    // floored integer member means, sign-factored for engine parity
-    val cents = sv
-      .withColumn("k", pmod(col("vec_id") * 37 + col("m") * 11, lit(PqK)))
-      .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy("m", "k", "pos")
-      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
-      .withColumn("c",
-        expr("CASE WHEN sx < 0 THEN -((-sx) div cnt) ELSE sx div cnt END"))
-      .groupBy("m", "k")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        p => p("c")).as("cv"))
-
-    // codes: argmin exact integer squared distance, ties to smallest k
-    val codes = sv.join(broadcast(cents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("k"),
-        sqdist(col("sv"), col("cv")).as("dist"))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("code"))
+    val sv = pqSubvectors(full)
+    val cents = pqCodebook(sv)
+    val codes = pqCodes(sv, cents)
 
     // ADC lookup table: query-subvector → centroid exact distances
     val lut = sv.filter(isQuery)
@@ -5902,11 +5914,13 @@ object LlmOps {
       .orderBy(col("n_overlap").desc)
   }
 
-  /** The oracle replays quantization, the hash init, the floored
-    * integer Lloyd step, code argmin, LUT build, ADC scoring, both
-    * top-K rankings, and the spine-kept overlap histogram in SQL. */
-  val q210Oracle: String =
-    s"""WITH qe AS (
+  /** The q210/q244 oracle chain through `lut`: quantization, the hash
+    * init, the floored integer Lloyd step, code argmin, and the ADC
+    * lookup table — shared so the maintained-layout probe's oracle
+    * replays the IDENTICAL training arithmetic the in-plan gate
+    * certifies. */
+  private def pqChainSql: String =
+    s"""qe AS (
        |  SELECT vec_id, pos,
        |    CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
        |  FROM (SELECT vec_id, unnest(embedding) AS x,
@@ -5934,7 +5948,13 @@ object LlmOps {
        |  SELECT q.q_id, s.m, c.k, sum((s.qx - c.c) * (s.qx - c.c)) AS qd
        |  FROM qids q JOIN sv s ON s.vec_id = q.q_id
        |    JOIN cent c ON c.m = s.m AND c.pos = s.pos
-       |  GROUP BY 1, 2, 3),
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The oracle replays quantization, the hash init, the floored
+    * integer Lloyd step, code argmin, LUT build, ADC scoring, both
+    * top-K rankings, and the spine-kept overlap histogram in SQL. */
+  lazy val q210Oracle: String =
+    s"""WITH $pqChainSql,
        |adc AS (
        |  SELECT l.q_id, cd.vec_id, sum(l.qd) AS adc
        |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
@@ -5961,6 +5981,86 @@ object LlmOps {
        |  SELECT q.q_id, CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap
        |  FROM qids q LEFT JOIN ov o ON o.q_id = q.q_id)
        |GROUP BY 1 ORDER BY 1 DESC""".stripMargin
+
+  // --- Maintained PQ layout + ADC probe (q244) -------------------------------
+
+  /** PQ index-layout version tag. */
+  private val PqIdxTag = "v1"
+
+  /** q244: MAINTAINED PQ LAYOUT + ADC PROBE — the deployment shape the
+    * q210 acceptance argument promised (BASELINE round-13: "a
+    * deployment trains offline and publishes the 128-row codebook as a
+    * layout, the q205 protocol"), now real and gated: the codebook and
+    * the PACKED CODE TABLE (one `array<int>` of [[PqM]] 4-bit codes
+    * per vector — the 64× bandwidth cut against raw embeddings)
+    * publish once as a maintained layout through the SAME training
+    * builders the in-plan q210 gate certifies
+    * ([[pqCodebook]]/[[pqCodes]] — invoked, never re-implemented), and
+    * every query is a PROBE: build the |Q|·M·K lookup table against
+    * the broadcast codebook, scan only the code table, rank by exact
+    * integer ADC distance (ties on vec_id). Output carries the raw
+    * integer distances, so the gate hashes exact values cross-engine.
+    *
+    * Scale: the probe reads 8 small ints per corpus vector and nothing
+    * else — no vector bytes, no training pass; the codebook and LUT
+    * broadcast at any corpus size; the per-query top-K windows sit
+    * behind the bounded candidate aggregate.
+    */
+  def q244PqIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    import org.apache.spark.sql.expressions.Window
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    val dir = Layouts.ensureDir(s, s"pqidx_${PqIdxTag}_$tag") { tmp =>
+      val full = embeddings(s, d)
+        .select(col("vec_id"), pqQuant(col("embedding")).as("qe"))
+        .localCheckpoint(true)
+      val sv = pqSubvectors(full)
+      val cents = pqCodebook(sv)
+      cents.write.parquet(s"$tmp/codebook")
+      pqCodes(sv, s.read.parquet(s"$tmp/codebook"))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          p => p("code").cast("int")).as("codes"))
+        .write.parquet(s"$tmp/codes")
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    val isQuery = pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+      col("vec_id") < lit(RecallQueryMod * RecallMaxQueries)
+    val qsv = pqSubvectors(embeddings(s, d).filter(isQuery)
+        .select(col("vec_id"), pqQuant(col("embedding")).as("qe")))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+    val lut = qsv.join(broadcast(s.read.parquet(s"$dir/codebook")), Seq("m"))
+      .select(col("q_id"), col("m"), col("k").as("code"),
+        pqSqdist(col("qsv"), col("cv")).as("qd"))
+    val wK = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    s.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("qd").as("adc"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= IvfIdxTopK)
+      .select("q_id", "vec_id", "adc", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Rebuild-from-scratch over the SHARED [[pqChainSql]] training
+    * chain — the gate passing certifies the published layout equals
+    * retraining (the q211/q238 self-certification pattern, on PQ). */
+  lazy val q244Oracle: String =
+    s"""WITH $pqChainSql,
+       |adc AS (
+       |  SELECT l.q_id, cd.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc
+       |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
+       |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2)
+       |SELECT q_id, vec_id, adc, rank FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
 
   // --- Video frame-shingle near-dup (q204) ---------------------------------
 
