@@ -5652,14 +5652,28 @@ object LlmOps {
     s.read.parquet(s"$dir/lists")
       .select("vec_id", "embedding", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(tmp)
-    // swap: retire every generation, republish the merge as batch_id=0
+    // SWAP, complete-or-absent: the layout root's _SUCCESS comes DOWN
+    // before the first destructive step and goes back up only after the
+    // merge is fully published — a crash anywhere inside the window
+    // leaves the root unmarked, so Layouts.ensureDir treats the layout
+    // as incomplete and REBUILDS instead of probes silently reading an
+    // empty (or half-swapped) lists/ tree. The old generations are also
+    // renamed ASIDE rather than deleted first, so even a reader racing
+    // the swap outside ensureDir fails loudly on a missing path, never
+    // quietly on empty results. Single-maintainer, like every
+    // maintained layout here.
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
-    fs.delete(lists, true)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val lists = p(s"$dir/lists")
+    val retired = p(s"$dir/lists.retired")
+    fs.delete(p(s"$dir/_SUCCESS"), false)
+    fs.delete(retired, true) // debris of a prior crashed swap
+    fs.rename(lists, retired)
     fs.mkdirs(lists)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$dir/lists/batch_id=0"))
+    fs.rename(p(tmp), p(s"$dir/lists/batch_id=0"))
+    fs.delete(retired, true)
+    fs.create(p(s"$dir/_SUCCESS")).close()
   }
 
   /** q238: INCREMENTAL IVF INDEX MAINTENANCE — the round-13 gap closed:
@@ -6062,6 +6076,146 @@ object LlmOps {
        |  FROM adc)
        |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
 
+  // --- IVFADC: cell-pruned ADC over the composed layout (q245) ---------------
+
+  /** IVFADC layout version tag. */
+  private val IvfAdcTag = "v1"
+
+  /** q245: IVFADC — the COMPOSITION the q244 acceptance argument left
+    * open: q244's ADC probe still scans the WHOLE code table per query
+    * batch; a deployment prunes to the probed coarse cells first — the
+    * classic IVFADC shape (Jégou et al.'s inverted file + asymmetric
+    * distance computation), assembled here from the two certified
+    * halves rather than re-implemented: the coarse quantizer is the
+    * q205 cell arithmetic (per-cell integer centroid components,
+    * exact-integer dot ranking, top-[[IvfIdxNProbe]] cells per query)
+    * and the fine quantizer is the q210/q244 PQ chain
+    * ([[pqCodebook]]/[[pqCodes]] — invoked, never re-implemented, so
+    * the layout cannot drift from the gated training arithmetic).
+    *
+    * The published layout has three artifacts: `cents/` (the coarse
+    * centroid table, broadcast-sized forever), `codebook/` (the
+    * [[PqM]]·[[PqK]] = 128-row PQ codebook), and `codes/cell=C/` — the
+    * packed code table PARTITIONED BY COARSE CELL, so a probe's cell
+    * filter becomes DIRECTORY pruning: the scan reads
+    * nprobe/|cells| of the code bytes, and each candidate costs 8
+    * small ints + one broadcast LUT lookup. Probe cost =
+    * probed-cells × 8 ints — the q113 two-stage discipline applied to
+    * vectors, completing the 100 TB ANN story (coarse prune → ADC;
+    * IvfAdcSpec audits recall vs the exact top-K and pins the
+    * partition-pruned plan).
+    *
+    * Exactness: every number in the chain is an exact integer (the
+    * 2^20 quantization, trunc-division centroids, integer squared
+    * distances), so rankings hash bit-identical cross-engine; ties
+    * break on vec_id (rank) and code id (assignment).
+    */
+  def q245IvfAdc(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    import org.apache.spark.sql.expressions.Window
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    val qxl = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val dir = Layouts.ensureDir(s, s"ivfadc_${IvfAdcTag}_$tag") { tmp =>
+      val e = embeddings(s, d)
+      // coarse quantizer: per-cell integer centroid components (the
+      // q205 arithmetic — cell := label, trunc-division means)
+      e.select(col("label").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"), qxl.as("qx"))
+        .groupBy("cell", "pos")
+        .agg(expr("sum(qx) DIV count(1)").as("cq"))
+        .write.parquet(s"$tmp/cents")
+      // fine quantizer: the q210-certified PQ builders
+      val full = e.select(col("vec_id"), col("label").as("cell"),
+        pqQuant(col("embedding")).as("qe")).localCheckpoint(true)
+      val sv = pqSubvectors(full)
+      pqCodebook(sv).write.parquet(s"$tmp/codebook")
+      pqCodes(sv, s.read.parquet(s"$tmp/codebook"))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          p => p("code").cast("int")).as("codes"))
+        .join(full.select("vec_id", "cell"), Seq("vec_id"))
+        .write.partitionBy("cell").parquet(s"$tmp/codes")
+      // multi-subtree layout: stamp the root marker last
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    val isQuery = pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+      col("vec_id") < lit(RecallQueryMod * RecallMaxQueries)
+    val q = embeddings(s, d).filter(isQuery)
+    // coarse probe: rank cells by exact integer dot, keep nprobe
+    val wCell = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("cell").asc)
+    val probed = q
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("q_id"), col("pos"), qxl.as("qx"))
+      .join(broadcast(s.read.parquet(s"$dir/cents")), Seq("pos"))
+      .groupBy("q_id", "cell")
+      .agg(sum(col("qx") * col("cq")).as("dot"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= IvfIdxNProbe)
+      .select("q_id", "cell")
+    // ADC lookup table against the broadcast codebook
+    val qsv = pqSubvectors(q.select(col("vec_id"),
+        pqQuant(col("embedding")).as("qe")))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+    val lut = qsv.join(broadcast(s.read.parquet(s"$dir/codebook")), Seq("m"))
+      .select(col("q_id"), col("m"), col("k").as("code"),
+        pqSqdist(col("qsv"), col("cv")).as("qd"))
+    // probe: scan ONLY the probed cells' code partitions (DPP prunes
+    // the directories off the broadcast probed join), ADC-rank
+    val wK = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    s.read.parquet(s"$dir/codes")
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("qd").as("adc"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= IvfIdxTopK)
+      .select("q_id", "vec_id", "adc", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Rebuild-from-scratch over the SHARED [[pqChainSql]] training chain
+    * PLUS the q205 cell chain: probed cells per query by exact integer
+    * dot, ADC restricted to candidates whose label sits in a probed
+    * cell — the gate passing IS the "cell-pruned ADC == ADC over the
+    * probed cells" proof at every scale factor. */
+  lazy val q245Oracle: String =
+    s"""WITH $pqChainSql,
+       |cellc AS (
+       |  SELECT e.label AS cell, q.pos,
+       |    CAST(trunc(CAST(sum(q.qx) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM qe q JOIN embeddings e ON e.vec_id = q.vec_id
+       |  GROUP BY 1, 2),
+       |cellrank AS (
+       |  SELECT qq.q_id, c.cell,
+       |    row_number() OVER (PARTITION BY qq.q_id
+       |      ORDER BY sum(qq.qx * c.cq) DESC, c.cell) AS cr
+       |  FROM (SELECT qd.q_id, q.pos, q.qx
+       |        FROM qids qd JOIN qe q ON q.vec_id = qd.q_id) qq
+       |    JOIN cellc c ON c.pos = qq.pos
+       |  GROUP BY 1, 2),
+       |probed AS (SELECT q_id, cell FROM cellrank WHERE cr <= $IvfIdxNProbe),
+       |adc AS (
+       |  SELECT p.q_id, cd.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc
+       |  FROM probed p
+       |    JOIN embeddings e ON e.label = p.cell
+       |    JOIN codes cd ON cd.vec_id = e.vec_id
+       |    JOIN lut l ON l.q_id = p.q_id AND l.m = cd.m AND l.k = cd.code
+       |  WHERE cd.vec_id <> p.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, adc, rank FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
+
   // --- Video frame-shingle near-dup (q204) ---------------------------------
 
   /** Characters per stand-in video frame (one pHash thumbnail each). */
@@ -6261,9 +6415,18 @@ object LlmOps {
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"), lit(1).as("__rm"))
     val lg = qualityLogits(docs).select(col("doc_id"), col("logit"))
-    val flags = base
-      .withColumn("keep_exact",
+    // stage-1 exact-dedup keep flag: `min(doc_id) OVER (PARTITION BY h)`
+    // run THROUGH WindowToAggJoin.rewrite (the q197 discipline, here
+    // exercising the rule's min coverage) — at 100 TB the agg+join form
+    // beats WindowExec's corpus-wide sort: the min collapses map-side
+    // per h before the exchange and AQE sizes the join strategy
+    val flaggedExact = {
+      val w = base.withColumn("keep_exact",
         col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+      org.apache.spark.sql.GraftColumnBridge.ofRows(s,
+        graft.rules.WindowToAggJoin.rewrite(w.queryExecution.analyzed))
+    }
+    val flags = flaggedExact
       .join(removed, Seq("doc_id"), "left")
       .join(lg, Seq("doc_id"), "left")
       .withColumn("keep_near", col("__rm").isNull)

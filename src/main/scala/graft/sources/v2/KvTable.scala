@@ -34,12 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     MERGE-ON-READ, the Iceberg-MoR/Hudi/Paimon shape, miniaturized.
   *
   * Layout under the table dir:
-  *   - `bucket=B/log-<seq>-<task>.jsonl` — JSON-lines operation records
-  *     `{"op": "I"|"U"|"D", "id": …, "name": …, "value": …}`, hash-
-  *     bucketed by key so every key's history lives in ONE bucket;
+  *   - `bucket=B/log-<seq>-<fence>-<task>.jsonl` — JSON-lines operation
+  *     records `{"op": "I"|"U"|"D", "id": …, "name": …, "value": …}`,
+  *     hash-bucketed by key so every key's history lives in ONE bucket;
+  *     the writer's FENCING TOKEN is part of the name (see
+  *     [[KvCommitter.withCommitLock]]) so data files, not just markers,
+  *     are fenced;
   *   - `commit-<seq>.json` — the commit marker, written LAST: readers
-  *     apply only log files whose sequence number has a marker, so a
-  *     torn commit is invisible (a mini transaction log on plain files).
+  *     apply only log files whose (sequence, fence) pair a marker
+  *     committed, so a torn commit is invisible AND a zombie writer's
+  *     late file moves (its lease expired, its fence superseded) can
+  *     never surface under another writer's marker at the same
+  *     sequence (a mini transaction log on plain files).
   *
   * State of a bucket = fold of its committed log files in (seq, task)
   * order, LAST WRITE WINS per key, `D` removes. Within one commit the
@@ -67,6 +73,59 @@ object KvTable {
 
   def bucketOf(id: Long, buckets: Int): Int =
     java.lang.Math.floorMod(id, buckets)
+
+  /** Default bucket count for a table that has not persisted one yet. */
+  val DefaultBuckets = 8
+
+  // --- persisted bucket count (TABLE metadata, not a per-call option) --------
+  //
+  // bucketOf is layout-defining: a reader resolving a different count
+  // than the writer would mis-prune point lookups (silently missing
+  // rows) and a writer would scatter keys into buckets readers never
+  // fold together. So the count is persisted in `_buckets` at creation
+  // (catalog) or first commit (path-based), every subsequent open
+  // resolves THROUGH it, and a conflicting explicit option fails
+  // loudly instead of mis-pruning.
+
+  /** The table's recorded bucket count, if any. */
+  private[graft] def persistedBuckets(dir: Path): Option[Int] = {
+    val f = dir.resolve("_buckets")
+    if (!Files.exists(f)) None
+    else Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .trim.toInt)
+  }
+
+  /** Record the bucket count (idempotent); a conflicting existing
+    * record fails loudly — rebucketing is a migration, not an option. */
+  private[v2] def persistBuckets(dir: Path, buckets: Int): Unit =
+    persistedBuckets(dir) match {
+      case Some(b) => require(b == buckets,
+        s"graft-kv: table at $dir is bucketed $b-way; a writer " +
+          s"configured with $buckets buckets would scatter keys into " +
+          "buckets readers never fold — rebucketing requires a rewrite")
+      case None =>
+        Files.createDirectories(dir)
+        val tmp = dir.resolve(s"_buckets.tmp-${System.nanoTime()}")
+        Files.write(tmp, buckets.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, dir.resolve("_buckets"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Resolve the bucket count every reader/writer must use: the
+    * persisted table metadata when present (a conflicting explicit
+    * option is an ERROR, never a silent mis-prune); the requested or
+    * default count only for a table with no metadata yet (fresh dir —
+    * the first commit persists it). */
+  private[v2] def effectiveBuckets(dir: Path, requested: Option[Int]): Int =
+    persistedBuckets(dir) match {
+      case Some(b) =>
+        requested.foreach(r => require(r == b,
+          s"graft-kv: table at $dir is bucketed $b-way; option " +
+            s"buckets=$r conflicts — drop the option (the table " +
+            "metadata is authoritative) or rewrite the table"))
+        b
+      case None => requested.getOrElse(DefaultBuckets)
+    }
 
   val ChangelogSchema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
@@ -220,19 +279,49 @@ object KvTable {
     * `sinceSeq` = the next commit sequence. Metadata-only — no log
     * commit; old records read as NULL for the new column (null
     * backfill), and compaction rewrites survivors under the widened
-    * schema. */
+    * schema. Runs UNDER THE COMMIT LOCK so `sinceSeq` is assigned
+    * against a quiesced log (an in-flight commit cannot race the
+    * visibility floor by one), and the file is replaced via temp +
+    * `ATOMIC_MOVE` so a concurrent scan planner reads either the old
+    * or the new definition list — never a truncated file or a
+    * half-written extras array. */
   private[graft] def addColumn(dir: Path, name: String, dt: DataType): Unit = {
     val tag = ExtraCol.tagOf(dt) // validates the type FIRST
-    val existing = extraColumns(dir)
-    require(!Schema.fieldNames.contains(name) && !existing.exists(_.name == name),
-      s"graft-kv: column '$name' already exists")
-    val since = committedSeqs(dir).lastOption.getOrElse(-1L) + 1L
-    val all = existing :+ ExtraCol(name, tag, since)
-    val json = all.map(c =>
-        s"""{"name": "${esc(c.name)}", "type": "${c.tpe}", "sinceSeq": ${c.sinceSeq}}""")
-      .mkString("""{"extras": [""", ", ", "]}")
-    Files.write(dir.resolve("_schema.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+    KvCommitter.withCommitLock(dir, s"alter-add-$name") { _ =>
+      val existing = extraColumns(dir)
+      require(!Schema.fieldNames.contains(name) && !existing.exists(_.name == name),
+        s"graft-kv: column '$name' already exists")
+      val since = committedSeqs(dir).lastOption.getOrElse(-1L) + 1L
+      val all = existing :+ ExtraCol(name, tag, since)
+      val json = all.map(c =>
+          s"""{"name": "${esc(c.name)}", "type": "${c.tpe}", "sinceSeq": ${c.sinceSeq}}""")
+        .mkString("""{"extras": [""", ", ", "]}")
+      val tmp = dir.resolve(s"_schema.json.tmp-${System.nanoTime()}")
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve("_schema.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Fence token recorded in each committed marker, by sequence (0 for
+    * markers predating the fencing protocol — matching the legacy
+    * two-part log-file names, which parse as fence 0). The map readers
+    * consult to accept ONLY data files the marker's own writer moved. */
+  private[v2] def markerFences(dir: Path): Map[Long, Long] = {
+    val m = new ObjectMapper()
+    committedSeqs(dir).map { seq =>
+      seq -> m.readTree(Files.readAllBytes(dir.resolve(s"commit-$seq.json")))
+        .path("fence").asLong(0L)
+    }.toMap
+  }
+
+  /** Parse a log file name into (seq, fence, task):
+    * `log-<seq>-<fence>-<task>.jsonl`, tolerating the legacy two-part
+    * `log-<seq>-<task>.jsonl` form as fence 0. */
+  private def parseLogName(n: String): (Long, Long, Int) = {
+    val parts = n.stripPrefix("log-").stripSuffix(".jsonl").split("-")
+    if (parts.length >= 3) (parts(0).toLong, parts(1).toLong, parts(2).toInt)
+    else (parts(0).toLong, 0L, parts(1).toInt)
   }
 
   /** Committed sequence numbers under `dir` (ascending). */
@@ -278,11 +367,15 @@ object KvTable {
   }
 
   /** Committed log files of one bucket in apply order (seq, task),
-    * optionally bounded to sequences in `[from, asOf]`. */
+    * optionally bounded to sequences in `[from, asOf]`. FENCE-CHECKED:
+    * a file is applied only when its embedded fence token matches the
+    * committed marker's — a zombie writer's data file landing at a
+    * sequence later committed by a takeover writer is invisible here
+    * (and purged by the next lock acquisition). */
   private[sources] def bucketLogs(dir: Path, bucket: Int,
       asOf: Option[Long] = None, from: Option[Long] = None): Seq[Path] = {
-    val committed = committedSeqs(dir)
-      .filter(s => asOf.forall(s <= _) && from.forall(s >= _)).toSet
+    val fences = markerFences(dir)
+      .filter { case (s, _) => asOf.forall(s <= _) && from.forall(s >= _) }
     val bd = dir.resolve(s"bucket=$bucket")
     if (!Files.isDirectory(bd)) Seq.empty
     else {
@@ -290,12 +383,12 @@ object KvTable {
       try listing.iterator().asScala
         .map(p => p.getFileName.toString -> p)
         .collect { case (n, p) if n.startsWith("log-") && n.endsWith(".jsonl") =>
-          val parts = n.stripPrefix("log-").stripSuffix(".jsonl").split("-")
-          (parts(0).toLong, parts(1).toInt, p)
+          val (seq, fence, task) = parseLogName(n)
+          (seq, fence, task, p)
         }
-        .filter { case (seq, _, _) => committed(seq) }
-        .toSeq.sortBy { case (seq, task, _) => (seq, task) }
-        .map(_._3)
+        .filter { case (seq, fence, _, _) => fences.get(seq).contains(fence) }
+        .toSeq.sortBy { case (seq, _, task, _) => (seq, task) }
+        .map(_._4)
       finally listing.close()
     }
   }
@@ -320,6 +413,7 @@ object KvTable {
       buckets: Int): Unit = KvCommitter.withCommitLock(
       Paths.get(dir), "compact") { token =>
     val root = Paths.get(dir)
+    persistBuckets(root, buckets) // records, or fails loudly on conflict
     val seqs = committedSeqs(root)
     if (seqs.nonEmpty) compactCommitted(s, dir, buckets, seqs.last + 1L, token)
   }
@@ -330,8 +424,15 @@ object KvTable {
     val root = Paths.get(dir)
     val d = dir
     // driver-side: the widened schema rides the task closure, so the
-    // compacted I-records re-assert every evolved column's value
+    // compacted I-records re-assert every evolved column's value.
+    // The fence token rides too: executors write log files DIRECTLY
+    // (no staging move), so the fence-in-filename protocol is what
+    // keeps a zombie compaction's files invisible — if this driver's
+    // lease is taken over mid-job, assertHeld below aborts before the
+    // marker and these files (named with the superseded fence) can
+    // never match a committed marker even at a reused sequence
     val extras = extraColumns(root)
+    val fence = token.fence
     val nKept = s.sparkContext.parallelize(0 until buckets, buckets)
       .map { b =>
         val rootP = Paths.get(d)
@@ -351,7 +452,7 @@ object KvTable {
               sb.append('}').append('\n')
             }
             Files.write(rootP.resolve(s"bucket=$b")
-              .resolve(s"log-$newSeq-0.jsonl"),
+              .resolve(s"log-$newSeq-$fence-0.jsonl"),
               sb.toString.getBytes(StandardCharsets.UTF_8))
           }
           survivors.size.toLong
@@ -501,7 +602,8 @@ final class KvChangelogTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private def dir: String = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("graft-kv requires option 'path'"))
-  private def buckets: Int = options.getInt("buckets", 8)
+  private def buckets: Int = KvTable.effectiveBuckets(Paths.get(dir),
+    Option(options.get("buckets")).map(_.toInt))
   private def asOf: Option[Long] =
     Option(options.get("asOfSeq")).map(_.toLong)
   private def from: Option[Long] =
@@ -603,7 +705,11 @@ final class KvSparkTable(options: CaseInsensitiveStringMap)
     with SupportsRowLevelOperations {
   private[v2] def dir: String = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("graft-kv requires option 'path'"))
-  private[v2] def buckets: Int = options.getInt("buckets", 8)
+  /** Resolved through the persisted table metadata — see
+    * [[KvTable.effectiveBuckets]]; a conflicting explicit option fails
+    * loudly instead of silently mis-pruning point lookups. */
+  private[v2] def buckets: Int = KvTable.effectiveBuckets(Paths.get(dir),
+    Option(options.get("buckets")).map(_.toInt))
   /** TIME TRAVEL: `option("asOfSeq", k)` (or SQL `VERSION AS OF k` via
     * [[KvCatalog.loadTable]]) folds only commits ≤ k — an as-of table
     * is READ-ONLY (writes against history would fork it). */
@@ -761,11 +867,17 @@ final class KvChangelogMicroBatch(dir: String, buckets: Int,
 final class KvScan(dir: String, buckets: Int,
     asOf: Option[Long] = None,
     bucketFilter: Option[Set[Int]] = None) extends Scan with Batch {
-  // resolved at plan time on the driver; the tiny definition list ships
-  // in the reader-factory closure (schema evolution, ADD COLUMN)
+  // resolved ONCE at plan time on the driver; the tiny definition list
+  // ships in the reader-factory closure (schema evolution, ADD COLUMN).
+  // readSchema() derives from the SAME captured list — an ALTER landing
+  // between plan and execution cannot make the reported schema wider
+  // than the rows the reader factory produces
   private val extras = KvTable.visibleExtras(Paths.get(dir), asOf)
-  override def readSchema(): StructType =
-    KvTable.schemaAt(Paths.get(dir), asOf)
+  private val capturedSchema: StructType =
+    extras.foldLeft(KvTable.Schema) { (s, c) =>
+      s.add(StructField(c.name, c.dataType, nullable = true))
+    }
+  override def readSchema(): StructType = capturedSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv path=$dir buckets=$buckets" +
@@ -846,12 +958,20 @@ private[v2] object KvCommitter {
     *     and the `_fence` high-water file, atomically replaces the lock
     *     (temp file + `ATOMIC_MOVE`), and re-reads it to confirm it won
     *     the replacement race;
-    *   - the stale holder is FENCED OFF at the only point that matters:
+    *   - the stale holder is FENCED OFF at two layers. Marker layer:
     *     [[assertHeld]] re-reads the lock immediately before every
     *     commit-marker write and aborts if the bytes are not its own —
     *     so a late commit from a not-actually-dead writer dies BEFORE
-    *     its marker, leaving only uncommitted-seq log files, which are
-    *     garbage by the protocol's own definition and purged below.
+    *     its marker. Data layer: every log file's NAME embeds its
+    *     writer's fence token and readers apply only files whose
+    *     (seq, fence) a committed marker recorded — so even a zombie
+    *     file move landing AFTER the takeover writer's orphan purge,
+    *     at a sequence the usurper later commits, stays invisible
+    *     (and is reclaimed by the next purge). The same property makes
+    *     the takeover's replace race benign: if the expiry check raced
+    *     a just-released-and-retaken lock (TOCTOU) and stomped a live
+    *     writer, that writer aborts loudly at assertHeld and none of
+    *     its files can ever match a committed marker.
     *
     * CRASH HYGIENE: on taking the lock the writer first purges orphan
     * `log-<seq>-*.jsonl` files whose seq exceeds the last committed
@@ -943,10 +1063,16 @@ private[v2] object KvCommitter {
         "be purged by the next writer)")
   }
 
-  /** Delete orphan log files at sequences PAST the last committed
-    * marker — debris of torn or fenced commits; garbage by protocol. */
+  /** Delete orphan log files: sequences PAST the last committed marker
+    * (debris of torn or fenced commits) AND files at a COMMITTED
+    * sequence whose embedded fence token does not match that marker's —
+    * a zombie writer's late move landing after the takeover writer's
+    * purge-and-commit at the same sequence. Readers already ignore both
+    * kinds ([[KvTable.bucketLogs]] fence check); the purge reclaims
+    * them. Garbage by protocol either way. */
   private def purgeUncommitted(root: Path): Unit = {
-    val last = KvTable.committedSeqs(root).lastOption.getOrElse(-1L)
+    val fences = KvTable.markerFences(root)
+    val last = if (fences.isEmpty) -1L else fences.keys.max
     val listing = Files.list(root)
     try listing.iterator().asScala
       .filter(p => Files.isDirectory(p) &&
@@ -956,8 +1082,12 @@ private[v2] object KvCommitter {
         try logs.iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
-            n.startsWith("log-") && n.endsWith(".jsonl") &&
-              n.stripPrefix("log-").split("-")(0).toLong > last
+            n.startsWith("log-") && n.endsWith(".jsonl") && {
+              val parts = n.stripPrefix("log-").stripSuffix(".jsonl").split("-")
+              val seq = parts(0).toLong
+              val fence = if (parts.length >= 3) parts(1).toLong else 0L
+              seq > last || !fences.get(seq).contains(fence)
+            }
           }
           .toSeq.foreach(Files.deleteIfExists(_))
         finally logs.close()
@@ -966,8 +1096,12 @@ private[v2] object KvCommitter {
   }
 
   def commit(dir: String, queryId: String,
-      messages: Array[WriterCommitMessage], truncate: Boolean): Unit =
+      messages: Array[WriterCommitMessage], truncate: Boolean,
+      buckets: Int): Unit =
     withCommitLock(Paths.get(dir), queryId) { token =>
+      // first commit on a fresh dir records the layout's bucket count
+      // as table metadata; a misconfigured later writer dies here
+      KvTable.persistBuckets(Paths.get(dir), buckets)
       commitLocked(dir, queryId, messages, truncate, token)
     }
 
@@ -986,6 +1120,7 @@ private[v2] object KvCommitter {
         .filter(p => p != root && p.getFileName.toString != "_kv" &&
           p.getFileName.toString != "_commit.lock" &&
           p.getFileName.toString != "_fence" &&
+          p.getFileName.toString != "_buckets" &&
           p.getFileName.toString != "_schema.json")
         .foreach(Files.deleteIfExists(_))
       finally walk.close()
@@ -998,7 +1133,7 @@ private[v2] object KvCommitter {
         val bd = root.resolve(s"bucket=$bucket")
         Files.createDirectories(bd)
         Files.move(Paths.get(staged),
-          bd.resolve(s"log-$seq-${c.partitionId}.jsonl"),
+          bd.resolve(s"log-$seq-${token.fence}-${c.partitionId}.jsonl"),
           StandardCopyOption.ATOMIC_MOVE)
       }
     }
@@ -1150,7 +1285,7 @@ final class KvWrite(dir: String, buckets: Int, info: LogicalWriteInfo,
       }
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      KvCommitter.commit(dir, info.queryId(), messages, truncate)
+      KvCommitter.commit(dir, info.queryId(), messages, truncate, buckets)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       KvCommitter.abort(dir, info.queryId())
   }
@@ -1206,7 +1341,8 @@ final class KvDeltaWrite(dir: String, buckets: Int, info: LogicalWriteInfo)
       }
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      KvCommitter.commit(dir, info.queryId(), messages, truncate = false)
+      KvCommitter.commit(dir, info.queryId(), messages, truncate = false,
+        buckets)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       KvCommitter.abort(dir, info.queryId())
   }
@@ -1286,6 +1422,10 @@ class KvCatalog extends TableCatalog {
     val d = dirFor(ident)
     Files.createDirectories(d)
     Files.write(d.resolve("_kv"), Array.emptyByteArray)
+    // the bucket count is TABLE metadata from birth — a catalog (or
+    // path reader) later configured differently fails loudly instead
+    // of mis-pruning point lookups against the wrong bucketOf
+    KvTable.persistBuckets(d, buckets)
     new KvSparkTable(tableOpts(ident))
   }
 

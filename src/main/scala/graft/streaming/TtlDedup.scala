@@ -158,8 +158,16 @@ final class TtlDedupBufferedProcessor(ttlMs: Long)
     if (out.nonEmpty) {
       chainExpiry.update(exp)
       val rest = cs.drop(i)
-      if (rest.isEmpty) pending.clear()
-      else pending.put(rest)
+      if (rest.isEmpty) {
+        pending.clear()
+        // STATE BOUND: the chain drained — schedule the key's LAST
+        // state (chainExpiry) for clearing. The timer fires in a later
+        // batch, whose late-event watermark is ≥ this batch's eviction
+        // watermark ≥ exp, so no arrival below exp can be admitted
+        // from then on and the ValueState is no longer needed; without
+        // this, every key ever seen would retain a row forever
+        getHandle.registerTimer(exp)
+      } else pending.put(rest)
     }
     if (i < cs.length) getHandle.registerTimer(cs(i) + ttlMs)
     out.iterator
@@ -176,8 +184,19 @@ final class TtlDedupBufferedProcessor(ttlMs: Long)
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
-      expired: ExpiredTimerInfo): Iterator[FirstSeen] =
-    finalizeClosed(key, timers.getCurrentWatermarkInMs())
+      expired: ExpiredTimerInfo): Iterator[FirstSeen] = {
+    val out = finalizeClosed(key, timers.getCurrentWatermarkInMs())
+    // state hygiene (mirrors the eager twin's cleanup timer): once the
+    // chain has no pending candidates and this timer has reached the
+    // finalized expiry, the key's ValueState goes — a superseded
+    // timer (chainExpiry advanced past its registration) is ignored,
+    // as is one racing a still-open chain (pending non-empty)
+    if (chainExpiry.exists() &&
+        chainExpiry.get() <= expired.getExpiryTimeInMs() &&
+        !pending.get().hasNext)
+      chainExpiry.clear()
+    out
+  }
 }
 
 object TtlDedup {

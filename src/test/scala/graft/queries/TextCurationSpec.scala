@@ -61,6 +61,17 @@ class TextCurationSpec extends SparkSpec {
     assert(ledger.map(r => r._3 + r._4).sum >= q72.values.sum)
   }
 
+  test("stage-1 rides the WindowToAggJoin rewrite: no whole-partition Window in the plan") {
+    val plan = LlmOps.q237TextCuration(spark, d).queryExecution.optimizedPlan
+    val wholePartition = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.orderSpec.isEmpty => w
+    }
+    assert(wholePartition.isEmpty,
+      s"stage-1 min(doc_id) OVER (PARTITION BY h) must be rewritten to " +
+        s"agg+join; found: $wholePartition")
+  }
+
   test("packing conserves documents and tokens across the funnel") {
     val totTok = ledger.map(_._9).sum
     // recompute survivors' token mass straight from the corpus through

@@ -50,6 +50,23 @@ class WindowToAggJoinSpec extends SparkSpec {
     }
   }
 
+  test("min/max whole-partition windows rewrite with identical values (q237's stage-1 shape)") {
+    // the exact-dedup keep flag: doc_id == min(doc_id) OVER (PARTITION BY h)
+    def flag(df: DataFrame) = df
+      .withColumn("keep", col("id") === min(col("id")).over(Window.partitionBy("k")))
+      .withColumn("hi", max(col("x")).over(Window.partitionBy("k")))
+    val expected = flag(fixture).orderBy("id").collect().toSeq
+    withRule {
+      val df = flag(fixture)
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect { case w: LWindow => w }.isEmpty,
+        s"min/max window survived:\n$plan")
+      assert(plan.collect { case j: Join => j }.nonEmpty)
+      assert(df.orderBy("id").collect().toSeq == expected,
+        "min/max rewrite must be value-identical (NULL key group included)")
+    }
+  }
+
   test("NULL keys form one group, exactly like the window") {
     withRule {
       val got = counts(fixture).filter(col("k").isNull)

@@ -62,4 +62,36 @@ class KvPushdownSpec extends SparkSpec {
       .filter(col("id") === 7L && col("id") === 8L)
     assert(none.collect().isEmpty)
   }
+
+  test("the bucket count is table metadata: a conflicting reader option fails loudly, never mis-prunes") {
+    val r = root
+    (1L to 20L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "value")
+      .write.format("graft-kv")
+      .option("path", s"$r/pb1").option("buckets", 4)
+      .mode("overwrite").save()
+    // the first commit persisted the count — a reader passing a
+    // DIFFERENT count would hash id=7 to another bucket and silently
+    // return zero rows; it must error instead
+    val e = intercept[Exception] {
+      spark.read.format("graft-kv")
+        .option("path", s"$r/pb1").option("buckets", 8)
+        .load().filter(col("id") === 7L).collect()
+    }
+    assert(e.getMessage.contains("bucketed 4-way"), e.getMessage)
+    // a reader with NO option resolves the persisted count and prunes
+    // correctly — the option was never load-bearing, the metadata is
+    val noOpt = spark.read.format("graft-kv")
+      .option("path", s"$r/pb1").load().filter(col("id") === 7L)
+    assert(noOpt.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(partitionsOf(noOpt) == 1,
+      "optionless reader must prune via the persisted metadata")
+    // a mismatched WRITER dies before scattering keys
+    val we = intercept[Exception] {
+      Seq((21L, "x", 1.0)).toDF("id", "name", "value")
+        .write.format("graft-kv")
+        .option("path", s"$r/pb1").option("buckets", 16)
+        .mode("append").save()
+    }
+    assert(we.getMessage.contains("bucketed 4-way"), we.getMessage)
+  }
 }

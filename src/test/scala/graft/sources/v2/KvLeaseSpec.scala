@@ -92,6 +92,34 @@ class KvLeaseSpec extends AnyFunSuite {
       "uncommitted orphans must be purged before the seq is reused")
   }
 
+  test("a zombie data file at a COMMITTED sequence with a stale fence is invisible and purged") {
+    val root = tmp()
+    val b0 = root.resolve("bucket=0")
+    Files.createDirectories(b0)
+    // the takeover writer committed seq 0 under fence 5
+    Files.write(b0.resolve("log-0-5-0.jsonl"),
+      """{"op": "I", "id": 1, "name": "good", "value": 1.0}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("commit-0.json"),
+      """{"seq": 0, "ops": 1, "query": "seed", "fence": 5}"""
+        .getBytes(StandardCharsets.UTF_8))
+    // a zombie writer (fenced at fence 3) moved its file AFTER the
+    // usurper's purge — it lands at the same, now-committed sequence
+    Files.write(b0.resolve("log-0-3-1.jsonl"),
+      """{"op": "D", "id": 1, "name": null, "value": null}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // readers apply only the marker-matching fence
+    val applied = KvTable.bucketLogs(root, 0).map(_.getFileName.toString)
+    assert(applied == Seq("log-0-5-0.jsonl"),
+      s"fence-mismatched file must be invisible, applied: $applied")
+    // and the next lock acquisition reclaims the zombie file
+    KvCommitter.withCommitLock(root, "next-writer") { _ => () }
+    assert(!Files.exists(b0.resolve("log-0-3-1.jsonl")),
+      "fence-mismatched debris must be purged")
+    assert(Files.exists(b0.resolve("log-0-5-0.jsonl")),
+      "the committed fence's file must survive")
+  }
+
   test("fence tokens are monotone across acquisitions (persisted high-water)") {
     val root = tmp()
     val f1 = KvCommitter.withCommitLock(root, "w1") { t => t.fence }
