@@ -173,6 +173,41 @@ object MinHash {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** BATCH-semantics candidate pairs FROM a posting-list layout — the
+    * same algorithm as [[candidatePairs]]' tail (windowed bucket-size
+    * guard, per-bucket self-join, pair dedup, estimator filter), but
+    * starting from already-banded `(band, bucket, id)` rows and an
+    * `(id, sig)` signature table instead of re-banding documents. This
+    * is how a MAINTAINED index serves the slicing-independent pair set:
+    * [[incrementalProbe]] guards buckets by their occupancy AT PROBE
+    * TIME, so a bucket that grows past `maxBucket` across later batches
+    * keeps its early pairs in the cumulative probe output (the eager,
+    * low-latency signal); deriving pairs from the accumulated postings
+    * applies the guard to the FINAL occupancy — exactly what
+    * `candidatePairs` over the ingested union would emit, however the
+    * ingest was sliced (the [[graft.streaming.CurationFunnelStream]]
+    * ledger's edge source, certified by its q237-oracle gate).
+    */
+  def pairsFromPostings(bands: DataFrame, sigs: DataFrame,
+      maxBucket: Int, minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joinable = bands
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bucket_size") > 1 && col("bucket_size") <= maxBucket)
+      .select("band", "bucket", "id")
+    joinable.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(joinable.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
   /** The buckets [[candidatePairs]]' degenerate-cluster guard excluded:
     * (band, bucket, bucket_size) with bucket_size > maxBucket. Same
     * signature/banding arguments → same buckets. At scale this is the

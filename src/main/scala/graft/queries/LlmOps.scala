@@ -6216,6 +6216,50 @@ object LlmOps {
        |  FROM adc)
        |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
 
+  // --- Streaming curation funnel (q246) ---------------------------------------
+
+  /** Curation-stream layout version tag. */
+  private val CurStreamTag = "v1"
+
+  /** q246: STREAMING CURATION FUNNEL — q237's continual-ingest twin
+    * under the batch-replay gate: the corpus is sliced into three
+    * deterministic micro-batches (doc_id mod 3), each batch lands
+    * delta-sized maintained state through
+    * [[graft.streaming.CurationFunnelStream.ingest]] (per-doc pure
+    * facts, the q79 LSH index protocol, the brute-leg gram sets), and
+    * the registered output is the CUMULATIVE LEDGER over the
+    * accumulated state — whose oracle IS q237's oracle, so the gate
+    * passing certifies cross-engine that the streamed funnel equals
+    * the batch funnel on the union, at every scale factor. The
+    * slicing-independence mechanism: ledger-time near-dup edges come
+    * from the accumulated postings under BATCH bucket-guard semantics
+    * ([[graft.functions.MinHash.pairsFromPostings]] — final occupancy,
+    * not probe-time occupancy), and the funnel arithmetic is
+    * [[curationLedger]] invoked, never re-implemented.
+    *
+    * Scale: ingest cost per batch ∝ the batch (probe against the index,
+    * never re-banding the corpus); the ledger materialization is
+    * snapshot-sized — the split a continual-ingest deployment schedules
+    * (cheap admission, periodic ledger). StreamCurationSpec adds the
+    * live-stream run, a second slicing, and byte-identical redelivery.
+    */
+  def q246StreamCuration(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "documents")
+    val root = Layouts.ensureDir(s, s"curstream_${CurStreamTag}_$tag") { tmp =>
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      (0L until 3L).foreach { b =>
+        graft.streaming.CurationFunnelStream.ingest(tmp)(
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), b)
+      }
+      // multi-subtree layout: stamp the root marker last
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    graft.streaming.CurationFunnelStream.ledger(s, root)
+  }
+
   // --- Video frame-shingle near-dup (q204) ---------------------------------
 
   /** Characters per stand-in video frame (one pHash thumbnail each). */
@@ -6410,11 +6454,23 @@ object LlmOps {
     val base = docs.select(col("doc_id"), col("source"), col("lang"),
       VectorExpressions.hornerHash(col("text")).as("h"),
       size(toks(col("text"))).cast("long").as("ntok"))
+    curationLedger(s, base, dedupEdges(s, d),
+      qualityLogits(docs).select(col("doc_id"), col("logit")))
+  }
+
+  /** The funnel arithmetic over ANY doc-fact frame — factored out so
+    * the continual-ingest twin ([[graft.streaming.CurationFunnelStream]],
+    * q246) computes its cumulative ledger through the IDENTICAL code
+    * path the batch q237 gate certifies. `base` = (doc_id, source,
+    * lang, h, ntok); `edges` = near-dup candidate pairs (id_a, id_b);
+    * `logits` = (doc_id, logit). */
+  private[graft] def curationLedger(s: SparkSession, base: DataFrame,
+      edges: DataFrame, logits: DataFrame): DataFrame = {
     val removed = graft.ops.ConnectedComponents
-      .assign(dedupEdges(s, d), "id_a", "id_b")
+      .assign(edges, "id_a", "id_b")
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"), lit(1).as("__rm"))
-    val lg = qualityLogits(docs).select(col("doc_id"), col("logit"))
+    val lg = logits
     // stage-1 exact-dedup keep flag: `min(doc_id) OVER (PARTITION BY h)`
     // run THROUGH WindowToAggJoin.rewrite (the q197 discipline, here
     // exercising the rule's min coverage) — at 100 TB the agg+join form
