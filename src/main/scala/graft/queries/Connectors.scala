@@ -857,4 +857,22 @@ object Connectors {
       |  UNION ALL SELECT 3, (SELECT count(*) FROM surv), TRUE)
       |SELECT CAST(seq AS BIGINT) AS seq, CAST(ops AS BIGINT) AS ops, compaction
       |FROM hist ORDER BY seq""".stripMargin
+
+  /** q247: RESTORE VERSION AS OF — write-side time travel on the kv
+    * table ([[graft.sources.v2.KvTable.restore]], the Delta RESTORE
+    * semantic): after the q214 three waves (seed / merge / update), the
+    * table is RESTORED to version 1 (post-merge, pre-update) by ONE new
+    * commit replaying the difference — per-bucket distributed, history
+    * preserved (the update-wave snapshot stays readable, the restore
+    * shows in DESCRIBE HISTORY as `query = "restore"`), compaction-
+    * aware (a collapsed target fails loudly at validateAsOf). The
+    * registered output is the restored HEAD; its oracle is q221's —
+    * the read-side time travel's own recomposition — so the gate
+    * certifies write-side == read-side time travel cross-engine.
+    */
+  def q247KvRestore(s: SparkSession, d: String): DataFrame = {
+    val path = kvThreeWaves(s, d, "graft_kvrs", "graft_kv_restore")
+    graft.sources.v2.KvTable.restore(s, path, asOfSeq = 1L, buckets = 8)
+    s.table("graft_kvrs.state").select("id", "name", "value").orderBy("id")
+  }
 }

@@ -471,6 +471,75 @@ object KvTable {
     }
   }
 
+  /** RESTORE VERSION AS OF — WRITE-SIDE time travel (the Delta RESTORE
+    * semantic): make the table's HEAD equal a retained historical
+    * snapshot by writing ONE new commit that replays the difference —
+    * `D` records for keys the head holds that the snapshot does not,
+    * and `I` records re-asserting every snapshot survivor (evolved
+    * columns included, as they stood at the target version; columns
+    * ALTERed in after the target read back NULL, exactly as the as-of
+    * scan reports them). History is PRESERVED: every previously
+    * servable version stays readable, the restore is itself a plain
+    * commit (visible in DESCRIBE HISTORY as `query = "restore"`), and
+    * restoring to the current head is a no-op (no empty commit).
+    * Compaction-aware by construction: [[validateAsOf]] rejects a
+    * target the compaction floor has collapsed, loudly, at the start.
+    *
+    * Scale posture: one task per bucket folds that bucket's snapshot
+    * and head and writes the replay records — per-bucket, parallel,
+    * no table-wide shuffle (the [[compact]] discipline); cost is
+    * snapshot + head size, the honest floor for re-asserting a
+    * snapshot on a log-structured table. Single-maintainer, under the
+    * commit lock, fence-named files like every other writer.
+    */
+  def restore(s: org.apache.spark.sql.SparkSession, dir: String,
+      asOfSeq: Long, buckets: Int): Unit = KvCommitter.withCommitLock(
+      Paths.get(dir), "restore") { token =>
+    val root = Paths.get(dir)
+    persistBuckets(root, buckets)
+    validateAsOf(root, asOfSeq)
+    val seqs = committedSeqs(root)
+    if (asOfSeq != seqs.last) {
+      val newSeq = seqs.last + 1L
+      val d = dir
+      val fence = token.fence
+      val extras = extraColumns(root)
+      val nOps = s.sparkContext.parallelize(0 until buckets, buckets)
+        .map { b =>
+          val rootP = Paths.get(d)
+          val snap = foldBucket(rootP, b, Some(asOfSeq), extras)
+          val head = foldBucket(rootP, b, None, extras)
+          val snapIds = snap.map(_._1).toSet
+          val dels = head.map(_._1).filterNot(snapIds)
+          if (snap.isEmpty && dels.isEmpty) 0L
+          else {
+            val sb = new StringBuilder
+            dels.foreach { id =>
+              sb.append(s"""{"op": "D", "id": $id, "name": null, "value": null}""")
+                .append('\n')
+            }
+            snap.foreach { case (id, nm, v, ex) =>
+              val nmJ = nm.map(x => "\"" + esc(x) + "\"").getOrElse("null")
+              val vJ = v.map { x =>
+                if (java.lang.Double.isFinite(x)) x.toString else "null"
+              }.getOrElse("null")
+              sb.append(s"""{"op": "I", "id": $id, "name": $nmJ, "value": $vJ""")
+              KvOpBuffer.renderExt(sb, extras.map(_.name).zip(ex))
+              sb.append('}').append('\n')
+            }
+            Files.write(rootP.resolve(s"bucket=$b")
+              .resolve(s"log-$newSeq-$fence-0.jsonl"),
+              sb.toString.getBytes(StandardCharsets.UTF_8))
+            (snap.size + dels.size).toLong
+          }
+        }.sum().toLong
+      KvCommitter.assertHeld(root, token)
+      Files.write(root.resolve(s"commit-$newSeq.json"),
+        (s"""{"seq": $newSeq, "ops": $nOps, "query": "restore", """ +
+          s""""fence": $fence}""").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   /** Fold one bucket's committed logs: last-wins per key, D removes.
     * Returns survivors ordered by key (deterministic scan output).
     * With `asOf`, folds only commits ≤ that sequence — the TIME-TRAVEL
