@@ -875,4 +875,58 @@ object Connectors {
     graft.sources.v2.KvTable.restore(s, path, asOfSeq = 1L, buckets = 8)
     s.table("graft_kvrs.state").select("id", "name", "value").orderBy("id")
   }
+
+  /** q248: DESCRIBE HISTORY FOR THE PAGED-REST CONNECTOR — the q240
+    * audit surface mirrored onto the GROUP-BASED connector: the
+    * collection dir holds only the current state (atomic
+    * whole-collection replace), so the writer appends one revision
+    * line to a sibling `<pages>.history.jsonl` ledger AFTER each
+    * publish (rev, total, pages, op) and
+    * `option("history", true)` reads it back as a table. The
+    * registered query replays three deterministic publishes on an
+    * isolated collection — an append into the absent collection
+    * (c_custkey % 4), then two atomic replaces (% 2, then % 8) — and
+    * reads the ledger; the oracle derives every revision's total and
+    * dense page count (⌈total / 200⌉ at pageSize 200) from the raw
+    * customer table, so the gate certifies the ledger records exactly
+    * what each publish landed. Metadata-only read, one driver-planned
+    * partition, |revisions| rows.
+    */
+  def q248RestHistory(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = s"$wh/graft_rest_history"
+    // idempotent per run: the ledger is append-only by design, so the
+    // replay starts from an empty collection AND an empty ledger
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def slice(m: Int) = graft.Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(m)) === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("value"))
+    slice(4).write.format("graft-rest")
+      .option("pages", s"$root/state").option("pageSize", 200)
+      .mode("append").save()     // rev 0: append into the absent collection
+    slice(2).write.format("graft-rest")
+      .option("pages", s"$root/state").option("pageSize", 200)
+      .mode("overwrite").save()  // rev 1: atomic replace
+    slice(8).write.format("graft-rest")
+      .option("pages", s"$root/state").option("pageSize", 200)
+      .mode("overwrite").save()  // rev 2: atomic replace
+    s.read.format("graft-rest")
+      .option("pages", s"$root/state").option("history", true).load()
+      .select("rev", "total", "pages", "op").orderBy("rev")
+  }
+
+  val q248Oracle: String =
+    """WITH sizes AS (
+      |  SELECT 0 AS rev, (SELECT count(*) FROM customer WHERE c_custkey % 4 = 0) AS total, 'append' AS op
+      |  UNION ALL
+      |  SELECT 1, (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0), 'overwrite'
+      |  UNION ALL
+      |  SELECT 2, (SELECT count(*) FROM customer WHERE c_custkey % 8 = 0), 'overwrite')
+      |SELECT CAST(rev AS BIGINT) AS rev, CAST(total AS BIGINT) AS total,
+      |  CAST(ceil(total / 200.0) AS BIGINT) AS pages, op
+      |FROM sizes ORDER BY rev""".stripMargin
 }

@@ -71,6 +71,14 @@ object PagedRestV2 {
     StructField("value", DoubleType),
     StructField("page", IntegerType)))
 
+  /** One row per published revision — the `DESCRIBE HISTORY` surface
+    * over the writer's `<pages>.history.jsonl` ledger. */
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("rev", LongType, nullable = false),
+    StructField("total", LongType, nullable = false),
+    StructField("pages", LongType, nullable = false),
+    StructField("op", StringType, nullable = false)))
+
   /** Driver-side planning probe: a standalone `meta.json` (what the
     * writer publishes) or, failing that, page 0's inline envelope (the
     * classic first-page probe of a live API). */
@@ -91,11 +99,76 @@ object PagedRestV2 {
 class PagedRestTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-rest"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PagedRestV2.Schema
+    if (options.getBoolean("history", false)) PagedRestV2.HistorySchema
+    else PagedRestV2.Schema
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new PagedRestTable(new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.getBoolean("history", false)) new PagedRestHistoryTable(opts)
+    else new PagedRestTable(opts)
+  }
+}
+
+/** `DESCRIBE HISTORY` for a paged-REST collection —
+  * `spark.read.format("graft-rest").option("history", true)`: one row
+  * per published REVISION from the `<pages>.history.jsonl` ledger the
+  * writer appends AFTER each atomic publish (rev, total, pages, op).
+  * The collection dir holds only the CURRENT state (group-based
+  * replace); the sibling ledger is how an operator answers "what did
+  * each publish land, and was it an append or a replace?" — the q240
+  * surface mirrored onto the second connector. Metadata-only,
+  * |revisions|-sized, one driver-planned partition.
+  */
+final class PagedRestHistoryTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private def dir: String = Option(options.get("pages")).getOrElse(
+    throw new IllegalArgumentException("graft-rest requires option 'pages'"))
+  override def name(): String = s"graft-rest-history($dir)"
+  override def schema(): StructType = PagedRestV2.HistorySchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new PagedRestHistoryScan(dir)
+    }
+}
+
+final case class PagedRestHistoryPartition(dir: String) extends InputPartition
+
+final class PagedRestHistoryScan(dir: String) extends Scan with Batch {
+  override def readSchema(): StructType = PagedRestV2.HistorySchema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-rest-history pages=$dir"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagedRestHistoryPartition(dir))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val d = p.asInstanceOf[PagedRestHistoryPartition].dir
+        val hist = java.nio.file.Paths.get(s"$d.history.jsonl")
+        val m = new ObjectMapper()
+        val rows: Iterator[InternalRow] =
+          if (!java.nio.file.Files.exists(hist)) Iterator.empty
+          else java.nio.file.Files
+            .readAllLines(hist, java.nio.charset.StandardCharsets.UTF_8)
+            .asScala.iterator.filter(_.nonEmpty).map { line =>
+              val n = m.readTree(line)
+              new GenericInternalRow(Array[Any](
+                n.path("rev").asLong(), n.path("total").asLong(),
+                n.path("pages").asLong(),
+                UTF8String.fromString(n.path("op").asText())))
+            }
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!rows.hasNext) false
+            else { cur = rows.next(); true }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 final class PagedRestTable(options: CaseInsensitiveStringMap)

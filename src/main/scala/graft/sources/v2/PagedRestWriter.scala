@@ -149,6 +149,26 @@ final class PagedRestBatchWrite(
     Files.move(committing, target, StandardCopyOption.ATOMIC_MOVE)
     deleteTree(retired)
     deleteTree(staging)
+    // REVISION LEDGER (`DESCRIBE HISTORY` for the group-based
+    // connector, mirroring graft-kv's q240 surface): one JSONL line per
+    // published revision, appended AFTER the publish succeeded. The
+    // ledger lives BESIDE the collection (`<pages>.history.jsonl`) so
+    // the atomic whole-collection replace cannot erase it — the
+    // collection is the STATE, the ledger is the history of states.
+    // Deterministic fields only (rev/total/pages/op); the query id is
+    // a session artifact and stays out (the q240 discipline).
+    val hist = Paths.get(s"$pagesDir.history.jsonl")
+    val rev =
+      if (Files.exists(hist))
+        Files.readAllLines(hist, StandardCharsets.UTF_8).asScala
+          .count(_.nonEmpty)
+      else 0
+    val op = if (truncate) "overwrite" else "append"
+    Files.write(hist,
+      (s"""{"rev": $rev, "total": $total, "pages": $page, "op": "$op"}""" +
+        "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

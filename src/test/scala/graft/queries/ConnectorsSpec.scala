@@ -90,4 +90,21 @@ class ConnectorsSpec extends SparkSpec {
       .collect().toSeq
     assert(got == want)
   }
+
+  test("the rest revision ledger records MERGE publishes and survives replaces") {
+    Connectors.q213SqlMerge(spark, sf).collect() // seed overwrite + MERGE
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val hist = spark.read.format("graft-rest")
+      .option("pages", s"$wh/graft_rest_merge/state")
+      .option("history", true).load()
+      .select("rev", "total").orderBy("rev").collect()
+    assert(hist.length >= 2,
+      s"ledger must carry the seed publish AND the MERGE's replace: ${hist.toSeq}")
+    // revisions are dense from 0 and the LAST total matches the table
+    assert(hist.map(_.getLong(0)).toSeq == hist.indices.map(_.toLong))
+    val now = spark.table("graft_mrg.state").count()
+    assert(hist.last.getLong(1) == now,
+      "the latest revision's total must equal the current collection")
+  }
 }
