@@ -871,9 +871,13 @@ object Connectors {
     * certifies write-side == read-side time travel cross-engine.
     */
   def q247KvRestore(s: SparkSession, d: String): DataFrame = {
-    val path = kvThreeWaves(s, d, "graft_kvrs", "graft_kv_restore")
+    // catalog name must be UNIQUE across registered queries: Spark
+    // caches catalog instances by name, so a reused name would pin the
+    // first query's root for the whole session (hit live with q231's
+    // graft_kvrs in the round-15 full gate)
+    val path = kvThreeWaves(s, d, "graft_kvrst", "graft_kv_restore")
     graft.sources.v2.KvTable.restore(s, path, asOfSeq = 1L, buckets = 8)
-    s.table("graft_kvrs.state").select("id", "name", "value").orderBy("id")
+    s.table("graft_kvrst.state").select("id", "name", "value").orderBy("id")
   }
 
   /** q248: DESCRIBE HISTORY FOR THE PAGED-REST CONNECTOR — the q240

@@ -56,12 +56,15 @@ class PagedRestWriterSpec extends SparkSpec {
     assert(sizes.init.forall(_ == 5) && sizes.last == 3,
       s"pages must be dense, got $sizes")
     assert(!Files.exists(Paths.get(s"$dir/page-5.json")))
-    // no staging/committing residue next to the collection
+    // no staging/committing residue next to the collection — only the
+    // collection itself and its revision ledger (the q248 DESCRIBE
+    // HISTORY surface, a designed sibling artifact, not residue)
     val parent = Paths.get(dir).getParent
     val residue = Files.list(parent).iterator()
     val names = new scala.collection.mutable.ArrayBuffer[String]
     while (residue.hasNext) names += residue.next().getFileName.toString
-    assert(names.toSeq == Seq("collection"), s"residue: $names")
+    assert(names.toSeq.sorted ==
+      Seq("collection", "collection.history.jsonl"), s"residue: $names")
   }
 
   test("append into a non-empty collection is refused; overwrite replaces") {
