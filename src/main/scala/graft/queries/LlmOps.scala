@@ -6111,6 +6111,23 @@ object LlmOps {
     * break on vec_id (rank) and code id (assignment).
     */
   def q245IvfAdc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adc = ivfAdcScores(s, d)
+    val wK = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    adc
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= IvfIdxTopK)
+      .select("q_id", "vec_id", "adc", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The shared IVFADC probe: publish (or reuse) the composed layout,
+    * rank cells, build the LUT, scan ONLY the probed cells' code
+    * partitions, and return every candidate's integer ADC score
+    * (q_id, vec_id, adc) — q245 ranks it directly; q249 cuts a
+    * candidate set from it and reranks exactly. */
+  private def ivfAdcScores(s: SparkSession, d: String): DataFrame = {
     import graft.sources.Layouts
     import org.apache.spark.sql.expressions.Window
     val tag = Layouts.srcTag(s, d, "embeddings")
@@ -6164,9 +6181,7 @@ object LlmOps {
       .select(col("q_id"), col("m"), col("k").as("code"),
         pqSqdist(col("qsv"), col("cv")).as("qd"))
     // probe: scan ONLY the probed cells' code partitions (DPP prunes
-    // the directories off the broadcast probed join), ADC-rank
-    val wK = Window.partitionBy("q_id")
-      .orderBy(col("adc").asc, col("vec_id").asc)
+    // the directories off the broadcast probed join), score by ADC
     s.read.parquet(s"$dir/codes")
       .join(broadcast(probed), Seq("cell"))
       .select(col("q_id"), col("vec_id"),
@@ -6174,19 +6189,14 @@ object LlmOps {
       .join(broadcast(lut), Seq("q_id", "m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id").agg(sum("qd").as("adc"))
-      .withColumn("rank", row_number().over(wK).cast("long"))
-      .filter(col("rank") <= IvfIdxTopK)
-      .select("q_id", "vec_id", "adc", "rank")
-      .orderBy("q_id", "rank")
   }
 
-  /** Rebuild-from-scratch over the SHARED [[pqChainSql]] training chain
-    * PLUS the q205 cell chain: probed cells per query by exact integer
-    * dot, ADC restricted to candidates whose label sits in a probed
-    * cell — the gate passing IS the "cell-pruned ADC == ADC over the
-    * probed cells" proof at every scale factor. */
-  lazy val q245Oracle: String =
-    s"""WITH $pqChainSql,
+  /** The SHARED q245/q249 oracle chain: [[pqChainSql]]'s training CTEs
+    * plus the q205 coarse-cell chain plus the cell-pruned ADC score —
+    * probed cells per query by exact integer dot, ADC restricted to
+    * candidates whose label sits in a probed cell. */
+  private def ivfAdcChainSql: String =
+    s"""$pqChainSql,
        |cellc AS (
        |  SELECT e.label AS cell, q.pos,
        |    CAST(trunc(CAST(sum(q.qx) AS DOUBLE) / count(*)) AS BIGINT) AS cq
@@ -6208,12 +6218,87 @@ object LlmOps {
        |    JOIN codes cd ON cd.vec_id = e.vec_id
        |    JOIN lut l ON l.q_id = p.q_id AND l.m = cd.m AND l.k = cd.code
        |  WHERE cd.vec_id <> p.q_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Rebuild-from-scratch over the SHARED [[pqChainSql]] training chain
+    * PLUS the q205 cell chain: the gate passing IS the "cell-pruned
+    * ADC == ADC over the probed cells" proof at every scale factor. */
+  lazy val q245Oracle: String =
+    s"""WITH $ivfAdcChainSql
        |SELECT q_id, vec_id, adc, rank FROM (
        |  SELECT q_id, vec_id, adc,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY adc, vec_id) AS BIGINT) AS rank
        |  FROM adc)
+       |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
+
+  /** ADC candidates carried into the exact rerank (per query). */
+  private val IvfAdcRerankC = 20L
+
+  /** q249: IVFADC + EXACT RERANK — the third stage that completes the
+    * deployment pipeline (coarse prune → ADC → exact rerank, the q113
+    * verify-stage discipline applied to vectors): the cell-pruned ADC
+    * scores ([[ivfAdcScores]], shared with q245) cut a per-query
+    * candidate set of [[IvfAdcRerankC]] (ADC-asc, vec_id tie-break),
+    * and ONLY those |Q|·C candidates are re-scored against their FULL
+    * quantized vectors — exact integer squared distance, top-
+    * [[IvfIdxTopK]]. ADC's quantization error decides only which C
+    * candidates enter; the final ranking is exact over them — the
+    * standard recall/precision split of every production ANN stack.
+    *
+    * Scale: the rerank touches |Q|·C vectors (both the candidate list
+    * and the query panel ride broadcasts into one corpus-scan join) —
+    * candidate-bounded exact work on top of the 8-int-per-vector probe,
+    * never a second full exact pass.
+    */
+  def q249IvfAdcRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wC = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = ivfAdcScores(s, d)
+      .withColumn("cr", row_number().over(wC))
+      .filter(col("cr") <= IvfAdcRerankC)
+      .select("q_id", "vec_id")
+    val full = embeddings(s, d)
+      .select(col("vec_id"), pqQuant(col("embedding")).as("qe"))
+    val isQuery = pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+      col("vec_id") < lit(RecallQueryMod * RecallMaxQueries)
+    val panel = full.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val wK = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    full.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(panel), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pqSqdist(col("qe"), col("qq")).as("dist"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= IvfIdxTopK)
+      .select("q_id", "vec_id", "dist", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The shared IVFADC chain, candidate cut, then exact re-scoring
+    * from the quantized components — certifying the full three-stage
+    * pipeline cross-engine. */
+  lazy val q249Oracle: String =
+    s"""WITH $ivfAdcChainSql,
+       |cand AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc, vec_id) AS cr
+       |    FROM adc) WHERE cr <= $IvfAdcRerankC),
+       |ex AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    CAST(sum((s.qx - t.qx) * (s.qx - t.qx)) AS BIGINT) AS dist
+       |  FROM cand c
+       |    JOIN qe s ON s.vec_id = c.vec_id
+       |    JOIN qe t ON t.vec_id = c.q_id AND t.pos = s.pos
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, CAST(dist AS BIGINT) AS dist, rank FROM (
+       |  SELECT q_id, vec_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dist, vec_id) AS BIGINT) AS rank
+       |  FROM ex)
        |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
 
   // --- Streaming curation funnel (q246) ---------------------------------------

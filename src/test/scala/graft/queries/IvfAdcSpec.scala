@@ -95,7 +95,16 @@ class IvfAdcSpec extends SparkSpec {
       }
       overlaps.sum.toDouble / overlaps.length
     }
+    // the q249 third stage: exact rerank over the ADC candidate cut.
+    // Any exact-top-K member that survives the candidate cut is
+    // guaranteed into the reranked top-K (its exact distance ranks
+    // ≤ K inside ANY subset), so rerank recall ≥ raw-ADC recall —
+    // asserted measured, not just argued
+    val reranked = topSets(LlmOps.q249IvfAdcRerank(spark, sf).collect())
     val (mCell, mFull) = (meanOverlap(ivfadc), meanOverlap(fullAdc))
+    val mRerank = meanOverlap(reranked)
+    assert(mRerank >= mCell,
+      s"exact rerank ($mRerank) must never lose recall vs raw ADC ($mCell)")
     // cell pruning sacrifices only candidates outside the probed cells;
     // on clustered data (labels ARE the clusters) the loss must be
     // small — the composition is graded RELATIVE to full-scan ADC
