@@ -6112,7 +6112,7 @@ object LlmOps {
     */
   def q245IvfAdc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val adc = ivfAdcScores(s, d)
+    val adc = ivfAdcScores(s, d, ivfAdcQueryPanel(s, d))
     val wK = Window.partitionBy("q_id")
       .orderBy(col("adc").asc, col("vec_id").asc)
     adc
@@ -6122,12 +6122,26 @@ object LlmOps {
       .orderBy("q_id", "rank")
   }
 
+  /** The doubly-bounded query panel, materialized ONCE (eager
+    * localCheckpoint — panel-sized, ≤ [[RecallMaxQueries]] rows): the
+    * coarse-cell ranking, the LUT subvectors, and q249's exact-rerank
+    * query side all read this frame instead of re-scanning the raw
+    * vector table (ReuseCheck: one corpus scan feeds every panel
+    * consumer). */
+  private def ivfAdcQueryPanel(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
+        col("vec_id") < lit(RecallQueryMod * RecallMaxQueries))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .localCheckpoint(true)
+
   /** The shared IVFADC probe: publish (or reuse) the composed layout,
     * rank cells, build the LUT, scan ONLY the probed cells' code
     * partitions, and return every candidate's integer ADC score
     * (q_id, vec_id, adc) — q245 ranks it directly; q249 cuts a
     * candidate set from it and reranks exactly. */
-  private def ivfAdcScores(s: SparkSession, d: String): DataFrame = {
+  private def ivfAdcScores(s: SparkSession, d: String,
+      panel: DataFrame): DataFrame = {
     import graft.sources.Layouts
     import org.apache.spark.sql.expressions.Window
     val tag = Layouts.srcTag(s, d, "embeddings")
@@ -6157,14 +6171,11 @@ object LlmOps {
       val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
     }
-    val isQuery = pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
-      col("vec_id") < lit(RecallQueryMod * RecallMaxQueries)
-    val q = embeddings(s, d).filter(isQuery)
     // coarse probe: rank cells by exact integer dot, keep nprobe
     val wCell = Window.partitionBy("q_id")
       .orderBy(col("dot").desc, col("cell").asc)
-    val probed = q
-      .select(col("vec_id").as("q_id"),
+    val probed = panel
+      .select(col("q_id"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("q_id"), col("pos"), qxl.as("qx"))
       .join(broadcast(s.read.parquet(s"$dir/cents")), Seq("pos"))
@@ -6174,7 +6185,7 @@ object LlmOps {
       .filter(col("cr") <= IvfIdxNProbe)
       .select("q_id", "cell")
     // ADC lookup table against the broadcast codebook
-    val qsv = pqSubvectors(q.select(col("vec_id"),
+    val qsv = pqSubvectors(panel.select(col("q_id").as("vec_id"),
         pqQuant(col("embedding")).as("qe")))
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
     val lut = qsv.join(broadcast(s.read.parquet(s"$dir/codebook")), Seq("m"))
@@ -6253,18 +6264,18 @@ object LlmOps {
     */
   def q249IvfAdcRerank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val qPanel = ivfAdcQueryPanel(s, d)
     val wC = Window.partitionBy("q_id")
       .orderBy(col("adc").asc, col("vec_id").asc)
-    val cand = ivfAdcScores(s, d)
+    val cand = ivfAdcScores(s, d, qPanel)
       .withColumn("cr", row_number().over(wC))
       .filter(col("cr") <= IvfAdcRerankC)
       .select("q_id", "vec_id")
     val full = embeddings(s, d)
       .select(col("vec_id"), pqQuant(col("embedding")).as("qe"))
-    val isQuery = pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
-      col("vec_id") < lit(RecallQueryMod * RecallMaxQueries)
-    val panel = full.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    // query side derives from the CHECKPOINTED panel — no extra scan
+    val panel = qPanel
+      .select(col("q_id"), pqQuant(col("embedding")).as("qq"))
     val wK = Window.partitionBy("q_id")
       .orderBy(col("dist").asc, col("vec_id").asc)
     full.join(broadcast(cand), Seq("vec_id"))

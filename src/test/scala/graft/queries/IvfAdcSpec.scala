@@ -32,6 +32,22 @@ class IvfAdcSpec extends SparkSpec {
       s"codes scan should be DPP-pruned: ${scans.map(_.partitionFilters)}")
   }
 
+  test("scan budget: the probe reads only the three layout artifacts; rerank adds ONE corpus scan") {
+    // the query panel is checkpointed once, so the adaptive plan's
+    // parquet scans are exactly cents + codebook + codes for q245, and
+    // those three + the single full-vector rerank scan for q249 —
+    // a regression here means a panel or corpus re-scan crept back in
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).length
+    }
+    assert(scans(LlmOps.q245IvfAdc(spark, sf)) == 3,
+      "q245 must read exactly cents + codebook + codes")
+    assert(scans(LlmOps.q249IvfAdcRerank(spark, sf)) == 4,
+      "q249 must add exactly one full-vector scan for the rerank")
+  }
+
   test("every returned candidate lives in a probed cell (independent coarse-probe re-derivation)") {
     // re-derive the coarse probe driver-side from raw embeddings: 2^20
     // quantization, per-label trunc-division centroid components,
