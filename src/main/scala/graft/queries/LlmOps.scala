@@ -6143,9 +6143,8 @@ object LlmOps {
   private def ivfAdcScores(s: SparkSession, d: String,
       panel: DataFrame): DataFrame = {
     import graft.sources.Layouts
-    import org.apache.spark.sql.expressions.Window
-    val tag = Layouts.srcTag(s, d, "embeddings")
     val qxl = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val tag = Layouts.srcTag(s, d, "embeddings")
     val dir = Layouts.ensureDir(s, s"ivfadc_${IvfAdcTag}_$tag") { tmp =>
       val e = embeddings(s, d)
       // coarse quantizer: per-cell integer centroid components (the
@@ -6171,6 +6170,18 @@ object LlmOps {
       val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
     }
+    ivfAdcProbe(s, dir, panel)
+  }
+
+  /** The probe body over ANY published IVFADC layout dir (`cents/` +
+    * `codebook/` + `codes/…cell=C`) — shared by the build-once layout
+    * (q245/q249) and the incremental generations layout (q250, whose
+    * `codes/` is additionally batch_id-partitioned; the union read is
+    * the same partition-pruned scan either way). */
+  private def ivfAdcProbe(s: SparkSession, dir: String,
+      panel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qxl = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
     // coarse probe: rank cells by exact integer dot, keep nprobe
     val wCell = Window.partitionBy("q_id")
       .orderBy(col("dot").desc, col("cell").asc)
@@ -6201,6 +6212,188 @@ object LlmOps {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id").agg(sum("qd").as("adc"))
   }
+
+  // --- Incremental IVFADC maintenance (q250) ---------------------------------
+
+  /** Incremental-IVFADC layout version tag. */
+  private val IvfAdcIncTag = "v1"
+
+  /** Append ONE delta snapshot to an incremental IVFADC layout: each
+    * new vector is (1) assigned to the nearest FROZEN coarse centroid
+    * (argmax exact-integer dot, cell-asc tie — the q238 discipline) and
+    * (2) PQ-encoded against the FROZEN codebook ([[pqCodes]], invoked),
+    * then written as its own `codes/batch_id=N/cell=C` partitions in
+    * overwrite mode — delta-sized work (|delta|·cells integer dots +
+    * |delta|·M·K code argmins), never a corpus pass, and a
+    * crashed-and-replayed append rewrites its own files (replay
+    * idempotence, the q211/q238 contract verbatim). */
+  private[graft] def ivfAdcAppendDelta(s: SparkSession, delta: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val qxl = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val cents = s.read.parquet(s"$dir/cents")
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("dot").desc, col("cell").asc)
+    val assigned = delta
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), qxl.as("qx"))
+      .join(broadcast(cents), Seq("pos"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("qx") * col("cq")).as("dot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val dfull = delta.select(col("vec_id"), pqQuant(col("embedding")).as("qe"))
+    pqCodes(pqSubvectors(dfull), s.read.parquet(s"$dir/codebook"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        p => p("code").cast("int")).as("codes"))
+      .join(assigned, Seq("vec_id"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/codes/batch_id=$batchId")
+  }
+
+  /** q250: INCREMENTAL IVFADC MAINTENANCE — the batch_id protocol
+    * (q79 MinHash, q211 BM25, q238 IVF) applied to the COMPOSED q245
+    * layout, so a live vector corpus absorbs snapshots without
+    * retraining either quantizer: coarse centroids AND the PQ codebook
+    * freeze at the base build (trained on the base slice — drift is
+    * remeasured by recall audits, re-centering is a rebuild, the q238
+    * posture extended to the fine quantizer, which is exactly how
+    * production PQ deployments behave); an ingest assigns ONLY its new
+    * vectors (argmax dot vs frozen centroids) and encodes them against
+    * the frozen codebook, writing one delta-sized generation; probes
+    * union batch generations through the SAME cell-pruned 8-int scan
+    * ([[ivfAdcProbe]], shared code — stream and build-once semantics
+    * cannot drift). The oracle recomposes the full protocol from the
+    * raw table (base-trained centroids and codebook with the base-id
+    * hash init, argmax delta cell assignment, all-vector code argmin,
+    * probed-cell ADC), so the gate passing IS the incremental ==
+    * from-scratch proof at every scale factor.
+    *
+    * Scale: ingest cost grows with the delta, never the corpus; the
+    * two frozen quantizer tables are broadcast-sized forever; a probe
+    * touches nprobe/|cells| of every generation's code bytes under DPP
+    * — the 100 TB continual-ingest ANN story, complete.
+    */
+  def q250IvfAdcIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    import org.apache.spark.sql.expressions.Window
+    val qxl = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    val dir = Layouts.ensureDir(s, s"ivfadcinc_${IvfAdcIncTag}_$tag") { tmp =>
+      val e = embeddings(s, d)
+      val base = e.filter(pmod(col("vec_id"), lit(IvfIncMod)) =!= 0)
+      // FROZEN coarse centroids: per-cell integer means of the BASE
+      base.select(col("label").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"), qxl.as("qx"))
+        .groupBy("cell", "pos")
+        .agg(expr("sum(qx) DIV count(1)").as("cq"))
+        .write.parquet(s"$tmp/cents")
+      // FROZEN PQ codebook: trained on the BASE slice only
+      val bfull = base.select(col("vec_id"), col("label").as("cell"),
+        pqQuant(col("embedding")).as("qe")).localCheckpoint(true)
+      val bsv = pqSubvectors(bfull)
+      pqCodebook(bsv).write.parquet(s"$tmp/codebook")
+      // base generation of the code table
+      pqCodes(bsv, s.read.parquet(s"$tmp/codebook"))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          p => p("code").cast("int")).as("codes"))
+        .join(bfull.select("vec_id", "cell"), Seq("vec_id"))
+        .write.partitionBy("cell").parquet(s"$tmp/codes/batch_id=0")
+      // one delta snapshot lands incrementally
+      ivfAdcAppendDelta(s,
+        e.filter(pmod(col("vec_id"), lit(IvfIncMod)) === 0), tmp, 1L)
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    val adc = ivfAdcProbe(s, dir, ivfAdcQueryPanel(s, d))
+    val wK = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    adc
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= IvfIdxTopK)
+      .select("q_id", "vec_id", "adc", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Recompose the ENTIRE incremental protocol from the raw table:
+    * base-trained quantizers (the codebook's hash init runs over base
+    * ids only), argmax-dot delta cell assignment, all-vector code
+    * argmin against the frozen codebook, probed-cell ADC top-K. */
+  lazy val q250Oracle: String =
+    s"""WITH qe AS (
+       |  SELECT vec_id, pos,
+       |    CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS pos
+       |        FROM embeddings)),
+       |sv AS (SELECT vec_id, (pos - 1) // $PqSub AS m, pos, qx FROM qe),
+       |centb AS (
+       |  SELECT m, (s.vec_id * 37 + m * 11) % $PqK AS k, pos,
+       |    CASE WHEN sum(qx) < 0 THEN -((-sum(qx)) // count(*))
+       |         ELSE sum(qx) // count(*) END AS c
+       |  FROM sv s WHERE s.vec_id % $IvfIncMod <> 0 GROUP BY 1, 2, 3),
+       |vd AS (
+       |  SELECT s.vec_id, s.m, c.k, sum((s.qx - c.c) * (s.qx - c.c)) AS dist
+       |  FROM sv s JOIN centb c ON s.m = c.m AND s.pos = c.pos
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |    FROM vd) WHERE rn = 1),
+       |qids AS (SELECT vec_id AS q_id FROM embeddings
+       |         WHERE vec_id % $RecallQueryMod = 0
+       |           AND vec_id < ${RecallQueryMod * RecallMaxQueries}),
+       |lut AS (
+       |  SELECT q.q_id, s.m, c.k, sum((s.qx - c.c) * (s.qx - c.c)) AS qd
+       |  FROM qids q JOIN sv s ON s.vec_id = q.q_id
+       |    JOIN centb c ON c.m = s.m AND c.pos = s.pos
+       |  GROUP BY 1, 2, 3),
+       |cellcb AS (
+       |  SELECT e.label AS cell, q.pos,
+       |    CAST(trunc(CAST(sum(q.qx) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM qe q JOIN embeddings e ON e.vec_id = q.vec_id
+       |  WHERE e.vec_id % $IvfIncMod <> 0
+       |  GROUP BY 1, 2),
+       |assignd AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY sum(q.qx * c.cq) DESC, c.cell) AS rn
+       |    FROM qe q JOIN cellcb c ON c.pos = q.pos
+       |    WHERE q.vec_id % $IvfIncMod = 0
+       |    GROUP BY 1, 2) WHERE rn = 1),
+       |cellof AS (
+       |  SELECT vec_id, label AS cell FROM embeddings
+       |  WHERE vec_id % $IvfIncMod <> 0
+       |  UNION ALL SELECT vec_id, cell FROM assignd),
+       |cellrank AS (
+       |  SELECT qq.q_id, c.cell,
+       |    row_number() OVER (PARTITION BY qq.q_id
+       |      ORDER BY sum(qq.qx * c.cq) DESC, c.cell) AS cr
+       |  FROM (SELECT qd.q_id, q.pos, q.qx
+       |        FROM qids qd JOIN qe q ON q.vec_id = qd.q_id) qq
+       |    JOIN cellcb c ON c.pos = qq.pos
+       |  GROUP BY 1, 2),
+       |probed AS (SELECT q_id, cell FROM cellrank WHERE cr <= $IvfIdxNProbe),
+       |adc AS (
+       |  SELECT p.q_id, cd.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc
+       |  FROM probed p
+       |    JOIN cellof cf ON cf.cell = p.cell
+       |    JOIN codes cd ON cd.vec_id = cf.vec_id
+       |    JOIN lut l ON l.q_id = p.q_id AND l.m = cd.m AND l.k = cd.code
+       |  WHERE cd.vec_id <> p.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, adc, rank FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
 
   /** The SHARED q245/q249 oracle chain: [[pqChainSql]]'s training CTEs
     * plus the q205 coarse-cell chain plus the cell-pruned ADC score —

@@ -87,6 +87,37 @@ class IvfAdcSpec extends SparkSpec {
     }
   }
 
+  test("incremental generations cover every vector exactly once; replayed append is probe-invariant") {
+    val dir = LlmOps.q250IvfAdcIncremental(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("ivfadcinc_")) &&
+          f.relation.location.rootPaths.exists(_.toString.contains("codes")) =>
+          // codes root = .../ivfadcinc_*/codes
+          f.relation.location.rootPaths.head.toString
+            .replaceAll("/codes.*$", "")
+      }.headOption.getOrElse(fail("q250 must scan the incremental layout"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(codes.count() == n, "generations must cover the whole corpus")
+    assert(codes.select("vec_id").distinct().count() == n,
+      "no vector may appear in two generations")
+    val deltaIds = codes.filter(col("batch_id") === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(deltaIds.nonEmpty && deltaIds.forall(_ % 5 == 0),
+      "the delta generation holds exactly the delta vectors")
+    // crash-and-replay: the same delta lands again, byte-identically
+    val before = LlmOps.q250IvfAdcIncremental(spark, sf).collect().toSeq
+    LlmOps.ivfAdcAppendDelta(spark,
+      Tables.embeddings(spark, sf)
+        .filter(pmod(col("vec_id"), lit(5)) === 0), dir, 1L)
+    val after = LlmOps.q250IvfAdcIncremental(spark, sf).collect().toSeq
+    assert(after == before, "a replayed append must not change the probe")
+    assert(spark.read.parquet(s"$dir/codes")
+      .groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "no vector may appear twice after a replay")
+  }
+
   test("recall@K vs the exact integer top-K holds, and matches full-scan ADC on probed cells") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
