@@ -6253,6 +6253,38 @@ object LlmOps {
       .parquet(s"$dir/codes/batch_id=$batchId")
   }
 
+  /** Compact the incremental IVFADC layout's accumulated code
+    * generations back to ONE (`batch_id=0`) — the q238/`
+    * ivfCompactGenerations` hygiene on the composed layout: codes and
+    * cell assignments are FINAL once written (both quantizers frozen),
+    * so compaction is a pure file-layout merge per cell — quantizer
+    * tables untouched, probe bit-invariant (spec-pinned). The swap is
+    * complete-or-absent: the layout root's `_SUCCESS` comes down
+    * before the first destructive step and returns only after the
+    * merge published, and the old generations rename ASIDE rather than
+    * delete-first — a crash inside the window reads as an incomplete
+    * layout (ensureDir rebuilds), never as silently-empty probes.
+    * Single-maintainer, like every maintained layout here. */
+  private[graft] def ivfAdcCompactGenerations(s: SparkSession,
+      dir: String): Unit = {
+    val tmp = s"$dir/codes.compacting"
+    s.read.parquet(s"$dir/codes")
+      .select("vec_id", "codes", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val codes = p(s"$dir/codes")
+    val retired = p(s"$dir/codes.retired")
+    fs.delete(p(s"$dir/_SUCCESS"), false)
+    fs.delete(retired, true) // debris of a prior crashed swap
+    fs.rename(codes, retired)
+    fs.mkdirs(codes)
+    fs.rename(p(tmp), p(s"$dir/codes/batch_id=0"))
+    fs.delete(retired, true)
+    fs.create(p(s"$dir/_SUCCESS")).close()
+  }
+
   /** q250: INCREMENTAL IVFADC MAINTENANCE — the batch_id protocol
     * (q79 MinHash, q211 BM25, q238 IVF) applied to the COMPOSED q245
     * layout, so a live vector corpus absorbs snapshots without

@@ -118,6 +118,50 @@ class IvfAdcSpec extends SparkSpec {
       "no vector may appear twice after a replay")
   }
 
+  test("code-generation compaction is probe-invariant and collapses to one generation") {
+    // a PRIVATE copy of the incremental layout (build + TWO deltas), so
+    // compaction here cannot mutate the published q250 layout
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc_cpt_").toString
+    val e = Tables.embeddings(spark, sf)
+    val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val qxl = round(col("x").cast("double") * lit(1048576.0)).cast("long")
+    base.select(col("label").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"), qxl.as("qx"))
+      .groupBy("cell", "pos").agg(expr("sum(qx) DIV count(1)").as("cq"))
+      .write.parquet(s"$dir/cents")
+    // reuse the PUBLISHED q250 layout's codebook (identical training
+    // input: the base slice) so this test needs no private trainer
+    val pubDir = LlmOps.q250IvfAdcIncremental(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("ivfadcinc_")) =>
+          f.relation.location.rootPaths.head.toString
+            .replaceAll("/codes.*$", "")
+      }.head
+    spark.read.parquet(s"$pubDir/codebook").write.parquet(s"$dir/codebook")
+    LlmOps.ivfAdcAppendDelta(spark, base, dir, 0L)
+    LlmOps.ivfAdcAppendDelta(spark,
+      e.filter(pmod(col("vec_id"), lit(10)) === 0), dir, 1L)
+    LlmOps.ivfAdcAppendDelta(spark,
+      e.filter(pmod(col("vec_id"), lit(10)) === 5), dir, 2L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")).close()
+    val codesBefore = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "codes", "cell").orderBy("vec_id").collect().toSeq
+    LlmOps.ivfAdcCompactGenerations(spark, dir)
+    val after = spark.read.parquet(s"$dir/codes")
+    assert(after.select("batch_id").distinct().as[Long].collect().toSeq
+      == Seq(0L), "one generation after compaction")
+    assert(after.select("vec_id", "codes", "cell").orderBy("vec_id")
+      .collect().toSeq == codesBefore,
+      "compaction must be bit-invariant on (vec_id, codes, cell)")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")),
+      "the root marker must be restamped after the swap")
+  }
+
   test("recall@K vs the exact integer top-K holds, and matches full-scan ADC on probed cells") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
