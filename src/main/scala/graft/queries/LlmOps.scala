@@ -1182,9 +1182,29 @@ object LlmOps {
 
   // --- Semantic dedup (q77) ----------------------------------------------
 
-  private val SemDedupK = 8
+  /** Corpus-proportional centroid seeding (round 16): every
+    * [[SemDedupSeedStride]]-th vec_id seeds a cell, so K ≈ n/stride GROWS
+    * with the corpus and the MEAN cell density stays ~stride at every
+    * scale — the within-cell pairwise legs (Σ|cell|²) are then linear in
+    * corpus size by construction, not merely guard-bounded. The fixed
+    * K=8 this replaces made density grow with n (the r15 sf1 stress
+    * measured q77 ~29× at 10×); with stride seeding the 10× fixture gets
+    * 10× the cells at the same density. Seeds stay deterministic and
+    * engine-portable: `vec_id % stride = 0` is one predicate in both the
+    * Spark plan and the DuckDB oracle CTE, so K can never drift between
+    * engine and oracle. At 100 TB the same rule holds (a 10¹⁰-vector
+    * corpus seeds ~10⁸ cells — past the broadcast ceiling the assignment
+    * stage would swap to the q205 IVF chain; the SEEDING rule is
+    * unchanged).
+    */
+  private val SemDedupSeedStride = 64L
   private val SemDedupTau = 0.5
   private val SemDedupMaxCell = 10000L
+
+  /** The shared corpus-proportional seed set: cell_id = seed vec_id. */
+  private def semCentroids(e: DataFrame): DataFrame =
+    e.filter(pmod(col("vec_id"), lit(SemDedupSeedStride)) === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
 
   /** Argmax-cosine cell assignment against a broadcast centroid set —
     * the shared first stage of semantic dedup (q77) and the k-means
@@ -1268,11 +1288,10 @@ object LlmOps {
   }
 
   /** q77: [[semanticDedupAudit]] over the embeddings fixture with
-    * vec_id 1..[[SemDedupK]] as the deterministic centroid seeds. */
+    * the corpus-proportional [[semCentroids]] seed set. */
   def q77SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cents = e.filter(col("vec_id").between(1, SemDedupK))
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val cents = semCentroids(e)
     semanticDedupAudit(e, cents, SemDedupTau, SemDedupMaxCell)
   }
 
@@ -1284,7 +1303,7 @@ object LlmOps {
     */
   private def cellAssignCtes: String =
     s"""c AS (SELECT vec_id AS cell_id, embedding AS c_emb
-       |      FROM embeddings WHERE vec_id BETWEEN 1 AND $SemDedupK),
+       |      FROM embeddings WHERE vec_id % $SemDedupSeedStride = 0),
        |ax AS (SELECT e.vec_id, c.cell_id,
        |         unnest(e.embedding) AS x, unnest(c.c_emb) AS y
        |       FROM embeddings e CROSS JOIN c),
@@ -1354,8 +1373,7 @@ object LlmOps {
     */
   def q81KmeansStep(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cents = e.filter(col("vec_id").between(1, SemDedupK))
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val cents = semCentroids(e)
     kmeansUpdateAudit(e, cents)
   }
 
@@ -1444,8 +1462,7 @@ object LlmOps {
   def q216DiversitySample(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, d)
-    val cents = e.filter(col("vec_id").between(1, SemDedupK))
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val cents = semCentroids(e)
     val assigned = assignCells(e, cents).select("vec_id", "cell_id")
     val stats = assigned.groupBy("cell_id")
       .agg(count(lit(1)).as("n_members"))
@@ -3970,8 +3987,7 @@ object LlmOps {
     */
   def q115HardNegatives(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val cents = e.filter(col("vec_id").between(1, SemDedupK))
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val cents = semCentroids(e)
     val assigned = assignCells(e, cents, keep = Seq("label"))
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell_id")))
       .filter(col("csz") > 1 && col("csz") <= SemDedupMaxCell)
@@ -4649,31 +4665,42 @@ object LlmOps {
     * vectors, and the worst similarity (max before round — order-
     * independent, the q42 discipline).
     *
-    * Scale shape: the candidate space is label-cell-restricted exactly
-    * like q42/q82 (never eval×corpus), with q42's maxCell guard against
-    * a degenerate cell; the train side re-filters the same bounded scan.
-    * Split assignment is the engine-portable PolyHash bucket
-    * ([[graft.ops.Splits]]) on vec_id — the oracle re-derives it from
-    * the SAME cuts via assignSql, so engine and oracle cannot drift.
-    * Cells with no train vector simply contribute no pairs (nothing to
-    * leak FROM); n_eval therefore counts audited-against-train vectors.
+    * Scale shape (round 16, corpus-proportional): the candidate block is
+    * the INTERSECTION of the label cell with the corpus-proportional
+    * [[semCentroids]] embedding cell — the SemDeDup approximation applied
+    * to decontamination. A fixed label vocabulary densifies under corpus
+    * growth (each label block grows with n, pairs with n²); the centroid
+    * refinement splits every label block across K ≈ n/stride cells, so
+    * the per-block density — and with it Σ|block|² — stays linear in the
+    * corpus. Pairs that land in different embedding cells are missed by
+    * design (a cross-cell paraphrase is also far in embedding space by
+    * the same clustering that q77 trusts); the q42 maxCell guard still
+    * backstops a degenerate block. Split assignment is the
+    * engine-portable PolyHash bucket ([[graft.ops.Splits]]) on vec_id —
+    * the oracle re-derives it from the SAME cuts via assignSql, so
+    * engine and oracle cannot drift. Blocks with no train vector simply
+    * contribute no pairs (nothing to leak FROM); n_eval therefore counts
+    * audited-against-train vectors.
     */
   def q166SemanticLeakage(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        graft.ops.Splits.assign(col("vec_id"), Corpus.SplitCuts).as("split"))
-    // cell-size guard as a count window, not an aggregate+join: one
-    // label-partitioned pass bounds the cells, and the train/eval sides
-    // below both read it off the SAME label exchange (ReuseCheck: the
-    // agg+join formulation scanned the corpus three times)
+    val raw = embeddings(s, d)
+    val e = assignCells(raw, semCentroids(raw), keep = Seq("label"))
+      .withColumn("split",
+        graft.ops.Splits.assign(col("vec_id"), Corpus.SplitCuts))
+    // block-size guard as a count window, not an aggregate+join: one
+    // (label, cell)-partitioned pass bounds the blocks, and the
+    // train/eval sides below both read it off the SAME exchange
+    // (ReuseCheck: the agg+join formulation scanned the corpus 3x)
     val bounded = e
-      .withColumn("csz", count(lit(1)).over(Window.partitionBy("label")))
+      .withColumn("csz",
+        count(lit(1)).over(Window.partitionBy("label", "cell_id")))
       .filter(col("csz") <= SemLeakMaxCell)
     val train = bounded.filter(col("split") === "train")
-      .select(col("label"), col("embedding").as("te"))
+      .select(col("label"), col("cell_id"), col("embedding").as("te"))
     bounded.filter(col("split") =!= "train")
-      .select(col("label"), col("split"), col("vec_id"), col("embedding"))
-      .join(train, Seq("label"))
+      .select(col("label"), col("cell_id"), col("split"), col("vec_id"),
+        col("embedding"))
+      .join(train, Seq("label", "cell_id"))
       .select(col("split"), col("label"), col("vec_id"),
         VectorExpressions.cosine(col("embedding"), col("te")).as("sim"))
       .groupBy("split", "label")
@@ -4688,18 +4715,20 @@ object LlmOps {
   }
 
   val q166Oracle: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, label, embedding,
-       |    ${graft.ops.Splits.assignSql("vec_id", Corpus.SplitCuts)} AS split
-       |  FROM embeddings),
+    s"""WITH $cellAssignCtes,
+       |e AS (
+       |  SELECT m.vec_id, m.label, m.embedding, a.cell_id,
+       |    ${graft.ops.Splits.assignSql("m.vec_id", Corpus.SplitCuts)} AS split
+       |  FROM embeddings m JOIN assigned a ON m.vec_id = a.vec_id),
        |cells AS (
-       |  SELECT label FROM e GROUP BY label
+       |  SELECT label, cell_id FROM e GROUP BY label, cell_id
        |  HAVING count(*) <= $SemLeakMaxCell),
-       |b AS (SELECT e.* FROM e JOIN cells USING (label)),
+       |b AS (SELECT e.* FROM e JOIN cells USING (label, cell_id)),
        |p AS (
        |  SELECT ev.split, ev.label, ev.vec_id AS eid, tr.vec_id AS tid,
        |    ev.embedding AS ea, tr.embedding AS eb
-       |  FROM b ev JOIN b tr ON ev.label = tr.label
+       |  FROM b ev JOIN b tr
+       |    ON ev.label = tr.label AND ev.cell_id = tr.cell_id
        |  WHERE ev.split <> 'train' AND tr.split = 'train'),
        |ex AS (SELECT split, label, eid, tid,
        |         unnest(ea) AS x, unnest(eb) AS y FROM p),

@@ -19,18 +19,19 @@ class PlanGuardSpec extends SparkSpec {
     "q194_retrieval_metrics" -> "broadcast of the query sample (same doubly-bounded q106 panel)",
     "q195_ivf_sweep" -> "broadcast of the query sample (same doubly-bounded q106 panel)",
     "q28_ngram_jaccard" -> "all-pairs over an explicitly bounded candidate set (src0+en)",
-    "q77_semantic_dedup" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",
-    "q81_kmeans_step" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",
+    "q77_semantic_dedup" -> "broadcast of the corpus-proportional centroid set (argmax assignment needs all K per vector)",
+    "q81_kmeans_step" -> "broadcast of the corpus-proportional centroid set (argmax assignment needs all K per vector)",
     "q85_heavy_hitters" -> "broadcast of the single-row corpus token total",
     "q112_maxsim" -> "broadcast of the bounded multi-vector query set (|MaxSimQLabels|*MaxSimQVecs rows)",
-    "q115_hard_negatives" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",
+    "q115_hard_negatives" -> "broadcast of the corpus-proportional centroid set (argmax assignment needs all K per vector)",
+    "q166_semantic_leak" -> "broadcast of the corpus-proportional centroid set (argmax assignment needs all K per vector)",
     "q128_resample" -> "broadcast of the hourly grid spine (bounded by observed time span, q13/q17 discipline)",
     "q130_join_card" -> "sketch attachment over 1-row-per-table aggregates (constant key folds away)",
     "q201_bigram_lm" -> "broadcast of the single-row train-token total (q85 discipline)",
     "q208_dedup_ring" -> "1-row aggregate pair attach per leg (capstone union of bounded stats)",
     "q210_pq_adc" -> "broadcast of the query sample (same doubly-bounded q106 panel; exact ground-truth leg)",
     "q212_xmodal_metrics" -> "broadcast of the query sample (doubly-bounded image-kind panel)",
-    "q216_diversity_sample" -> "broadcast of the K=8 centroid set (argmax assignment needs all K per vector)",
+    "q216_diversity_sample" -> "broadcast of the corpus-proportional centroid set (argmax assignment needs all K per vector)",
     "q219_curation_ab" -> "broadcast of the single-row train-token totals, one per variant (q85/q201 discipline)")
   // q63 does not appear although it embeds a q28-shaped jaccard arm: its
   // query function RUNS the iterative component loop, so the returned

@@ -37,8 +37,12 @@ class KmeansStepSpec extends SparkSpec {
   test("fixture: cells partition the corpus; drift positive; means in range") {
     val audit = LlmOps.q81KmeansStep(spark, d)
       .as[(Long, Long, Long, Double)].collect()
-    assert(audit.map(_._1).toSet == (1L to 8L).toSet,
-      "all 8 seed cells must be populated on the fixture")
+    val seeds = graft.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 64 === 0).select("vec_id")
+      .as[Long].collect().toSet
+    assert(audit.map(_._1).toSet == seeds,
+      "every corpus-proportional seed cell must be populated on the fixture")
+    assert(seeds.size == 8, "sf0.001 has 500 dense ids -> 8 stride-64 seeds")
     val total = graft.Tables.embeddings(spark, d).count()
     assert(audit.map(_._2).sum == total, "cell membership must partition the corpus")
     audit.foreach { case (cell, n, drift, c0) =>

@@ -46,20 +46,28 @@ class SplitLeakageSpec extends SparkSpec {
       }
       xy / (math.sqrt(xx) * math.sqrt(yy))
     }
-    val byLabel = vecs.groupBy(_._2)
-    val expected = byLabel.toSeq.flatMap { case (label, cell) =>
-      val train = cell.filter(_._4 == "train")
-      val eval = cell.filter(_._4 != "train")
-      eval.groupBy(_._4).flatMap { case (split, evs) =>
-        val pairs = for (ev <- evs; tr <- train)
-          yield (ev._1, cos(ev._3, tr._3))
-        if (pairs.isEmpty) None
-        else Some((split, label, evs.size.toLong, pairs.size.toLong,
-          pairs.filter(_._2 >= 0.4).map(_._1).distinct.size.toLong,
-          BigDecimal(pairs.map(_._2).max)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      }
-    }.sortBy(r => (r._1, r._2))
+    // replay the corpus-proportional seeding + argmax assignment: seeds
+    // are every 64th vec_id, a vector's cell is its (csim, cell_id)-max
+    // seed — the same tuple order as the engine's max_by struct
+    val seeds = vecs.filter(_._1 % 64 == 0).map(v => (v._1, v._3))
+    def cellOf(e: Array[Float]): Long =
+      seeds.map { case (cid, ce) => (cos(e, ce), cid) }.max._2
+    val byBlock = vecs.map(v => (v._1, v._2, v._3, v._4, cellOf(v._3)))
+      .groupBy(v => (v._2, v._5)).filter(_._2.size <= 10000)
+    val pairs = byBlock.toSeq.flatMap { case ((label, _), block) =>
+      val train = block.filter(_._4 == "train")
+      val eval = block.filter(_._4 != "train")
+      for (ev <- eval; tr <- train)
+        yield (ev._4, label, ev._1, cos(ev._3, tr._3))
+    }
+    val expected = pairs.groupBy(p => (p._1, p._2)).toSeq
+      .map { case ((split, label), ps) =>
+        (split, label,
+          ps.map(_._3).distinct.size.toLong, ps.size.toLong,
+          ps.filter(_._4 >= 0.4).map(_._3).distinct.size.toLong,
+          BigDecimal(ps.map(_._4).max)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(r => (r._1, r._2))
     val got = LlmOps.q166SemanticLeakage(spark, d)
       .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
     assert(got == expected)
