@@ -6139,17 +6139,8 @@ object LlmOps {
     * distances), so rankings hash bit-identical cross-engine; ties
     * break on vec_id (rank) and code id (assignment).
     */
-  def q245IvfAdc(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val adc = ivfAdcScores(s, d, ivfAdcQueryPanel(s, d))
-    val wK = Window.partitionBy("q_id")
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    adc
-      .withColumn("rank", row_number().over(wK).cast("long"))
-      .filter(col("rank") <= IvfIdxTopK)
-      .select("q_id", "vec_id", "adc", "rank")
-      .orderBy("q_id", "rank")
-  }
+  def q245IvfAdc(s: SparkSession, d: String): DataFrame =
+    ivfAdcRank(ivfAdcScores(s, d, ivfAdcQueryPanel(s, d)))
 
   /** The doubly-bounded query panel, materialized ONCE (eager
     * localCheckpoint — panel-sized, ≤ [[RecallMaxQueries]] rows): the
@@ -6157,7 +6148,7 @@ object LlmOps {
     * query side all read this frame instead of re-scanning the raw
     * vector table (ReuseCheck: one corpus scan feeds every panel
     * consumer). */
-  private def ivfAdcQueryPanel(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfAdcQueryPanel(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .filter(pmod(col("vec_id"), lit(RecallQueryMod)) === 0 &&
         col("vec_id") < lit(RecallQueryMod * RecallMaxQueries))
@@ -6207,7 +6198,7 @@ object LlmOps {
     * (q245/q249) and the incremental generations layout (q250, whose
     * `codes/` is additionally batch_id-partitioned; the union read is
     * the same partition-pruned scan either way). */
-  private def ivfAdcProbe(s: SparkSession, dir: String,
+  private[graft] def ivfAdcProbe(s: SparkSession, dir: String,
       panel: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qxl = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
@@ -6337,40 +6328,41 @@ object LlmOps {
     * touches nprobe/|cells| of every generation's code bytes under DPP
     * — the 100 TB continual-ingest ANN story, complete.
     */
-  def q250IvfAdcIncremental(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.Layouts
-    import org.apache.spark.sql.expressions.Window
+  /** Build the FROZEN half of an incremental IVFADC layout at `tmp`
+    * from the base slice (vec_id, label, embedding): coarse centroids
+    * (per-cell integer means), the PQ codebook (trained on the base
+    * only), and the `codes/batch_id=0` base generation. Shared by the
+    * batch build (q250), the streaming ingest twin (q251), and the
+    * drift-audit spec's planted layouts — one training path, so none
+    * of them can drift from the gated arithmetic. */
+  private[graft] def ivfAdcBuildBase(s: SparkSession, base: DataFrame,
+      tmp: String): Unit = {
     val qxl = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
-    val tag = Layouts.srcTag(s, d, "embeddings")
-    val dir = Layouts.ensureDir(s, s"ivfadcinc_${IvfAdcIncTag}_$tag") { tmp =>
-      val e = embeddings(s, d)
-      val base = e.filter(pmod(col("vec_id"), lit(IvfIncMod)) =!= 0)
-      // FROZEN coarse centroids: per-cell integer means of the BASE
-      base.select(col("label").as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .select(col("cell"), col("pos"), qxl.as("qx"))
-        .groupBy("cell", "pos")
-        .agg(expr("sum(qx) DIV count(1)").as("cq"))
-        .write.parquet(s"$tmp/cents")
-      // FROZEN PQ codebook: trained on the BASE slice only
-      val bfull = base.select(col("vec_id"), col("label").as("cell"),
-        pqQuant(col("embedding")).as("qe")).localCheckpoint(true)
-      val bsv = pqSubvectors(bfull)
-      pqCodebook(bsv).write.parquet(s"$tmp/codebook")
-      // base generation of the code table
-      pqCodes(bsv, s.read.parquet(s"$tmp/codebook"))
-        .groupBy("vec_id")
-        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-          p => p("code").cast("int")).as("codes"))
-        .join(bfull.select("vec_id", "cell"), Seq("vec_id"))
-        .write.partitionBy("cell").parquet(s"$tmp/codes/batch_id=0")
-      // one delta snapshot lands incrementally
-      ivfAdcAppendDelta(s,
-        e.filter(pmod(col("vec_id"), lit(IvfIncMod)) === 0), tmp, 1L)
-      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
-    }
-    val adc = ivfAdcProbe(s, dir, ivfAdcQueryPanel(s, d))
+    // FROZEN coarse centroids: per-cell integer means of the BASE
+    base.select(col("label").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"), qxl.as("qx"))
+      .groupBy("cell", "pos")
+      .agg(expr("sum(qx) DIV count(1)").as("cq"))
+      .write.parquet(s"$tmp/cents")
+    // FROZEN PQ codebook: trained on the BASE slice only
+    val bfull = base.select(col("vec_id"), col("label").as("cell"),
+      pqQuant(col("embedding")).as("qe")).localCheckpoint(true)
+    val bsv = pqSubvectors(bfull)
+    pqCodebook(bsv).write.parquet(s"$tmp/codebook")
+    // base generation of the code table
+    pqCodes(bsv, s.read.parquet(s"$tmp/codebook"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        p => p("code").cast("int")).as("codes"))
+      .join(bfull.select("vec_id", "cell"), Seq("vec_id"))
+      .write.partitionBy("cell").parquet(s"$tmp/codes/batch_id=0")
+  }
+
+  /** The shared IVFADC presentation tail: per-query top-[[IvfIdxTopK]]
+    * by (adc, vec_id) over a probe's candidate scores. */
+  private[graft] def ivfAdcRank(adc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wK = Window.partitionBy("q_id")
       .orderBy(col("adc").asc, col("vec_id").asc)
     adc
@@ -6380,12 +6372,35 @@ object LlmOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Ensure (and return) the maintained incremental-IVFADC layout for
+    * the fixture at `d` — base generation + one delta snapshot — shared
+    * by the q250 probe and the q252 per-generation recall audit. */
+  private def ivfAdcIncDir(s: SparkSession, d: String): String = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    Layouts.ensureDir(s, s"ivfadcinc_${IvfAdcIncTag}_$tag") { tmp =>
+      val e = embeddings(s, d)
+      ivfAdcBuildBase(s,
+        e.filter(pmod(col("vec_id"), lit(IvfIncMod)) =!= 0), tmp)
+      // one delta snapshot lands incrementally
+      ivfAdcAppendDelta(s,
+        e.filter(pmod(col("vec_id"), lit(IvfIncMod)) === 0), tmp, 1L)
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+  }
+
+  def q250IvfAdcIncremental(s: SparkSession, d: String): DataFrame =
+    ivfAdcRank(ivfAdcProbe(s, ivfAdcIncDir(s, d), ivfAdcQueryPanel(s, d)))
+
   /** Recompose the ENTIRE incremental protocol from the raw table:
     * base-trained quantizers (the codebook's hash init runs over base
     * ids only), argmax-dot delta cell assignment, all-vector code
-    * argmin against the frozen codebook, probed-cell ADC top-K. */
-  lazy val q250Oracle: String =
-    s"""WITH qe AS (
+    * argmin against the frozen codebook, probed-cell ADC scores —
+    * shared by q250/q251 (top-K presentation) and q252 (per-generation
+    * recall audit). */
+  private def ivfAdcIncChainSql: String =
+    s"""qe AS (
        |  SELECT vec_id, pos,
        |    CAST(round(CAST(x AS DOUBLE) * $KmQScale) AS BIGINT) AS qx
        |  FROM (SELECT vec_id, unnest(embedding) AS x,
@@ -6448,7 +6463,10 @@ object LlmOps {
        |    JOIN codes cd ON cd.vec_id = cf.vec_id
        |    JOIN lut l ON l.q_id = p.q_id AND l.m = cd.m AND l.k = cd.code
        |  WHERE cd.vec_id <> p.q_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  lazy val q250Oracle: String =
+    s"""WITH $ivfAdcIncChainSql
        |SELECT q_id, vec_id, adc, rank FROM (
        |  SELECT q_id, vec_id, adc,
        |    CAST(row_number() OVER (PARTITION BY q_id
@@ -6565,6 +6583,147 @@ object LlmOps {
        |      ORDER BY dist, vec_id) AS BIGINT) AS rank
        |  FROM ex)
        |WHERE rank <= $IvfIdxTopK ORDER BY q_id, rank""".stripMargin
+
+  // --- Streaming IVFADC ingest (q251) -----------------------------------------
+
+  /** Streamed-IVFADC layout version tag. */
+  private val IvfAdcStreamTag = "v1"
+
+  /** q251: STREAMING IVFADC INGEST — q250's continual-ingest twin under
+    * the batch-replay gate (the q246/q237 pattern applied to vectors):
+    * the frozen quantizers and base generation build once
+    * ([[ivfAdcBuildBase]], shared with q250), then the delta arrives as
+    * TWO deterministic micro-batches (split by delta ordinal parity)
+    * through [[graft.streaming.IvfAdcIngestStream.ingest]] — each batch
+    * a delta-sized generation, assignment and encoding against the
+    * frozen tables. The registered output probes the streamed layout
+    * with the SAME cell-pruned scan ([[ivfAdcProbe]]), and its oracle
+    * IS [[q250Oracle]]: the gate passing certifies cross-engine that
+    * ingesting the delta in micro-batches lands the layout the batch
+    * build lands — slicing-independence by construction (per-vector
+    * assignment/encoding are pure functions of the frozen quantizers),
+    * certified at every scale factor. IvfAdcStreamSpec adds the live
+    * MemoryStream run, a second slicing, byte-identical redelivery, and
+    * the fresh-checkpoint aging guard.
+    *
+    * Scale: each micro-batch costs |batch|·cells integer dots +
+    * |batch|·M·K argmins; the probe unions generations under the same
+    * DPP cell pruning — continual ANN ingest with no corpus passes and
+    * no retraining, the deployment posture production PQ stacks run.
+    */
+  def q251StreamIvfAdc(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    val dir = Layouts.ensureDir(s, s"ivfadcstr_${IvfAdcStreamTag}_$tag") { tmp =>
+      val e = embeddings(s, d)
+      ivfAdcBuildBase(s,
+        e.filter(pmod(col("vec_id"), lit(IvfIncMod)) =!= 0), tmp)
+      // the delta arrives as two micro-batches: split by delta ordinal
+      // parity (vec_id DIV mod alternates), both slices delta-sized
+      val delta = e.filter(pmod(col("vec_id"), lit(IvfIncMod)) === 0)
+      (0L until 2L).foreach { b =>
+        graft.streaming.IvfAdcIngestStream.ingest(tmp)(
+          delta.filter(
+            pmod(expr(s"vec_id DIV $IvfIncMod"), lit(2)) === b), b)
+      }
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    ivfAdcRank(ivfAdcProbe(s, dir, ivfAdcQueryPanel(s, d)))
+  }
+
+  // --- Per-generation IVFADC recall drift (q252) --------------------------------
+
+  /** q252: PER-GENERATION RECALL-DRIFT AUDIT — the rebuild trigger for
+    * the frozen-quantizer layouts, as a MEASURED TABLE instead of a
+    * scaladoc note: q250/q251 freeze both quantizers at the base build,
+    * so a DRIFTED delta (vectors the base centroids and codebook never
+    * saw) decays recall silently — the probe still returns K smooth
+    * answers, they're just wrong. This audit splits the q106 recall
+    * measurement BY GENERATION of the maintained layout: for every
+    * exact top-[[IvfIdxTopK]] neighbor (exact integer distance over the
+    * quantized vectors, the q249 rerank arithmetic corpus-wide), which
+    * `codes/batch_id=N` generation holds it, and did the cell-pruned
+    * ADC probe recover it? A healthy delta tracks the base's recall;
+    * a drifted one shows up as a per-generation recall gap — the
+    * monitorable signal a deployment thresholds to schedule retraining
+    * (IvfAdcDriftSpec plants exactly such a delta and pins the gap).
+    *
+    * Output per generation: exact-top-K slots held (n_truth), slots the
+    * probe recovered (n_hit), and recall in exact integer ppm.
+    *
+    * Scale: the exact leg is |panel|·corpus with a broadcast panel (the
+    * q106/q210 ground-truth posture — the audit is scheduled QA, not a
+    * query path); the probe leg is the usual cell-pruned 8-int scan;
+    * generations come off the layout's partition column, no extra scan.
+    */
+  def q252IvfAdcDrift(s: SparkSession, d: String): DataFrame =
+    ivfAdcDriftAudit(s, ivfAdcIncDir(s, d), embeddings(s, d),
+      ivfAdcQueryPanel(s, d))
+
+  /** The audit body over ANY incremental layout dir + its raw corpus +
+    * a query panel (spec seam: IvfAdcDriftSpec plants a drifted delta
+    * through the same entry). */
+  private[graft] def ivfAdcDriftAudit(s: SparkSession, dir: String,
+      e: DataFrame, panel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val atop = ivfAdcRank(ivfAdcProbe(s, dir, panel))
+      .select("q_id", "vec_id")
+    // exact ground truth: integer squared distance over the quantized
+    // vectors, corpus-wide, per panel query (broadcast panel — one scan)
+    val full = e.select(col("vec_id"), pqQuant(col("embedding")).as("qe"))
+    val qq = panel.select(col("q_id"), pqQuant(col("embedding")).as("qq"))
+    val wE = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val etop = full.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pqSqdist(col("qe"), col("qq")).as("dist"))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= IvfIdxTopK)
+      .select("q_id", "vec_id")
+    // which generation of the maintained layout holds each truth slot —
+    // read off the codes partition column, never recomputed
+    val gen = s.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("batch_id").cast("long").as("batch_id"))
+    etop.join(gen, Seq("vec_id"))
+      .join(atop.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+      .select(col("batch_id"), col("n_truth"), col("n_hit"),
+        expr("(1000000 * n_hit) DIV n_truth").as("recall_ppm"))
+      .orderBy("batch_id")
+  }
+
+  /** The shared incremental chain, the exact ground-truth leg, and the
+    * per-generation overlap — generation membership re-derived from the
+    * protocol's own base/delta rule (≡ the layout's batch_id column). */
+  lazy val q252Oracle: String =
+    s"""WITH $ivfAdcIncChainSql,
+       |atop AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc, vec_id) AS rn
+       |    FROM adc) WHERE rn <= $IvfIdxTopK),
+       |ex AS (
+       |  SELECT q.q_id, s.vec_id, sum((s.qx - t.qx) * (s.qx - t.qx)) AS dist
+       |  FROM qids q
+       |    JOIN qe t ON t.vec_id = q.q_id
+       |    JOIN qe s ON s.pos = t.pos AND s.vec_id <> q.q_id
+       |  GROUP BY 1, 2),
+       |etop AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY dist, vec_id) AS rn
+       |    FROM ex) WHERE rn <= $IvfIdxTopK)
+       |SELECT CAST(CASE WHEN t.vec_id % $IvfIncMod = 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS batch_id,
+       |  count(*) AS n_truth,
+       |  CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST((1000000 * count(a.vec_id)) // count(*) AS BIGINT) AS recall_ppm
+       |FROM etop t
+       |  LEFT JOIN atop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- Streaming curation funnel (q246) ---------------------------------------
 

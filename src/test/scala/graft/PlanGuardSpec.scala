@@ -30,6 +30,7 @@ class PlanGuardSpec extends SparkSpec {
     "q201_bigram_lm" -> "broadcast of the single-row train-token total (q85 discipline)",
     "q208_dedup_ring" -> "1-row aggregate pair attach per leg (capstone union of bounded stats)",
     "q210_pq_adc" -> "broadcast of the query sample (same doubly-bounded q106 panel; exact ground-truth leg)",
+    "q252_ivfadc_drift" -> "broadcast of the query sample (doubly-bounded q106 panel; exact ground-truth leg of the drift audit)",
     "q212_xmodal_metrics" -> "broadcast of the query sample (doubly-bounded image-kind panel)",
     "q216_diversity_sample" -> "broadcast of the corpus-proportional centroid set (argmax assignment needs all K per vector)",
     "q219_curation_ab" -> "broadcast of the single-row train-token totals, one per variant (q85/q201 discipline)")
