@@ -730,9 +730,16 @@ final class KvChangelogScan(dir: String, buckets: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new KvChangelogMicroBatch(dir, buckets, extras)
+  // snapshot isolation, like KvScan: a head changelog read pins its
+  // upper bound at plan time so a commit landing mid-scan is all-or-
+  // nothing across buckets (the micro-batch stream is already pinned —
+  // its offsets ARE sequence bounds)
+  private val snapshotSeq: Long = asOf.getOrElse(
+    KvTable.committedSeqs(Paths.get(dir)).lastOption.getOrElse(-1L))
   override def planInputPartitions(): Array[InputPartition] =
     (0 until buckets).map(b =>
-      KvBucketPartition(dir, b, asOf, from, extras): InputPartition).toArray
+      KvBucketPartition(dir, b, Some(snapshotSeq), from, extras)
+        : InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     KvChangelogScan.readerFactory
 }
@@ -936,6 +943,18 @@ final class KvChangelogMicroBatch(dir: String, buckets: Int,
 final class KvScan(dir: String, buckets: Int,
     asOf: Option[Long] = None,
     bucketFilter: Option[Set[Int]] = None) extends Scan with Batch {
+  // SNAPSHOT ISOLATION (round 16): the visible commit set pins ONCE at
+  // plan time — a head read becomes an as-of read at the last committed
+  // sequence (-1 = empty table), so a commit landing between two
+  // buckets' reader executions can never be HALF-visible (the
+  // KvContentionSpec torn-read case: each bucket reader used to list
+  // markers at its own execution instant). The one hazard pinning
+  // introduces — a compaction retiring this snapshot's logs MID-SCAN —
+  // fails loudly in the reader (below) instead of returning a silently
+  // emptied bucket; the deployment answer is re-running the read, the
+  // same retention contract time travel has.
+  private val snapshotSeq: Long = asOf.getOrElse(
+    KvTable.committedSeqs(Paths.get(dir)).lastOption.getOrElse(-1L))
   // resolved ONCE at plan time on the driver; the tiny definition list
   // ships in the reader-factory closure (schema evolution, ADD COLUMN).
   // readSchema() derives from the SAME captured list — an ALTER landing
@@ -956,12 +975,19 @@ final class KvScan(dir: String, buckets: Int,
   override def planInputPartitions(): Array[InputPartition] =
     (0 until buckets)
       .filter(b => bucketFilter.forall(_.contains(b)))
-      .map(b => KvBucketPartition(dir, b, asOf): InputPartition).toArray
+      .map(b =>
+        KvBucketPartition(dir, b, Some(snapshotSeq)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val extraDefs = extras
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val kp = p.asInstanceOf[KvBucketPartition]
+        // staleness guard: a compaction that committed AFTER this scan
+        // planned may have retired the snapshot's logs — loud, not empty
+        val floor = KvTable.compactionFloor(Paths.get(kp.dir))
+        kp.asOf.foreach(s => if (floor > s) throw new IllegalStateException(
+          s"graft-kv: snapshot seq $s was collapsed by a concurrent " +
+            s"compaction (floor now $floor) — re-run the read"))
         val rows = KvTable.foldBucket(Paths.get(kp.dir), kp.bucket, kp.asOf,
           extraDefs).iterator
         new PartitionReader[InternalRow] {
