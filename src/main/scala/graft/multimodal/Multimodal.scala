@@ -91,8 +91,9 @@ object Multimodal {
   /** The batch-decode seam (mapInPandas analog): one pass per partition,
     * typed in/out, no driver involvement. THIS is where a real codec
     * (JNI/ffi image lib) would run; the fake derives metadata from the
-    * payload hash. Kept deliberately as the ONLY mapPartitions in the
-    * codebase — everything expressible as columns stays columnar.
+    * payload hash. Everything expressible as columns stays columnar —
+    * the only mapPartitions here are this seam and its real-codec twin
+    * [[decodePngBatch]].
     */
   def decodeBatch(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     implicit val enc = Encoders.product[DecodedRow]
@@ -106,6 +107,57 @@ object Multimodal {
           width = math.floorMod(h, 1920) + 1,
           height = math.floorMod(h * 31, 1080) + 1,
           sample_rate = if (r.kind == "audio") 16000 else 0)
+      }
+    }
+  }
+
+  /** Decoded-and-thumbnailed row from the REAL image path. */
+  final case class ThumbRow(
+      media_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** REAL pure-JVM image decode + thumbnail through the SAME
+    * per-partition seam shape as [[decodeBatch]] — the proof that the
+    * seam's contract (binary in, typed metadata + bounded binary out,
+    * computed scan-side, no driver involvement) holds with an actual
+    * codec, not only the deterministic fake: `javax.imageio` parses the
+    * PNG/GIF/BMP payload, a NEAREST-NEIGHBOR downscale (explicit pixel
+    * arithmetic — `x·W/w`, floor — so the thumb is bit-deterministic
+    * across JVMs, unlike `getScaledInstance`'s smoothing) produces a
+    * `tw`×`th` thumbnail, re-encoded as PNG (lossless, so the spec can
+    * assert exact pixel values through a decode round-trip).
+    *
+    * Undecodable payloads (truncated file, non-image kind routed here
+    * by mistake) yield width = height = −1 and an EMPTY thumb rather
+    * than a task failure: at 100 TB a poison payload must quarantine a
+    * row, never an executor. Real deployments swap the codec call for
+    * JNI ffmpeg/turbojpeg behind this exact signature.
+    */
+  def decodePngBatch(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ThumbRow] = {
+    require(tw > 0 && th > 0, "thumbnail dims must be positive")
+    implicit val enc = Encoders.product[ThumbRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ThumbRow(r.media_id, -1, -1, Array.emptyByteArray)
+        else {
+          val (iw, ih) = (img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              out.setRGB(x, y, img.getRGB(x * iw / tw, y * ih / th) | 0xff000000)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ThumbRow(r.media_id, iw, ih, bos.toByteArray)
+        }
       }
     }
   }

@@ -87,4 +87,36 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeBatch(media((1L, "image", "img-bytes"))).collect().head
     assert(again.width == out(0).width && again.height == out(0).height)
   }
+
+  test("decodePngBatch: a REAL png decodes + thumbnails through the production seam") {
+    // craft a genuine 4x4 png with a distinct color per pixel
+    def rgb(x: Int, y: Int): Int = (x * 60 + 10) << 16 | (y * 60 + 20) << 8 | 99
+    val src = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) src.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val png = bos.toByteArray
+    val poison = "not-an-image".getBytes(StandardCharsets.UTF_8)
+    val out = Multimodal.decodePngBatch(
+      Seq(Multimodal.MediaRow(1L, "image", png),
+        Multimodal.MediaRow(2L, "image", poison)).toDS(),
+      tw = 2, th = 2).collect().sortBy(_.media_id)
+    // real decoded dimensions, not hash-derived fakes
+    assert(out(0).width == 4 && out(0).height == 4)
+    // the thumb is a genuine png: decode it back and check the exact
+    // nearest-neighbor pixel picks (source pixels (0,0),(2,0),(0,2),(2,2))
+    val thumb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).thumb))
+    assert(thumb.getWidth == 2 && thumb.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((thumb.getRGB(x, y) & 0xffffff) == rgb(x * 2, y * 2),
+        s"thumb pixel ($x,$y) must be the nearest-neighbor source pick")
+    // a poison payload quarantines the row, never fails the task
+    assert(out(1).width == -1 && out(1).height == -1 && out(1).thumb.isEmpty)
+    // the seam is deterministic: same payload, same thumb bytes
+    val again = Multimodal.decodePngBatch(
+      Seq(Multimodal.MediaRow(1L, "image", png)).toDS(), 2, 2).collect().head
+    assert(java.util.Arrays.equals(again.thumb, out(0).thumb))
+  }
 }
