@@ -312,25 +312,30 @@ object LlmOps {
     * SAME PolyHash object the Catalyst kernel reads, so the two
     * formulations cannot drift.
     */
-  private def minhashSigCtes(k: Int): String = {
+  /** `pfx` renames every CTE (so several chains can share one WITH —
+    * q253 runs three occupancy-restricted chains); `extraWhere` ANDs
+    * onto the base doc predicate. Defaults reproduce the historical
+    * single-chain form. */
+  private def minhashSigCtes(k: Int, pfx: String = "",
+      extraWhere: String = ""): String = {
     import graft.functions.PolyHash
     val mins = (0 until k).map { i =>
       s"    list_min(list_transform(hs, h -> (${PolyHash.coefA(i)} * h + ${PolyHash.coefB(i)}) % ${PolyHash.Mod})) AS m$i"
     }.mkString(",\n")
-    s"""t AS (
+    s"""${pfx}t AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-       |  FROM documents WHERE lang = 'en'),
-       |g AS (
+       |  FROM documents WHERE lang = 'en'$extraWhere),
+       |${pfx}g AS (
        |  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
        |                                i -> t[i] || ' ' || t[i + 1]) AS grams
-       |  FROM t WHERE len(t) >= 2),
-       |h AS (
+       |  FROM ${pfx}t WHERE len(t) >= 2),
+       |${pfx}h AS (
        |  SELECT doc_id, list_transform(grams, s -> ${PolyHash.hornerSql("s")}) AS hs
-       |  FROM g),
-       |m AS (
+       |  FROM ${pfx}g),
+       |${pfx}m AS (
        |  SELECT doc_id,
        |$mins
-       |  FROM h)""".stripMargin
+       |  FROM ${pfx}h)""".stripMargin
   }
 
   /** The band-b bucket key as nested Horner-fold SQL over m{b·r}..m{b·r+r-1}
@@ -400,24 +405,31 @@ object LlmOps {
   }
 
   /** The q44 CTE chain up to `est` (candidate pairs + signature-agreement
-    * Jaccard estimate), shared with the q63 cluster-assignment oracle. */
-  private def lshPairChainSql: String = {
+    * Jaccard estimate), shared with the q63 cluster-assignment oracle;
+    * `pfx`/`extraWhere` thread through to [[minhashSigCtes]] so q253 can
+    * run one occupancy-restricted chain per stream batch in a single
+    * WITH. */
+  private def lshPairChainSql: String = lshPairChainSqlP("", "")
+
+  private def lshPairChainSqlP(pfx: String, extraWhere: String): String = {
     val bandSelects = (0 until 8).map { b =>
-      s"SELECT doc_id, $b AS band, ${bandFoldSql(b, 8)} AS bucket FROM m"
+      s"SELECT doc_id, $b AS band, ${bandFoldSql(b, 8)} AS bucket FROM ${pfx}m"
     }.mkString("\n      UNION ALL ")
     val eq = (0 until 64)
       .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""${minhashSigCtes(64)},
-       |bb AS ($bandSelects),
-       |sized AS (SELECT band, bucket FROM bb GROUP BY band, bucket
+    s"""${minhashSigCtes(64, pfx, extraWhere)},
+       |${pfx}bb AS ($bandSelects),
+       |${pfx}sized AS (SELECT band, bucket FROM ${pfx}bb GROUP BY band, bucket
        |          HAVING count(*) >= 2 AND count(*) <= 100),
-       |jb AS (SELECT bb.doc_id, bb.band, bb.bucket FROM bb JOIN sized USING (band, bucket)),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM jb a JOIN jb b ON a.band = b.band AND a.bucket = b.bucket
+       |${pfx}jb AS (SELECT a.doc_id, a.band, a.bucket
+       |       FROM ${pfx}bb a JOIN ${pfx}sized USING (band, bucket)),
+       |${pfx}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM ${pfx}jb a JOIN ${pfx}jb b
+       |           ON a.band = b.band AND a.bucket = b.bucket
        |          AND a.doc_id < b.doc_id),
-       |est AS (SELECT id_a, id_b, CAST($eq AS DOUBLE) / 64 AS est_jaccard
-       |        FROM cand JOIN m x ON x.doc_id = cand.id_a
-       |                  JOIN m y ON y.doc_id = cand.id_b)""".stripMargin
+       |${pfx}est AS (SELECT id_a, id_b, CAST($eq AS DOUBLE) / 64 AS est_jaccard
+       |        FROM ${pfx}cand JOIN ${pfx}m x ON x.doc_id = ${pfx}cand.id_a
+       |                  JOIN ${pfx}m y ON y.doc_id = ${pfx}cand.id_b)""".stripMargin
   }
 
   val q44Oracle: String =
@@ -4354,19 +4366,19 @@ object LlmOps {
 
   /** Shared oracle CTE chain building the q139/q151 kNN edge set — kept
     * as one string so the two oracles can never drift apart on graph
-    * construction. Ends with the `edges` CTE (undirected (lo, hi)). */
+    * construction. Ends with the `edges` CTE (undirected (lo, hi)).
+    * Round 16: the cosine leg uses `list_cosine_similarity` on DOUBLE[]
+    * (verified bit-identical to the historical unnest-sum formulation)
+    * — the unnest form materialized \|block\|²·64 rows and spilled >75 GB
+    * of DuckDB temp on the sf1 scale gate; the list form stays
+    * per-pair-row and completes. */
   private val KnnEdgeCtes: String =
-    s"""ex AS (
+    s"""sims AS (
        |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
-       |    unnest(a.embedding) AS x, unnest(b.embedding) AS y
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |                                 b.embedding::DOUBLE[]), 4) AS sim
        |  FROM embeddings a JOIN embeddings b USING (label)
        |  WHERE a.vec_id <> b.vec_id),
-       |sims AS (
-       |  SELECT label, ia, ib,
-       |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS sim
-       |  FROM ex GROUP BY 1, 2, 3),
        |dkt AS (
        |  SELECT label, ia, ib,
        |    row_number() OVER (PARTITION BY label, ia
@@ -6752,10 +6764,13 @@ object LlmOps {
     * (cheap admission, periodic ledger). StreamCurationSpec adds the
     * live-stream run, a second slicing, and byte-identical redelivery.
     */
-  def q246StreamCuration(s: SparkSession, d: String): DataFrame = {
+  /** Ensure (and return) the maintained streamed-curation state for the
+    * fixture at `d` (three deterministic mod-3 micro-batches) — shared
+    * by the q246 ledger and the q253 eager-pairs read. */
+  private def curationStreamRoot(s: SparkSession, d: String): String = {
     import graft.sources.Layouts
     val tag = Layouts.srcTag(s, d, "documents")
-    val root = Layouts.ensureDir(s, s"curstream_${CurStreamTag}_$tag") { tmp =>
+    Layouts.ensureDir(s, s"curstream_${CurStreamTag}_$tag") { tmp =>
       val docs = documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       (0L until 3L).foreach { b =>
@@ -6766,7 +6781,54 @@ object LlmOps {
       val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
     }
-    graft.streaming.CurationFunnelStream.ledger(s, root)
+  }
+
+  def q246StreamCuration(s: SparkSession, d: String): DataFrame =
+    graft.streaming.CurationFunnelStream.ledger(s, curationStreamRoot(s, d))
+
+  /** q253: EAGER NEAR-DUP PAIRS OF THE STREAMED FUNNEL — the low-latency
+    * signal q246's scaladoc left spec-only, now oracled: each ingest
+    * batch's `pairs/batch_id=N` output (the [[graft.streaming
+    * .IncrementalIndex]] probe — new-vs-indexed plus intra-batch pairs,
+    * bucket guard at PROBE-TIME occupancy) is read back with its batch
+    * id. Probe-time guarding is slicing-DEPENDENT by design (a live
+    * ingest wants pairs NOW, before final occupancy is knowable); the
+    * oracle therefore replays the registered mod-3 slicing exactly: one
+    * LSH chain per batch, occupancy restricted to `doc_id % 3 <= b`
+    * (index ∪ batch — the probe's guard population), pairs where at
+    * least one side is in batch b, kind split new_new/new_old. The gate
+    * passing certifies the per-batch probe semantics cross-engine —
+    * complementing q246, which certifies the slicing-INDEPENDENT ledger.
+    *
+    * Scale: the read is \|pairs\|-sized off the maintained state; the
+    * probe cost that produced it scaled with each batch, never the
+    * corpus (the q79 posture).
+    */
+  def q253StreamEagerPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${curationStreamRoot(s, d)}/pairs")
+      .select(col("batch_id").cast("long").as("batch_id"), col("id_a"),
+        col("id_b"), col("kind"), col("est_jaccard"))
+      .orderBy("batch_id", "id_a", "id_b")
+
+  /** One occupancy-restricted LSH chain per stream batch (the probe's
+    * guard population at batch b is `doc_id % 3 <= b`), pairs filtered
+    * to at-least-one-new, kind derived from batch membership. */
+  lazy val q253Oracle: String = {
+    val chains = (0 until 3)
+      .map(b => lshPairChainSqlP(s"b$b", s" AND doc_id % 3 <= $b"))
+      .mkString(",\n")
+    val legs = (0 until 3).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, id_a, id_b,
+         |  CASE WHEN id_a % 3 = $b AND id_b % 3 = $b
+         |       THEN 'new_new' ELSE 'new_old' END AS kind,
+         |  est_jaccard
+         |FROM b${b}est
+         |WHERE est_jaccard >= 0.5 AND (id_a % 3 = $b OR id_b % 3 = $b)"""
+        .stripMargin
+    }
+    s"""WITH $chains
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY batch_id, id_a, id_b""".stripMargin
   }
 
   // --- Video frame-shingle near-dup (q204) ---------------------------------
