@@ -10,9 +10,16 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # scale fixtures write each table as a DIRECTORY of part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional 3rd arg: comma-separated query names (per-query runs — the
+# sf1 scale gate wraps each query in its own timed subprocess)
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    oracles = {k: v for k, v in oracles.items() if k in only}
 fails = 0
 for name, sql in sorted(oracles.items()):
     res_dir = f"{outdir}/{name}"
