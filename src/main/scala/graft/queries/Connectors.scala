@@ -933,4 +933,116 @@ object Connectors {
       |SELECT CAST(rev AS BIGINT) AS rev, CAST(total AS BIGINT) AS total,
       |  CAST(ceil(total / 200.0) AS BIGINT) AS pages, op
       |FROM sizes ORDER BY rev""".stripMargin
+
+  private val RestStreamPageSize = 64
+
+  /** Author the fixture bytes a GROWING paged API serves: pages for
+    * items `[0, until)` of the deterministic item sequence plus a
+    * `meta.json` whose `total` advances — the item PREFIX is immutable
+    * (offset-cursor pagination's contract); growth rewrites only the
+    * partial last page and the envelope. This is the q196 transport
+    * seam exercised over TIME: the simulator stands where `GET
+    * /items?page=i` would, and nothing downstream knows the
+    * difference. Driver-side authoring (like every fixture writer) —
+    * the QUERY path is the stream. Pages are written before `meta.json`
+    * advances, so a probe never plans pages that don't exist yet.
+    */
+  private def publishGrowth(dir: java.nio.file.Path,
+      items: Array[(Long, String, Double)], until: Int): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    val ps = RestStreamPageSize
+    val nPages = (until + ps - 1) / ps
+    (0 until nPages).foreach { p =>
+      val slice = items.slice(p * ps, math.min((p + 1) * ps, until))
+      val body = slice.map { case (id, name, value) =>
+        s"""{"id": $id, "name": "${name.replace("\"", "\\\"")}", """ +
+          s""""value": ${value.toString}}"""
+      }.mkString(",\n    ")
+      java.nio.file.Files.write(dir.resolve(s"page-$p.json"),
+        (s"""{"total": $until, "page_size": $ps, "items": [\n    $body\n]}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    java.nio.file.Files.write(dir.resolve("meta.json"),
+      s"""{"total": $until, "page_size": $ps}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** q254: REST CURSOR STREAM — the growing-collection ingest every
+    * paged API needs, as a native DSv2 `MicroBatchStream`
+    * ([[graft.sources.v2.PagedRestMicroBatch]]; the kv changelog
+    * stream's posture, q229, on the REST connector): offsets are item
+    * counts, a trigger probes only the envelope's `total`, and each
+    * micro-batch reads exactly the NEW items — pages spanning the
+    * cursor range, index-bounded within each page — so ingest cost
+    * scales with the growth since the last trigger, never the
+    * collection. The registered query grows an isolated collection in
+    * three deterministic steps (thirds of the even-key customer
+    * sequence), runs a real `readStream … Trigger.AvailableNow` pass
+    * after each publish against ONE checkpoint (restart-resume is the
+    * point), lands each batch under `ingest/batch_id=N` (the q79
+    * replay protocol), and returns every ingested item with its batch
+    * attribution. The oracle recomputes the cursor slices from the raw
+    * customer table (row_number thirds, page = index div pageSize) —
+    * the gate certifies offsets, slicing, restart-resume, and the JSON
+    * round-trip cross-engine.
+    *
+    * Scale: each trigger's work ∝ growth (a 10⁹-item collection with a
+    * 10³-item delta reads ⌈10³/pageSize⌉ pages); checkpointed cursors
+    * survive restarts; a shrinking re-publish refuses loudly
+    * (PagedRestStreamSpec pins that plus no-growth no-op).
+    */
+  def q254RestCursorStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = s"$wh/graft_rest_stream"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh per run
+    val items = graft.Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").cast("double").as("value"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val n = items.length
+    val pages = java.nio.file.Paths.get(s"$root/pages")
+    Seq(n / 3, 2 * n / 3, n).foreach { until =>
+      publishGrowth(pages, items, until)
+      val q = s.readStream.format("graft-rest")
+        .option("pages", pages.toString)
+        .option("pagesPerPartition", 2)
+        .option("strict", true)
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.write.mode("overwrite").parquet(s"$root/ingest/batch_id=$bid")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$root/ingest")
+      .select(col("batch_id").cast("long").as("batch_id"), col("id"),
+        col("name"), col("value"), col("page"))
+      .orderBy("batch_id", "id")
+  }
+
+  /** Cursor slices recomputed from the raw table: thirds of the
+    * even-key sequence by rank, page = global index div pageSize. */
+  val q254Oracle: String =
+    s"""WITH src AS (
+       |  SELECT c_custkey AS id, c_name AS name,
+       |    CAST(c_acctbal AS DOUBLE) AS value,
+       |    row_number() OVER (ORDER BY c_custkey) - 1 AS g,
+       |    count(*) OVER () AS n
+       |  FROM customer WHERE c_custkey % 2 = 0)
+       |SELECT CAST(CASE WHEN g < n // 3 THEN 0
+       |            WHEN g < (2 * n) // 3 THEN 1 ELSE 2 END AS BIGINT)
+       |    AS batch_id,
+       |  id, name, value,
+       |  CAST(g // $RestStreamPageSize AS INT) AS page
+       |FROM src ORDER BY batch_id, id""".stripMargin
 }

@@ -179,7 +179,7 @@ final class PagedRestTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = PagedRestV2.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new PagedRestScanBuilder(options)
   override def newWriteBuilder(
@@ -463,9 +463,86 @@ final class PagedRestScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedRestReaderFactory(strict, required.fieldNames)
+
+  /** STREAMING CURSOR INGEST — the growing-collection twin of the kv
+    * changelog stream (q229's posture on the REST connector): offsets
+    * are ITEM COUNTS (the classic offset cursor every paged API
+    * supports), a trigger probes only the envelope's `total`, and a
+    * micro-batch reads exactly the items in `[start, end)` — the pages
+    * spanning that range, index-bounded within each page — so ingest
+    * cost scales with the GROWTH since the last trigger, never the
+    * collection. Restart-from-checkpoint resumes exactly after the
+    * last ingested item: no replay, no loss (spec-pinned). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(agg.isEmpty && limit.isEmpty && bounds.isAll,
+      "graft-rest streaming read supports no pushed limit/filter/aggregate")
+    new PagedRestMicroBatch(pagesDir, pagesPerPartition, strict,
+      required.fieldNames)
+  }
 }
 
-final case class PagedRestPartition(pagesDir: String, firstPage: Long, lastPage: Long)
+/** The append-only contract: a paged collection GROWS at the tail
+  * (larger `total`, the existing item prefix immutable) — exactly what
+  * offset-cursor pagination promises. A re-publish that SHRINKS the
+  * collection (or rewrites history) invalidates every outstanding
+  * cursor; the stream refuses LOUDLY (the kv changelog's
+  * compaction-reset contract surfacing on the REST side) instead of
+  * silently serving spliced pages — restart on a fresh checkpoint to
+  * treat the republished collection as a new snapshot.
+  */
+final class PagedRestMicroBatch(pagesDir: String, pagesPerPartition: Int,
+    strict: Boolean, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class CursorOffset(n: Long) extends Offset {
+    override def json(): String = s"""{"n": $n}"""
+  }
+
+  override def initialOffset(): Offset = CursorOffset(0L)
+  override def latestOffset(): Offset =
+    CursorOffset(PagedRestV2.probe(pagesDir)._1)
+  override def deserializeOffset(json: String): Offset =
+    CursorOffset(new ObjectMapper().readTree(json).path("n").asLong())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CursorOffset].n
+    val e = end.asInstanceOf[CursorOffset].n
+    // a latest offset BELOW the checkpointed cursor means the
+    // collection shrank under the stream — refuse, don't serve splices
+    require(e >= s,
+      s"graft-rest: collection at $pagesDir shrank below the stream's " +
+        s"cursor (total now $e < cursor $s) — a re-publish rewrote " +
+        "history; restart the stream on a fresh checkpoint")
+    if (e == s) return Array.empty
+    val (total, pageSize) = PagedRestV2.probe(pagesDir)
+    require(total >= e,
+      s"graft-rest: collection at $pagesDir shrank below the stream's " +
+        s"cursor (total $total < offset $e) — a re-publish rewrote " +
+        "history; restart the stream on a fresh checkpoint")
+    val p0 = s / pageSize
+    val p1 = (e - 1) / pageSize
+    (p0 to p1 by pagesPerPartition.toLong).map { first =>
+      PagedRestPartition(pagesDir, first,
+        math.min(first + pagesPerPartition - 1, p1), s, e, pageSize)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedRestReaderFactory(strict, fields)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** `itemFrom`/`itemUntil` bound the GLOBAL item-index range [from,
+  * until) this partition serves (cursor semantics for the micro-batch
+  * stream; global index = page · pageSize + in-page index). The batch
+  * defaults select everything and skip the arithmetic entirely. */
+final case class PagedRestPartition(pagesDir: String, firstPage: Long, lastPage: Long,
+    itemFrom: Long = 0L, itemUntil: Long = Long.MaxValue, pageSize: Int = 1)
     extends InputPartition
 
 /** Driver-precomputed aggregate rows (envelope arithmetic) — the
@@ -517,13 +594,24 @@ final class PagedRestPartitionReader(
     it
   }
 
+  /** In-page index this page starts serving at (cursor lower bound). */
+  private def startIdx(pg: Long): Int =
+    math.max(0L, p.itemFrom - pg * p.pageSize).toInt
+
+  /** One past the last in-page index this page may serve (cursor upper
+    * bound); Long.MaxValue (the batch default) disables the cap. */
+  private def pageCap: Int =
+    if (p.itemUntil == Long.MaxValue) items.size()
+    else math.min(items.size().toLong,
+      math.max(0L, p.itemUntil - page * p.pageSize)).toInt
+
   private def advancePage(): Boolean = {
     while (page < p.lastPage) {
       page += 1
-      idx = 0
+      idx = startIdx(page)
       try {
         items = readPage(page)
-        if (items.size() > 0) return true
+        if (idx < pageCap) return true
       } catch {
         case e: Exception if !strict =>
           logWarning(s"graft-rest: skipping page $page: ${e.getMessage}")
@@ -534,7 +622,7 @@ final class PagedRestPartitionReader(
   }
 
   override def next(): Boolean = {
-    if (items != null && idx < items.size()) true
+    if (items != null && idx < pageCap) true
     else advancePage()
   }
 
