@@ -1220,25 +1220,35 @@ object LlmOps {
 
   /** Argmax-cosine cell assignment against a broadcast centroid set —
     * the shared first stage of semantic dedup (q77) and the k-means
-    * update step (q81): one broadcast + a `max_by` aggregate whose
-    * partials collapse map-side, so the shuffle carries one (id, cell,
-    * embedding) row per vector, never the N×K sim matrix. The
-    * (csim, cell_id) ordering struct is unique per vector (cell ids are
-    * distinct), so the argmax is deterministic on both engines.
+    * update step (q81): one broadcast + a `max(struct)` aggregate whose
+    * partials collapse map-side. The N×K candidate rows carry ONLY the
+    * 16-byte (csim, cell_id) ordering struct — never the embedding;
+    * with corpus-proportional K the candidate leg is n·K = n²/stride
+    * rows, and dragging a 64-float array copy through each (the
+    * round-15 max_by formulation) made the argmax allocation-bound at
+    * 30× (GC-driven 10× run-to-run variance on q139's sweep). The
+    * embedding and any kept columns re-attach via one vec_id equi-join
+    * against the assignment's own exchange — linear, columnar, and
+    * cheap where the struct copies were quadratic. The (csim, cell_id)
+    * struct is unique per vector (cell ids are distinct), so
+    * max(struct) ≡ max_by and the argmax is deterministic on both
+    * engines.
     */
   private def assignCells(e: DataFrame, centroids: DataFrame,
-      keep: Seq[String] = Nil): DataFrame =
-    e.select(col("vec_id") +: col("embedding") +: keep.map(col): _*)
+      keep: Seq[String] = Nil): DataFrame = {
+    val cells = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"),
-        struct(col("cell_id") +: col("embedding") +: keep.map(col): _*).as("v"),
         struct(
           VectorExpressions.cosine(col("embedding"), col("c_emb")).as("csim"),
           col("cell_id").as("cell_id")).as("o"))
-      .groupBy("vec_id").agg(max_by(col("v"), col("o")).as("v"))
-      .select(col("vec_id") +: col("v.cell_id").as("cell_id") +:
-        col("v.embedding").as("embedding") +:
-        keep.map(k => col(s"v.$k").as(k)): _*)
+      .groupBy("vec_id").agg(max(col("o")).as("o"))
+      .select(col("vec_id"), col("o.cell_id").as("cell_id"))
+    e.select(col("vec_id") +: col("embedding") +: keep.map(col): _*)
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id") +: col("cell_id") +: col("embedding") +:
+        keep.map(col): _*)
+  }
 
   /** SEMANTIC DEDUP (the SemDeDup recipe): cluster the corpus in
     * embedding space, then within each cluster drop every member that is
@@ -4292,6 +4302,25 @@ object LlmOps {
     * neighbors; union symmetrization caps degree at 10 + incoming. */
   private val TriKnnK = 5
 
+  /** q139/q151 candidate-cell stride (round 16): the kNN graph's
+    * candidate blocks are (label × corpus-proportional cell), with one
+    * seed per [[KnnCellStride]] vec_ids — the [[semCentroids]] rule at a
+    * coarser stride, so the mean block is ~stride/|labels| (~25) members
+    * at EVERY corpus size. Label-only blocking densified under growth
+    * (each label block grows with n, the candidate join with n² — the
+    * sf3 sweep measured q151 at exponent 1.52); with stride seeding the
+    * block count grows with the corpus instead and Σ|block|² stays
+    * linear. The graph becomes the standard ANN-graph approximation:
+    * neighbors are found within the coarse cell, cross-cell edges are
+    * missed by design (the q77/q166 posture). */
+  private val KnnCellStride = 256L
+
+  /** q139/q151 degenerate-block guard, same role as q42/q166's maxCell:
+    * a pathological (label, cell) block is excluded outright rather than
+    * allowed to run a quadratic task. At fixture uniformity no block
+    * approaches it. */
+  private val KnnMaxBlock = 10000L
+
   /** q139: TRIANGLE CENSUS of the semantic k-NN graph — the structure
     * audit ABOVE pairwise similarity: q42 counts near-dup PAIRS, q63
     * finds connected components, but neither says how CLUMPED the
@@ -4299,13 +4328,17 @@ object LlmOps {
     * (transitivity = 3·triangles / wedges) does: high transitivity means
     * near-dups come in tight cliques (template families — purge-friendly),
     * low means chains/hubs (LSH bucket-joins will over-merge). Graph
-    * construction is the q82 discipline — cell-restricted (label)
-    * candidate scoring, rank window over (rounded sim DESC, id ASC),
-    * top-[[TriKnnK]] per vector, symmetrized by UNION into undirected
-    * (lo, hi) edges.
+    * construction is the ANN-graph discipline — candidates restricted
+    * to (label × [[KnnCellStride]]-seeded corpus-proportional cell),
+    * rank window over (rounded sim DESC, id ASC), top-[[TriKnnK]] per
+    * vector, symmetrized by UNION into undirected (lo, hi) edges.
     *
-    * Scale shape: the candidate join is |cell|²-bounded like q77 (never
-    * corpus²); after it, everything is EDGE-sized with bounded degree —
+    * Scale shape (round 16): the candidate join is density-PINNED, not
+    * just guard-bounded — block count grows with the corpus while mean
+    * block density stays ~stride/|labels|, so Σ|block|² is linear in n
+    * (label-only blocking densified: the sf3 sweep measured the graph
+    * family at exponent 1.52); after it, everything is EDGE-sized with
+    * bounded degree —
     * wedges ≤ n·C(deg,2), and the triangle join is the ordered-adjacency
     * enumeration (each triangle x<y<z found exactly once as wedge
     * (x,y),(x,z) closed by edge (y,z) — the a<b<c direction cuts the 6×
@@ -4314,18 +4347,34 @@ object LlmOps {
     * rank window (4-dp rounded, the cross-engine-stable q82 form).
     */
   /** Shared Spark-side kNN edge builder for q139/q151 — the exact plan
-    * the [[KnnEdgeCtes]] oracle chain mirrors: cell-restricted candidate
-    * scoring, (rounded-sim DESC, id) rank window, top-[[TriKnnK]] per
-    * vector, union-symmetrized undirected (lo, hi) edges. */
+    * the [[KnnEdgeCtes]] oracle chain mirrors: corpus-proportional cell
+    * assignment ([[assignCells]] against the [[KnnCellStride]] seed
+    * set), (label, cell)-restricted candidate scoring under the
+    * [[KnnMaxBlock]] guard, (rounded-sim DESC, id) rank window,
+    * top-[[TriKnnK]] per vector, union-symmetrized undirected (lo, hi)
+    * edges. One assignment exchange feeds both join sides; the
+    * candidate join is Σ|block|² with block density pinned at
+    * ~stride/|labels| — linear in the corpus at every scale. The edge
+    * set (≤ 2·[[TriKnnK]]·n rows of 3 longs — linear and narrow) is
+    * eagerly checkpointed: q139 reads it five ways (degree/edge
+    * rollups + the 3-way triangle join) and q151 re-joins it every
+    * PageRank iteration — without the cut each consumer would replay
+    * the assignment + candidate join (the q173 items discipline). */
   private def knnEdges(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val a = e.select(col("label"), col("vec_id").as("ia"),
+    val e0 = embeddings(s, d)
+    val cents = e0.filter(pmod(col("vec_id"), lit(KnnCellStride)) === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val e = assignCells(e0, cents, keep = Seq("label"))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("label", "cell_id")))
+      .filter(col("bsz") <= KnnMaxBlock)
+    val a = e.select(col("label"), col("cell_id"), col("vec_id").as("ia"),
       col("embedding").as("ea"))
-    val b = e.select(col("label"), col("vec_id").as("ib"),
+    val b = e.select(col("label"), col("cell_id"), col("vec_id").as("ib"),
       col("embedding").as("eb"))
     val wA = Window.partitionBy("label", "ia")
       .orderBy(col("sim").desc, col("ib"))
-    a.join(b, Seq("label")).filter(col("ia") =!= col("ib"))
+    a.join(b, Seq("label", "cell_id")).filter(col("ia") =!= col("ib"))
       .select(col("label"), col("ia"), col("ib"),
         round(VectorExpressions.cosine(col("ea"), col("eb")), 4).as("sim"))
       .withColumn("rn", row_number().over(wA))
@@ -4333,6 +4382,7 @@ object LlmOps {
       .select(col("label"), least(col("ia"), col("ib")).as("lo"),
         greatest(col("ia"), col("ib")).as("hi"))
       .distinct()
+      .localCheckpoint(eager = true)
   }
 
   def q139KnnTriangles(s: SparkSession, d: String): DataFrame = {
@@ -4367,17 +4417,41 @@ object LlmOps {
   /** Shared oracle CTE chain building the q139/q151 kNN edge set — kept
     * as one string so the two oracles can never drift apart on graph
     * construction. Ends with the `edges` CTE (undirected (lo, hi)).
-    * Round 16: the cosine leg uses `list_cosine_similarity` on DOUBLE[]
-    * (verified bit-identical to the historical unnest-sum formulation)
-    * — the unnest form materialized \|block\|²·64 rows and spilled >75 GB
-    * of DuckDB temp on the sf1 scale gate; the list form stays
-    * per-pair-row and completes. */
+    * The assignment leg re-derives the [[KnnCellStride]] seeding and the
+    * argmax-cosine cell via the q77 unnest-sum formulation (row_number
+    * over (csim DESC, cell_id DESC) ≡ the engine's max_by on the
+    * (csim, cell_id) struct — proven bit-stable across every gate); the
+    * pairwise leg uses `list_cosine_similarity` on DOUBLE[] (verified
+    * bit-identical to unnest-sum) — the unnest form materialized
+    * \|block\|²·64 rows and spilled >75 GB of DuckDB temp on the sf1
+    * scale gate; the list form stays per-pair-row and completes. */
   private val KnnEdgeCtes: String =
-    s"""sims AS (
+    s"""kc AS (SELECT vec_id AS cell_id, embedding AS c_emb
+       |       FROM embeddings WHERE vec_id % $KnnCellStride = 0),
+       |kax AS (SELECT e.vec_id, c.cell_id,
+       |          unnest(e.embedding) AS x, unnest(c.c_emb) AS y
+       |        FROM embeddings e CROSS JOIN kc c),
+       |kasim AS (SELECT vec_id, cell_id,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS csim
+       |  FROM kax GROUP BY 1, 2),
+       |kassigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY csim DESC, cell_id DESC) AS rn
+       |    FROM kasim) WHERE rn = 1),
+       |kb AS (SELECT e.vec_id, e.label, e.embedding, a.cell_id
+       |       FROM embeddings e JOIN kassigned a USING (vec_id)),
+       |kblk AS (SELECT label, cell_id FROM kb GROUP BY 1, 2
+       |         HAVING count(*) <= $KnnMaxBlock),
+       |kbe AS (SELECT kb.* FROM kb JOIN kblk USING (label, cell_id)),
+       |sims AS (
        |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
        |                                 b.embedding::DOUBLE[]), 4) AS sim
-       |  FROM embeddings a JOIN embeddings b USING (label)
+       |  FROM kbe a JOIN kbe b USING (label, cell_id)
        |  WHERE a.vec_id <> b.vec_id),
        |dkt AS (
        |  SELECT label, ia, ib,
@@ -7317,4 +7391,5 @@ object LlmOps {
       |  CAST(sum(tok) * 1000 - sum(tok * 1000 // c) AS BIGINT)
       |    AS dup_tokens_milli
       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
 }

@@ -44,19 +44,35 @@ class RrfPagerankSpec extends SparkSpec {
       v.map(x => vmin + halfUp((x - vmin) / scale) * scale) }
   }
 
-  // mirrors LlmOps.knnEdges: per label, top-5 by (sim DESC, ib), symmetrized
+  private def cosRaw(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // mirrors LlmOps.knnEdges: per (label × stride-256 argmax cell),
+  // top-5 by (sim DESC, ib), symmetrized; argmax ties to the larger
+  // cell_id (the engine's max_by on the (csim, cell_id) struct)
   private def knnEdges(vs: Seq[(Long, Long, Array[Double])])
-      : Set[(Long, Long, Long)] =
-    vs.groupBy(_._2).toSeq.flatMap { case (label, cell) =>
-      cell.flatMap { case (ia, _, ea) =>
-        cell.filter(_._1 != ia)
-          .map { case (ib, _, eb) => (ib, cos4(ea, eb)) }
-          .sortBy { case (ib, sim) => (-sim, ib) }
-          .take(5)
-          .map { case (ib, _) =>
-            (label, math.min(ia, ib), math.max(ia, ib)) }
-      }
-    }.toSet
+      : Set[(Long, Long, Long)] = {
+    val seeds = vs.filter(_._1 % 256L == 0L).map(v => v._1 -> v._3)
+    def cellOf(e: Array[Double]): Long =
+      seeds.maxBy { case (cid, ce) => (cosRaw(e, ce), cid) }._1
+    vs.groupBy(v => (v._2, cellOf(v._3))).toSeq
+      .filter(_._2.size <= 10000)
+      .flatMap { case ((label, _), cell) =>
+        cell.flatMap { case (ia, _, ea) =>
+          cell.filter(_._1 != ia)
+            .map { case (ib, _, eb) => (ib, cos4(ea, eb)) }
+            .sortBy { case (ib, sim) => (-sim, ib) }
+            .take(5)
+            .map { case (ib, _) =>
+              (label, math.min(ia, ib), math.max(ia, ib)) }
+        }
+      }.toSet
+  }
 
   test("q150 RRF equals a rank replay; fused integer scores exact") {
     val vs = vecs

@@ -22,36 +22,52 @@ class TriangleChecksumSpec extends SparkSpec {
     val vecs = graft.Tables.embeddings(spark, d)
       .select($"label".cast("long"), $"vec_id", $"embedding")
       .as[(Long, Long, Array[Float])].collect()
-    val expected = vecs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lb, vs) =>
-      def cos(a: Array[Float], b: Array[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          dot += a(i).toDouble * b(i).toDouble
-          na += a(i).toDouble * a(i).toDouble
-          nb += b(i).toDouble * b(i).toDouble
-          i += 1
-        }
-        round4(dot / (math.sqrt(na) * math.sqrt(nb)))
+    def cosRaw(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
       }
-      val ids = vs.map(_._2).toSeq
-      val emb = vs.map(v => v._2 -> v._3).toMap
-      val edges = ids.flatMap { ia =>
-        ids.filter(_ != ia)
-          .map(ib => (ib, cos(emb(ia), emb(ib))))
-          .sortBy { case (ib, sim) => (-sim, ib) }
-          .take(5)
-          .map { case (ib, _) => (math.min(ia, ib), math.max(ia, ib)) }
-      }.distinct.toSet
-      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
-        .groupBy(identity).map { case (_, v) => v.size.toLong }
-      val wedges = deg.map(dg => dg * (dg - 1) / 2).sum
-      val tris = (for {
-        (a, b) <- edges; (a2, c) <- edges
-        if a2 == a && b < c && edges.contains((b, c))
-      } yield (a, b, c)).size.toLong
-      (lb, deg.size.toLong, edges.size.toLong, wedges, tris,
-        if (wedges > 0) Some(tris * 3 * 1000000L / wedges) else None)
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    def cos(a: Array[Float], b: Array[Float]): Double = round4(cosRaw(a, b))
+    // the corpus-proportional cell assignment: argmax raw cosine over
+    // the stride-256 seeds, ties to the LARGER cell_id (the engine's
+    // max_by on the (csim, cell_id) struct)
+    val seeds = vecs.filter(_._2 % 256L == 0L).map(v => v._2 -> v._3)
+    assert(seeds.length > 1, "fixture must seed multiple cells")
+    def cellOf(e: Array[Float]): Long =
+      seeds.maxBy { case (cid, ce) => (cosRaw(e, ce), cid) }._1
+    val expected = vecs
+      .map(v => (v._1, cellOf(v._3), v._2, v._3))
+      .groupBy(v => (v._1, v._2)).toSeq
+      .filter(_._2.length <= 10000)
+      .flatMap { case ((lb, _), vs) =>
+        val ids = vs.map(_._3).toSeq
+        val emb = vs.map(v => v._3 -> v._4).toMap
+        ids.flatMap { ia =>
+          ids.filter(_ != ia)
+            .map(ib => (ib, cos(emb(ia), emb(ib))))
+            .sortBy { case (ib, sim) => (-sim, ib) }
+            .take(5)
+            .map { case (ib, _) =>
+              (lb, math.min(ia, ib), math.max(ia, ib)) }
+        }
+      }.distinct
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (lb, es) =>
+        val edges = es.map(e => (e._2, e._3)).toSet
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (_, v) => v.size.toLong }
+        val wedges = deg.map(dg => dg * (dg - 1) / 2).sum
+        val tris = (for {
+          (a, b) <- edges; (a2, c) <- edges
+          if a2 == a && b < c && edges.contains((b, c))
+        } yield (a, b, c)).size.toLong
+        (lb, deg.size.toLong, edges.size.toLong, wedges, tris,
+          if (wedges > 0) Some(tris * 3 * 1000000L / wedges) else None)
+      }
     val got = LlmOps.q139KnnTriangles(spark, d)
       .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
     assert(got == expected)
