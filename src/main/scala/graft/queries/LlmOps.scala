@@ -7392,4 +7392,221 @@ object LlmOps {
       |    AS dup_tokens_milli
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // --- Incremental semantic dedup (q255) -----------------------------------
+
+  /** q255 snapshot split: vec_id % 10 >= 8 plays the new snapshot. */
+  private val IncrSemNewMod = 10L
+
+  /** Version + parameter token baked into the q255 index layout name
+    * (the q79 [[IncrIndexTag]] discipline): a layout populated under a
+    * different stride, tau, cell bound, or snapshot split must never
+    * satisfy the reuse path. */
+  /** q255 probe threshold — deliberately LOWER than q77's removal
+    * tau (0.5): an incremental probe is a surfacing step (a human or a
+    * downstream keep-rule consumes the pairs), and under frozen base
+    * seeds a paraphrase pair straddling the snapshot boundary sits
+    * systematically further from its (stale) centroid than a batch
+    * re-clustering would place it. */
+  private val IncrSemTau = 0.3
+
+  private val IncrSemTag: String =
+    s"v1_c${SemDedupSeedStride}t03x${SemDedupMaxCell}m$IncrSemNewMod"
+
+  /** q255: INCREMENTAL SEMANTIC DEDUP — the continual-ingest twin of
+    * q77, completing the maintained-index family (MinHash q79, BM25
+    * q211, IVFADC q250): a daily snapshot must not re-cluster and
+    * re-compare the whole corpus to learn which of ITS documents are
+    * semantic near-dups. The maintained state is one published layout
+    * ([[graft.sources.Layouts.ensureDir]]): the base corpus's cell
+    * assignment `(cell_id, vec_id, embedding)` under centroids FROZEN
+    * at base time — seeds are the [[SemDedupSeedStride]] rule
+    * restricted to base vec_ids, the q250 frozen-quantizer discipline
+    * (drift on later snapshots is a measured-rebuild concern, q252's
+    * audit shape, not a correctness one).
+    *
+    * The probe assigns ONLY the new slice to the frozen cells, then
+    * forms exactly two pair classes inside each cell: new-vs-base
+    * (probe joined against the index) and new-vs-new (probe
+    * self-join). Base-vs-base pairs are never formed — probe cost
+    * scales with the snapshot × cell density, never the corpus². The
+    * degenerate-cell guard counts index + probe occupancy TOGETHER, so
+    * the guarded cell set is identical to a batch run over the union —
+    * which is exactly what the oracle replays from scratch (an oracle
+    * has no maintained state): frozen-seed assignment of the FULL
+    * corpus, union-occupancy guard, within-cell pairs, at-least-one-new
+    * filter. The gate passing IS the incremental == rebuild proof.
+    *
+    * Output: (id_a, id_b, kind, cell_id, sim ≥ [[IncrSemTau]]) with
+    * id_a < id_b — 'kind' splits collision-with-corpus (drop the new
+    * doc) from intra-snapshot duplicates (keep-min), the q79 contract
+    * in embedding space.
+    */
+  def q255IncrSemDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    val e = embeddings(s, d)
+    val frozen = e
+      .filter(pmod(col("vec_id"), lit(SemDedupSeedStride)) === 0 &&
+        col("vec_id") % IncrSemNewMod < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val idxPath = Layouts.ensureDir(s, s"semidx_${IncrSemTag}_$tag") { tmp =>
+      assignCells(e.filter(col("vec_id") % IncrSemNewMod < 8), frozen)
+        .select("cell_id", "vec_id", "embedding").write.parquet(tmp)
+    }
+    val idx = s.read.parquet(idxPath)
+    // the probe frame feeds the occupancy guard and both pair legs —
+    // checkpoint it (snapshot-sized, the q173 items discipline) so the
+    // assignment runs once, not three times
+    val nw = assignCells(e.filter(col("vec_id") % IncrSemNewMod >= 8), frozen)
+      .select(col("cell_id"), col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = true)
+    val occ = idx.select("cell_id").unionAll(nw.select("cell_id"))
+      .groupBy("cell_id").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= SemDedupMaxCell).select("cell_id")
+    val nwOk = nw.join(occ, Seq("cell_id"))
+    val newOld = nwOk
+      .select(col("cell_id"), col("vec_id").as("na"), col("embedding").as("ea"))
+      .join(idx.select(col("cell_id"), col("vec_id").as("ob"),
+        col("embedding").as("eb")), Seq("cell_id"))
+      .select(col("cell_id"),
+        least(col("na"), col("ob")).as("id_a"),
+        greatest(col("na"), col("ob")).as("id_b"),
+        lit("new_old").as("kind"),
+        VectorExpressions.cosine(col("ea"), col("eb")).as("sim"))
+    val newNew = nwOk
+      .select(col("cell_id"), col("vec_id").as("na"), col("embedding").as("ea"))
+      .join(nwOk.select(col("cell_id"), col("vec_id").as("nb"),
+        col("embedding").as("eb")), Seq("cell_id"))
+      .filter(col("na") < col("nb"))
+      .select(col("cell_id"), col("na").as("id_a"), col("nb").as("id_b"),
+        lit("new_new").as("kind"),
+        VectorExpressions.cosine(col("ea"), col("eb")).as("sim"))
+    newOld.unionAll(newNew)
+      .filter(col("sim") >= IncrSemTau)
+      .select(col("id_a"), col("id_b"), col("kind"),
+        col("cell_id").cast("long").as("cell_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** From-scratch replay: frozen-seed assignment of the full corpus
+    * (the seeds predicate restricted to base ids), union-occupancy
+    * guard, within-cell pairs, at-least-one-new — provably the
+    * index-probe plan's output because per-vector argmax assignment is
+    * row-independent and the guard bound is union occupancy on both
+    * sides. */
+  val q255Oracle: String =
+    s"""WITH fc AS (SELECT vec_id AS cell_id, embedding AS c_emb
+       |       FROM embeddings
+       |       WHERE vec_id % $SemDedupSeedStride = 0
+       |         AND vec_id % $IncrSemNewMod < 8),
+       |fax AS (SELECT e.vec_id, c.cell_id,
+       |          unnest(e.embedding) AS x, unnest(c.c_emb) AS y
+       |        FROM embeddings e CROSS JOIN fc c),
+       |fasim AS (SELECT vec_id, cell_id,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS csim
+       |  FROM fax GROUP BY 1, 2),
+       |fassigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY csim DESC, cell_id DESC) AS rn
+       |    FROM fasim) WHERE rn = 1),
+       |occ AS (SELECT cell_id FROM fassigned GROUP BY 1
+       |        HAVING count(*) <= $SemDedupMaxCell),
+       |m AS (SELECT a.cell_id, a.vec_id, e.embedding
+       |      FROM fassigned a JOIN occ USING (cell_id)
+       |      JOIN embeddings e USING (vec_id)),
+       |p AS (SELECT a.cell_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       |        list_cosine_similarity(a.embedding::DOUBLE[],
+       |                               b.embedding::DOUBLE[]) AS sim
+       |      FROM m a JOIN m b
+       |        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |      WHERE a.vec_id % $IncrSemNewMod >= 8
+       |         OR b.vec_id % $IncrSemNewMod >= 8)
+       |SELECT id_a, id_b,
+       |  CASE WHEN id_a % $IncrSemNewMod >= 8 AND id_b % $IncrSemNewMod >= 8
+       |       THEN 'new_new' ELSE 'new_old' END AS kind,
+       |  CAST(cell_id AS BIGINT) AS cell_id, round(sim, 4) AS sim
+       |FROM p WHERE sim >= $IncrSemTau ORDER BY id_a, id_b""".stripMargin
+
+  // --- Embedding co-moment / covariance audit (q256) ------------------------
+
+  /** q256: COVARIANCE AUDIT of the embedding space — the cross-dimension
+    * complement of q126's per-dimension audit: exact quantized
+    * co-moments for every coordinate pair i ≤ j (diagonal = variance
+    * numerator), the statistics a whitening/PCA step consumes and the
+    * audit that catches redundant (highly covarying) dimensions that
+    * per-dimension stats cannot see. All-integer: components quantize
+    * at the shared ·2²⁰ grid (q110/q112/q126 kernels), co-moment sums
+    * in decimal(38,0), and the covariance numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ
+    * is emitted as the sign-factored integer quotient by n² (the q141
+    * discipline: Spark DIV truncates toward zero, DuckDB // floors —
+    * identical only on non-negative operands), so the gate hashes
+    * exactly.
+    *
+    * Scale shape: one scan, NO join — the upper-triangle pair structs
+    * are generated per row by nested `transform`/`slice` higher-order
+    * functions (d(d+1)/2 = 2080 structs per vector at d=64), then one
+    * map-combinable aggregate: the shuffle carries 2080 partial rows
+    * per task whatever the corpus size. The oracle replays pairs via a
+    * per-vector position self-join — same multiset, join-shaped only
+    * because SQL lacks the lambda.
+    */
+  def q256CovAudit(s: SparkSession, d: String): DataFrame = {
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    embeddings(s, d)
+      .select(explode(expr(
+        """flatten(transform(embedding, (xi, i) ->
+          |  transform(slice(embedding, i + 1, size(embedding)), (xj, j) ->
+          |    struct(i + 1 AS pi, i + j + 1 AS pj,
+          |      CAST(round(CAST(xi AS DOUBLE) * 1048576) AS BIGINT) AS qi,
+          |      CAST(round(CAST(xj AS DOUBLE) * 1048576) AS BIGINT) AS qj))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.pi").as("pos_i"), col("p.pj").as("pos_j"),
+        col("p.qi").as("qi"), col("p.qj").as("qj"))
+      .groupBy("pos_i", "pos_j")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qi")).as("sum_qi"),
+        sum(col("qj")).as("sum_qj"),
+        sum(big(col("qi")) * big(col("qj"))).as("sqq"))
+      .withColumn("num",
+        big(col("n_vecs")) * col("sqq") -
+          big(col("sum_qi")) * big(col("sum_qj")))
+      .select(col("pos_i").cast("long").as("pos_i"),
+        col("pos_j").cast("long").as("pos_j"),
+        col("n_vecs"), col("sum_qi"), col("sum_qj"),
+        expr("CAST(sign(num) AS DECIMAL(38,0)) * (abs(num) DIV " +
+          "(CAST(n_vecs AS DECIMAL(38,0)) * n_vecs))").cast("long")
+          .as("cov_q2"))
+      .orderBy("pos_i", "pos_j")
+  }
+
+  val q256Oracle: String =
+    """WITH ex AS (
+      |  SELECT vec_id,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT)
+      |      AS qc,
+      |    unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.pos AS pos_i, b.pos AS pos_j, a.qc AS qi, b.qc AS qj
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos),
+      |g AS (
+      |  SELECT pos_i, pos_j, count(*) AS n_vecs,
+      |    sum(qi) AS sum_qi, sum(qj) AS sum_qj,
+      |    sum(CAST(qi AS HUGEINT) * qj) AS sqq,
+      |    count(*) * sum(CAST(qi AS HUGEINT) * qj)
+      |      - CAST(sum(qi) AS HUGEINT) * sum(qj) AS num
+      |  FROM p GROUP BY 1, 2)
+      |SELECT CAST(pos_i AS BIGINT) AS pos_i, CAST(pos_j AS BIGINT) AS pos_j,
+      |  n_vecs, CAST(sum_qi AS BIGINT) AS sum_qi,
+      |  CAST(sum_qj AS BIGINT) AS sum_qj,
+      |  CAST(CASE WHEN num >= 0
+      |    THEN num // (CAST(n_vecs AS HUGEINT) * n_vecs)
+      |    ELSE -((-num) // (CAST(n_vecs AS HUGEINT) * n_vecs)) END
+      |    AS BIGINT) AS cov_q2
+      |FROM g ORDER BY pos_i, pos_j""".stripMargin
 }
