@@ -7532,6 +7532,119 @@ object LlmOps {
        |  CAST(cell_id AS BIGINT) AS cell_id, round(sim, 4) AS sim
        |FROM p WHERE sim >= $IncrSemTau ORDER BY id_a, id_b""".stripMargin
 
+  // --- Streaming incremental semantic dedup (q257) --------------------------
+
+  /** Build the base of a streamable semantic-dedup layout at `root`:
+    * the frozen centroid seeds (the [[SemDedupSeedStride]] rule over
+    * the base corpus) land as `cents/`, and the base cell assignment
+    * as the `members/batch_id=0` generation. Counterpart of
+    * `ivfAdcBuildBase` for the q255 index. */
+  private[graft] def semIncrBuildBase(s: SparkSession, base: DataFrame,
+      root: String): Unit = {
+    val cents = base
+      .filter(pmod(col("vec_id"), lit(SemDedupSeedStride)) === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    cents.write.mode("overwrite").parquet(s"$root/cents")
+    assignCells(base, s.read.parquet(s"$root/cents"))
+      .select("cell_id", "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/members/batch_id=0")
+  }
+
+  /** Land one micro-batch as generation `gen` of the q255-shaped layout
+    * AND emit its EAGER pair set: the batch assigned to the frozen
+    * cells, paired against every EARLIER generation (partition-pruned
+    * `batch_id < gen` — a replayed batch can never see its own stale
+    * attempt) plus intra-batch, under the eager union-occupancy guard
+    * (cells bounded over everything landed so far INCLUDING this batch
+    * — monotone, so a cell that crosses the bound stops pairing from
+    * this generation on while earlier generations' pairs stand; on an
+    * un-crossed layout the union of per-generation pair files is
+    * EXACTLY the batch q255 output under any slicing, which is what
+    * the q257 gate certifies against q255's own oracle). Both writes
+    * are overwrite-by-generation, so redelivery is byte-idempotent.
+    * 'kind' is STRUCTURAL — prior generation 0 is the base corpus
+    * (new_old), everything else arrived as a delta (new_new) — which
+    * coincides with q255's id-rule classification on the registered
+    * split. */
+  private[graft] def semIncrAppendDelta(s: SparkSession, batch: DataFrame,
+      root: String, gen: Long, maxCell: Long = SemDedupMaxCell): Unit = {
+    val cents = s.read.parquet(s"$root/cents")
+    val nw = assignCells(batch.select("vec_id", "embedding"), cents)
+      .select(col("cell_id"), col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = true)
+    val prior = s.read.parquet(s"$root/members")
+      .filter(col("batch_id") < gen)
+      .select("cell_id", "vec_id", "embedding", "batch_id")
+    val occ = prior.select("cell_id").unionAll(nw.select("cell_id"))
+      .groupBy("cell_id").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxCell).select("cell_id")
+    val nwOk = nw.join(occ, Seq("cell_id"))
+    // joining on cell_id already restricts the prior side to passing
+    // cells (nwOk's cells all pass) — no second guard join needed
+    val vsPrior = nwOk
+      .select(col("cell_id"), col("vec_id").as("na"), col("embedding").as("ea"))
+      .join(prior.select(col("cell_id"), col("vec_id").as("ob"),
+        col("embedding").as("eb"), col("batch_id")), Seq("cell_id"))
+      .select(col("cell_id"),
+        least(col("na"), col("ob")).as("id_a"),
+        greatest(col("na"), col("ob")).as("id_b"),
+        when(col("batch_id") === 0L, lit("new_old"))
+          .otherwise(lit("new_new")).as("kind"),
+        VectorExpressions.cosine(col("ea"), col("eb")).as("sim"))
+    val intra = nwOk
+      .select(col("cell_id"), col("vec_id").as("na"), col("embedding").as("ea"))
+      .join(nwOk.select(col("cell_id"), col("vec_id").as("nb"),
+        col("embedding").as("eb")), Seq("cell_id"))
+      .filter(col("na") < col("nb"))
+      .select(col("cell_id"), col("na").as("id_a"), col("nb").as("id_b"),
+        lit("new_new").as("kind"),
+        VectorExpressions.cosine(col("ea"), col("eb")).as("sim"))
+    vsPrior.unionAll(intra)
+      .filter(col("sim") >= IncrSemTau)
+      .select(col("id_a"), col("id_b"), col("kind"),
+        col("cell_id").cast("long").as("cell_id"),
+        round(col("sim"), 4).as("sim"))
+      .write.mode("overwrite").parquet(s"$root/pairs/batch_id=$gen")
+    nw.select("cell_id", "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/members/batch_id=$gen")
+  }
+
+  private val SemStreamTag: String =
+    s"v1_c${SemDedupSeedStride}t03x${SemDedupMaxCell}m$IncrSemNewMod"
+
+  /** q257: STREAMING INCREMENTAL SEMANTIC DEDUP — q255's continual-
+    * ingest twin under the micro-batch replay protocol (the q251
+    * pattern on the q255 index): the delta arrives as two
+    * deterministic micro-batches through
+    * [[graft.streaming.SemDedupIngestStream]], each landing a
+    * delta-sized members generation plus its eager pair file; the
+    * registered output is the UNION of the per-generation pair files,
+    * gated against q255's OWN from-scratch oracle — the gate passing
+    * certifies stream == batch cross-engine (slicing-independence of
+    * the eager emission; SemDedupStreamSpec additionally pins a third
+    * slicing, live MemoryStream parity, byte-idempotent redelivery,
+    * the aging guard, and the eager guard's crossing semantics). */
+  def q257StreamSemDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    val dir = Layouts.ensureDir(s, s"semstr_${SemStreamTag}_$tag") { tmp =>
+      val e = embeddings(s, d)
+      semIncrBuildBase(s, e.filter(col("vec_id") % IncrSemNewMod < 8), tmp)
+      val delta = e.filter(col("vec_id") % IncrSemNewMod >= 8)
+      (0L until 2L).foreach { b =>
+        graft.streaming.SemDedupIngestStream.ingest(tmp)(
+          delta.filter(pmod(expr(s"vec_id DIV $IncrSemNewMod"), lit(2)) === b),
+          b)
+      }
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    s.read.parquet(s"$dir/pairs")
+      .select(col("id_a"), col("id_b"), col("kind"), col("cell_id"),
+        col("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   // --- Embedding co-moment / covariance audit (q256) ------------------------
 
   /** q256: COVARIANCE AUDIT of the embedding space — the cross-dimension
