@@ -7612,6 +7612,26 @@ object LlmOps {
   private val SemStreamTag: String =
     s"v1_c${SemDedupSeedStride}t03x${SemDedupMaxCell}m$IncrSemNewMod"
 
+  /** The q257/q258 shared layout: base build + two deterministic
+    * micro-batches through the streaming handler, published once per
+    * fixture dir (idempotent ensureDir). */
+  private def semStreamDir(s: SparkSession, d: String): String = {
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "embeddings")
+    Layouts.ensureDir(s, s"semstr_${SemStreamTag}_$tag") { tmp =>
+      val e = embeddings(s, d)
+      semIncrBuildBase(s, e.filter(col("vec_id") % IncrSemNewMod < 8), tmp)
+      val delta = e.filter(col("vec_id") % IncrSemNewMod >= 8)
+      (0L until 2L).foreach { b =>
+        graft.streaming.SemDedupIngestStream.ingest(tmp)(
+          delta.filter(pmod(expr(s"vec_id DIV $IncrSemNewMod"), lit(2)) === b),
+          b)
+      }
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+  }
+
   /** q257: STREAMING INCREMENTAL SEMANTIC DEDUP — q255's continual-
     * ingest twin under the micro-batch replay protocol (the q251
     * pattern on the q255 index): the delta arrives as two
@@ -7625,25 +7645,99 @@ object LlmOps {
     * slicing, live MemoryStream parity, byte-idempotent redelivery,
     * the aging guard, and the eager guard's crossing semantics). */
   def q257StreamSemDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.Layouts
-    val tag = Layouts.srcTag(s, d, "embeddings")
-    val dir = Layouts.ensureDir(s, s"semstr_${SemStreamTag}_$tag") { tmp =>
-      val e = embeddings(s, d)
-      semIncrBuildBase(s, e.filter(col("vec_id") % IncrSemNewMod < 8), tmp)
-      val delta = e.filter(col("vec_id") % IncrSemNewMod >= 8)
-      (0L until 2L).foreach { b =>
-        graft.streaming.SemDedupIngestStream.ingest(tmp)(
-          delta.filter(pmod(expr(s"vec_id DIV $IncrSemNewMod"), lit(2)) === b),
-          b)
-      }
-      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
-    }
+    val dir = semStreamDir(s, d)
     s.read.parquet(s"$dir/pairs")
       .select(col("id_a"), col("id_b"), col("kind"), col("cell_id"),
         col("sim"))
       .orderBy("id_a", "id_b")
   }
+
+  // --- Per-generation semantic-index drift audit (q258) ---------------------
+
+  /** The audit body over ANY q255/q257-shaped layout root (spec seam:
+    * SemDedupStreamSpec plants a drifted delta through the same
+    * entry): per landed generation, how close its members sit to their
+    * FROZEN assigned centroid — count, exact-integer ppm-quantized
+    * cosine sum, sign-factored mean, and the min/max envelope. One
+    * members scan + a broadcast of the (tiny) seed table; the rollup
+    * is map-combinable into |generations| rows. */
+  private[graft] def semDriftAudit(s: SparkSession, root: String): DataFrame = {
+    val cents = s.read.parquet(s"$root/cents")
+    s.read.parquet(s"$root/members")
+      .join(broadcast(cents), Seq("cell_id"))
+      .select(col("batch_id"),
+        round(VectorExpressions.cosine(col("embedding"), col("c_emb"))
+          * 1000000d).cast("long").as("q"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("q")).as("sum_ppm"),
+        min(col("q")).as("min_ppm"),
+        max(col("q")).as("max_ppm"))
+      .select(col("batch_id").cast("long").as("generation"),
+        col("n_members"), col("sum_ppm"),
+        expr("CASE WHEN sum_ppm >= 0 THEN sum_ppm DIV n_members " +
+          "ELSE -((-sum_ppm) DIV n_members) END").as("mean_ppm"),
+        col("min_ppm"), col("max_ppm"))
+      .orderBy("generation")
+  }
+
+  /** q258: PER-GENERATION ASSIGNMENT-DRIFT AUDIT for the frozen-seed
+    * semantic index — the q252 discipline applied to the q255/q257
+    * layout: the centroid seeds are frozen at base time, so a DRIFTED
+    * delta (vectors the base seeds never saw) degrades silently — it
+    * still lands in SOME argmax cell, the pairs still flow, they are
+    * just increasingly mis-celled and the dedup quietly goes blind to
+    * cross-cell paraphrases. The monitorable signal is assignment
+    * QUALITY per generation: a healthy delta's cosine-to-assigned-
+    * centroid tracks the base generation's; a drifted one opens a
+    * mean_ppm gap — the number a deployment thresholds to schedule a
+    * reseed+rebuild (SemDedupStreamSpec plants exactly such a delta
+    * and pins the gap).
+    *
+    * The engine reads generations off the layout the stream actually
+    * landed; the oracle re-derives membership AND generation placement
+    * from scratch (frozen-seed argmax + the registered deterministic
+    * slicing), so the gate certifies both the audit arithmetic and
+    * that every vector sits in the generation the protocol says it
+    * should. The per-member quantity is the ppm-quantized cosine to
+    * the assigned centroid — the SAME csim the argmax ranked on, taken
+    * from the oracle's own assignment CTE, so engine and oracle can
+    * never disagree about which cosine is being audited.
+    */
+  def q258SemDedupDrift(s: SparkSession, d: String): DataFrame =
+    semDriftAudit(s, semStreamDir(s, d))
+
+  val q258Oracle: String =
+    s"""WITH fc AS (SELECT vec_id AS cell_id, embedding AS c_emb
+       |       FROM embeddings
+       |       WHERE vec_id % $SemDedupSeedStride = 0
+       |         AND vec_id % $IncrSemNewMod < 8),
+       |fax AS (SELECT e.vec_id, c.cell_id,
+       |          unnest(e.embedding) AS x, unnest(c.c_emb) AS y
+       |        FROM embeddings e CROSS JOIN fc c),
+       |fasim AS (SELECT vec_id, cell_id,
+       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS csim
+       |  FROM fax GROUP BY 1, 2),
+       |fassigned AS (
+       |  SELECT vec_id, cell_id, csim FROM (
+       |    SELECT vec_id, cell_id, csim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY csim DESC, cell_id DESC) AS rn
+       |    FROM fasim) WHERE rn = 1),
+       |g AS (
+       |  SELECT CASE WHEN vec_id % $IncrSemNewMod < 8 THEN 0
+       |              WHEN (vec_id // $IncrSemNewMod) % 2 = 0 THEN 1
+       |              ELSE 2 END AS generation,
+       |    CAST(round(csim * 1000000) AS BIGINT) AS q
+       |  FROM fassigned)
+       |SELECT CAST(generation AS BIGINT) AS generation,
+       |  count(*) AS n_members, CAST(sum(q) AS BIGINT) AS sum_ppm,
+       |  CAST(CASE WHEN sum(q) >= 0 THEN sum(q) // count(*)
+       |       ELSE -((-sum(q)) // count(*)) END AS BIGINT) AS mean_ppm,
+       |  min(q) AS min_ppm, max(q) AS max_ppm
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- Embedding co-moment / covariance audit (q256) ------------------------
 

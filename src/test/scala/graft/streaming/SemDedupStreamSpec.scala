@@ -103,6 +103,45 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("semIncrBuildBase"))
   }
 
+  test("drift audit (q258 body): a planted drifted generation opens a " +
+    "mean_ppm gap the healthy generation does not") {
+    val r = root()
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(d => f(d).toFloat)
+    // base: two clusters living in dims 0..15, tiny noise below dim 32,
+    // EXACT zeros in dims 32..63 — the frozen seeds (vec_id 0 and 64,
+    // the stride rule over the base frame) sit one per cluster
+    val baseRows = (0L until 128L).map { id =>
+      val block = if (id < 64) 0 else 1
+      (id, vec(d =>
+        if (d / 8 == block) 1.0 + 0.01 * ((id + d) % 5)
+        else if (d < 32) 0.01 * ((id * 7 + d) % 3) else 0.0))
+    }
+    LlmOps.semIncrBuildBase(spark, baseRows.toDF("vec_id", "embedding"), r)
+    // healthy delta: same clusters — assignment quality tracks the base
+    val healthy = (200L until 220L).map { id =>
+      val block = if (id % 2 == 0) 0 else 1
+      (id, vec(d =>
+        if (d / 8 == block) 1.0 + 0.01 * ((id + d) % 5) else 0.0))
+    }
+    SemDedupIngestStream.ingest(r)(healthy.toDF("vec_id", "embedding"), 0L)
+    // drifted delta: all mass in dims 32..63, where every frozen seed
+    // is exactly zero — cosine to ANY assigned centroid collapses
+    val drifted = (300L until 320L).map { id =>
+      (id, vec(d =>
+        if (d >= 32 && (d - 32) / 8 == id % 4) 2.0 + 0.01 * ((id + d) % 5)
+        else 0.0))
+    }
+    SemDedupIngestStream.ingest(r)(drifted.toDF("vec_id", "embedding"), 1L)
+    val audit = LlmOps.semDriftAudit(spark, r)
+      .select($"generation", $"mean_ppm").as[(Long, Long)].collect().toMap
+    assert(audit.keySet == Set(0L, 1L, 2L))
+    assert(audit(0L) > 700000L && audit(1L) > 700000L,
+      s"base and healthy generations must assign tightly: $audit")
+    assert(audit(2L) < audit(1L) - 500000L,
+      s"the drifted generation must open the gap the audit exists for: $audit")
+  }
+
   test("eager guard: a cell crossing the bound mid-stream keeps its " +
     "earlier pairs and stops pairing") {
     val r = root()
