@@ -4418,24 +4418,23 @@ object LlmOps {
     * as one string so the two oracles can never drift apart on graph
     * construction. Ends with the `edges` CTE (undirected (lo, hi)).
     * The assignment leg re-derives the [[KnnCellStride]] seeding and the
-    * argmax-cosine cell via the q77 unnest-sum formulation (row_number
-    * over (csim DESC, cell_id DESC) ≡ the engine's max_by on the
-    * (csim, cell_id) struct — proven bit-stable across every gate); the
-    * pairwise leg uses `list_cosine_similarity` on DOUBLE[] (verified
-    * bit-identical to unnest-sum) — the unnest form materialized
-    * \|block\|²·64 rows and spilled >75 GB of DuckDB temp on the sf1
-    * scale gate; the list form stays per-pair-row and completes. */
+    * argmax-cosine cell (row_number over (csim DESC, cell_id DESC) ≡
+    * the engine's max_by on the (csim, cell_id) struct); BOTH cosine
+    * legs use `list_cosine_similarity` on DOUBLE[] (verified
+    * bit-identical to the historical unnest-sum formulation — the sims
+    * leg has gated on it since the sf1 scale gate, and the assignment
+    * argmax re-certifies bit-identity at every SF: one flipped
+    * near-tie would re-cell a vector and hash-mismatch the gate). The
+    * unnest form materialized n·K·64 assignment rows — ~900M at 30×,
+    * which timed the sf3 oracle out; the list form stays per-pair-row
+    * and completes. */
   private val KnnEdgeCtes: String =
     s"""kc AS (SELECT vec_id AS cell_id, embedding AS c_emb
        |       FROM embeddings WHERE vec_id % $KnnCellStride = 0),
-       |kax AS (SELECT e.vec_id, c.cell_id,
-       |          unnest(e.embedding) AS x, unnest(c.c_emb) AS y
-       |        FROM embeddings e CROSS JOIN kc c),
-       |kasim AS (SELECT vec_id, cell_id,
-       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS csim
-       |  FROM kax GROUP BY 1, 2),
+       |kasim AS (SELECT e.vec_id, c.cell_id,
+       |    list_cosine_similarity(e.embedding::DOUBLE[],
+       |                           c.c_emb::DOUBLE[]) AS csim
+       |  FROM embeddings e CROSS JOIN kc c),
        |kassigned AS (
        |  SELECT vec_id, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -7500,14 +7499,10 @@ object LlmOps {
        |       FROM embeddings
        |       WHERE vec_id % $SemDedupSeedStride = 0
        |         AND vec_id % $IncrSemNewMod < 8),
-       |fax AS (SELECT e.vec_id, c.cell_id,
-       |          unnest(e.embedding) AS x, unnest(c.c_emb) AS y
-       |        FROM embeddings e CROSS JOIN fc c),
-       |fasim AS (SELECT vec_id, cell_id,
-       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS csim
-       |  FROM fax GROUP BY 1, 2),
+       |fasim AS (SELECT e.vec_id, c.cell_id,
+       |    list_cosine_similarity(e.embedding::DOUBLE[],
+       |                           c.c_emb::DOUBLE[]) AS csim
+       |  FROM embeddings e CROSS JOIN fc c),
        |fassigned AS (
        |  SELECT vec_id, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -7712,14 +7707,10 @@ object LlmOps {
        |       FROM embeddings
        |       WHERE vec_id % $SemDedupSeedStride = 0
        |         AND vec_id % $IncrSemNewMod < 8),
-       |fax AS (SELECT e.vec_id, c.cell_id,
-       |          unnest(e.embedding) AS x, unnest(c.c_emb) AS y
-       |        FROM embeddings e CROSS JOIN fc c),
-       |fasim AS (SELECT vec_id, cell_id,
-       |    sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS csim
-       |  FROM fax GROUP BY 1, 2),
+       |fasim AS (SELECT e.vec_id, c.cell_id,
+       |    list_cosine_similarity(e.embedding::DOUBLE[],
+       |                           c.c_emb::DOUBLE[]) AS csim
+       |  FROM embeddings e CROSS JOIN fc c),
        |fassigned AS (
        |  SELECT vec_id, cell_id, csim FROM (
        |    SELECT vec_id, cell_id, csim,
