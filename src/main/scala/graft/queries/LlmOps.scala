@@ -7782,8 +7782,12 @@ object LlmOps {
       .orderBy("pos_i", "pos_j")
   }
 
-  val q256Oracle: String =
-    """WITH ex AS (
+  /** The q256/q259 shared oracle prefix: quantized components, the
+    * per-vector position self-join, and the exact co-moment rollup —
+    * one string so the covariance audit and the power iteration can
+    * never drift apart on the matrix they share. */
+  private val CovCtes: String =
+    """ex AS (
       |  SELECT vec_id,
       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT)
       |      AS qc,
@@ -7798,7 +7802,10 @@ object LlmOps {
       |    sum(CAST(qi AS HUGEINT) * qj) AS sqq,
       |    count(*) * sum(CAST(qi AS HUGEINT) * qj)
       |      - CAST(sum(qi) AS HUGEINT) * sum(qj) AS num
-      |  FROM p GROUP BY 1, 2)
+      |  FROM p GROUP BY 1, 2)""".stripMargin
+
+  val q256Oracle: String =
+    s"""WITH $CovCtes
       |SELECT CAST(pos_i AS BIGINT) AS pos_i, CAST(pos_j AS BIGINT) AS pos_j,
       |  n_vecs, CAST(sum_qi AS BIGINT) AS sum_qi,
       |  CAST(sum_qj AS BIGINT) AS sum_qj,
@@ -7807,4 +7814,83 @@ object LlmOps {
       |    ELSE -((-num) // (CAST(n_vecs AS HUGEINT) * n_vecs)) END
       |    AS BIGINT) AS cov_q2
       |FROM g ORDER BY pos_i, pos_j""".stripMargin
+
+  // --- Dominant principal direction (q259) ----------------------------------
+
+  private val PowerIters = 3
+  private val PowerUnit = 1000000L
+
+  /** q259: DOMINANT PRINCIPAL DIRECTION — [[PowerIters]] steps of
+    * fixed-point integer power iteration on q256's exact co-moment
+    * matrix: the q151 integer fixed-point discipline applied to the
+    * PCA/whitening statistics, so the "which direction holds the most
+    * variance" answer every embedding-space triage starts from is an
+    * exactly-hashable table instead of a float eigensolve. The vector
+    * starts uniform at [[PowerUnit]], each step is w = C·v followed by
+    * sign-factored truncating renormalization to max\|v\| =
+    * [[PowerUnit]] (zero matrix → zero vector, guarded on both
+    * engines); the result is DEFINED as the 3-step fixed-point
+    * trajectory — deterministic integer arithmetic, not a convergence
+    * claim (the spec replays it in BigInt and pins the normalization
+    * invariant).
+    *
+    * Scale shape: identical to q256 — the distributed work is exactly
+    * the one map-combinable co-moment aggregate; the matrix is
+    * \|dims\|²-sized, corpus-INDEPENDENT, so the iteration itself is
+    * driver-side arithmetic over 2080 bounded rows (the q172 observe
+    * pattern) emitted as a literal frame. The oracle replays the same
+    * trajectory with unrolled matrix-vector CTE joins in HUGEINT.
+    */
+  def q259PowerIteration(s: SparkSession, d: String): DataFrame = {
+    val tri = q256CovAudit(s, d).select("pos_i", "pos_j", "cov_q2")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        BigInt(r.getLong(2))))
+    val dims = tri.iterator.map(_._2).max
+    val c = Array.fill(dims + 1, dims + 1)(BigInt(0))
+    tri.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
+    var v = Array.fill(dims + 1)(BigInt(PowerUnit)); v(0) = BigInt(0)
+    for (_ <- 1 to PowerIters) {
+      val w = Array.tabulate(dims + 1) { i =>
+        if (i == 0) BigInt(0)
+        else (1 to dims).iterator.map(j => c(i)(j) * v(j)).sum
+      }
+      val mx = w.iterator.map(_.abs).max
+      v = w.map(x =>
+        if (mx == 0) BigInt(0)
+        else if (x >= 0) x * PowerUnit / mx
+        else -((-x) * PowerUnit / mx))
+    }
+    import s.implicits._
+    (1 to dims).map(i => (i.toLong, v(i).toLong))
+      .toDF("pos", "loading_ppm")
+  }
+
+  val q259Oracle: String = {
+    val iters = (1 to PowerIters).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS (SELECT cm.i, sum(cm.c * $prev.v) AS w
+         |  FROM cm JOIN $prev ON $prev.j = cm.j GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+         |v$k AS (SELECT w$k.i AS j,
+         |    CASE WHEN m$k.mx = 0 THEN 0
+         |         WHEN w >= 0 THEN w * $PowerUnit // m$k.mx
+         |         ELSE -((-w) * $PowerUnit // m$k.mx) END AS v
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CovCtes,
+       |cov AS (SELECT pos_i, pos_j,
+       |    CAST(CASE WHEN num >= 0
+       |      THEN num // (CAST(n_vecs AS HUGEINT) * n_vecs)
+       |      ELSE -((-num) // (CAST(n_vecs AS HUGEINT) * n_vecs)) END
+       |      AS HUGEINT) AS c
+       |  FROM g),
+       |cm AS (SELECT pos_i AS i, pos_j AS j, c FROM cov
+       |       UNION ALL
+       |       SELECT pos_j, pos_i, c FROM cov WHERE pos_i <> pos_j),
+       |v0 AS (SELECT DISTINCT pos_i AS j, CAST($PowerUnit AS HUGEINT) AS v
+       |       FROM cov),
+       |$iters
+       |SELECT CAST(j AS BIGINT) AS pos, CAST(v AS BIGINT) AS loading_ppm
+       |FROM v$PowerIters ORDER BY pos""".stripMargin
+  }
 }

@@ -94,4 +94,40 @@ class IncrSemDedupCovSpec extends SparkSpec {
     assert(got.filter(r => r._1 == r._2).forall(_._6 >= 0L),
       "a variance numerator can never be negative")
   }
+
+  test("q259 equals a BigInt power-iteration replay from the covariance " +
+    "replay; normalization invariant holds") {
+    val vs = vecs
+    val q = vs.map { case (_, e) =>
+      e.map(x => BigDecimal.valueOf(x * 1048576.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val dim = q.head.length
+    val n = BigInt(q.size)
+    val c = Array.fill(dim + 1, dim + 1)(BigInt(0))
+    for (i <- 1 to dim; j <- i to dim) {
+      val si = q.map(v => BigInt(v(i - 1))).sum
+      val sj = q.map(v => BigInt(v(j - 1))).sum
+      val sqq = q.map(v => BigInt(v(i - 1)) * BigInt(v(j - 1))).sum
+      val num = n * sqq - si * sj
+      val cov = if (num >= 0) num / (n * n) else -((-num) / (n * n))
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    val U = BigInt(1000000)
+    var v = Array.fill(dim + 1)(U); v(0) = BigInt(0)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dim + 1)(i =>
+        if (i == 0) BigInt(0)
+        else (1 to dim).map(j => c(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = w.map(x => if (mx == 0) BigInt(0)
+        else if (x >= 0) x * U / mx else -((-x) * U / mx))
+    }
+    val expected = (1 to dim).map(i => (i.toLong, v(i).toLong))
+    val got = LlmOps.q259PowerIteration(spark, d)
+      .orderBy("pos").as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(r => math.abs(r._2)).max == 1000000L,
+      "the renormalization pins max |loading| at exactly one unit")
+  }
 }
