@@ -132,6 +132,72 @@ object Multimodal {
     * row, never an executor. Real deployments swap the codec call for
     * JNI ffmpeg/turbojpeg behind this exact signature.
     */
+  /** Decoded audio metadata + content checksum from the REAL audio path. */
+  final case class AudioRow(
+      media_id: Long, sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, duration_ms: Long, pcm_hash: Long)
+
+  /** REAL pure-JVM audio decode through the SAME per-partition seam
+    * shape as [[decodeBatch]] — the audio counterpart of
+    * [[decodePngBatch]] (round-16 closed the image leg; this closes the
+    * audio one): `javax.sound.sampled` parses the WAV/AIFF/AU payload,
+    * the seam emits the format metadata (sample rate, channels, bit
+    * depth, frame count, derived duration) plus an FNV-1a checksum over
+    * the DECODED PCM byte stream — the exact-bytes assertion surface
+    * the spec pins, and the hook where a real pipeline computes
+    * features (fbank/MFCC) without the payload ever reaching a shuffle.
+    *
+    * Poison discipline (the decodePngBatch contract): an unparseable
+    * header quarantines the ROW (all-−1 metadata, zero hash), and a
+    * payload whose PCM stream ends short of the header's frame count
+    * (truncated upload) quarantines the same way — a checksum over
+    * partial audio would LOOK valid downstream, which is worse than no
+    * row. Unknown frame counts (streaming containers report
+    * NOT_SPECIFIED) also quarantine: this seam certifies complete,
+    * seekable payloads; real deployments swap in ffmpeg via JNI behind
+    * this exact signature for everything else.
+    */
+  def decodeWavBatch(media: Dataset[MediaRow]): Dataset[AudioRow] = {
+    implicit val enc = Encoders.product[AudioRow]
+    val poison = (id: Long) => AudioRow(id, -1, -1, -1, -1L, -1L, 0L)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val f = ais.getFormat
+            val frames = ais.getFrameLength
+            val frameSize = f.getFrameSize
+            if (frames < 0 || frameSize <= 0) poison(r.media_id)
+            else {
+              var h = 0xcbf29ce484222325L // FNV-1a offset basis
+              var total = 0L
+              val buf = new Array[Byte](8192)
+              var n = ais.read(buf)
+              while (n > 0) {
+                var i = 0
+                while (i < n) {
+                  h = (h ^ (buf(i) & 0xffL)) * 0x100000001b3L
+                  i += 1
+                }
+                total += n
+                n = ais.read(buf)
+              }
+              val rate = math.round(f.getSampleRate)
+              if (total != frames * frameSize || rate <= 0) poison(r.media_id)
+              else AudioRow(r.media_id, rate, f.getChannels,
+                f.getSampleSizeInBits, frames, frames * 1000L / rate, h)
+            }
+          } finally ais.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => poison(r.media_id)
+        }
+      }
+    }
+  }
+
   def decodePngBatch(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ThumbRow] = {
     require(tw > 0 && th > 0, "thumbnail dims must be positive")
     implicit val enc = Encoders.product[ThumbRow]

@@ -31,6 +31,24 @@ object WeatherFetch {
       byMarket.get(market.market).toRight(s"no payload for market ${market.market}")
   }
 
+  /** LIVE transport provider: GETs the exact [[urlFor]] URL through the
+    * shared [[graft.sources.Http]] seam (timeouts, bounded retry on
+    * 5xx, fail-fast 4xx) — `requests.get(url)` with the reference's
+    * per-market isolation intact: a failed market becomes a Left on the
+    * SAME boundary a missing fixture key does, and the run continues.
+    * The loopback spec drives this against a real socket; a deployment
+    * points `settings.baseUrl` at the real API and changes nothing
+    * else. */
+  final case class HttpPayloads(
+      connectTimeoutMs: Int = 2000, readTimeoutMs: Int = 5000,
+      retries: Int = 2) extends PayloadProvider {
+    def fetch(settings: WeatherSettings, market: Market): Either[String, String] =
+      Http.get(urlFor(settings, market),
+          connectTimeoutMs, readTimeoutMs, retries)
+        .left.map(e => e.message)
+        .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** The exact request URL the reference constructs: parameter order
     * matches the `params` dict (ingest_weather.py:37-44) and values are
     * form-encoded the way `requests` encodes them (quote_plus: ',' →

@@ -458,11 +458,17 @@ object KvTable {
           survivors.size.toLong
         }
       }.sum().toLong
+    KvCommitter.pausePoint("beforeCompactMarker")
     KvCommitter.assertHeld(root, token)
     Files.write(root.resolve(s"commit-$newSeq.json"),
       (s"""{"seq": $newSeq, "ops": $nKept, "query": "compact", """ +
         s""""fence": ${token.fence}}""").getBytes(StandardCharsets.UTF_8))
-    // retire everything the compacted commit supersedes
+    // retire everything the compacted commit supersedes — a crash in
+    // the window between marker and retirement leaves BOTH the old logs
+    // and the compacted commit visible: an identical fold (the
+    // compacted I-records re-assert the fold's own result), reclaimed
+    // by the next compaction
+    KvCommitter.pausePoint("beforeRetire")
     (0 until buckets).foreach { b =>
       bucketLogs(root, b)
         .filter(_.getFileName.toString.stripPrefix("log-")
@@ -1033,8 +1039,25 @@ private[v2] object KvCommitter {
 
   /** Default commit lease: generous for a local two-phase commit (log
     * moves + one marker write), short enough that a dead writer stops
-    * blocking the table within a minute. */
-  private[v2] val DefaultLeaseMs = 60000L
+    * blocking the table within a minute. Operationally tunable via
+    * `-Dgraft.kv.leaseMs` (a 100 TB deployment with slow object-store
+    * moves raises it; the cross-process crash suite lowers it so a
+    * SIGKILLed writer's takeover happens in test time, not a minute). */
+  private[v2] def defaultLeaseMs: Long =
+    sys.props.get("graft.kv.leaseMs").map(_.toLong).getOrElse(60000L)
+
+  /** Fault-injection barrier for the crash matrix (KvCrossProcessSpec):
+    * `-Dgraft.kv.pause.<point>=<ms>` announces the point on stdout and
+    * sleeps there, giving a supervising process a deterministic window
+    * to SIGKILL this JVM at exactly that protocol step. No-op (one map
+    * probe on a java sysprop) when unset — never in a per-row path. */
+  private[v2] def pausePoint(point: String): Unit =
+    sys.props.get(s"graft.kv.pause.$point").foreach { ms =>
+      // the marker line is the supervisor's kill signal — flush it
+      Console.out.println(s"[kv-pause] $point")
+      Console.out.flush()
+      Thread.sleep(ms.toLong)
+    }
 
   /** SINGLE-WRITER, ENFORCED — now with a BOUNDED LEASE and FENCING
     * instead of operator-confirmed stale-lock removal. The whole commit
@@ -1076,7 +1099,7 @@ private[v2] object KvCommitter {
     * make the orphans visible inside an unrelated commit.
     */
   private[v2] def withCommitLock[T](root: Path, who: String,
-      leaseMs: Long = DefaultLeaseMs)(body: LockToken => T): T = {
+      leaseMs: Long = defaultLeaseMs)(body: LockToken => T): T = {
     Files.createDirectories(root)
     val lock = root.resolve("_commit.lock")
     val fenceFile = root.resolve("_fence")
@@ -1241,6 +1264,7 @@ private[v2] object KvCommitter {
       .flatMap(as => Option(as.conf.get("graft.kv.txn", null)))
       .filter(_.nonEmpty)
     val txnJson = txn.map(t => s""", "txn": "${KvTable.esc(t)}"""").getOrElse("")
+    pausePoint("beforeMarker")
     assertHeld(root, token)
     Files.write(root.resolve(s"commit-$seq.json"),
       (s"""{"seq": $seq, "ops": $nOps, "query": "$queryId", """ +

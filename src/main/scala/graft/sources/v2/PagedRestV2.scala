@@ -81,17 +81,25 @@ object PagedRestV2 {
 
   /** Driver-side planning probe: a standalone `meta.json` (what the
     * writer publishes) or, failing that, page 0's inline envelope (the
-    * classic first-page probe of a live API). */
+    * classic first-page probe of a live API). Same transport seam as
+    * the page reads ([[graft.sources.Http.readBytes]]) — over HTTP the
+    * meta probe falls back to the first-page probe on a 404, exactly
+    * the behavior against a live API with no meta endpoint. */
   private[v2] def probe(pagesDir: String): (Long, Int) = {
-    val metaPath = java.nio.file.Paths.get(s"$pagesDir/meta.json")
-    val src = if (java.nio.file.Files.exists(metaPath)) metaPath
-      else java.nio.file.Paths.get(s"$pagesDir/page-0.json")
-    val root = new ObjectMapper().readTree(java.nio.file.Files.readAllBytes(src))
+    def read(name: String) = graft.sources.Http.readBytes(s"$pagesDir/$name")
+    val (src, bytes) = read("meta.json") match {
+      case Right(b) => ("meta.json", b)
+      case Left(_) => ("page-0.json",
+        read("page-0.json").fold(
+          e => throw new java.io.IOException(
+            s"graft-rest: cannot probe $pagesDir: ${e.message}"), identity))
+    }
+    val root = new ObjectMapper().readTree(bytes)
     val total = root.path("total")
     val pageSize = root.path("page_size")
     require(total.isIntegralNumber && pageSize.isIntegralNumber &&
       pageSize.asInt() > 0,
-      s"graft-rest: ${src.getFileName} envelope must carry total and page_size > 0")
+      s"graft-rest: $src envelope must carry total and page_size > 0")
     (total.asLong(), pageSize.asInt())
   }
 }
@@ -146,13 +154,14 @@ final class PagedRestHistoryScan(dir: String) extends Scan with Batch {
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val d = p.asInstanceOf[PagedRestHistoryPartition].dir
-        val hist = java.nio.file.Paths.get(s"$d.history.jsonl")
         val m = new ObjectMapper()
+        // same transport seam as the page reads; an absent ledger (no
+        // revisions published yet — file or HTTP 404) is zero rows
         val rows: Iterator[InternalRow] =
-          if (!java.nio.file.Files.exists(hist)) Iterator.empty
-          else java.nio.file.Files
-            .readAllLines(hist, java.nio.charset.StandardCharsets.UTF_8)
-            .asScala.iterator.filter(_.nonEmpty).map { line =>
+          graft.sources.Http.readBytes(s"$d.history.jsonl").fold(
+            _ => Iterator.empty,
+            bytes => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              .linesIterator).filter(_.nonEmpty).map { line =>
               val n = m.readTree(line)
               new GenericInternalRow(Array[Any](
                 n.path("rev").asLong(), n.path("total").asLong(),
@@ -583,12 +592,17 @@ final class PagedRestPartitionReader(
   private var items: JsonNode = _
   private var idx = 0
 
-  /** The transport seam: a networked deployment replaces the fixture
-    * read with `GET <base>/items?page=<i>` — nothing else changes. */
+  /** The transport seam, dispatched in ONE place
+    * ([[graft.sources.Http.readBytes]]): a fixture collection reads
+    * `<pages>/page-<i>.json` from disk, an `http(s)://` collection GETs
+    * the same path over the wire (timeouts + bounded retry on 5xx;
+    * 4xx fails fast) — nothing else in the reader changes, and an HTTP
+    * failure lands on the same per-PAGE isolation boundary a corrupt
+    * fixture page does. */
   private def readPage(i: Long): JsonNode = {
-    val root = new ObjectMapper().readTree(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"${p.pagesDir}/page-$i.json")))
+    val bytes = graft.sources.Http.readBytes(s"${p.pagesDir}/page-$i.json")
+      .fold(e => throw new java.io.IOException(e.message), identity)
+    val root = new ObjectMapper().readTree(bytes)
     val it = root.path("items")
     require(it.isArray, s"page-$i has no items array")
     it

@@ -156,7 +156,13 @@ final class WeatherPartitionReader(
   private def open(): Unit = {
     opened = true
     try {
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.path))
+      // THE transport seam (one dispatch, graft.sources.Http): fixture
+      // file or live HTTP GET — planning, pivot, pruning, isolation are
+      // identical either way, and an HTTP failure (timeout, 5xx after
+      // retries, 4xx) lands on the same per-market boundary a malformed
+      // fixture does
+      val bytes = graft.sources.Http.readBytes(p.path)
+        .fold(e => throw new java.io.IOException(e.message), identity)
       val root = new ObjectMapper().readTree(bytes)
       val hourly = root.path("hourly")
       if (!hourly.isObject || !hourly.path("time").isArray)

@@ -64,6 +64,20 @@ object SemDedupIngestStream {
         s"stream is at batch $batchId — a fresh checkpoint is being replayed " +
         "against an older layout; point the stream at a fresh layout (or " +
         "restore the checkpoint)")
+    // The mirror-image splice (round-16 advice): a layout RESTORED from
+    // an older backup against an advanced checkpoint is missing
+    // intermediate generations — pair emission pairs each batch against
+    // every EARLIER generation, so a gap silently under-pairs. Only the
+    // exactly-previous generation (committed == batchId) or a
+    // redelivered one (committed == batchId + 1) is a legal
+    // continuation; anything older is a gapped history.
+    require(committed >= batchId,
+      s"layout at $root tops out at generation batch_id=$committed but the " +
+        s"stream is at batch $batchId — generations " +
+        s"${committed + 1}..$batchId are missing (layout restored from an " +
+        "older backup?); pairs against the absent generations would be " +
+        "silently dropped. Restore a matching layout or restart the stream " +
+        "from a checkpoint aligned with this layout")
     graft.queries.LlmOps.semIncrAppendDelta(s,
       batch.select("vec_id", "embedding"), root, batchId + 1)
   }

@@ -10,6 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** The engine's argmax-assignment quantization (LlmOps.ArgmaxGrid):
+    * `round(csim · 2⁴⁰)` half-away-from-zero — spec replays of the cell
+    * assignment must rank on this integer, not the raw double. */
+  def qGrid(x: Double): Long =
+    BigDecimal.valueOf(x * 1099511627776.0d)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   override def afterAll(): Unit = {
     // session is shared across suites in one forked JVM; do not stop it.
     super.afterAll()

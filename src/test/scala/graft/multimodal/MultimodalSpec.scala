@@ -119,4 +119,51 @@ class MultimodalSpec extends SparkSpec {
       Seq(Multimodal.MediaRow(1L, "image", png)).toDS(), 2, 2).collect().head
     assert(java.util.Arrays.equals(again.thumb, out(0).thumb))
   }
+
+  test("decodeWavBatch: a REAL wav decodes through the production seam; " +
+    "truncated and poison payloads quarantine the row") {
+    import javax.sound.sampled._
+    // craft a genuine 16 kHz mono 16-bit WAV: 160 frames (10 ms) of a
+    // deterministic sawtooth so the PCM checksum is predictable
+    val nFrames = 160
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = (i * 257 - 16384).toShort // little-endian 16-bit PCM
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        nFrames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // the checksum contract: FNV-1a over the decoded PCM byte stream
+    var expectHash = 0xcbf29ce484222325L
+    pcm.foreach(b => expectHash = (expectHash ^ (b & 0xffL)) * 0x100000001b3L)
+    val truncated = wav.take(wav.length - 40) // header intact, PCM short
+    val poison = "not-audio-at-all".getBytes(StandardCharsets.UTF_8)
+    val out = Multimodal.decodeWavBatch(
+      Seq(Multimodal.MediaRow(1L, "audio", wav),
+        Multimodal.MediaRow(2L, "audio", truncated),
+        Multimodal.MediaRow(3L, "audio", poison)).toDS())
+      .collect().sortBy(_.media_id)
+    // real parsed format, not hash-derived fakes — asserted EXACTLY
+    assert(out(0).sample_rate == 16000 && out(0).channels == 1 &&
+      out(0).bits == 16)
+    assert(out(0).n_frames == nFrames.toLong)
+    assert(out(0).duration_ms == 10L) // 160 frames / 16 kHz
+    assert(out(0).pcm_hash == expectHash,
+      "the checksum must cover the DECODED pcm bytes, bit-exactly")
+    // a truncated payload quarantines (partial audio must never look
+    // valid downstream), and a non-audio payload quarantines too
+    assert(out(1).sample_rate == -1 && out(1).n_frames == -1L &&
+      out(1).pcm_hash == 0L)
+    assert(out(2).sample_rate == -1 && out(2).duration_ms == -1L)
+    // deterministic across invocations
+    val again = Multimodal.decodeWavBatch(
+      Seq(Multimodal.MediaRow(1L, "audio", wav)).toDS()).collect().head
+    assert(again == out(0))
+  }
 }

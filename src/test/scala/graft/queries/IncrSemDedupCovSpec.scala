@@ -39,8 +39,9 @@ class IncrSemDedupCovSpec extends SparkSpec {
     // frozen seeds: the stride rule restricted to BASE vec_ids
     val seeds = vs.filter(v => v._1 % 64L == 0L && v._1 % 10L < 8L)
     assert(seeds.size > 1, "fixture must freeze multiple cells")
+    // argmax on the 2^40-quantized cosine (the ArgmaxGrid rule)
     def cellOf(e: Array[Double]): Long =
-      seeds.maxBy { case (cid, ce) => (cosRaw(e, ce), cid) }._1
+      seeds.maxBy { case (cid, ce) => (qGrid(cosRaw(e, ce)), cid) }._1
     val assigned = vs.map(v => (v._1, cellOf(v._2), v._2))
     val live = assigned.groupBy(_._2).filter(_._2.size <= 10000).keySet
     val m = assigned.filter(a => live.contains(a._2))
@@ -129,5 +130,39 @@ class IncrSemDedupCovSpec extends SparkSpec {
     assert(got == expected)
     assert(got.map(r => math.abs(r._2)).max == 1000000L,
       "the renormalization pins max |loading| at exactly one unit")
+  }
+
+  test("q260 equals a BigInt corr²-ppm replay over the covariance replay; " +
+    "ranking bounded by Cauchy-Schwarz at the integer grid") {
+    val vs = vecs
+    val q = vs.map { case (_, e) =>
+      e.map(x => BigDecimal.valueOf(x * 1048576.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val dim = q.head.length
+    val n = BigInt(q.size)
+    def cov(i: Int, j: Int): BigInt = {
+      val si = q.map(v => BigInt(v(i))).sum
+      val sj = q.map(v => BigInt(v(j))).sum
+      val sqq = q.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      val num = n * sqq - si * sj
+      if (num >= 0) num / (n * n) else -((-num) / (n * n))
+    }
+    val diag = (0 until dim).map(i => cov(i, i))
+    val all = (for {
+      i <- 0 until dim; j <- (i + 1) until dim
+      if diag(i) > 0 && diag(j) > 0
+      cij = cov(i, j)
+    } yield (i + 1L, j + 1L, cij.toLong,
+      (cij * cij * 1000000 / (diag(i) * diag(j))).toLong))
+    val expected = all
+      .sortBy(r => (-r._4, r._1, r._2)).take(20)
+    val got = LlmOps.q260RedundantDims(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.size == 20)
+    // corr² can only exceed 1 (1e6 ppm) by grid truncation, never far:
+    // the exact covariance would be Cauchy-Schwarz-bounded
+    assert(got.forall(_._4 <= 1010000L))
   }
 }

@@ -53,13 +53,14 @@ class RrfPagerankSpec extends SparkSpec {
   }
 
   // mirrors LlmOps.knnEdges: per (label × stride-256 argmax cell),
-  // top-5 by (sim DESC, ib), symmetrized; argmax ties to the larger
-  // cell_id (the engine's max_by on the (csim, cell_id) struct)
+  // top-5 by (sim DESC, ib), symmetrized; argmax on the 2^40-quantized
+  // cosine, ties to the larger cell_id (the engine's max_by on the
+  // (qsim, cell_id) struct)
   private def knnEdges(vs: Seq[(Long, Long, Array[Double])])
       : Set[(Long, Long, Long)] = {
     val seeds = vs.filter(_._1 % 256L == 0L).map(v => v._1 -> v._3)
     def cellOf(e: Array[Double]): Long =
-      seeds.maxBy { case (cid, ce) => (cosRaw(e, ce), cid) }._1
+      seeds.maxBy { case (cid, ce) => (qGrid(cosRaw(e, ce)), cid) }._1
     vs.groupBy(v => (v._2, cellOf(v._3))).toSeq
       .filter(_._2.size <= 10000)
       .flatMap { case ((label, _), cell) =>

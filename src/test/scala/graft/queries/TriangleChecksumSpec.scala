@@ -33,13 +33,13 @@ class TriangleChecksumSpec extends SparkSpec {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     def cos(a: Array[Float], b: Array[Float]): Double = round4(cosRaw(a, b))
-    // the corpus-proportional cell assignment: argmax raw cosine over
-    // the stride-256 seeds, ties to the LARGER cell_id (the engine's
-    // max_by on the (csim, cell_id) struct)
+    // the corpus-proportional cell assignment: argmax 2^40-quantized
+    // cosine over the stride-256 seeds, ties to the LARGER cell_id (the
+    // engine's max_by on the (qsim, cell_id) struct)
     val seeds = vecs.filter(_._2 % 256L == 0L).map(v => v._2 -> v._3)
     assert(seeds.length > 1, "fixture must seed multiple cells")
     def cellOf(e: Array[Float]): Long =
-      seeds.maxBy { case (cid, ce) => (cosRaw(e, ce), cid) }._1
+      seeds.maxBy { case (cid, ce) => (qGrid(cosRaw(e, ce)), cid) }._1
     val expected = vecs
       .map(v => (v._1, cellOf(v._3), v._2, v._3))
       .groupBy(v => (v._1, v._2)).toSeq

@@ -142,6 +142,70 @@ class SemDedupStreamSpec extends SparkSpec {
       s"the drifted generation must open the gap the audit exists for: $audit")
   }
 
+  test("drift trip → rebuild → recovery: the audit's rebuild_due column " +
+    "fires on the drifted generation, semRebuildIfDrifted republishes a " +
+    "fresh layout whose audit is clean, and the stream re-points at it") {
+    val r = root()
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(64)(d => f(d).toFloat)
+    // the q258-drift fixture: two healthy clusters in dims 0..15 plus a
+    // drifted generation living where every frozen seed is exactly zero
+    val baseRows = (0L until 128L).map { id =>
+      val block = if (id < 64) 0 else 1
+      (id, vec(d => if (d / 8 == block) 1.0 + 0.01 * ((id + d) % 5) else 0.0))
+    }
+    LlmOps.semIncrBuildBase(spark, baseRows.toDF("vec_id", "embedding"), r)
+    val drifted = (300L until 340L).map { id =>
+      (id, vec(d =>
+        if (d >= 32 && (d - 32) / 8 == id % 4) 2.0 + 0.01 * ((id + d) % 5)
+        else 0.0))
+    }
+    SemDedupIngestStream.ingest(r)(drifted.toDF("vec_id", "embedding"), 0L)
+    // 1. the audit TRIPS: exactly the drifted generation is rebuild_due
+    val audit = LlmOps.semDriftAudit(spark, r)
+      .select($"generation", $"rebuild_due").as[(Long, Long)].collect().toMap
+    assert(audit == Map(0L -> 0L, 1L -> 1L),
+      s"rebuild_due must fire on the drifted generation only: $audit")
+    // 2. the loop ACTS: a fresh layout is republished from base + all
+    // generations under re-derived seeds (the stride rule now sees the
+    // drifted ids too, so their region of space gets its own cells)
+    val r2 = root()
+    assert(LlmOps.semRebuildIfDrifted(spark, r, r2),
+      "a tripped audit must trigger the rebuild")
+    assert(new java.io.File(s"$r2/cents").exists())
+    // the rebuilt layout holds the SAME corpus, re-based as generation 0
+    val beforeIds = spark.read.parquet(s"$r/members")
+      .select("vec_id").as[Long].collect().toSet
+    val afterIds = spark.read.parquet(s"$r2/members")
+      .select("vec_id").as[Long].collect().toSet
+    assert(afterIds == beforeIds, "rebuild must re-assign, never drop")
+    assert(spark.read.parquet(s"$r2/members")
+      .select("batch_id").distinct().as[Long].collect().toSeq == Seq(0L))
+    // 3. RECOVERY: the rebuilt audit is clean — no generation trips
+    val after = LlmOps.semDriftAudit(spark, r2)
+      .select($"generation", $"rebuild_due", $"mean_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(after.forall(_._2 == 0L),
+      s"post-rebuild audit must be clean: ${after.toSeq}")
+    assert(after.forall(_._3 > LlmOps.SemRebuildMinMeanPpm),
+      s"post-rebuild means must sit above the trigger: ${after.toSeq}")
+    // 4. RE-POINT: the stream continues against the fresh layout (a new
+    // checkpoint starts at batch 0 → generation 1)
+    val more = (400L until 410L).map { id =>
+      (id, vec(d => if (d / 8 == 0) 1.0 + 0.01 * ((id + d) % 5) else 0.0))
+    }
+    SemDedupIngestStream.ingest(r2)(more.toDF("vec_id", "embedding"), 0L)
+    val gens = spark.read.parquet(s"$r2/members")
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(gens == Set(0L, 1L), "the re-pointed stream must land cleanly")
+    // a healthy continuation does NOT re-trip
+    assert(!LlmOps.semRebuildIfDrifted(spark, r2,
+      root() /* never built */))
+    // the original layout was left untouched for forensics/rollback
+    assert(LlmOps.semDriftAudit(spark, r)
+      .filter($"rebuild_due" === 1L).count() == 1L)
+  }
+
   test("eager guard: a cell crossing the bound mid-stream keeps its " +
     "earlier pairs and stops pairing") {
     val r = root()
