@@ -4447,4 +4447,90 @@ object Warehouse {
       |  count(*) AS n_rows
       |FROM lineitem
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q261: MV MAINTAINED FROM A KV CHANGELOG → REWRITE — the lakehouse
+    * closing of the MV loop (round-16 verdict's optional item): q226
+    * rebuilt its MV from the fact scan and q234 refreshed it from a
+    * date-sliced re-scan; HERE the fact lives in a graft-kv table and
+    * the MV is maintained purely from the table's own CDC changelog —
+    * each ingest commit's `(fromSeq = asOfSeq = k)` slice rolls up and
+    * decomposably merges into the MV, so maintenance cost is
+    * per-commit-delta, never a base re-scan (the q131 discipline riding
+    * the connector's crash-safe commit cursor, exactly how the
+    * streaming CDC sink consumes the same feed). The maintained fact is
+    * APPEND-ONLY (the build asserts every changelog op is an insert) —
+    * the discipline 100 TB fact tables follow, and the reason the
+    * changelog needs no pre-images here.
+    *
+    * The registered query then aggregates over the KV TABLE ITSELF and
+    * REQUIRES [[graft.rules.AggToMvRewrite]] answered it from the MV
+    * (the rule now matches DataSourceV2 facts by table name): the kv
+    * scan must be GONE from the rewritten plan, while the DuckDB oracle
+    * recomputes from raw lineitem — the gate passing certifies ingest
+    * slicing + changelog maintenance + rollup subsumption in one hash.
+    */
+  def q261MvKvChangelog(s: SparkSession, d: String): DataFrame = {
+    import graft.rules.AggToMvRewrite
+    import graft.sources.Layouts
+    val tag = Layouts.srcTag(s, d, "lineitem")
+    val dir = Layouts.ensureDir(s, s"mvkv_v1_$tag") { tmp =>
+      val kv = s"$tmp/t"
+      val fact = lineitem(s, d).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
+        col("l_returnflag").as("name"),
+        col("l_quantity").cast("double").as("value"))
+      // three append-only ingest commits (id % 3 slices = seqs 0..2)
+      (0 to 2).foreach { b =>
+        val w = fact.filter(pmod(col("id"), lit(3)) === b)
+          .write.format("graft-kv").option("path", kv)
+        (if (b == 0) w.option("buckets", 8).mode("overwrite")
+         else w.mode("append")).save()
+      }
+      // maintain the MV from the CHANGELOG, one commit range at a time
+      def deltaRollup(seq: Long) = {
+        val clog = s.read.format("graft-kv").option("path", kv)
+          .option("changelog", "true")
+          .option("fromSeq", seq.toString).option("asOfSeq", seq.toString)
+          .load()
+        // append-only contract: a U/D would need a pre-image this
+        // changelog does not carry — refuse loudly rather than drift
+        require(clog.filter(col("op") =!= "I").isEmpty,
+          s"q261 fact must be append-only; commit $seq carries non-inserts")
+        clog.groupBy("name")
+          .agg(sum(col("value").cast("long")).as("mv_sum_qty"),
+            count(lit(1)).as("mv_cnt"))
+      }
+      val mv = (0L to 2L).map(deltaRollup).reduce(_ unionByName _)
+        .groupBy("name")
+        .agg(sum("mv_sum_qty").as("mv_sum_qty"),
+          sum("mv_cnt").as("mv_cnt"))
+      mv.write.parquet(s"$tmp/mv")
+      // the kv subtree carries no parquet _SUCCESS: stamp the layout
+      // root last (the ivfadc multi-subtree protocol)
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    val kvPath = s"$dir/t"
+    val mvPath = s"$dir/mv"
+    AggToMvRewrite.register(AggToMvRewrite.MvDef(
+      factTag = kvPath, dims = Set("name"),
+      sums = Map("value" -> "mv_sum_qty"),
+      cntCol = "mv_cnt", mvPath = mvPath))
+    val q = s.read.format("graft-kv").option("path", kvPath).load()
+      .groupBy("name")
+      .agg(sum(col("value").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("name")
+    val rewritten = AggToMvRewrite.rewrite(s, q.queryExecution.analyzed)
+    require(AggToMvRewrite.scansPath(rewritten, mvPath) &&
+      !AggToMvRewrite.scansPath(rewritten, kvPath),
+      "the kv-fact MV rewrite must fire: connector scan replaced by the MV")
+    org.apache.spark.sql.GraftColumnBridge.ofRows(s, rewritten)
+  }
+
+  val q261Oracle: String =
+    """SELECT l_returnflag AS name,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -89,6 +89,13 @@ object AggToMvRewrite {
         h.location.rootPaths.exists(_.toString.contains(tag))
       case _ => false
     }
+    // a DataSourceV2 fact (the graft-kv lakehouse table): its name()
+    // embeds the table path — `graft-kv(<dir>)` — so the same substring
+    // registration covers file facts and connector facts (q261: the MV
+    // maintained from the kv CHANGELOG answers aggregates over the kv
+    // table itself)
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      d.table.name().contains(tag)
     case _ => false
   }
 
