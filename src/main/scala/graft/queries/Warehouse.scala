@@ -4472,8 +4472,15 @@ object Warehouse {
   def q261MvKvChangelog(s: SparkSession, d: String): DataFrame = {
     import graft.rules.AggToMvRewrite
     import graft.sources.Layouts
+    // the kv connector stores through java.nio, which reads a Hadoop
+    // "file:/..." URI (Spark canonicalizes the warehouse dir to one) as
+    // a RELATIVE path named "file:" — strip the scheme so the kv fact
+    // lands INSIDE the published layout, not in a stray cwd tree
+    def localPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
     val tag = Layouts.srcTag(s, d, "lineitem")
-    val dir = Layouts.ensureDir(s, s"mvkv_v1_$tag") { tmp =>
+    val dir = Layouts.ensureDir(s, s"mvkv_v2_$tag") { tmp0 =>
+      val tmp = localPath(tmp0)
       val kv = s"$tmp/t"
       val fact = lineitem(s, d).select(
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
@@ -4507,11 +4514,11 @@ object Warehouse {
       mv.write.parquet(s"$tmp/mv")
       // the kv subtree carries no parquet _SUCCESS: stamp the layout
       // root last (the ivfadc multi-subtree protocol)
-      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      val p = new org.apache.hadoop.fs.Path(tmp0, "_SUCCESS")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
     }
-    val kvPath = s"$dir/t"
-    val mvPath = s"$dir/mv"
+    val kvPath = s"${localPath(dir)}/t"
+    val mvPath = s"${localPath(dir)}/mv"
     AggToMvRewrite.register(AggToMvRewrite.MvDef(
       factTag = kvPath, dims = Set("name"),
       sums = Map("value" -> "mv_sum_qty"),
