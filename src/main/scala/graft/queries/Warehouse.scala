@@ -4372,7 +4372,10 @@ object Warehouse {
       factTag = "lineitem_v3",
       dims = Set("l_returnflag", "l_linestatus"),
       sums = Map("l_quantity" -> "mv_sum_qty"),
-      cntCol = "mv_cnt", mvPath = mvPath))
+      cntCol = "mv_cnt", mvPath = mvPath,
+      // the MV partial was built as sum(cast(l_quantity AS BIGINT)):
+      // only the identically-cast query sum may be answered from it
+      sumCast = Map("l_quantity" -> org.apache.spark.sql.types.LongType)))
     val q = lineitem(s, d)
       .filter(col("l_linestatus") =!= "O")
       .groupBy("l_returnflag")
@@ -4428,7 +4431,8 @@ object Warehouse {
       factTag = "lineitem_v3",
       dims = Set("l_returnflag", "l_linestatus"),
       sums = Map("l_quantity" -> "mv_sum_qty"),
-      cntCol = "mv_cnt", mvPath = mvPath))
+      cntCol = "mv_cnt", mvPath = mvPath,
+      sumCast = Map("l_quantity" -> org.apache.spark.sql.types.LongType)))
     val q = lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -4522,7 +4526,11 @@ object Warehouse {
     AggToMvRewrite.register(AggToMvRewrite.MvDef(
       factTag = kvPath, dims = Set("name"),
       sums = Map("value" -> "mv_sum_qty"),
-      cntCol = "mv_cnt", mvPath = mvPath))
+      cntCol = "mv_cnt", mvPath = mvPath,
+      // `value` is a DOUBLE and the MV partial truncates per row: the
+      // sumCast declaration keeps an uncast sum(value) from ever being
+      // answered by the truncated long partial (ADVICE r17)
+      sumCast = Map("value" -> org.apache.spark.sql.types.LongType)))
     val q = s.read.format("graft-kv").option("path", kvPath).load()
       .groupBy("name")
       .agg(sum(col("value").cast("long")).as("sum_qty"),

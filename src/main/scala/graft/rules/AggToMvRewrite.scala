@@ -51,9 +51,21 @@ object AggToMvRewrite {
     * @param sums    fact measure column → MV pre-summed column
     * @param cntCol  MV column holding the per-group row count
     * @param mvPath  parquet location of the maintained rollup
+    * @param sumCast how each measure's MV partial was built: a measure
+    *                mapped to a type here was pre-summed as
+    *                `sum(cast(measure AS t))` — PER-ROW truncation,
+    *                which for a fractional measure is NOT the same
+    *                number as `sum(measure)` — so only a query summing
+    *                with the IDENTICAL per-row cast may be answered
+    *                from it; an unmapped measure's partial is the raw
+    *                `sum(measure)` and answers only uncast sums.
+    *                Refusal-over-wrong-answer: mismatched cast shape
+    *                never rewrites, even where the types happen to make
+    *                the two equal (integral measures).
     */
   final case class MvDef(factTag: String, dims: Set[String],
-      sums: Map[String, String], cntCol: String, mvPath: String)
+      sums: Map[String, String], cntCol: String, mvPath: String,
+      sumCast: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
 
   @volatile private var registry: Seq[MvDef] = Seq.empty
 
@@ -90,12 +102,18 @@ object AggToMvRewrite {
       case _ => false
     }
     // a DataSourceV2 fact (the graft-kv lakehouse table): its name()
-    // embeds the table path — `graft-kv(<dir>)` — so the same substring
+    // embeds the table path — `graft-kv(<dir>)` — so the same path
     // registration covers file facts and connector facts (q261: the MV
     // maintained from the kv CHANGELOG answers aggregates over the kv
-    // table itself)
+    // table itself). EXACT current-snapshot names only: a substring
+    // match would also catch `graft-kv-changelog(<dir>)`,
+    // `graft-kv-history(<dir>)` and time-travel `graft-kv(<dir>)@k`
+    // reads of the same path, silently answering a changelog or as-of
+    // aggregate from the full-table MV — wrong rows, violating the
+    // refusal-over-wrong-answer contract
     case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-      d.table.name().contains(tag)
+      val n = d.table.name()
+      n == s"graft-kv($tag)" || n == s"graft-rest($tag)"
     case _ => false
   }
 
@@ -115,13 +133,19 @@ object AggToMvRewrite {
     case _ => None
   }
 
-  /** The measure column under sum(x) / sum(cast(x as int/long)). */
-  private def summedMeasure(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name)
-    case Cast(a: AttributeReference, IntegerType | LongType, _, _) =>
-      Some(a.name)
-    case _ => None
-  }
+  /** The measure column under sum(x) / sum(cast(x as int/long)), with
+    * the per-row cast (None = uncast) so matching can require the MV
+    * partial was built with the IDENTICAL shape — `sum(cast(x AS
+    * BIGINT))` truncates per row and differs from `sum(x)` on any
+    * fractional measure. */
+  private def summedMeasure(e: Expression)
+      : Option[(String, Option[org.apache.spark.sql.types.DataType])] =
+    e match {
+      case a: AttributeReference => Some(a.name -> None)
+      case Cast(a: AttributeReference, t @ (IntegerType | LongType), _, _) =>
+        Some(a.name -> Some(t))
+      case _ => None
+    }
 
   /** Apply to one plan; returns the plan untouched when no registered
     * MV subsumes it. Callers opt single plans in (the q197 pattern). */
@@ -148,7 +172,11 @@ object AggToMvRewrite {
       case a: AttributeReference if mv.dims.contains(a.name) =>
         a -> Dim(a.name)
       case al @ Alias(AggregateExpression(Sum(e, _), Complete, false, None, _), _) =>
-        val m = summedMeasure(e).filter(mv.sums.contains).getOrElse(return None)
+        val (m, qCast) = summedMeasure(e).getOrElse(return None)
+        // the query's per-row cast shape must equal the MV build's: a
+        // truncating partial never answers an uncast sum (and vice
+        // versa) — exactness over a fractional measure depends on it
+        if (!mv.sums.contains(m) || mv.sumCast.get(m) != qCast) return None
         al -> SumOf(mv.sums(m))
       // non-null literals only: count(NULL) is 0 per group, not the
       // group row count — answering it from mv.cnt would be WRONG, and

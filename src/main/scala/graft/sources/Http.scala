@@ -24,7 +24,13 @@ package graft.sources
   */
 object Http {
 
-  final case class HttpError(message: String, permanent: Boolean)
+  /** `permanent` = retrying cannot help (4xx / unreadable fixture);
+    * `notFound` = the resource is ABSENT (HTTP 404 / missing fixture
+    * file) — the one permanent case callers may legitimately fold to
+    * "zero rows" (no ledger published yet, no meta endpoint). Every
+    * other error must surface: an outage is not an empty collection. */
+  final case class HttpError(
+      message: String, permanent: Boolean, notFound: Boolean = false)
 
   /** GET `url` → Right(body bytes) | Left(error). Retries transient
     * failures (timeouts, 5xx, dropped connections) `retries` times with
@@ -70,7 +76,7 @@ object Http {
         val es = conn.getErrorStream
         if (es != null) { readAll(es); () }
         Left(HttpError(s"HTTP $code from $url",
-          permanent = code >= 400 && code < 500))
+          permanent = code >= 400 && code < 500, notFound = code == 404))
       }
     } catch {
       case e: java.net.SocketTimeoutException =>
@@ -111,6 +117,9 @@ object Http {
       try Right(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(location)))
       catch {
+        case e: java.nio.file.NoSuchFileException =>
+          Left(HttpError(s"fixture missing: $location",
+            permanent = true, notFound = true))
         case e: java.io.IOException =>
           Left(HttpError(s"fixture read failed on $location: ${e.getMessage}",
             permanent = true))

@@ -38,15 +38,21 @@ object WeatherFetch {
     * SAME boundary a missing fixture key does, and the run continues.
     * The loopback spec drives this against a real socket; a deployment
     * points `settings.baseUrl` at the real API and changes nothing
-    * else. */
+    * else. Timeouts come from `settings.timeoutSeconds` — the reference
+    * passes `timeout_seconds` straight to `requests.get`
+    * (ingest_weather.py:45,65), which applies it to BOTH connect and
+    * read — so a deployment configuring `timeout_seconds: 30` gets 30 s
+    * here too; the case-class fields are explicit overrides only. */
   final case class HttpPayloads(
-      connectTimeoutMs: Int = 2000, readTimeoutMs: Int = 5000,
+      connectTimeoutMs: Option[Int] = None, readTimeoutMs: Option[Int] = None,
       retries: Int = 2) extends PayloadProvider {
-    def fetch(settings: WeatherSettings, market: Market): Either[String, String] =
+    def fetch(settings: WeatherSettings, market: Market): Either[String, String] = {
+      val ms = settings.timeoutSeconds * 1000
       Http.get(urlFor(settings, market),
-          connectTimeoutMs, readTimeoutMs, retries)
+          connectTimeoutMs.getOrElse(ms), readTimeoutMs.getOrElse(ms), retries)
         .left.map(e => e.message)
         .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** The exact request URL the reference constructs: parameter order

@@ -122,5 +122,80 @@ class AggToMvRewriteSpec extends SparkSpec {
     val other = fact.limit(6)
     val p = rewrite(other.groupBy("flag").agg(count(lit(1)).as("n")))
     assert(!AggToMvRewrite.scansPath(p, mvPath))
+    // cast-shape mismatch: this MV's partial is the raw sum(qty), so a
+    // per-row-truncating sum(cast(qty AS BIGINT)) must refuse — on a
+    // fractional measure the two are different numbers
+    untouched(fact.groupBy("flag").agg(sum(col("qty").cast("long")).as("sq")))
+    untouched(fact.groupBy("flag").agg(sum(col("qty").cast("int")).as("sq")))
+  }
+
+  test("a truncating MV partial never answers an uncast sum (and the " +
+      "declared cast shape must match exactly)") {
+    // fractional fact: per-row truncation (1.6+1.6 → 1+1=2) differs
+    // from the raw sum (3.2) — the exact failure ADVICE r17 flagged
+    val fp = Files.createTempDirectory("mvspec_frac_").toString + "/fact_mvfrac"
+    Seq(("A", 1.6), ("A", 1.6), ("B", 2.9))
+      .toDF("flag", "value").write.parquet(fp)
+    val frac = spark.read.parquet(fp)
+    val fmv = Files.createTempDirectory("mvspec_fracmv_").toString + "/mv"
+    frac.groupBy("flag")
+      .agg(sum(col("value").cast("long")).as("mv_sum_v"),
+        count(lit(1)).as("mv_cnt"))
+      .write.parquet(fmv)
+    AggToMvRewrite.register(AggToMvRewrite.MvDef(
+      factTag = "fact_mvfrac", dims = Set("flag"),
+      sums = Map("value" -> "mv_sum_v"), cntCol = "mv_cnt", mvPath = fmv,
+      sumCast = Map("value" -> org.apache.spark.sql.types.LongType)))
+    // identical cast shape → rewritten, and exact
+    val qCast = frac.groupBy("flag")
+      .agg(sum(col("value").cast("long")).as("sv")).orderBy("flag")
+    assert(AggToMvRewrite.scansPath(rewrite(qCast), fmv))
+    assert(run(qCast) == Seq(Seq("A", 2L), Seq("B", 2L)))
+    // uncast sum over the fractional measure → REFUSED (the truncated
+    // partial would answer 2.0 where the fact says 3.2)
+    val qRaw = frac.groupBy("flag")
+      .agg(sum(col("value")).as("sv")).orderBy("flag")
+    val pRaw = rewrite(qRaw)
+    assert(!AggToMvRewrite.scansPath(pRaw, fmv))
+    assert(run(qRaw).map(_.last) == Seq(1.6 + 1.6, 2.9))
+    // a DIFFERENT cast type also refuses
+    assert(!AggToMvRewrite.scansPath(rewrite(frac.groupBy("flag")
+      .agg(sum(col("value").cast("int")).as("sv"))), fmv))
+  }
+
+  test("DSv2 fact matching is exact: changelog / history / as-of reads " +
+      "of the registered kv path never rewrite") {
+    val kv = Files.createTempDirectory("mvspec_kv_").toString + "/t"
+    val rows = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L))
+      .toDF("id", "name", "value")
+    rows.write.format("graft-kv").option("path", kv)
+      .option("buckets", 2).mode("overwrite").save()
+    // second commit so an as-of snapshot differs from current
+    Seq((4L, "B", 40L)).toDF("id", "name", "value")
+      .write.format("graft-kv").option("path", kv).mode("append").save()
+    val kmv = Files.createTempDirectory("mvspec_kvmv_").toString + "/mv"
+    spark.read.format("graft-kv").option("path", kv).load()
+      .groupBy("name")
+      .agg(sum("value").as("mv_sum_v"), count(lit(1)).as("mv_cnt"))
+      .write.parquet(kmv)
+    AggToMvRewrite.register(AggToMvRewrite.MvDef(
+      factTag = kv, dims = Set("name"),
+      sums = Map("value" -> "mv_sum_v"), cntCol = "mv_cnt", mvPath = kmv))
+    def agg(df: DataFrame) =
+      df.groupBy("name").agg(sum("value").as("sv")).orderBy("name")
+    // current-snapshot read: rewritten, exact
+    val cur = agg(spark.read.format("graft-kv").option("path", kv).load())
+    assert(AggToMvRewrite.scansPath(rewrite(cur), kmv))
+    assert(run(cur) == Seq(Seq("A", 30L), Seq("B", 70L)))
+    // changelog / as-of / history reads of the SAME path: refused —
+    // answering them from the full-table MV would be wrong rows
+    val clog = spark.read.format("graft-kv").option("path", kv)
+      .option("changelog", "true").load()
+    assert(!AggToMvRewrite.scansPath(
+      rewrite(agg(clog.select("name", "value"))), kmv))
+    val asOf = spark.read.format("graft-kv").option("path", kv)
+      .option("asOfSeq", "0").load()
+    assert(!AggToMvRewrite.scansPath(rewrite(agg(asOf)), kmv))
+    assert(run(agg(asOf)) == Seq(Seq("A", 30L), Seq("B", 30L)))
   }
 }
