@@ -917,16 +917,35 @@ final case class KvBucketPartition(dir: String, bucket: Int,
   */
 final class KvChangelogMicroBatch(dir: String, buckets: Int,
     extras: Seq[KvTable.ExtraCol] = Seq.empty)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class SeqOffset(seq: Long) extends Offset {
     override def json(): String = s"""{"seq": $seq}"""
   }
 
+  /** `Trigger.AvailableNow`: pin the last committed sequence at stream
+    * start; the drain stops there (a commit landing mid-drain waits for
+    * the next run), and an uncommitted batch from a crashed run is
+    * re-planned from the offset log first — the engine guarantees that
+    * only for sources implementing this interface (its single-batch
+    * fallback warns it may not). */
+  private var availableNowBound: Option[Long] = None
+
+  private def headSeq: Long =
+    KvTable.committedSeqs(Paths.get(dir)).lastOption.getOrElse(-1L)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(headSeq)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SeqOffset(availableNowBound.getOrElse(headSeq))
+
   override def initialOffset(): Offset = SeqOffset(-1L)
-  override def latestOffset(): Offset =
-    SeqOffset(KvTable.committedSeqs(Paths.get(dir)).lastOption.getOrElse(-1L))
+  override def latestOffset(): Offset = SeqOffset(headSeq)
   override def deserializeOffset(json: String): Offset =
     SeqOffset(new ObjectMapper().readTree(json).path("seq").asLong())
 

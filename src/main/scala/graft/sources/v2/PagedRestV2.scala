@@ -83,12 +83,21 @@ object PagedRestV2 {
     * writer publishes) or, failing that, page 0's inline envelope (the
     * classic first-page probe of a live API). Same transport seam as
     * the page reads ([[graft.sources.Http.readBytes]]) — over HTTP the
-    * meta probe falls back to the first-page probe on a 404, exactly
-    * the behavior against a live API with no meta endpoint. */
+    * meta probe falls back to the first-page probe ONLY when the meta
+    * endpoint is permanently absent (404 / missing fixture) — exactly
+    * the behavior against a live API with no meta endpoint. A
+    * TRANSIENT meta failure (5xx, timeout) propagates instead of
+    * silently switching the planning source to a page-0 envelope that
+    * could disagree with meta on a live API. */
   private[v2] def probe(pagesDir: String): (Long, Int) = {
     def read(name: String) = graft.sources.Http.readBytes(s"$pagesDir/$name")
     val (src, bytes) = read("meta.json") match {
       case Right(b) => ("meta.json", b)
+      case Left(e) if !e.permanent =>
+        throw new java.io.IOException(
+          s"graft-rest: transient failure probing $pagesDir/meta.json: " +
+            s"${e.message} — not falling back to page-0 (the planning " +
+            "source must not change under an outage)")
       case Left(_) => ("page-0.json",
         read("page-0.json").fold(
           e => throw new java.io.IOException(
@@ -155,11 +164,18 @@ final class PagedRestHistoryScan(dir: String) extends Scan with Batch {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val d = p.asInstanceOf[PagedRestHistoryPartition].dir
         val m = new ObjectMapper()
-        // same transport seam as the page reads; an absent ledger (no
-        // revisions published yet — file or HTTP 404) is zero rows
+        // same transport seam as the page reads; ONLY an absent ledger
+        // (no revisions published yet — missing file or HTTP 404) is
+        // zero rows. Any other failure (exhausted-retry 5xx, timeout,
+        // unreadable file) throws: a transient outage must fail loudly,
+        // never read as "no revisions published"
         val rows: Iterator[InternalRow] =
           graft.sources.Http.readBytes(s"$d.history.jsonl").fold(
-            _ => Iterator.empty,
+            e =>
+              if (e.notFound) Iterator.empty
+              else throw new java.io.IOException(
+                s"graft-rest history: cannot read $d.history.jsonl: " +
+                  s"${e.message}"),
             bytes => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
               .linesIterator).filter(_.nonEmpty).map { line =>
               val n = m.readTree(line)
@@ -502,12 +518,38 @@ final class PagedRestScan(
   */
 final class PagedRestMicroBatch(pagesDir: String, pagesPerPartition: Int,
     strict: Boolean, fields: Array[String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class CursorOffset(n: Long) extends Offset {
     override def json(): String = s"""{"n": $n}"""
   }
+
+  /** `Trigger.AvailableNow` bound: the collection's total at stream
+    * START, pinned by [[prepareForTriggerAvailableNow]] — every
+    * subsequent micro-batch drains UP TO this cursor and the query then
+    * stops, exactly the drain-then-stop contract (growth landing
+    * mid-drain waits for the next run; an UNCOMMITTED batch from a
+    * crashed run is re-planned from the checkpointed offset log first,
+    * which the engine only guarantees for sources implementing this
+    * interface — its single-batch fallback warns it may not). */
+  private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(PagedRestV2.probe(pagesDir)._1)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-controlled latest offset (the engine calls THIS form on
+    * every trigger once the source declares admission control): the
+    * live envelope total, or the pinned AvailableNow bound while one is
+    * active — the drain target does NOT chase growth, and a collection
+    * that shrinks below the pinned bound mid-drain trips
+    * [[planInputPartitions]]'s fresh-probe cursor guard loudly instead
+    * of being served as spliced pages. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    CursorOffset(availableNowBound.getOrElse(PagedRestV2.probe(pagesDir)._1))
 
   override def initialOffset(): Offset = CursorOffset(0L)
   override def latestOffset(): Offset =

@@ -87,6 +87,36 @@ class PagedRestStreamSpec extends SparkSpec {
       "no growth -> no new batch directory")
   }
 
+  test("Trigger.AvailableNow drains an UNCOMMITTED batch plus all growth " +
+    "to the start-time bound, then stops (SupportsTriggerAvailableNow)") {
+    val root = Files.createTempDirectory("rest_stream_")
+    val pages = root.resolve("pages")
+    publish(pages, 6)
+    runOnce(pages, root) // batch 0: items 1..6
+    publish(pages, 10)
+    runOnce(pages, root) // batch 1: items 7..10
+    assert(ingested(root).map(_._2) == (1L to 10L))
+    // plant a crash between offset-log write and commit: batch 1's
+    // commit marker vanishes, its offset entry stays — the exact state
+    // the engine's single-batch fallback warns it may NOT finish from
+    // (the hidden Hadoop .crc shadow must go too, or the local FS
+    // blocks the recovery run's re-commit rename)
+    Files.delete(root.resolve("ckpt/commits/1"))
+    Files.deleteIfExists(root.resolve("ckpt/commits/.1.crc"))
+    publish(pages, 14) // growth the drained run must ALSO pick up
+    runOnce(pages, root)
+    val got = ingested(root)
+    assert(got.map(_._2) == (1L to 14L),
+      s"drain must cover the uncommitted batch AND the growth: $got")
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq(7L, 8L, 9L, 10L),
+      "the uncommitted batch replays from the offset log, byte-identical")
+    assert(got.filter(_._1 == 2L).map(_._2) == Seq(11L, 12L, 13L, 14L),
+      "the post-recovery batch drains to the prepared bound")
+    // drained: a further unchanged-collection run adds nothing
+    runOnce(pages, root)
+    assert(ingested(root) == got)
+  }
+
   test("a shrinking re-publish refuses loudly (cursor invalidation)") {
     val root = Files.createTempDirectory("rest_stream_")
     val pages = root.resolve("pages")
