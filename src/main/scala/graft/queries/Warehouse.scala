@@ -3811,6 +3811,24 @@ object Warehouse {
     * Σ|block|² pair-space shuffle — irreducible, because a (u,v) pair's
     * contributions arise under DIFFERENT item partitions and exactness
     * forbids sketching them — and the bounded top-K rank regroup.
+    *
+    * BOUNDED-SCRATCH regime (round-18): Σ|block|² is quadratic in
+    * block density, so on a densifying corpus the one-shot pair-space
+    * shuffle eventually outgrows ANY fixed scratch disk (at 30× it is
+    * ~167 GB). When the estimated pair mass exceeds
+    * `spark.graft.q173.stepPairBudget` (rows; default 4·10⁸ ≈ a few GB
+    * of compressed shuffle), the pair space is processed in C =
+    * ⌈mass/2budget⌉ customer-hash CHUNKS of the v side: step j joins
+    * the FULL u side against only v-chunk j, so every (u,v) pair lands
+    * in exactly one step — its common count, jaccard and the step-local
+    * top-K are complete there, and the global top-K is the top-K of the
+    * C·K union (each step's survivors are collected — K·C rows, bounded
+    * by construction — and each step's shuffle files are reclaimed
+    * before the next step launches). Peak scratch is the BUDGET, set by
+    * config, not by the data; total work is unchanged (the same
+    * Σ|block|² pair rows flow, C jobs instead of one). Below the budget
+    * the single-pass plan is untouched — sf0.01/sf0.1 gates never see
+    * the chunked path.
     */
   def q173CfNeighbors(s: SparkSession, d: String): DataFrame = {
     val items = lineitem(s, d)
@@ -3820,12 +3838,22 @@ object Warehouse {
       .select(col("cust"), col("item")).distinct()
       .localCheckpoint(eager = true)
     val sizes = items.groupBy("cust").agg(count(lit(1)).as("sz"))
-    val okItems = items.groupBy("item").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= CfMaxBlock).select("item")
+    val okAgg = items.groupBy("item").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= CfMaxBlock)
+    val okItems = okAgg.select("item")
     val blocks = items.join(okItems, Seq("item"))
-    val pairs = blocks
+    val ord = Seq(col("jaccard_ppm").desc, col("u").asc, col("v").asc)
+    val wTop = Window.partitionBy(lit(1)).orderBy(ord: _*)
+
+    def attachJaccard(pairCounts: DataFrame): DataFrame = pairCounts
+      .filter(col("common") >= CfMinCommon)
+      .join(sizes.select(col("cust").as("u"), col("sz").as("szu")), Seq("u"))
+      .join(sizes.select(col("cust").as("v"), col("sz").as("szv")), Seq("v"))
+      .withColumn("jaccard_ppm",
+        expr("common * 1000000 DIV (szu + szv - common)"))
+    def pairCountsOf(uSide: DataFrame, vSide: DataFrame): DataFrame = uSide
       .select(col("item"), col("cust").as("u"))
-      .join(blocks.select(col("item"), col("cust").as("v")), Seq("item"))
+      .join(vSide.select(col("item"), col("cust").as("v")), Seq("item"))
       .filter(col("u") < col("v"))
       // explicit repartition on the grouping keys: the pair space is
       // near-unique per partition (map-side combine would collapse
@@ -3834,28 +3862,93 @@ object Warehouse {
       // partial pass over ~Σ|block|² rows — same shuffle volume
       .repartition(col("u"), col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("common"))
-      .filter(col("common") >= CfMinCommon)
-      .join(sizes.select(col("cust").as("u"), col("sz").as("szu")), Seq("u"))
-      .join(sizes.select(col("cust").as("v"), col("sz").as("szv")), Seq("v"))
-      .withColumn("jaccard_ppm",
-        expr("common * 1000000 DIV (szu + szv - common)"))
-    val ord = Seq(col("jaccard_ppm").desc, col("u").asc, col("v").asc)
-    val wBucket = Window.partitionBy("__bucket").orderBy(ord: _*)
-    val wTop = Window.partitionBy(lit(1)).orderBy(ord: _*)
-    pairs
-      .withColumn("__bucket", pmod(xxhash64(col("u"), col("v")),
-        lit(CfBuckets)))
-      .withColumn("__brank", row_number().over(wBucket))
-      .filter(col("__brank") <= CfTopK)
-      .drop("__bucket", "__brank")
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= CfTopK)
-      .select(col("rank"), col("u").as("cust_u"), col("v").as("cust_v"),
-        col("common"), col("szu"), col("szv"), col("jaccard_ppm"))
-      .orderBy("rank")
+    def bucketPrefilter(df: DataFrame): DataFrame = {
+      val wBucket = Window.partitionBy("__bucket").orderBy(ord: _*)
+      df.withColumn("__bucket", pmod(xxhash64(col("u"), col("v")),
+          lit(CfBuckets)))
+        .withColumn("__brank", row_number().over(wBucket))
+        .filter(col("__brank") <= CfTopK)
+        .drop("__bucket", "__brank")
+    }
+
+    // the pair mass Σ|block|² decides the plan: one dim-sized aggregate
+    // row, collected before the expensive leg is even constructed
+    val mass = Option(okAgg.agg(sum(col("bsz") * col("bsz"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val budget = s.conf.getOption("spark.graft.q173.stepPairBudget")
+      .map(_.toLong).getOrElse(400000000L)
+    val chunks = math.max(1L, (mass / 2 + budget - 1) / budget).toInt
+
+    if (chunks <= 1) {
+      bucketPrefilter(attachJaccard(pairCountsOf(blocks, blocks)))
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter(col("rank") <= CfTopK)
+        .select(col("rank"), col("u").as("cust_u"), col("v").as("cust_v"),
+          col("common"), col("szu"), col("szv"), col("jaccard_ppm"))
+        .orderBy("rank")
+    } else {
+      // blocks feeds every step: pin it once so steps re-read a local
+      // snapshot instead of re-deriving the corpus join C times
+      val blocksCk = blocks.localCheckpoint(eager = true)
+      val stepCols = Seq(col("u"), col("v"), col("common"),
+        col("szu"), col("szv"), col("jaccard_ppm"))
+      // schema captured from the step plan itself so the chunked path's
+      // output types can never drift from the single-pass plan's
+      var stepSchema: org.apache.spark.sql.types.StructType = null
+      val survivors = (0 until chunks).flatMap { j =>
+        val vChunk = blocksCk.filter(
+          pmod(xxhash64(col("cust")), lit(chunks)) === j)
+        val step = bucketPrefilter(
+            attachJaccard(pairCountsOf(blocksCk, vChunk)))
+          .orderBy(ord: _*).limit(CfTopK)
+          .select(stepCols: _*)
+        if (stepSchema == null) stepSchema = step.schema
+        // K rows per step, bounded by construction — the one collect
+        // this operator is ALLOWED: it is what releases the step's
+        // multi-GB shuffle from disk before the next step launches
+        // (drop the plan reference, nudge the ContextCleaner), which is
+        // the entire point of the chunked regime
+        val rows = step.collect().toSeq
+        System.gc()
+        rows
+      }
+      s.createDataFrame(s.sparkContext.parallelize(survivors, 1), stepSchema)
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter(col("rank") <= CfTopK)
+        .select(col("rank"), col("u").as("cust_u"), col("v").as("cust_v"),
+          col("common"), col("szu"), col("szv"), col("jaccard_ppm"))
+        .orderBy("rank")
+    }
   }
 
-  val q173Oracle: String =
+  /** The oracle gets the same bounded-scratch split as the engine: the
+    * pair space is partitioned into [[CfOracleChunks]] disjoint UNION
+    * ALL branches by `v % chunks` — each (u,v) pair lands in exactly
+    * one branch, so the branch-local common count / jaccard / top-K are
+    * complete, and the global top-K is the top-K of the branch unions.
+    * Each branch's hash aggregate + rank sort spills 1/chunks of the
+    * one-shot formulation's scratch, which is what lets DuckDB certify
+    * the 30× fixture inside this box's disk. Exactly the same result
+    * set at every scale factor. */
+  private val CfOracleChunks = 16
+  val q173Oracle: String = {
+    val branches = (0 until CfOracleChunks).map { c =>
+      s"""SELECT u, v, common, szu, szv, jaccard_ppm FROM (
+         |  SELECT j.*, row_number() OVER (
+         |      ORDER BY jaccard_ppm DESC, u, v) AS rn
+         |  FROM (
+         |    SELECT p.u, p.v, p.common, su.sz AS szu, sv.sz AS szv,
+         |      CAST(p.common * 1000000 // (su.sz + sv.sz - p.common)
+         |        AS BIGINT) AS jaccard_ppm
+         |    FROM (
+         |      SELECT a.cust AS u, b.cust AS v, count(*) AS common
+         |      FROM ok a JOIN ok b ON a.item = b.item AND a.cust < b.cust
+         |      WHERE b.cust % $CfOracleChunks = $c
+         |      GROUP BY 1, 2 HAVING count(*) >= $CfMinCommon
+         |    ) p JOIN sz su ON su.cust = p.u JOIN sz sv ON sv.cust = p.v
+         |  ) j
+         |) WHERE rn <= $CfTopK""".stripMargin
+    }.mkString("\nUNION ALL\n")
     s"""WITH ci AS (
        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
@@ -3864,24 +3957,18 @@ object Warehouse {
        |  SELECT cust, item,
        |    count(*) OVER (PARTITION BY item) AS bsz
        |  FROM ci),
-       |p AS (
-       |  SELECT a.cust AS u, b.cust AS v, count(*) AS common
-       |  FROM bl a JOIN bl b ON a.item = b.item AND a.cust < b.cust
-       |  WHERE a.bsz <= $CfMaxBlock AND b.bsz <= $CfMaxBlock
-       |  GROUP BY 1, 2 HAVING count(*) >= $CfMinCommon),
-       |j AS (
-       |  SELECT p.u, p.v, p.common, su.sz AS szu, sv.sz AS szv,
-       |    CAST(p.common * 1000000 // (su.sz + sv.sz - p.common) AS BIGINT)
-       |      AS jaccard_ppm
-       |  FROM p JOIN sz su ON su.cust = p.u JOIN sz sv ON sv.cust = p.v),
+       |ok AS (SELECT cust, item FROM bl WHERE bsz <= $CfMaxBlock),
+       |cand AS (
+       |$branches),
        |r AS (
        |  SELECT *, row_number() OVER (
        |    ORDER BY jaccard_ppm DESC, u, v) AS rank
-       |  FROM j)
+       |  FROM cand)
        |SELECT CAST(rank AS BIGINT) AS rank, u AS cust_u, v AS cust_v,
        |  CAST(common AS BIGINT) AS common, CAST(szu AS BIGINT) AS szu,
        |  CAST(szv AS BIGINT) AS szv, jaccard_ppm
        |FROM r WHERE rank <= $CfTopK ORDER BY rank""".stripMargin
+  }
 
   // --- Discount lift / elasticity (q174) ----------------------------------
 

@@ -633,6 +633,20 @@ class WarehouseSpec extends SparkSpec {
     // Jaccard sanity: common bounded by the smaller set
     got.foreach(r => assert(r._4 <= math.min(r._5, r._6)))
     assert(got.nonEmpty, "fixture must surface CF neighbors")
+    // BOUNDED-SCRATCH regime: a pair budget far below the fixture's
+    // Σ|block|² forces the v-chunked multi-step plan — identical rows,
+    // identical schema, at several chunk counts
+    val single = Warehouse.q173CfNeighbors(spark, d)
+    // fixture Σ|block|² ≈ 149k → chunks = ⌈mass/2budget⌉: 9 and 3 steps
+    for (budget <- Seq("9000", "30000")) {
+      spark.conf.set("spark.graft.q173.stepPairBudget", budget)
+      try {
+        val chunked = Warehouse.q173CfNeighbors(spark, d)
+        assert(chunked.schema == single.schema, s"budget=$budget schema")
+        assert(chunked.as[(Long, Long, Long, Long, Long, Long, Long)]
+          .collect().toSeq == expected, s"budget=$budget rows")
+      } finally spark.conf.unset("spark.graft.q173.stepPairBudget")
+    }
   }
 
   test("q174 discount lift equals a BigInt OLS replay per brand") {
