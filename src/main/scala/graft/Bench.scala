@@ -43,81 +43,84 @@ object Bench {
     // smallest fixture so fixed startup cost isn't attributed to queries.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    // Per query: one warmup iteration (absorbs first-touch Janino codegen +
-    // JIT for that plan shape — round-2 verdict: one-time compile was
-    // mis-attributed to whichever query first hit a new shape), then THREE
-    // timed iterations with the MEDIAN reported, and a GC + brief quiesce
-    // between queries so one query's heap pressure is not billed to the
-    // next (round-3 verdict: the driver-run tail showed 17x contention
-    // outliers vs isolated re-runs). All iteration times are printed in the
-    // artifact, so a contended run is visible rather than inferable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          return -1.0
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // stderr breadcrumb per iteration (round-6 verdict task 2c): when
-        // the driver environment inflates a warm median, the full log
-        // shows exactly which iteration of which query stalled.
-        System.err.println(f"[bench] $name iter dt=$dt%.3fs")
-        dt
+    // MEASUREMENT DESIGN (round-18, replacing per-query AAA,BBB blocks):
+    //   1. one WARMUP pass over every query in name order — absorbs
+    //      first-touch Janino codegen + JIT per plan shape (round-2
+    //      verdict) and one-time layout side work (q59/q60 CTAS), so
+    //      neither lands in a timed sample;
+    //   2. THREE timed ROUNDS, each executing every query once,
+    //      ROUND-ROBIN (A,B,C,A,B,C): a query's samples are now spread
+    //      ~minutes apart, so an ambient-contention window (the
+    //      round-17 driver tail's 22% spread that every round
+    //      re-litigates) inflates ONE round of many queries — visible
+    //      as a correlated per-round stripe in the iterations artifact
+    //      — instead of silently tripling one query's median;
+    //   3. adaptive WIDENING, also interleaved: queries whose three
+    //      samples still spread >2x get two extra rounds (contention is
+    //      ambient, not plan cost — round-6 verdict: q59 15.2 s median
+    //      vs 1.8 s isolated under exactly this signature), then their
+    //      registered per-branch diagnostics run for attribution.
+    // A single gc+quiesce separates consecutive samples (round-robin
+    // already puts ~260 queries of natural separation between two
+    // samples of the same plan; the round-4 double-GC discipline keeps
+    // one query's heap debt off its neighbor). Failures are surfaced on
+    // stderr and reported as -1, never silently recorded as fast.
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      qseq.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    val dead = scala.collection.mutable.Set.empty[String]
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        tag: String): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        return -1.0
       }
-      // Double GC + quiesce: one pass only queues soft/finalizable garbage
-      // from the previous query's codegen + shuffle buffers; the second
-      // actually reclaims it, so the next query starts on a settled heap
-      // (round-4 verdict: q35's in-bench iterations decayed 12.7→2.0s from
-      // neighbor pressure while its isolated median was 1.2s).
-      System.gc()
-      Thread.sleep(100)
-      System.gc()
-      Thread.sleep(300)
-      val warm = once()
-      // Quiesce again between warmup and the timed iterations: a warmup
-      // with one-time side work (q59/q60 create their bucketed layout
-      // there) leaves allocation debt that otherwise lands in the first
-      // timed iteration (observed: q59 13.7 s timed-1 vs 2.2 s timed-3 in
-      // a run where the warmup rebuilt the CTAS from a cold warehouse).
-      System.gc()
-      Thread.sleep(100)
-      System.gc()
-      Thread.sleep(200)
-      val iters0 = if (warm < 0) Seq.empty else Seq.fill(3)(once()).takeWhile(_ >= 0)
-      // Adaptive widening: a >2x spread across three back-to-back runs of
-      // the SAME plan is ambient contention, not plan cost — take two more
-      // samples and report the median of five, so one stalled iteration
-      // cannot drag the recorded median (round-6 driver artifact: q59
-      // 15.2 s median vs 1.8 s isolated under exactly this signature).
-      // A failure during widening is a real failure — report -1, do NOT
-      // fall back to the clean 3-sample median (the file's contract:
-      // failures are never silently recorded as fast). Short-circuit so
-      // the second extra run is skipped once the first has failed.
-      val iters =
-        if (iters0.length == 3 && iters0.max > 2 * iters0.min) {
-          val e1 = once()
-          val widened =
-            if (e1 < 0) Seq.empty[Double]
-            else {
-              val e2 = once()
-              if (e2 < 0) Seq.empty[Double] else iters0 ++ Seq(e1, e2)
-            }
-          // Attribution breadcrumb AFTER the widening samples: the
-          // registered per-branch diagnostic times each constituent plan
-          // so a recurring stall is attributable (scheduling delay hits
-          // every branch; a plan regression names its branch). It runs
-          // last so its own allocation debt cannot contaminate e1/e2 —
-          // the exact warmup-debt mechanism documented above.
-          SparkEntry.diagnostics.get(name).foreach { diag =>
-            try diag(spark, sfDir)
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name diagnose failed: ${e.getMessage}")
-            }
-          }
-          widened
-        } else iters0
+      val dt = (System.nanoTime() - t0) / 1e9
+      // stderr breadcrumb per iteration (round-6 verdict task 2c): when
+      // the environment inflates a sample, the full log shows exactly
+      // which round of which query stalled.
+      System.err.println(f"[bench] $name $tag dt=$dt%.3fs")
+      dt
+    }
+    def quiesce(): Unit = { System.gc(); Thread.sleep(50) }
+    qseq.foreach { case (n, fn) =>
+      System.gc(); Thread.sleep(100)
+      if (once(n, fn, "warmup") < 0) dead += n
+    }
+    for (round <- 1 to 3; (n, fn) <- qseq if !dead(n)) {
+      quiesce()
+      val dt = once(n, fn, s"round$round")
+      if (dt < 0) dead += n else samples(n) = samples(n) :+ dt
+    }
+    val widen = qseq.filter { case (n, _) =>
+      !dead(n) && samples(n).length == 3 &&
+        samples(n).max > 2 * samples(n).min
+    }
+    for (round <- 4 to 5; (n, fn) <- widen if !dead(n)) {
+      quiesce()
+      val dt = once(n, fn, s"round$round")
+      if (dt < 0) dead += n else samples(n) = samples(n) :+ dt
+    }
+    // Attribution breadcrumbs AFTER all timed samples (their own
+    // allocation debt must not contaminate a later sample): each widened
+    // query's registered per-branch diagnostic times its constituent
+    // plans, so a recurring stall is attributable — scheduling delay
+    // hits every branch; a plan regression names its branch.
+    widen.foreach { case (n, _) =>
+      SparkEntry.diagnostics.get(n).foreach { diag =>
+        try diag(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $n diagnose failed: ${e.getMessage}")
+        }
+      }
+    }
+    // A query that failed at ANY point reports -1 (the file's contract:
+    // failures are never silently recorded as fast, and a widening
+    // failure does not fall back to the clean 3-sample median).
+    val results = qseq.map { case (name, _) =>
+      val iters = if (dead(name)) Vector.empty[Double] else samples(name)
       val median =
         if (iters.length < 3) -1.0
         else iters.sorted.apply(iters.length / 2)
@@ -127,6 +130,21 @@ object Bench {
       .mkString("{", ",", "}")
     val its = results.map { case (k, _, iters) =>
       "\"" + k + "\":[" + iters.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // min + median + spread (max/min) per query: the contention
+    // diagnosis in ONE artifact line — a high-spread query under an
+    // interleaved schedule is ambient load (its min is the plan cost);
+    // a tight spread IS the plan cost (round-17 verdict item 5).
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val stats = results.map { case (k, med, iters) =>
+      val s =
+        if (iters.isEmpty)
+          """{"min":-1,"median":-1,"spread":-1}"""
+        else {
+          val spread = if (iters.min > 0) r3(iters.max / iters.min) else -1.0
+          s"""{"min":${r3(iters.min)},"median":${r3(med)},"spread":$spread}"""
+        }
+      "\"" + k + "\":" + s
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     // total:-1 when anything failed — the headline metric must never look
@@ -145,6 +163,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}"""
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"iterations","iterations":$its,"sf":"$sfDir"}""")
+    println(s"""{"metric":"stats","stats":$stats,"sf":"$sfDir"}""")
     println(headline)
     // Belt-and-braces artifact (round-7 verdict task 1): the stdout capture
     // harness keeps only a bounded TAIL and its parser has eaten the final
@@ -158,6 +177,7 @@ object Bench {
       try {
         w.println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
         w.println(s"""{"metric":"iterations","iterations":$its,"sf":"$sfDir"}""")
+        w.println(s"""{"metric":"stats","stats":$stats,"sf":"$sfDir"}""")
         w.println(headline)
       } finally w.close()
     } catch { case e: Throwable =>
