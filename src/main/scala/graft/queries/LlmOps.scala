@@ -6780,7 +6780,12 @@ object LlmOps {
     * (IvfAdcDriftSpec plants exactly such a delta and pins the gap).
     *
     * Output per generation: exact-top-K slots held (n_truth), slots the
-    * probe recovered (n_hit), and recall in exact integer ppm.
+    * probe recovered (n_hit), recall in exact integer ppm, and the
+    * ORACLED trigger column `rebuild_due` (recall below
+    * [[IvfRebuildMinRecallPpm]]) that [[ivfAdcRebuildIfDrifted]]
+    * consumes — drift → trip → rebuild → re-point, the q258 loop closed
+    * on the IVFADC layout too (round-17 verdict item 6; IvfAdcDriftSpec
+    * pins the whole cycle).
     *
     * Scale: the exact leg is |panel|·corpus with a broadcast panel (the
     * q106/q210 ground-truth posture — the audit is scheduled QA, not a
@@ -6822,7 +6827,86 @@ object LlmOps {
       .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
       .select(col("batch_id"), col("n_truth"), col("n_hit"),
         expr("(1000000 * n_hit) DIV n_truth").as("recall_ppm"))
+      .withColumn("rebuild_due",
+        when(col("recall_ppm") < IvfRebuildMinRecallPpm, 1L).otherwise(0L))
       .orderBy("batch_id")
+  }
+
+  /** Rebuild trigger for the frozen-quantizer IVFADC layouts (round-17
+    * verdict item 6 — the q258 loop closed on the semantic index, now
+    * mirrored here): a generation whose cell-pruned-probe recall falls
+    * below this ppm threshold holds vectors the frozen centroids +
+    * codebook can no longer represent — the audit row says so
+    * ([[ivfAdcDriftAudit]]'s `rebuild_due`), and
+    * [[ivfAdcRebuildIfDrifted]] acts on it. 0.05 sits well under the
+    * registered corpus's per-generation recalls (~0.08–0.16 at the gate
+    * scale factors — random-embedding ANN recall is inherently modest)
+    * and far above a genuinely drifted slice (a delta in the codebook's
+    * null space collapses toward zero — IvfAdcDriftSpec plants one). */
+  private[graft] val IvfRebuildMinRecallPpm = 50000L
+
+  /** Seed stride for a rebuild's re-derived coarse quantizer: every
+    * `stride`-th vec_id of the UNION corpus becomes a cell seed (the
+    * [[SemDedupSeedStride]] rule, denser because IVFADC cells feed a
+    * top-nprobe probe rather than one argmax cell) — so a drifted
+    * region of id-space gets its own cells the moment it is part of
+    * the corpus being rebuilt over. */
+  private[graft] val IvfRebuildSeedStride = 16L
+
+  /** THE REBUILD ACTION the recall audit triggers: re-derive coarse
+    * cells from the union corpus (seed-stride rule + exact-integer
+    * argmax-dot assignment, cell-asc tie — the same arithmetic the
+    * maintained layout assigns deltas with), then re-train BOTH frozen
+    * quantizer tables and land the whole corpus as generation 0 of a
+    * FRESH layout at `out` via [[ivfAdcBuildBase]] — `root` stays
+    * untouched; the caller re-points its probe/stream at the new root
+    * (new tag, new checkpoint), the republish-under-a-new-tag protocol
+    * every maintained layout here follows. Cost: one corpus pass —
+    * exactly a batch rebuild, which is the point: incremental
+    * maintenance until the audit says the frozen quantizers lie, then
+    * pay the batch price once. */
+  private[graft] def ivfAdcRebuild(s: SparkSession, corpus: DataFrame,
+      out: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val qxl = round(col("x").cast("double") * lit(KmQScale.toDouble)).cast("long")
+    val seeds = corpus
+      .filter(pmod(col("vec_id"), lit(IvfRebuildSeedStride)) === 0)
+      .select(col("vec_id").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"), qxl.as("sq"))
+    require(seeds.limit(1).collect().nonEmpty,
+      "ivfAdcRebuild: the union corpus yields no seed vectors " +
+        s"(no vec_id % $IvfRebuildSeedStride == 0) — cannot re-derive cells")
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("dot").desc, col("cell").asc)
+    val relabeled = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), qxl.as("qx"))
+      .join(broadcast(seeds), Seq("pos"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("qx") * col("sq")).as("dot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell").as("label"))
+      .join(corpus, Seq("vec_id"))
+      .select("vec_id", "label", "embedding")
+    ivfAdcBuildBase(s, relabeled, out)
+  }
+
+  /** Close the loop: audit → trip → rebuild (the [[semRebuildIfDrifted]]
+    * shape on the IVFADC layout). Returns true (and builds the fresh
+    * layout at `out` from `corpus`) iff any generation's `rebuild_due`
+    * fired; the |generations|-row audit frame is the only collect. The
+    * raw vectors come from the caller's corpus (the source-of-record
+    * table the generations were ingested from) — PQ codes are lossy, so
+    * unlike the semantic index the layout itself cannot re-train its
+    * own quantizers. */
+  private[graft] def ivfAdcRebuildIfDrifted(s: SparkSession, root: String,
+      corpus: DataFrame, panel: DataFrame, out: String): Boolean = {
+    val tripped = ivfAdcDriftAudit(s, root, corpus, panel)
+      .filter(col("rebuild_due") === 1L).limit(1).collect().nonEmpty
+    if (tripped) ivfAdcRebuild(s, corpus, out)
+    tripped
   }
 
   /** The shared incremental chain, the exact ground-truth leg, and the
@@ -6850,7 +6934,10 @@ object LlmOps {
        |    AS BIGINT) AS batch_id,
        |  count(*) AS n_truth,
        |  CAST(count(a.vec_id) AS BIGINT) AS n_hit,
-       |  CAST((1000000 * count(a.vec_id)) // count(*) AS BIGINT) AS recall_ppm
+       |  CAST((1000000 * count(a.vec_id)) // count(*) AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN (1000000 * count(a.vec_id)) // count(*)
+       |       < $IvfRebuildMinRecallPpm THEN 1 ELSE 0 END AS BIGINT)
+       |    AS rebuild_due
        |FROM etop t
        |  LEFT JOIN atop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
