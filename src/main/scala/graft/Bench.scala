@@ -26,6 +26,15 @@ object Bench {
       // q59Sketches / q130JoinCard
       .config("spark.graft.q59.verifyExact", "false")
       .config("spark.graft.q130.verifyExact", "false")
+      // STATIC conf, must precede the first session: the generated-class
+      // cache defaults to 100 entries, and the interleaved schedule
+      // (261 queries per round, several codegen units each) evicts a
+      // query's classes between its own samples — every sample then
+      // re-runs Janino, a flat ~0.3-0.5 s tax misread as plan cost
+      // (round-18: the first interleaved sf0.1 run came in at 292 s vs
+      // 169 s precisely from this; block-iterated samples hid it by
+      // hitting the 100-entry cache back-to-back)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // startup-time warehouse hygiene (see Layouts.sweepStale): before any

@@ -25,6 +25,8 @@ object TimeOne {
       // to attribute BENCH numbers, so it must time the same plans
       .config("spark.graft.q59.verifyExact", "false")
       .config("spark.graft.q130.verifyExact", "false")
+      // parity with Bench: same codegen-cache headroom (static conf)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.queries.filter(q => names(q._1)).toSeq.sortBy(_._1)
