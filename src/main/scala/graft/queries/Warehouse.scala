@@ -3828,33 +3828,42 @@ object Warehouse {
     * top-K are complete there, and the global top-K is the top-K of the
     * C·K union (each step's survivors are collected — K·C rows, bounded
     * by construction — and each step's shuffle files are reclaimed
-    * before the next step launches). Peak scratch is the BUDGET, set by
-    * config, not by the data; total work is unchanged (the same
-    * Σ|block|² pair rows flow, C jobs instead of one). Below the budget
-    * the single-pass plan is untouched — sf0.01/sf0.1 gates never see
-    * the chunked path.
+    * before the next step launches). Peak scratch is EXPECTED to sit at
+    * the budget: chunks are xxhash64(cust)-balanced, so residual
+    * customer/block skew can push one step somewhat past it — a skew
+    * headroom (`spark.graft.q173.skewHeadroomPct`, default 25) inflates
+    * the chunk count so that imbalance lands inside the budget, and
+    * [[CfMaxBlock]] bounds the worst single block outright. Total work
+    * is unchanged (the same Σ|block|² pair rows flow, C jobs instead of
+    * one). Below the budget the single-pass plan is BYTE-IDENTICAL to
+    * the pre-chunking plan — no eager checkpoint, no scaffolding; the
+    * only sub-budget cost is the dim-sized mass probe, memoized per
+    * fixture dir so a bench/verify process pays it once (round-19: the
+    * round-18 scaffolding had burdened the sub-budget path ~+54%).
     */
   def q173CfNeighbors(s: SparkSession, d: String): DataFrame = {
-    val items = lineitem(s, d)
+    val itemsPlan = lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
       .join(orders(s, d).select(col("o_orderkey").as("o"),
         col("o_custkey").as("cust")), Seq("o"))
       .select(col("cust"), col("item")).distinct()
-      .localCheckpoint(eager = true)
-    val sizes = items.groupBy("cust").agg(count(lit(1)).as("sz"))
-    val okAgg = items.groupBy("item").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= CfMaxBlock)
-    val okItems = okAgg.select("item")
-    val blocks = items.join(okItems, Seq("item"))
+    def derived(items: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val sizes = items.groupBy("cust").agg(count(lit(1)).as("sz"))
+      val okAgg = items.groupBy("item").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= CfMaxBlock)
+      val blocks = items.join(okAgg.select("item"), Seq("item"))
+      (sizes, okAgg, blocks)
+    }
     val ord = Seq(col("jaccard_ppm").desc, col("u").asc, col("v").asc)
     val wTop = Window.partitionBy(lit(1)).orderBy(ord: _*)
 
-    def attachJaccard(pairCounts: DataFrame): DataFrame = pairCounts
-      .filter(col("common") >= CfMinCommon)
-      .join(sizes.select(col("cust").as("u"), col("sz").as("szu")), Seq("u"))
-      .join(sizes.select(col("cust").as("v"), col("sz").as("szv")), Seq("v"))
-      .withColumn("jaccard_ppm",
-        expr("common * 1000000 DIV (szu + szv - common)"))
+    def attachJaccard(sizes: DataFrame)(pairCounts: DataFrame): DataFrame =
+      pairCounts
+        .filter(col("common") >= CfMinCommon)
+        .join(sizes.select(col("cust").as("u"), col("sz").as("szu")), Seq("u"))
+        .join(sizes.select(col("cust").as("v"), col("sz").as("szv")), Seq("v"))
+        .withColumn("jaccard_ppm",
+          expr("common * 1000000 DIV (szu + szv - common)"))
     def pairCountsOf(uSide: DataFrame, vSide: DataFrame): DataFrame = uSide
       .select(col("item"), col("cust").as("u"))
       .join(vSide.select(col("item"), col("cust").as("v")), Seq("item"))
@@ -3879,25 +3888,41 @@ object Warehouse {
     // row, collected before the expensive leg is even constructed —
     // memoized per fixture dir (immutable for a process's lifetime, the
     // Tables.enableReuse contract), so repeated bench/verify invocations
-    // pay the probe job once
+    // pay the probe job once; the probe runs on the UN-checkpointed plan
+    // so the sub-budget path never materializes anything
     val mass: Long = CfMassCache.computeIfAbsent(d, _ =>
       java.lang.Long.valueOf(
-        Option(okAgg.agg(sum(col("bsz") * col("bsz"))).head.get(0))
+        Option(derived(itemsPlan)._2.agg(sum(col("bsz") * col("bsz")))
+          .head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L))).longValue
     val budget = s.conf.getOption("spark.graft.q173.stepPairBudget")
       .map(_.toLong).getOrElse(400000000L)
-    val chunks = math.max(1L, (mass / 2 + budget - 1) / budget).toInt
+    // skew headroom (round-19 / ADVICE): xxhash64-balanced chunks are
+    // balanced only in expectation — inflating the chunk count by this
+    // factor keeps a somewhat-heavy step's pair mass inside the budget
+    // without relying on perfect balance (CfMaxBlock bounds the worst
+    // single block outright)
+    val headroomPct = s.conf.getOption("spark.graft.q173.skewHeadroomPct")
+      .map(_.toLong).getOrElse(25L)
+    val chunks = math.max(1L,
+      (mass / 2 * (100 + headroomPct) / 100 + budget - 1) / budget).toInt
 
     if (chunks <= 1) {
-      bucketPrefilter(attachJaccard(pairCountsOf(blocks, blocks)))
+      // single-pass regime: the exact pre-round-18 plan — lazy end to
+      // end, no checkpoint, no driver iteration
+      val (sizes, _, blocks) = derived(itemsPlan)
+      bucketPrefilter(attachJaccard(sizes)(pairCountsOf(blocks, blocks)))
         .withColumn("rank", row_number().over(wTop).cast("long"))
         .filter(col("rank") <= CfTopK)
         .select(col("rank"), col("u").as("cust_u"), col("v").as("cust_v"),
           col("common"), col("szu"), col("szv"), col("jaccard_ppm"))
         .orderBy("rank")
     } else {
-      // blocks feeds every step: pin it once so steps re-read a local
-      // snapshot instead of re-deriving the corpus join C times
+      // items feeds every step (guard, sizes, both join sides): pin it
+      // once so steps re-read a local snapshot instead of re-deriving
+      // the corpus join C times
+      val itemsCk = itemsPlan.localCheckpoint(eager = true)
+      val (sizes, _, blocks) = derived(itemsCk)
       val blocksCk = blocks.localCheckpoint(eager = true)
       val stepCols = Seq(col("u"), col("v"), col("common"),
         col("szu"), col("szv"), col("jaccard_ppm"))
@@ -3908,7 +3933,7 @@ object Warehouse {
         val vChunk = blocksCk.filter(
           pmod(xxhash64(col("cust")), lit(chunks)) === j)
         val step = bucketPrefilter(
-            attachJaccard(pairCountsOf(blocksCk, vChunk)))
+            attachJaccard(sizes)(pairCountsOf(blocksCk, vChunk)))
           .orderBy(ord: _*).limit(CfTopK)
           .select(stepCols: _*)
         if (stepSchema == null) stepSchema = step.schema

@@ -84,20 +84,27 @@ object PagedRestV2 {
     * classic first-page probe of a live API). Same transport seam as
     * the page reads ([[graft.sources.Http.readBytes]]) — over HTTP the
     * meta probe falls back to the first-page probe ONLY when the meta
-    * endpoint is permanently absent (404 / missing fixture) — exactly
-    * the behavior against a live API with no meta endpoint. A
-    * TRANSIENT meta failure (5xx, timeout) propagates instead of
-    * silently switching the planning source to a page-0 envelope that
-    * could disagree with meta on a live API. */
-  private[v2] def probe(pagesDir: String): (Long, Int) = {
+    * endpoint is ABSENT (HTTP 404 / missing fixture — `HttpError
+    * .notFound`) — exactly the behavior against a live API with no
+    * meta endpoint. EVERY other failure propagates: a transient one
+    * (5xx, timeout) because the planning source must not change under
+    * an outage, and a permanent non-404 one (401/403, an unreadable
+    * meta.json) because an endpoint that EXISTS but cannot be read is
+    * an auth/corruption fault, not a missing feature — silently
+    * re-planning from a page-0 envelope there could disagree with the
+    * meta a correctly-authenticated reader would see. */
+  private[sources] def probe(pagesDir: String): (Long, Int) = {
     def read(name: String) = graft.sources.Http.readBytes(s"$pagesDir/$name")
     val (src, bytes) = read("meta.json") match {
       case Right(b) => ("meta.json", b)
-      case Left(e) if !e.permanent =>
+      case Left(e) if !e.notFound =>
         throw new java.io.IOException(
-          s"graft-rest: transient failure probing $pagesDir/meta.json: " +
-            s"${e.message} — not falling back to page-0 (the planning " +
-            "source must not change under an outage)")
+          s"graft-rest: failure probing $pagesDir/meta.json: " +
+            s"${e.message} — not falling back to page-0 (only an ABSENT " +
+            "meta endpoint, 404/missing fixture, may switch the " +
+            "planning source; " +
+            (if (e.permanent) "this endpoint exists but is unreadable"
+             else "a transient outage must not re-plan") + ")")
       case Left(_) => ("page-0.json",
         read("page-0.json").fold(
           e => throw new java.io.IOException(

@@ -75,6 +75,11 @@ object ScaleMem {
     val rows = names.map { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query $name"))
+      // listener events are delivered asynchronously: drain the bus so
+      // the PREVIOUS query's in-flight StageCompleted events land before
+      // the reset, and again after the write so THIS query's final
+      // stages are counted before the read (round-19 ADVICE)
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
       M.reset()
       val t0 = System.nanoTime()
       val r =
@@ -87,6 +92,7 @@ object ScaleMem {
           "fail"
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
       val line = f"""{"query":"$name","status":"$r","sec":$dt%.2f,""" +
         s""""disk_spill_bytes":${M.diskSpill},""" +
         s""""mem_spill_bytes":${M.memSpill},""" +

@@ -637,7 +637,8 @@ class WarehouseSpec extends SparkSpec {
     // Σ|block|² forces the v-chunked multi-step plan — identical rows,
     // identical schema, at several chunk counts
     val single = Warehouse.q173CfNeighbors(spark, d)
-    // fixture Σ|block|² ≈ 149k → chunks = ⌈mass/2budget⌉: 9 and 3 steps
+    // fixture Σ|block|² ≈ 149k → chunks = ⌈1.25·mass/2budget⌉ (25%
+    // skew headroom): 11 and 4 steps
     for (budget <- Seq("9000", "30000")) {
       spark.conf.set("spark.graft.q173.stepPairBudget", budget)
       try {

@@ -113,6 +113,30 @@ class PagedRestV2Spec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("an unreadable meta.json propagates — permanent non-404 errors " +
+    "never silently re-plan from page-0 (round-19 ADVICE)") {
+    // meta.json EXISTS but cannot be read as a file (it is a directory
+    // → IOException, permanent=true, notFound=false). page-0 carries a
+    // perfectly valid envelope — the old behavior would have planned
+    // from it; the gate must throw instead.
+    val dir = Files.createTempDirectory("graft_rest_authish_").toString
+    Files.createDirectory(Paths.get(s"$dir/meta.json"))
+    Files.write(Paths.get(s"$dir/page-0.json"),
+      """{"total": 2, "page_size": 5, "items": [
+        |  {"id": 1, "name": "a", "value": 0.5},
+        |  {"id": 2, "name": "b", "value": 1.5}]}""".stripMargin
+        .getBytes("UTF-8"))
+    val e = intercept[java.io.IOException](PagedRestV2.probe(dir))
+    assert(e.getMessage.contains("not falling back to page-0"))
+    assert(e.getMessage.contains("unreadable"))
+    // ABSENT meta (404/missing fixture) still falls back — the live-API
+    // no-meta-endpoint shape keeps working
+    val dir2 = Files.createTempDirectory("graft_rest_nometa_").toString
+    Files.write(Paths.get(s"$dir2/page-0.json"),
+      """{"total": 2, "page_size": 5, "items": []}""".getBytes("UTF-8"))
+    assert(PagedRestV2.probe(dir2) == ((2L, 5)))
+  }
+
   test("page predicates prune pages at planning and are claimed fully") {
     import org.apache.spark.sql.functions.col
     // meta.json carries planning; page-0 is CORRUPT and strict=true, so
