@@ -4616,13 +4616,24 @@ object Warehouse {
     def localPath(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
     val tag = Layouts.srcTag(s, d, "lineitem")
-    val dir = Layouts.ensureDir(s, s"mvkv_v2_$tag") { tmp0 =>
+    val dir = Layouts.ensureDir(s, s"mvkv_v3_$tag") { tmp0 =>
       val tmp = localPath(tmp0)
       val kv = s"$tmp/t"
+      // the kv key must be UNIQUE for changelog rollup to be sound: a
+      // duplicate id UPSERTS in a keyed table (last-wins fold), so an
+      // append-only rollup would count rows the head no longer holds —
+      // the MV would drift from the fact it claims to subsume. The
+      // synthetic lineitem is NOT (orderkey, linenumber)-unique, so the
+      // fact dedupes per key first (deterministic per-column max — the
+      // oracle recomputes the same reduction), making every changelog I
+      // a TRUE insert, which is exactly the append-only contract the
+      // build asserts below.
       val fact = lineitem(s, d).select(
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
-        col("l_returnflag").as("name"),
-        col("l_quantity").cast("double").as("value"))
+        col("l_returnflag").as("rf"),
+        col("l_quantity").cast("double").as("q"))
+        .groupBy("id")
+        .agg(max(col("rf")).as("name"), max(col("q")).as("value"))
       // three append-only ingest commits (id % 3 slices = seqs 0..2)
       (0 to 2).foreach { b =>
         val w = fact.filter(pmod(col("id"), lit(3)) === b)
@@ -4677,8 +4688,165 @@ object Warehouse {
   }
 
   val q261Oracle: String =
-    """SELECT l_returnflag AS name,
-      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-      |  count(*) AS n_rows
-      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    """WITH fact AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS id,
+      |         max(l_returnflag) AS name,
+      |         max(CAST(l_quantity AS DOUBLE)) AS q
+      |  FROM lineitem GROUP BY 1)
+      |SELECT name, CAST(sum(CAST(q AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       count(*) AS n_rows
+      |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** One commit's decrement-capable MV delta: the changelog slice's
+    * signed contributions, rolled up per group. The GENUINE-IVM rule
+    * set (the piece q261's append-only contract refused):
+    *   - I  → +value to its group, +1 row;
+    *   - D  → −pre_value from the group the row USED to be in, −1;
+    *   - U  → both: increment the new group, decrement the old — a
+    *     dim-moving update transfers the row between groups, a
+    *     value-only update nets to the delta within one.
+    * REFUSAL RETAINED, one level deeper: a non-insert without a
+    * recorded pre-image (a pre-enrichment log, or RESTORE's replay
+    * records, which are snapshot resets like compaction) cannot be
+    * decremented — fail loudly rather than under-subtract. The sum is
+    * per-row cast("long") on BOTH legs, matching the MV's stored
+    * partial exactly (integral quantities — the q261 discipline).
+    * Cost ∝ the commit's delta by construction: the changelog range
+    * read opens only that commit's log files, never the base. */
+  private[queries] def kvIvmDeltaRollup(clog: DataFrame): DataFrame = {
+    require(clog.columns.contains("pre_present"),
+      "graft IVM needs a pre-image changelog — read with " +
+        "option(\"preImages\", true)")
+    require(clog.filter(col("op") =!= "I" && !col("pre_present")).isEmpty,
+      "graft IVM: a U/D without a recorded pre-image cannot be " +
+        "decremented (pre-enrichment log, or a RESTORE/compaction " +
+        "snapshot reset) — rebuild the MV from the base instead")
+    clog.select(explode(
+        when(col("op") === "I", array(struct(
+          col("name"), col("value").cast("long").as("dq"), lit(1L).as("dn"))))
+        .when(col("op") === "D", array(struct(
+          col("pre_name").as("name"),
+          (-col("pre_value").cast("long")).as("dq"), lit(-1L).as("dn"))))
+        .otherwise(array(
+          struct(col("name"), col("value").cast("long").as("dq"),
+            lit(1L).as("dn")),
+          struct(col("pre_name").as("name"),
+            (-col("pre_value").cast("long")).as("dq"),
+            lit(-1L).as("dn"))))).as("x"))
+      .groupBy(col("x.name").as("name"))
+      .agg(sum(col("x.dq")).as("mv_sum_qty"), sum(col("x.dn")).as("mv_cnt"))
+  }
+
+  /** q262: GENUINE INCREMENTAL VIEW MAINTENANCE over the kv changelog —
+    * inserts, UPDATEs and DELETEs across six commits, the MV maintained
+    * PURELY from per-commit changelog slices (round-18 verdict item 3;
+    * q261 covers the append-only regime and keeps its refusal).
+    *
+    * Fixture: the orders fact (o_orderkey is genuinely UNIQUE in the
+    * synthetic data — the keyed-table precondition; lineitem's
+    * composite key is not) lands in a graft-kv table as three append
+    * commits (seq 0–2), then three SQL row-level commands mutate it —
+    * a value-moving UPDATE (seq 3: value×2 where id%7=0), a DIM-MOVING
+    * update (seq 4: the status key gains '!' where id%13=5 — the case
+    * that forces cross-group transfer), and a DELETE (seq 5: id%11=3).
+    * Each commit's slice reads with `preImages` and merges through
+    * [[kvIvmDeltaRollup]]; groups whose row count reaches zero leave
+    * the MV (a base groupBy has no empty groups). The registered query
+    * aggregates the kv table's HEAD state and REQUIRES
+    * [[graft.rules.AggToMvRewrite]] answered it from the maintained MV
+    * — the kv scan gone from the plan — while the DuckDB oracle
+    * recomputes the same final state from raw lineitem. The gate
+    * passing certifies pre-image capture, decrement merge, dim-move
+    * transfer and rollup subsumption in one hash.
+    *
+    * Scale: maintenance cost is Σ|commit delta| — the changelog range
+    * scan opens only each commit's files; the base is never re-read
+    * after ingest. The row-level commands themselves are the kv
+    * connector's delta writes (touched rows only). 100 TB posture: this
+    * is the Delta-CDF/Materialize maintenance loop — ingest-
+    * proportional, shuffle only on the group key, MV stays
+    * aggregate-sized. */
+  def q262MvKvIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.rules.AggToMvRewrite
+    import graft.sources.Layouts
+    def localPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val tag = Layouts.srcTag(s, d, "orders")
+    val dir = Layouts.ensureDir(s, s"mvkvud_v1_$tag") { tmp0 =>
+      val tmp = localPath(tmp0)
+      val kv = s"$tmp/t"
+      // SQL UPDATE/DELETE address the table through a catalog rooted at
+      // this layout (unique per fixture generation — content-tokenized
+      // tag, so a regenerated fixture gets a fresh catalog root)
+      val cat = s"g262_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.KvCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(kv))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$kv/_kv"),
+        Array.emptyByteArray)
+      // floor() keeps the money value INTEGRAL so the per-row
+      // cast("long") is exact on both engines (Spark truncates a
+      // double→long cast, DuckDB rounds — integral values agree)
+      val fact = orders(s, d).select(
+        col("o_orderkey").cast("long").as("id"),
+        col("o_orderstatus").as("name"),
+        floor(col("o_totalprice")).cast("double").as("value"))
+      (0 to 2).foreach { b =>
+        val w = fact.filter(pmod(col("id"), lit(3)) === b)
+          .write.format("graft-kv").option("path", kv)
+        (if (b == 0) w.option("buckets", 8).mode("overwrite")
+         else w.mode("append")).save()
+      }
+      s.sql(s"UPDATE $cat.t SET value = value * 2 WHERE id % 7 = 0")
+      s.sql(s"UPDATE $cat.t SET name = concat(name, '!') WHERE id % 13 = 5")
+      s.sql(s"DELETE FROM $cat.t WHERE id % 11 = 3")
+      def deltaRollup(seq: Long): DataFrame = kvIvmDeltaRollup(
+        s.read.format("graft-kv").option("path", kv)
+          .option("changelog", "true").option("preImages", "true")
+          .option("fromSeq", seq.toString).option("asOfSeq", seq.toString)
+          .load())
+      val mv = (0L to 5L).map(deltaRollup).reduce(_ unionByName _)
+        .groupBy("name")
+        .agg(sum("mv_sum_qty").as("mv_sum_qty"), sum("mv_cnt").as("mv_cnt"))
+        .filter(col("mv_cnt") > 0)
+      mv.write.parquet(s"$tmp/mv")
+      val p = new org.apache.hadoop.fs.Path(tmp0, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p).close()
+    }
+    val kvPath = s"${localPath(dir)}/t"
+    val mvPath = s"${localPath(dir)}/mv"
+    AggToMvRewrite.register(AggToMvRewrite.MvDef(
+      factTag = kvPath, dims = Set("name"),
+      sums = Map("value" -> "mv_sum_qty"),
+      cntCol = "mv_cnt", mvPath = mvPath,
+      sumCast = Map("value" -> org.apache.spark.sql.types.LongType)))
+    val q = s.read.format("graft-kv").option("path", kvPath).load()
+      .groupBy("name")
+      .agg(sum(col("value").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("name")
+    val rewritten = AggToMvRewrite.rewrite(s, q.queryExecution.analyzed)
+    require(AggToMvRewrite.scansPath(rewritten, mvPath) &&
+      !AggToMvRewrite.scansPath(rewritten, kvPath),
+      "the IVM MV rewrite must fire: connector scan replaced by the MV")
+    org.apache.spark.sql.GraftColumnBridge.ofRows(s, rewritten)
+  }
+
+  /** The same I/U/D history recomposed declaratively: the three
+    * row-level commands are pure functions of the key, so the final
+    * state folds into one SELECT — value doubles where id%7=0, the
+    * group key gains '!' where id%13=5, id%11=3 rows leave. */
+  val q262Oracle: String =
+    """WITH fact AS (
+      |  SELECT o_orderkey AS id, o_orderstatus AS rf,
+      |         CAST(floor(o_totalprice) AS DOUBLE) AS q
+      |  FROM orders),
+      |fin AS (
+      |  SELECT CASE WHEN id % 13 = 5 THEN rf || '!' ELSE rf END AS name,
+      |         CASE WHEN id % 7 = 0 THEN q * 2 ELSE q END AS v
+      |  FROM fact WHERE id % 11 <> 3)
+      |SELECT name, CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       count(*) AS n_rows
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 }

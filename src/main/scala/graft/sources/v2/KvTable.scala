@@ -134,6 +134,17 @@ object KvTable {
     StructField("name", StringType),
     StructField("value", DoubleType)))
 
+  /** `option("preImages", true)` widens the changelog with the OLD row
+    * each `U`/`D` displaced (see [[KvCommitter.enrichPreImages]] — the
+    * committer materializes them at write time, the Delta-CDF shape).
+    * `pre_present` distinguishes "recorded, and the old name/value was
+    * null" from "this record predates pre-image capture" — a decrement
+    * consumer refuses the latter instead of under-subtracting. */
+  val PreImageFields: Seq[StructField] = Seq(
+    StructField("pre_name", StringType),
+    StructField("pre_value", DoubleType),
+    StructField("pre_present", BooleanType, nullable = false))
+
   /** One row per commit marker — the Delta `DESCRIBE HISTORY` surface
     * over the mini transaction log. */
   val HistorySchema: StructType = StructType(Seq(
@@ -173,7 +184,8 @@ object KvTable {
   private[v2] def changelog(dir: Path, bucket: Int,
       asOf: Option[Long] = None, from: Option[Long] = None,
       extras: Seq[ExtraCol] = Seq.empty)
-      : Seq[(Long, String, Long, Option[String], Option[Double], Array[Any])] = {
+      : Seq[(Long, String, Long, Option[String], Option[Double],
+             Option[(Option[String], Option[Double])], Array[Any])] = {
     val m = new ObjectMapper()
     bucketLogs(dir, bucket, asOf, from).flatMap { p =>
       val seq = p.getFileName.toString
@@ -191,10 +203,17 @@ object KvTable {
               case _        => v.asText()
             }
           }.toArray
+          // pre-image object: present on U/D records written since the
+          // committer started enriching; absent on older records (the
+          // reader reports pre_present=false, never a fabricated null)
+          val pre = Option(n.get("pre")).filterNot(_.isNull).map { pn =>
+            (Option(pn.get("name")).filterNot(_.isNull).map(_.asText()),
+              Option(pn.get("value")).filterNot(_.isNull).map(_.asDouble()))
+          }
           (seq, n.path("op").asText(), n.path("id").asLong(),
             Option(n.get("name")).filterNot(_.isNull).map(_.asText()),
             Option(n.get("value")).filterNot(_.isNull).map(_.asDouble()),
-            ex)
+            pre, ex)
         }
     }
   }
@@ -692,13 +711,21 @@ final class KvChangelogTable(options: CaseInsensitiveStringMap)
     * A CDC consumer of an evolved table NEEDS this: the base changelog
     * replays to the base state, silently dropping evolved columns. */
   private def withExt: Boolean = options.getBoolean("withExt", false)
+  /** `option("preImages", true)` — DECREMENT-CAPABLE CDC: the schema
+    * widens with (pre_name, pre_value, pre_present), the old row each
+    * `U`/`D` displaced, materialized by the committer at write time
+    * ([[KvCommitter.enrichPreImages]]). Incremental view maintenance
+    * NEEDS this: without the pre-image an update's old group cannot be
+    * decremented and a delete cannot be subtracted at all. Records
+    * written before enrichment surface pre_present=false — a consumer
+    * refuses them rather than silently under-subtracting. Without the
+    * option the classic changelog is byte-identical to before. */
+  private def preImages: Boolean = options.getBoolean("preImages", false)
   private def extras: Seq[KvTable.ExtraCol] =
     if (withExt) KvTable.visibleExtras(Paths.get(dir), asOf) else Seq.empty
   override def name(): String = s"graft-kv-changelog($dir)"
   override def schema(): StructType =
-    extras.foldLeft(KvTable.ChangelogSchema) { (s, c) =>
-      s.add(StructField(c.name, c.dataType, nullable = true))
-    }
+    KvChangelogScan.schemaOf(preImages, extras)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ).asJava
@@ -706,19 +733,18 @@ final class KvChangelogTable(options: CaseInsensitiveStringMap)
     new ScanBuilder {
       override def build(): Scan = {
         asOf.foreach(KvTable.validateAsOf(Paths.get(dir), _))
-        new KvChangelogScan(dir, buckets, asOf, from, extras)
+        new KvChangelogScan(dir, buckets, asOf, from, extras, preImages)
       }
     }
 }
 
 final class KvChangelogScan(dir: String, buckets: Int,
     asOf: Option[Long] = None, from: Option[Long] = None,
-    extras: Seq[KvTable.ExtraCol] = Seq.empty)
+    extras: Seq[KvTable.ExtraCol] = Seq.empty,
+    preImages: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType =
-    extras.foldLeft(KvTable.ChangelogSchema) { (s, c) =>
-      s.add(StructField(c.name, c.dataType, nullable = true))
-    }
+    KvChangelogScan.schemaOf(preImages, extras)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv-changelog path=$dir buckets=$buckets" +
@@ -735,7 +761,7 @@ final class KvChangelogScan(dir: String, buckets: Int,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KvChangelogMicroBatch(dir, buckets, extras)
+    new KvChangelogMicroBatch(dir, buckets, extras, preImages)
   // snapshot isolation, like KvScan: a head changelog read pins its
   // upper bound at plan time so a commit landing mid-scan is all-or-
   // nothing across buckets (the micro-batch stream is already pinned —
@@ -744,13 +770,27 @@ final class KvChangelogScan(dir: String, buckets: Int,
     KvTable.committedSeqs(Paths.get(dir)).lastOption.getOrElse(-1L))
   override def planInputPartitions(): Array[InputPartition] =
     (0 until buckets).map(b =>
-      KvBucketPartition(dir, b, Some(snapshotSeq), from, extras)
+      KvBucketPartition(dir, b, Some(snapshotSeq), from, extras, preImages)
         : InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     KvChangelogScan.readerFactory
 }
 
 object KvChangelogScan {
+  /** Changelog read schema: base five columns, then the pre-image
+    * triple when requested, then the evolved columns — the same order
+    * [[readerFactory]] emits values in. */
+  private[v2] def schemaOf(preImages: Boolean,
+      extras: Seq[KvTable.ExtraCol]): StructType = {
+    val base =
+      if (preImages)
+        StructType(KvTable.ChangelogSchema.fields ++ KvTable.PreImageFields)
+      else KvTable.ChangelogSchema
+    extras.foldLeft(base) { (s, c) =>
+      s.add(StructField(c.name, c.dataType, nullable = true))
+    }
+  }
+
   /** Shared by the batch scan and the micro-batch stream: read one
     * bucket's changelog slice `[from, asOf]`. */
   private[v2] val readerFactory: PartitionReaderFactory =
@@ -764,15 +804,22 @@ object KvChangelogScan {
           override def next(): Boolean =
             if (!rows.hasNext) false
             else {
-              val (seq, op, id, name, value, ex) = rows.next()
+              val (seq, op, id, name, value, pre, ex) = rows.next()
               val extVals: Array[Any] = ex.map {
                 case s: String => UTF8String.fromString(s)
                 case other => other
               }
+              val preVals: Array[Any] =
+                if (!kp.preImages) Array.empty
+                else Array[Any](
+                  pre.flatMap(_._1).map(UTF8String.fromString).orNull,
+                  pre.flatMap(_._2).map(java.lang.Double.valueOf).orNull,
+                  java.lang.Boolean.valueOf(pre.isDefined))
               cur = new GenericInternalRow(Array[Any](
                 seq, UTF8String.fromString(op), id,
                 name.map(UTF8String.fromString).orNull,
-                value.map(java.lang.Double.valueOf).orNull) ++ extVals)
+                value.map(java.lang.Double.valueOf).orNull)
+                ++ preVals ++ extVals)
               true
             }
           override def get(): InternalRow = cur
@@ -898,7 +945,8 @@ final class KvRowLevelOperation(dir: String, buckets: Int,
 
 final case class KvBucketPartition(dir: String, bucket: Int,
     asOf: Option[Long] = None, from: Option[Long] = None,
-    extras: Seq[KvTable.ExtraCol] = Seq.empty)
+    extras: Seq[KvTable.ExtraCol] = Seq.empty,
+    preImages: Boolean = false)
   extends InputPartition
 
 /** The changelog as a streaming source: the commit sequence number IS
@@ -916,7 +964,8 @@ final case class KvBucketPartition(dir: String, bucket: Int,
   * has, surfacing on the streaming side.
   */
 final class KvChangelogMicroBatch(dir: String, buckets: Int,
-    extras: Seq[KvTable.ExtraCol] = Seq.empty)
+    extras: Seq[KvTable.ExtraCol] = Seq.empty,
+    preImages: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -954,8 +1003,8 @@ final class KvChangelogMicroBatch(dir: String, buckets: Int,
     val e = end.asInstanceOf[SeqOffset].seq
     if (e <= s) Array.empty
     else (0 until buckets).map(b =>
-      KvBucketPartition(dir, b, asOf = Some(e), from = Some(s + 1L), extras)
-        : InputPartition).toArray
+      KvBucketPartition(dir, b, asOf = Some(e), from = Some(s + 1L), extras,
+        preImages): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1043,14 +1092,18 @@ final class KvScan(dir: String, buckets: Int,
 // --- commit machinery shared by plain and delta writes -----------------------
 
 final case class KvCommit(partitionId: Int,
-    files: Seq[(Int, String)], nOps: Long) extends WriterCommitMessage
+    files: Seq[(Int, String)], nOps: Long,
+    // buckets this task staged a U or D into — the committer folds and
+    // pre-image-enriches ONLY these, so append-only commits (the 100 TB
+    // ingest fast path) pay nothing
+    udBuckets: Set[Int] = Set.empty) extends WriterCommitMessage
 
 /** Two-phase commit: tasks stage per-bucket JSONL files; the driver
   * assigns the next sequence number, moves the staged files into their
   * bucket dirs, and writes the `commit-<seq>.json` marker LAST — a
   * reader never applies a log whose marker is missing, so a crash
   * between moves leaves invisible garbage, never a torn table. */
-private[v2] object KvCommitter {
+private[sources] object KvCommitter {
 
   /** What a writer holds while committing: the exact lock-file bytes it
     * wrote (byte-equality is the held-check) and its fencing token. */
@@ -1265,13 +1318,48 @@ private[v2] object KvCommitter {
     }
     val seq = KvTable.committedSeqs(root).lastOption.getOrElse(-1L) + 1L
     val commits = messages.map(_.asInstanceOf[KvCommit]).sortBy(_.partitionId)
+    // PRE-IMAGE ENRICHMENT (Delta-CDF shape): every bucket receiving a
+    // U or D folds its committed state ONCE, then this commit's staged
+    // records replay through it in reader apply order — each U/D gets
+    // the old row it displaces stamped into its log record, so ANY
+    // later changelog read (batch slice, stream batch) carries
+    // decrement-capable CDC with zero extra read cost. Buckets touched
+    // only by I records move untouched: the append-only ingest path
+    // pays nothing (udBuckets rides the commit message). The fold is
+    // log-since-compaction per touched bucket — the same merge-on-read
+    // cost the row-level operation's own scan just paid; at deployment
+    // scale this step distributes one-task-per-bucket exactly like
+    // [[KvTable.compact]]. A U/D whose key is absent aborts the commit
+    // BEFORE the marker (staged files at this seq stay invisible and
+    // are purged) — with rowIds sourced from the operation's own scan
+    // under the commit lock, that only fires on a corrupted log.
+    val udBuckets: Set[Int] = commits.iterator.flatMap(_.udBuckets).toSet
+    val preState: Map[Int, scala.collection.mutable.Map[
+        Long, (Option[String], Option[Double])]] =
+      udBuckets.iterator.map { b =>
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[Long, (Option[String], Option[Double])]
+        KvTable.foldBucket(root, b).foreach { case (id, nm, v, _) =>
+          m.update(id, (nm, v))
+        }
+        b -> m
+      }.toMap
     commits.foreach { c =>
       c.files.foreach { case (bucket, staged) =>
         val bd = root.resolve(s"bucket=$bucket")
         Files.createDirectories(bd)
-        Files.move(Paths.get(staged),
-          bd.resolve(s"log-$seq-${token.fence}-${c.partitionId}.jsonl"),
-          StandardCopyOption.ATOMIC_MOVE)
+        val dest = bd.resolve(s"log-$seq-${token.fence}-${c.partitionId}.jsonl")
+        if (!udBuckets.contains(bucket))
+          Files.move(Paths.get(staged), dest, StandardCopyOption.ATOMIC_MOVE)
+        else {
+          val enriched = enrichPreImages(
+            Files.readAllLines(Paths.get(staged), StandardCharsets.UTF_8)
+              .asScala.toSeq,
+            preState(bucket), root, bucket)
+          val tmp = Paths.get(staged + ".pre")
+          Files.write(tmp, enriched.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+        }
       }
     }
     val nOps = commits.map(_.nOps).sum
@@ -1290,6 +1378,49 @@ private[v2] object KvCommitter {
         s""""fence": ${token.fence}$txnJson}""")
         .getBytes(StandardCharsets.UTF_8))
     deleteTree(Paths.get(s"$dir.staging-$queryId"))
+  }
+
+  /** Stamp each U/D record with the row it displaces, replaying this
+    * commit's records through `state` (the bucket's committed fold) as
+    * it goes — so an I followed by a U of the same key WITHIN one
+    * commit sees the I as its pre-image, exactly the reader's fold
+    * order. Pre-images cover the base columns (name, value) — the MV
+    * decrement contract; evolved-column pre-images would ride the same
+    * object if a consumer ever needs them. The injected text relies on
+    * [[KvOpBuffer]]'s rendering invariant: one record per line, ending
+    * in its closing brace. */
+  private[sources] def enrichPreImages(lines: Seq[String],
+      state: scala.collection.mutable.Map[Long, (Option[String], Option[Double])],
+      root: Path, bucket: Int): String = {
+    val m = new ObjectMapper()
+    val sb = new StringBuilder
+    lines.filter(_.nonEmpty).foreach { line =>
+      val n = m.readTree(line)
+      val id = n.path("id").asLong()
+      val name = Option(n.get("name")).filterNot(_.isNull).map(_.asText())
+      val value = Option(n.get("value")).filterNot(_.isNull).map(_.asDouble())
+      n.path("op").asText() match {
+        case "I" =>
+          state.update(id, (name, value))
+          sb.append(line).append('\n')
+        case op =>
+          val (pn, pv) = state.getOrElse(id, throw new IllegalStateException(
+            s"graft-kv: $op for absent key id=$id in bucket=$bucket of " +
+              s"$root — row-level operations source rowIds from their own " +
+              "scan, so an absent pre-image means a corrupted log; " +
+              "aborting before the commit marker"))
+          if (op == "D") state.remove(id) else state.update(id, (name, value))
+          val nmJ = pn.map(x => "\"" + KvTable.esc(x) + "\"").getOrElse("null")
+          val vJ = pv.map { x =>
+            if (java.lang.Double.isFinite(x)) x.toString else "null"
+          }.getOrElse("null")
+          val cut = line.lastIndexOf('}')
+          sb.append(line.substring(0, cut))
+            .append(s""", "pre": {"name": $nmJ, "value": $vJ}}""")
+            .append('\n')
+      }
+    }
+    sb.toString
   }
 
   def abort(dir: String, queryId: String): Unit =
@@ -1313,12 +1444,14 @@ private[v2] object KvCommitter {
 private[v2] final class KvOpBuffer(stagingDir: String, buckets: Int,
     partitionId: Int, taskId: Long) {
   private val bufs = scala.collection.mutable.Map.empty[Int, StringBuilder]
+  private val udBuckets = scala.collection.mutable.Set.empty[Int]
   private var n = 0L
 
   def add(op: String, id: Long, name: Option[String], value: Option[Double],
       ext: Seq[(String, Any)] = Nil): Unit = {
-    val b = bufs.getOrElseUpdate(KvTable.bucketOf(id, buckets),
-      new StringBuilder)
+    val bucket = KvTable.bucketOf(id, buckets)
+    if (op != "I") udBuckets += bucket
+    val b = bufs.getOrElseUpdate(bucket, new StringBuilder)
     val nm = name.map(s => "\"" + KvTable.esc(s) + "\"").getOrElse("null")
     val v = value.map { d =>
       if (java.lang.Double.isFinite(d)) d.toString else "null"
@@ -1335,7 +1468,7 @@ private[v2] final class KvOpBuffer(stagingDir: String, buckets: Int,
       Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
       bucket -> p.toString
     }
-    KvCommit(partitionId, files, n)
+    KvCommit(partitionId, files, n, udBuckets.toSet)
   }
 
   def abort(): Unit =

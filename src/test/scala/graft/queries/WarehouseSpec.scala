@@ -825,4 +825,64 @@ class WarehouseSpec extends SparkSpec {
     // floored shares can only undershoot the whole by the floor leak
     assert(got.map(_._4).sum > 1000000L - n && got.map(_._4).sum <= 1000000L)
   }
+
+  test("q262: the changelog-maintained MV answer equals an independent " +
+    "recomputation of the I/U/D history's final state") {
+    val got = Warehouse.q262MvKvIncremental(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    // replay the three row-level commands declaratively on the raw fact
+    val expected = Tables.orders(spark, d)
+      .select($"o_orderkey".cast("long").as("id"),
+        $"o_orderstatus".as("rf"),
+        floor($"o_totalprice").cast("double").as("q"))
+      .filter($"id" % 11 =!= 3)
+      .select(
+        when($"id" % 13 === 5, concat($"rf", lit("!"))).otherwise($"rf")
+          .as("name"),
+        when($"id" % 7 === 0, $"q" * 2).otherwise($"q").as("v"))
+      .groupBy("name")
+      .agg(sum($"v".cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("name")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected, s"IVM MV $got vs recomputation $expected")
+    // the dim-moving update really moved rows: '!' groups exist
+    assert(got.exists(_._1.endsWith("!")))
+  }
+
+  test("q262 IVM rollup refuses changelogs it cannot decrement") {
+    val root = java.nio.file.Files.createTempDirectory("wh_ivm_").toString
+    val cat = "wh_ivm_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.KvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, name STRING, value DOUBLE)")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "value")
+      .write.format("graft-kv").option("path", s"$root/t")
+      .mode("append").save()
+    spark.sql(s"UPDATE $cat.t SET value = 5.0 WHERE id = 1")
+    def clog(pre: Boolean) = spark.read.format("graft-kv")
+      .option("path", s"$root/t").option("changelog", "true")
+      .option("preImages", pre.toString).load()
+    // (a) classic changelog: no pre_present column at all
+    val e1 = intercept[IllegalArgumentException](
+      Warehouse.kvIvmDeltaRollup(clog(pre = false)))
+    assert(e1.getMessage.contains("pre-image changelog"))
+    // (b) RESTORE's replay D records carry no pre-image (snapshot
+    // reset): the decrement merge must refuse, not under-subtract.
+    // Append a key AFTER the target version so the restore emits a D.
+    Seq((3L, "c", 3.0)).toDF("id", "name", "value")
+      .write.format("graft-kv").option("path", s"$root/t")
+      .mode("append").save()
+    graft.sources.v2.KvTable.restore(spark, s"$root/t", 0L, 8)
+    val e2 = intercept[IllegalArgumentException](
+      Warehouse.kvIvmDeltaRollup(clog(pre = true)))
+    assert(e2.getMessage.contains("cannot be decremented"))
+    // (c) the pre-restore slice still rolls up fine
+    val ok = Warehouse.kvIvmDeltaRollup(clog(pre = true)
+      .filter($"seq" <= 1))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // a: I(+1,+1) then U(+5,+1)/(−1,−1) nets (5,1); b: I(+2,+1)
+    assert(ok == Set(("a", 5L, 1L), ("b", 2L, 1L)), s"got $ok")
+  }
 }
