@@ -198,6 +198,100 @@ object Multimodal {
     }
   }
 
+  /** Decoded image metadata + pixel checksum from the REAL image path. */
+  final case class ImageRow(
+      media_id: Long, format: String, width: Int, height: Int, pix_sum: Long)
+
+  /** REAL image decode with a CHECKSUM surface — the [[decodeWavBatch]]
+    * pattern for images (round-19; [[decodePngBatch]] already proves the
+    * codec through the thumbnail leg, this seam adds the exact-bytes
+    * assertion surface an oracle can recompute): `javax.imageio`
+    * identifies and parses the payload (BMP/PNG/GIF — whatever the JDK
+    * registry holds), the seam emits the container format name, the
+    * REAL decoded dimensions, and an exact integer sum over the decoded
+    * red channel — for the gray synthetic corpora used in the gate,
+    * r=g=b, so the sum pins every pixel of the decode bit-exactly while
+    * staying closed-form recomputable without a decoder.
+    *
+    * Poison discipline (the decodeWavBatch contract): an unidentifiable
+    * payload (no reader claims it) and a truncated one (the reader
+    * throws mid-pixel-data) both quarantine the ROW — format "",
+    * width = height = −1, zero sum — never the task; at 100 TB a poison
+    * payload must cost one row, not an executor. Payloads never reach a
+    * shuffle: metadata and checksum leave the seam, bytes stay
+    * scan-side. Real deployments swap in turbojpeg/ffmpeg via JNI
+    * behind this exact signature.
+    */
+  def decodeImageBatch(media: Dataset[MediaRow]): Dataset[ImageRow] = {
+    implicit val enc = Encoders.product[ImageRow]
+    val poison = (id: Long) => ImageRow(id, "", -1, -1, 0L)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) poison(r.media_id)
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val fmt = reader.getFormatName.toLowerCase
+                val img = reader.read(0)
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    sum += (img.getRGB(x, y) >> 16) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                ImageRow(r.media_id, fmt, img.getWidth, img.getHeight, sum)
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch {
+          // a truncated/corrupt payload surfaces as IIOException,
+          // EOFException, or a reader-internal bounds error — all
+          // quarantine the row, none may fail the task
+          case scala.util.control.NonFatal(_) => poison(r.media_id)
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL-BMP synthesis for gate fixtures: a `w`×`h` gray
+    * gradient with pixel(x,y) = x + y + (seed % 200) in every channel —
+    * dimensions and every pixel are pure functions of the seed, so the
+    * decode checksum has the closed form
+    * `h·w(w−1)/2 + w·h(h−1)/2 + w·h·(seed % 200)` (max pixel 239 < 256,
+    * no wraparound), recomputable by a SQL oracle with no codec. The
+    * bytes are a genuine JDK-encoded BMP — the decode side must really
+    * parse the container to recover them. */
+  def synthBmp(seed: Long): Array[Byte] = {
+    val w = 8 + (seed % 16).toInt
+    val h = 8 + ((seed * 3) % 12).toInt
+    val base = (seed % 200).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = x + y + base
+        img.setRGB(x, y, g << 16 | g << 8 | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
   def decodePngBatch(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ThumbRow] = {
     require(tw > 0 && th > 0, "thumbnail dims must be positive")
     implicit val enc = Encoders.product[ThumbRow]

@@ -8271,4 +8271,87 @@ object LlmOps {
        |WHERE cov.pos_i < cov.pos_j AND di.v > 0 AND dj.v > 0
        |ORDER BY corr2_ppm DESC, pos_i, pos_j
        |LIMIT $RedundantTopK""".stripMargin
+
+  // --- Real image decode gate (q263) ----------------------------------------
+
+  /** q263: REAL IMAGE DECODE UNDER THE CROSS-ENGINE GATE — the last
+    * simulated multimodal component made real (round-18 verdict item 5;
+    * audio got this treatment via decodeWavBatch, the thumbnail leg via
+    * decodePngBatch — this puts the image CODEC's output under the
+    * DuckDB hash gate). Per document, a genuine JDK-encoded BMP is
+    * synthesized ([[graft.multimodal.Multimodal.synthBmp]] — dimensions
+    * and a gray gradient that are pure functions of doc_id), with
+    * planted poison: doc_id%23=0 payloads are not images at all,
+    * doc_id%17=0 payloads are truncated mid-pixel-data. The REAL decode
+    * seam ([[graft.multimodal.Multimodal.decodeImageBatch]],
+    * javax.imageio) parses each payload and emits decoded dimensions
+    * plus an exact integer pixel checksum; poison rows quarantine
+    * (width −1, zero sum) instead of failing tasks. Results roll up
+    * per doc_id%50 bucket — quarantine counts, decoded-dimension sums,
+    * pixel-sum totals — so EVERY image's full decode participates in
+    * the hash while the output stays bounded. The oracle recomputes the
+    * checksums closed-form (the synth gradient sums to
+    * h·w(w−1)/2 + w·h(h−1)/2 + w·h·(id%200)) — it has no codec, so a
+    * decoder that misread dimensions, channel order, or any pixel
+    * mismatches the gate.
+    *
+    * Scale: synth and decode run in ONE mapPartitions pass each,
+    * payloads never shuffle (only metadata + checksums leave the seam),
+    * the rollup is a 50-group hash agg. At 100 TB the synth stage is
+    * the real corpus scan and the seam swaps to a JNI codec behind the
+    * same signature — the plan shape is unchanged. */
+  def q263ImageDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.Encoders
+    implicit val mediaEnc = Encoders.product[Multimodal.MediaRow]
+    val media = documents(s, d).select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes =
+            if (id % 23 == 0) s"not-an-image-$id".getBytes("UTF-8")
+            else {
+              val b = Multimodal.synthBmp(id)
+              if (id % 17 == 0) b.take(b.length / 2) else b
+            }
+          Multimodal.MediaRow(id, "image", bytes)
+        }
+      }
+    Multimodal.decodeImageBatch(media)
+      .groupBy((col("media_id") % 50).as("bucket"))
+      .agg(
+        sum(when(col("width") === -1, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("width") =!= -1, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("width") =!= -1, col("width").cast("long"))
+          .otherwise(0L)).as("sum_w"),
+        sum(when(col("width") =!= -1, col("height").cast("long"))
+          .otherwise(0L)).as("sum_h"),
+        sum(col("pix_sum")).as("sum_pix"))
+      .orderBy("bucket")
+  }
+
+  /** The decode recomputed WITHOUT a decoder: dimensions and the
+    * gradient checksum are closed forms of doc_id, quarantine is the
+    * planted poison predicate — any divergence in the engine's real
+    * ImageIO parse (dimensions, pixels, quarantine routing) breaks the
+    * hash. */
+  val q263Oracle: String =
+    """WITH par AS (
+      |  SELECT doc_id AS id, doc_id % 50 AS bucket,
+      |    (doc_id % 23 = 0 OR doc_id % 17 = 0) AS quarantined,
+      |    8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h,
+      |    doc_id % 200 AS base
+      |  FROM documents)
+      |SELECT bucket,
+      |  CAST(sum(CASE WHEN quarantined THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quarantined,
+      |  CAST(sum(CASE WHEN quarantined THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_ok,
+      |  CAST(sum(CASE WHEN quarantined THEN 0 ELSE w END) AS BIGINT)
+      |    AS sum_w,
+      |  CAST(sum(CASE WHEN quarantined THEN 0 ELSE h END) AS BIGINT)
+      |    AS sum_h,
+      |  CAST(sum(CASE WHEN quarantined THEN 0
+      |    ELSE h * w * (w - 1) // 2 + w * h * (h - 1) // 2 + w * h * base
+      |    END) AS BIGINT) AS sum_pix
+      |FROM par GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -166,4 +166,35 @@ class MultimodalSpec extends SparkSpec {
       Seq(Multimodal.MediaRow(1L, "audio", wav)).toDS()).collect().head
     assert(again == out(0))
   }
+
+  test("decodeImageBatch: a REAL bmp decodes with an exact pixel " +
+    "checksum; truncated and poison payloads quarantine the row") {
+    // the synth gradient: seed 37 → w = 8+5 = 13, h = 8+(111%12) = 11,
+    // base = 37; closed-form sum = h·w(w−1)/2 + w·h(h−1)/2 + w·h·base
+    val seed = 37L
+    val bmp = Multimodal.synthBmp(seed)
+    val (w, h, base) = (13L, 11L, 37L)
+    val expectSum = h * w * (w - 1) / 2 + w * h * (h - 1) / 2 + w * h * base
+    val truncated = bmp.take(bmp.length / 2) // header intact, pixels short
+    val poison = "not-an-image-at-all".getBytes(StandardCharsets.UTF_8)
+    val out = Multimodal.decodeImageBatch(
+      Seq(Multimodal.MediaRow(1L, "image", bmp),
+        Multimodal.MediaRow(2L, "image", truncated),
+        Multimodal.MediaRow(3L, "image", poison)).toDS())
+      .collect().sortBy(_.media_id)
+    // real parsed container + dimensions, checksum over DECODED pixels
+    assert(out(0).format == "bmp")
+    assert(out(0).width == w.toInt && out(0).height == h.toInt)
+    assert(out(0).pix_sum == expectSum,
+      s"decoded pixel sum ${out(0).pix_sum} must equal closed form $expectSum")
+    // truncated pixel data quarantines (a partial image must never look
+    // valid downstream); an unidentifiable payload quarantines too
+    assert(out(1).width == -1 && out(1).height == -1 && out(1).pix_sum == 0L,
+      s"truncated payload must quarantine, got ${out(1)}")
+    assert(out(2).format == "" && out(2).width == -1)
+    // deterministic across invocations
+    val again = Multimodal.decodeImageBatch(
+      Seq(Multimodal.MediaRow(1L, "image", bmp)).toDS()).collect().head
+    assert(again == out(0))
+  }
 }
