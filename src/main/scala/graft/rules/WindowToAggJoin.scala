@@ -36,15 +36,29 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * ordered windows, and bounded frames pass through untouched.
   *
   * CONFIG-GATED, default OFF (`spark.graft.windowToAggJoin.enabled`):
-  * profitability depends on key cardinality, which the rule cannot see
-  * — on a near-unique key the join is a regression. The library's own
-  * registered queries encode the choice per query instead (q173's
-  * hand-written pre-aggregation); this rule is the session-wide lever
-  * for workloads a user cannot rewrite.
+  * profitability depends on key cardinality — on a near-unique key the
+  * join is a regression. Three modes (round-19, verdict item 7):
+  *   - "false" (default): never fires; registered queries encode the
+  *     choice per query (q173's hand-written pre-aggregation);
+  *   - "true": always fires (the caller asserts key cardinality);
+  *   - "auto": fires per window ONLY when the rule can SEE that
+  *     n_groups ≪ n_rows — from CBO column statistics
+  *     (`ANALYZE TABLE … FOR COLUMNS`: distinctCount of the partition
+  *     keys vs the child's rowCount, threshold
+  *     `spark.graft.windowToAggJoin.maxGroupRatio`, default 0.1) or
+  *     from a TYPE-LEVEL bound when stats are absent (a boolean/byte
+  *     key space is provably tiny —
+  *     `spark.graft.windowToAggJoin.maxStaticGroups`, default 4096).
+  *     Multi-key specs take the product of per-key bounds; any key
+  *     with neither stats nor a bounded type leaves the window
+  *     untouched — refusal over regression, the cost-visibility
+  *     posture that kept the rule default-off.
   */
 object WindowToAggJoin extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.windowToAggJoin.enabled"
+  val RatioKey = "spark.graft.windowToAggJoin.maxGroupRatio"
+  val StaticKey = "spark.graft.windowToAggJoin.maxStaticGroups"
 
   private def wholePartition(frame: Expression): Boolean = frame match {
     case UnspecifiedFrame => true
@@ -82,18 +96,56 @@ object WindowToAggJoin extends Rule[LogicalPlan] {
     else None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
-    rewrite(plan)
+  /** Upper bound on a single key's distinct values from its TYPE alone
+    * — sound without any statistics (null adds one group; +1 kept). */
+  private def typeBound(dt: org.apache.spark.sql.types.DataType)
+      : Option[BigInt] = dt match {
+    case org.apache.spark.sql.types.BooleanType => Some(BigInt(3))
+    case org.apache.spark.sql.types.ByteType => Some(BigInt(257))
+    case org.apache.spark.sql.types.ShortType => Some(BigInt(65537))
+    case _ => None
   }
+
+  /** Can the rule SEE that this window's group count is small? CBO
+    * column stats first (distinctCount per partition key, multi-key =
+    * product), type bounds second; an unknowable key → None, and the
+    * window stays a window. */
+  private def profitable(w: Window): Boolean = {
+    val stats = w.child.stats
+    val perKey = w.partitionSpec.map { e =>
+      val fromStats = e match {
+        case a: Attribute =>
+          stats.attributeStats.get(a).flatMap(_.distinctCount)
+        case _ => None
+      }
+      fromStats.orElse(typeBound(e.dataType))
+    }
+    if (!perKey.forall(_.isDefined)) return false
+    val nGroups = perKey.flatten.product
+    val maxStatic = BigInt(conf.getConfString(StaticKey, "4096").toLong)
+    stats.rowCount match {
+      case Some(n) =>
+        val ratio = conf.getConfString(RatioKey, "0.1").toDouble
+        nGroups <= maxStatic.max((BigDecimal(n) * ratio).toBigInt.max(BigInt(1)))
+      case None => nGroups <= maxStatic
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    conf.getConfString(ConfKey, "false") match {
+      case "true" => rewrite(plan)
+      case "auto" => rewrite(plan, gate = profitable)
+      case _ => plan
+    }
 
   /** The rewrite itself, unconditionally (same safety guards, no config
     * gate) — for callers that opt a SINGLE plan in rather than the whole
     * session (see `Relational.q197OrderShape`).
     */
-  def rewrite(plan: LogicalPlan): LogicalPlan = {
+  def rewrite(plan: LogicalPlan,
+      gate: Window => Boolean = _ => true): LogicalPlan = {
     plan.transformUp {
-      case w: Window =>
+      case w: Window if gate(w) =>
         rewritable(w) match {
           case Some(pairs) =>
             // grouping keys re-aliased so the join's two sides expose

@@ -1175,11 +1175,20 @@ private[sources] object KvCommitter {
     Files.createDirectories(root)
     val lock = root.resolve("_commit.lock")
     val fenceFile = root.resolve("_fence")
+    // read OUTSIDE the lock (it seeds the candidate fence before the
+    // CREATE_NEW attempt), so it must tolerate what a concurrent
+    // writer's file operations can expose: with the atomic-move write
+    // below that is only ever a complete old or new value, but a legacy
+    // truncate-then-write crash can leave an empty file — floor 0 is
+    // safe either way (a takeover still maxes against the HELD lock's
+    // fence, and same-or-lower fences on the serialized path cannot
+    // collide: file names also embed seq+task)
     def fenceFloor: Long =
-      if (Files.exists(fenceFile))
-        new String(Files.readAllBytes(fenceFile), StandardCharsets.UTF_8)
-          .trim.toLong
-      else 0L
+      if (Files.exists(fenceFile)) {
+        val s = new String(Files.readAllBytes(fenceFile),
+          StandardCharsets.UTF_8).trim
+        if (s.nonEmpty && s.forall(_.isDigit)) s.toLong else 0L
+      } else 0L
     def render(fence: Long): String = {
       val deadline = System.currentTimeMillis() + leaseMs
       s"""{"holder": "${KvTable.esc(who)}", "nonce": ${System.nanoTime()}, """ +
@@ -1224,8 +1233,17 @@ private[sources] object KvCommitter {
           LockToken(mine, fence)
       }
     }
-    Files.write(fenceFile,
-      token.fence.toString.getBytes(StandardCharsets.UTF_8))
+    // ATOMIC fence-file update (round-19: a concurrent committer reads
+    // this file unsynchronized while computing its candidate fence — a
+    // plain truncate-then-write exposed an empty window that killed the
+    // loser with a parse error instead of the loud serialization
+    // refusal; temp + ATOMIC_MOVE makes every read see a complete value)
+    locally {
+      val tmp = root.resolve(s"_fence.tmp-${System.nanoTime()}")
+      Files.write(tmp, token.fence.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, fenceFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     purgeUncommitted(root)
     try body(token)
     finally {

@@ -143,4 +143,68 @@ class WindowToAggJoinSpec extends SparkSpec {
         "gate off ⇒ no rewrite")
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  /** Run `body` with the rule installed in AUTO mode (stats-gated),
+    * with optional threshold overrides. */
+  private def withAuto[A](confs: (String, String)*)(body: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ WindowToAggJoin
+    spark.conf.set(WindowToAggJoin.ConfKey, "auto")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally {
+      spark.conf.unset(WindowToAggJoin.ConfKey)
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("auto mode: a type-bounded key space fires without statistics; " +
+    "an unknowable key leaves the window alone") {
+    withAuto() {
+      // boolean partition key: ≤ 3 groups provable from the TYPE alone
+      val byBool = fixture.withColumn("b", ($"id" % 2 === 0))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("b")))
+      assert(byBool.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }.isEmpty,
+        "boolean key must self-enable")
+      // long key, no stats: cardinality invisible → refusal over
+      // regression, the window survives
+      val byId = fixture
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("id")))
+      assert(byId.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }.nonEmpty,
+        "an unknowable key must NOT rewrite in auto mode")
+    }
+  }
+
+  test("auto mode: CBO column statistics gate the rewrite both ways — " +
+    "few groups fires, near-unique stays") {
+    val table = "wtaj_auto_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    fixture.write.saveAsTable(table)
+    try {
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS k, id")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // thresholds chosen so the STATIC path cannot fire (maxStatic=2)
+      // and only the stats ratio decides: k has 4 distinct of 7 rows →
+      // fires at ratio 0.9 (4 ≤ ⌊0.9·7⌋); id has 7 of 7 → stays
+      withAuto(WindowToAggJoin.StaticKey -> "2",
+        WindowToAggJoin.RatioKey -> "0.9") {
+        val overK = spark.table(table)
+          .withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+        assert(overK.queryExecution.optimizedPlan
+          .collect { case w: LWindow => w }.isEmpty,
+          "distinctCount(k) ≪ rowCount must self-enable via CBO stats")
+        val overId = spark.table(table)
+          .withColumn("c", count(lit(1)).over(Window.partitionBy("id")))
+        assert(overId.queryExecution.optimizedPlan
+          .collect { case w: LWindow => w }.nonEmpty,
+          "a near-unique analyzed key must NOT rewrite")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
 }
