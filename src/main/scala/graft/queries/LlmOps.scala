@@ -6808,12 +6808,23 @@ object LlmOps {
     // vectors, corpus-wide, per panel query (broadcast panel — one scan)
     val full = e.select(col("vec_id"), pqQuant(col("embedding")).as("qe"))
     val qq = panel.select(col("q_id"), pqQuant(col("embedding")).as("qq"))
-    val wE = Window.partitionBy("q_id")
-      .orderBy(col("dist").asc, col("vec_id").asc)
+    // bucket-prefiltered exact top-K (the q210/q106 topK discipline,
+    // guide §2.5): ranking corpus×panel scored rows in ONE window per
+    // q_id makes each partition corpus-sized — a straggler factory at
+    // scale (the panel is small, so parallelism = |panel|). Per-
+    // (q_id, bucket) row_number bounds the global window's input at
+    // buckets·K rows per query; per-bucket top-K ⊇ per-query top-K
+    // under the same total order, so the result is unchanged.
+    val ordE = Seq(col("dist").asc, col("vec_id").asc)
+    val wEB = Window.partitionBy("q_id", "__b").orderBy(ordE: _*)
+    val wE = Window.partitionBy("q_id").orderBy(ordE: _*)
     val etop = full.crossJoin(broadcast(qq))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         pqSqdist(col("qe"), col("qq")).as("dist"))
+      .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(RecallBuckets)))
+      .withColumn("__br", row_number().over(wEB))
+      .filter(col("__br") <= IvfIdxTopK).drop("__b", "__br")
       .withColumn("rn", row_number().over(wE))
       .filter(col("rn") <= IvfIdxTopK)
       .select("q_id", "vec_id")
@@ -7115,14 +7126,20 @@ object LlmOps {
     * only 4 constant-width aggregates and a 4-row union.
     */
   def q208DedupRing(s: SparkSession, d: String): DataFrame = {
-    def legStats(name: String, pairs: DataFrame): DataFrame = {
-      val flagged = pairs.filter(col("near_dup") === 1)
-      val docs = flagged.select(col("doc_a").as("doc"))
-        .unionAll(flagged.select(col("doc_b").as("doc")))
-      flagged.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(docs.agg(countDistinct(col("doc")).as("n_docs")))
+    def legStats(name: String, pairs: DataFrame): DataFrame =
+      // ONE evaluation of the leg's pair chain: the old shape (count
+      // aggregate crossJoin'd with a distinct-count over a two-sided
+      // union) physically replicated the whole leg plan THREE times —
+      // 38 parquet scans / 136 Exchanges across the ring at sf0.001
+      // (plans/r19/q208_dedup_ring_before.txt). Exploding each pair
+      // into its two endpoints makes both stats one aggregate over one
+      // pass: n_pairs = rows DIV 2 (every pair contributes exactly 2),
+      // n_docs = distinct endpoints. Guide §1.2 step 1 / §2.4.
+      pairs.filter(col("near_dup") === 1)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .agg(expr("count(1) DIV 2").as("n_pairs"),
+          countDistinct(col("doc")).as("n_docs"))
         .select(lit(name).as("leg"), col("n_pairs"), col("n_docs"))
-    }
     val exact = documents(s, d)
       .select(VectorExpressions.hornerHash(col("text")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("m"))

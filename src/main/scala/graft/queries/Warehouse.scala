@@ -3884,15 +3884,27 @@ object Warehouse {
         .drop("__bucket", "__brank")
     }
 
+    // items feeds EVERY consumer — the mass probe, sizes, the block
+    // guard, and both join sides of the pair leg. Materialize the
+    // distinct (cust,item) frame ONCE (eager localCheckpoint, the r17
+    // plan): without it the lazy plan physically replicates the
+    // lineitem⋈orders+distinct base under each consumer — 24 parquet
+    // scans / 32 Exchanges at sf0.001 (plans/r19/q173_cf_neighbors_
+    // before.txt) vs 2 scans with the checkpoint — and the sf0.1 bench
+    // median regressed 1.90→2.93 s exactly from that re-derivation
+    // (guide §2.4: remove shuffles outright; §3.3: materialise reused
+    // intermediates). The checkpoint is (cust,item) longs — 16 bytes a
+    // row, corpus-distinct-sized, the same frame every regime needs.
+    val itemsCk = itemsPlan.localCheckpoint(eager = true)
     // the pair mass Σ|block|² decides the plan: one dim-sized aggregate
     // row, collected before the expensive leg is even constructed —
     // memoized per fixture dir (immutable for a process's lifetime, the
     // Tables.enableReuse contract), so repeated bench/verify invocations
-    // pay the probe job once; the probe runs on the UN-checkpointed plan
-    // so the sub-budget path never materializes anything
+    // pay the probe job once; post-checkpoint the probe is one
+    // aggregate over the materialized frame, not a corpus re-derivation
     val mass: Long = CfMassCache.computeIfAbsent(d, _ =>
       java.lang.Long.valueOf(
-        Option(derived(itemsPlan)._2.agg(sum(col("bsz") * col("bsz")))
+        Option(derived(itemsCk)._2.agg(sum(col("bsz") * col("bsz")))
           .head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L))).longValue
     val budget = s.conf.getOption("spark.graft.q173.stepPairBudget")
@@ -3908,9 +3920,9 @@ object Warehouse {
       (mass / 2 * (100 + headroomPct) / 100 + budget - 1) / budget).toInt
 
     if (chunks <= 1) {
-      // single-pass regime: the exact pre-round-18 plan — lazy end to
-      // end, no checkpoint, no driver iteration
-      val (sizes, _, blocks) = derived(itemsPlan)
+      // single-pass regime: the r17 plan — everything derives lazily
+      // from the one materialized items frame, no driver iteration
+      val (sizes, _, blocks) = derived(itemsCk)
       bucketPrefilter(attachJaccard(sizes)(pairCountsOf(blocks, blocks)))
         .withColumn("rank", row_number().over(wTop).cast("long"))
         .filter(col("rank") <= CfTopK)
@@ -3918,10 +3930,7 @@ object Warehouse {
           col("common"), col("szu"), col("szv"), col("jaccard_ppm"))
         .orderBy("rank")
     } else {
-      // items feeds every step (guard, sizes, both join sides): pin it
-      // once so steps re-read a local snapshot instead of re-deriving
-      // the corpus join C times
-      val itemsCk = itemsPlan.localCheckpoint(eager = true)
+      // chunked regime: steps re-read the same local snapshot C times
       val (sizes, _, blocks) = derived(itemsCk)
       val blocksCk = blocks.localCheckpoint(eager = true)
       val stepCols = Seq(col("u"), col("v"), col("common"),

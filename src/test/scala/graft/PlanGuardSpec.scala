@@ -28,7 +28,6 @@ class PlanGuardSpec extends SparkSpec {
     "q128_resample" -> "broadcast of the hourly grid spine (bounded by observed time span, q13/q17 discipline)",
     "q130_join_card" -> "sketch attachment over 1-row-per-table aggregates (constant key folds away)",
     "q201_bigram_lm" -> "broadcast of the single-row train-token total (q85 discipline)",
-    "q208_dedup_ring" -> "1-row aggregate pair attach per leg (capstone union of bounded stats)",
     "q210_pq_adc" -> "broadcast of the query sample (same doubly-bounded q106 panel; exact ground-truth leg)",
     "q252_ivfadc_drift" -> "broadcast of the query sample (doubly-bounded q106 panel; exact ground-truth leg of the drift audit)",
     "q212_xmodal_metrics" -> "broadcast of the query sample (doubly-bounded image-kind panel)",
