@@ -1782,37 +1782,51 @@ object Warehouse {
     * arithmetic), and the audit is pure counts + a selected timestamp —
     * nothing float-summed, so the gate hashes exactly.
     *
-    * Scale shape: observations collapse to (user, hour) BEFORE any
-    * expansion (map-side combine on the partial agg); the grid spine is
-    * one broadcast array (bounded by the observed time span — hours, not
-    * events); the user × grid expansion is a broadcast nested loop over
-    * that bounded spine (PlanGuard-allowlisted, the q13/q17 spine
-    * discipline); the LOCF window partitions by user_id — high
-    * cardinality, per-partition frame = grid length. Nothing
-    * corpus-sized is ever sorted globally.
+    * Scale shape (round 19, guide §1.1 first-principles): the AUDIT never
+    * needs the grid materialized. On an hourly grid over [t0, t1], LOCF
+    * gives every count analytically from the per-user observation stats —
+    * n_points = |grid| (global), n_leading_nulls = hours strictly before
+    * the user's first non-null observation, n_filled = the rest minus
+    * n_observed, last_seen_hour = the max observation hour — because the
+    * carried value is non-null exactly from the first observation onward.
+    * So the user × grid expansion (|users|·|hours| rows through a
+    * broadcast nested loop + a per-user window sort — the dominant cost
+    * at every scale) is replaced by ONE map-side-combinable aggregate
+    * over the purchase hours plus a distinct over user_id; [t0, t1] is a
+    * 1-row stats collect (the q164/q192 observe pattern). A pipeline
+    * that needs the grid VALUES still materializes it; the audit is
+    * counts, and counts have a closed form.
     */
   def q128Resample(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-    val obs = ev.filter(col("event_type") === "purchase")
+    val bounds = ev
+      .agg(date_trunc("hour", min(col("ts"))).cast("long").as("t0"),
+        date_trunc("hour", max(col("ts"))).cast("long").as("t1"))
+      .collect().head
+    val (t0s, t1s) = (bounds.getLong(0), bounds.getLong(1))
+    val nPoints = (t1s - t0s) / 3600L + 1L
+    // per-(user, hour) observation = max purchase value in that hour;
+    // hours whose every value is NULL carry nothing (LOCF ignoreNulls
+    // skipped them), so they drop here too
+    val ustats = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("gts"))
       .agg(max(col("value")).as("obs"))
-    val grid = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
-        date_trunc("hour", max(col("ts"))).as("t1"))
-      .select(explode(sequence(col("t0"), col("t1"),
-        expr("INTERVAL 1 HOUR"))).as("gts"))
-    val wFill = Window.partitionBy("user_id").orderBy("gts")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.select("user_id").distinct()
-      .crossJoin(broadcast(grid))
-      .join(obs, Seq("user_id", "gts"), "left")
-      .withColumn("locf", last(col("obs"), ignoreNulls = true).over(wFill))
+      .filter(col("obs").isNotNull)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_points"),
-        count(col("obs")).as("n_observed"),
-        (count(col("locf")) - count(col("obs"))).as("n_filled"),
-        (count(lit(1)) - count(col("locf"))).as("n_leading_nulls"),
-        max(when(col("obs").isNotNull, col("gts"))).as("last_seen_hour"))
+      .agg(count(lit(1)).as("n_obs"),
+        min(col("gts")).as("first_obs"),
+        max(col("gts")).as("last_seen_hour"))
+    ev.select("user_id").distinct()
+      .join(ustats, Seq("user_id"), "left")
+      .select(col("user_id"),
+        lit(nPoints).as("n_points"),
+        coalesce(col("n_obs"), lit(0L)).as("n_observed"),
+        coalesce(lit(nPoints)
+          - (col("first_obs").cast("long") - lit(t0s)) / lit(3600L)
+          - col("n_obs"), lit(0L)).cast("long").as("n_filled"),
+        coalesce((col("first_obs").cast("long") - lit(t0s)) / lit(3600L),
+          lit(nPoints)).cast("long").as("n_leading_nulls"),
+        col("last_seen_hour"))
       .orderBy("user_id")
   }
 

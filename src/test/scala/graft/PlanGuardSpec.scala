@@ -25,7 +25,6 @@ class PlanGuardSpec extends SparkSpec {
     "q112_maxsim" -> "broadcast of the bounded multi-vector query set (|MaxSimQLabels|*MaxSimQVecs rows)",
     "q115_hard_negatives" -> "broadcast of the corpus-proportional centroid set (argmax assignment needs all K per vector)",
     "q166_semantic_leak" -> "broadcast of the corpus-proportional centroid set (argmax assignment needs all K per vector)",
-    "q128_resample" -> "broadcast of the hourly grid spine (bounded by observed time span, q13/q17 discipline)",
     "q130_join_card" -> "sketch attachment over 1-row-per-table aggregates (constant key folds away)",
     "q201_bigram_lm" -> "broadcast of the single-row train-token total (q85 discipline)",
     "q210_pq_adc" -> "broadcast of the query sample (same doubly-bounded q106 panel; exact ground-truth leg)",
